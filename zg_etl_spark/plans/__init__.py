@@ -1,0 +1,24 @@
+"""Declared analytical queries — the engine's query surface.
+
+Each module contributes:
+    QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]
+    ORACLE:  dict[str, str]   # DuckDB SQL equivalents (omit → rows-only check)
+"""
+
+from zg_etl_spark.plans import llm, pipeline, relational
+
+
+def all_queries():
+    q = {}
+    q.update(relational.QUERIES)
+    q.update(pipeline.QUERIES)
+    q.update(llm.QUERIES)
+    return q
+
+
+def all_oracles():
+    o = {}
+    o.update(relational.ORACLE)
+    o.update(pipeline.ORACLE)
+    o.update(llm.ORACLE)
+    return o

@@ -1,0 +1,432 @@
+"""Relational query surface (FIXTURES.md §3 Q1–Q12).
+
+The reference delegates all analytical SQL to Doris (SURVEY.md §2.8 — its
+runtime only counts); these queries ARE the analytical surface our engine
+exposes natively via Spark SQL over the same tables. Each is written
+DataFrame-first so Catalyst handles pushdown/pruning/join selection, with
+explicit broadcast hints where the dimension side is known-small.
+
+Scale notes (100 TB thinking):
+- joins to region/nation/customer/part-sized dims are broadcast — no
+  shuffle of the fact table;
+- fact-fact joins (lineitem ⋈ orders) shuffle on the join key only after
+  filters/pruning cut the scan (verify via .explain: PushedFilters);
+- top-k per group uses window + row_number (one shuffle on the partition
+  key); global top-k uses orderBy+limit which Spark runs as TakeOrdered
+  (no full sort);
+- aggregates use exact decimal sums (plans.common) so results value-hash
+  against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from zg_etl_spark.plans.common import davg, dsum, money, o_davg, o_dsum, o_money
+from zg_etl_spark.sources.tables import load_table
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_PRICE = o_money("l_extendedprice")
+_DISC = o_money("l_discount", 5)
+_TAX = o_money("l_tax", 5)
+_QTY = o_money("l_quantity")
+_TOTAL = o_money("o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Q1 scan + filter + project + agg (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum(_QTY)} AS sum_qty,
+           {o_dsum(_PRICE)} AS sum_base_price,
+           {o_dsum(f'{_PRICE} * (1 - {_DISC})')} AS sum_disc_price,
+           {o_dsum(f'{_PRICE} * (1 - {_DISC}) * (1 + {_TAX})')} AS sum_charge,
+           {o_davg(_QTY)} AS avg_qty,
+           {o_davg(_PRICE)} AS avg_price,
+           {o_davg(_DISC)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = money("l_extendedprice")
+    disc = money("l_discount", 5)
+    tax = money("l_tax", 5)
+    disc_price = price * (F.lit(1) - disc)
+    charge = disc_price * (F.lit(1) + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(money("l_quantity")).alias("avg_qty"),
+            davg(price).alias("avg_price"),
+            davg(disc).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 equi hash join orders ⋈ customer
+# ---------------------------------------------------------------------------
+@_q(
+    "q2_orders_customer_join",
+    f"""
+    SELECT c.c_mktsegment,
+           o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum(o_money('o.o_totalprice'))} AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 50000
+    GROUP BY c.c_mktsegment, o.o_orderstatus
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+# ---------------------------------------------------------------------------
+@_q(
+    "q3_revenue_by_nation",
+    f"""
+    SELECT r.r_name, n.n_name,
+           {o_dsum(f"{o_money('l.l_extendedprice')} * (1 - {o_money('l.l_discount', 5)})")} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount", 5))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 broadcast join of two dims
+# ---------------------------------------------------------------------------
+@_q(
+    "q4_nation_region",
+    """
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 left semi / anti join
+# ---------------------------------------------------------------------------
+@_q(
+    "q5_semi_anti",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE has_order) AS n_with_orders,
+           COUNT(*) FILTER (WHERE NOT has_order) AS n_without_orders
+    FROM (
+      SELECT c.c_mktsegment,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+      FROM customer c
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_o.join(without_o, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 hash agg with count(distinct)
+# ---------------------------------------------------------------------------
+@_q(
+    "q6_hash_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum(_QTY)} AS sum_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           {o_davg(_PRICE)} AS avg_price,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(money("l_quantity")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg(money("l_extendedprice")).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 rollup on (n_name, o_orderpriority)
+# ---------------------------------------------------------------------------
+@_q(
+    "q7_rollup",
+    f"""
+    SELECT n.n_name, o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_dsum(o_money('o.o_totalprice'))} AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 window ranking: top-3 orders per customer + running frame sum
+# ---------------------------------------------------------------------------
+@_q(
+    "q8_window_topk",
+    f"""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(SUM({_TOTAL})
+                  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum(money("o_totalprice"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_total"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 global top-k: top-10 revenue parts
+# ---------------------------------------------------------------------------
+@_q(
+    "q9_top_parts",
+    f"""
+    SELECT p.p_partkey, p.p_name,
+           {o_dsum(f"{o_money('l.l_extendedprice')} * (1 - {o_money('l.l_discount', 5)})")} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p.p_partkey
+    LIMIT 10
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount", 5))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 set ops: union / intersect / except over customer key sets
+# ---------------------------------------------------------------------------
+@_q(
+    "q10_set_ops",
+    """
+    WITH hi AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+         recent AS (SELECT DISTINCT o_custkey AS k FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM hi UNION SELECT k FROM recent)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (SELECT k FROM hi INTERSECT SELECT k FROM recent)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (SELECT k FROM hi EXCEPT SELECT k FROM recent)
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hi = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    u = hi.union(recent).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union").alias("op"), "n"
+    )
+    i = hi.intersect(recent).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    e = hi.subtract(recent).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except").alias("op"), "n"
+    )
+    return u.union(i).union(e)
+
+
+# ---------------------------------------------------------------------------
+# Q11 approx_count_distinct — tolerance-checked, no value oracle
+# ---------------------------------------------------------------------------
+@_q("q11_approx_distinct")  # rows-only check: HLL values differ across engines
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 scalar functions: string / date / math / null handling
+# ---------------------------------------------------------------------------
+@_q(
+    "q12_scalar_functions",
+    """
+    SELECT o_orderkey,
+           UPPER(o_orderstatus) AS status_u,
+           LOWER(o_orderpriority) AS prio_l,
+           CAST(LENGTH(prio_sub) AS BIGINT) AS prio_len,
+           prio_sub,
+           CONCAT(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           strftime(o_orderdate, '%Y%m%d') AS day_id,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+               AS days_to_eoy,
+           CAST(ROUND(o_totalprice, 1) AS DOUBLE) AS price_r1,
+           CAST(ABS(o_totalprice - 100000) AS DOUBLE) AS price_dist,
+           CAST(CEIL(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_x
+    FROM (SELECT *, SUBSTRING(o_orderpriority, 1, 1) AS prio_sub FROM orders)
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sub = F.substring("o_orderpriority", 1, 1)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.lower("o_orderpriority").alias("prio_l"),
+        F.length(sub).cast("bigint").alias("prio_len"),
+        sub.alias("prio_sub"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("day_id"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_eoy"),
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 100000).alias("price_dist"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_k_floor"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_x"),
+    )
