@@ -1,0 +1,152 @@
+"""Expression-engine conformance corpus (SURVEY.md §5.3).
+
+Each expression from the reference's documented function surface is compiled
+by BOTH emitters and evaluated in Spark and DuckDB over the same row of
+weakly-typed (stringly) fields; results must agree. Edge semantics covered:
+1-based substring, sec-vs-ms heuristic at 1e10, divide scale-10, CASE
+without ELSE → NULL, aggregate rejection, dotted-path field stripping.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from zg_etl_spark.functions.expr_compiler import (
+    ExprCompiler,
+    ExpressionError,
+    parse,
+)
+
+FIELDS = {
+    "price": "1500.5",
+    "qty": "3",
+    "name_s": "Alice",
+    "status": "ok",
+    "ct_s": "1722470400",        # 2024-08-01 00:00:00 UTC (seconds)
+    "ct_ms": "1722470400123",    # same instant, millis (> 1e10 heuristic)
+    "json_s": '{"a":{"b":[10,20]}}',
+    "maybe_null": None,
+}
+
+
+def _resolver(name: str, hint: str) -> str:
+    if name not in FIELDS:
+        raise AssertionError(f"unknown field {name}")
+    if hint == "number":
+        return f"try_cast({name} AS DOUBLE)"
+    return name
+
+
+COMPILER = ExprCompiler(spark_field_resolver=_resolver, duck_field_resolver=_resolver)
+
+CORPUS = [
+    # arithmetic + precedence
+    ("price + qty", 1503.5),
+    ("price - qty", 1497.5),
+    ("price * qty", 4501.5),
+    ("price / qty", 500.1666666667),
+    ("qty % 2", 1.0),
+    ("-price + 1", -1499.5),
+    ("1 + 2 * 3 - 4 / 8", 6.5),
+    # comparisons (numeric-coercing) + logic
+    ("price > 1000", True),
+    ("qty <= 3", True),
+    ("price = 1500.5", True),
+    ("status = 'ok'", True),
+    ("status != 'ko'", True),
+    ("price > 1000 AND qty < 10", True),
+    ("price < 1000 OR qty = 3", True),
+    ("NOT price < 1000", True),
+    # CASE
+    ("CASE WHEN price > 1000 THEN 'high' ELSE 'low' END", "high"),
+    ("CASE WHEN price < 10 THEN 'a' WHEN qty = 3 THEN 'b' ELSE 'c' END", "b"),
+    ("CASE WHEN price < 10 THEN 'a' END", None),
+    # strings (substring is 1-based)
+    ("upper(name_s)", "ALICE"),
+    ("lower(name_s)", "alice"),
+    ("length(name_s)", 5),
+    ("concat(name_s, '-', status)", "Alice-ok"),
+    ("substring(name_s, 2)", "lice"),
+    ("substring(name_s, 2, 3)", "lic"),
+    ("upper(concat(substring(name_s, 1, 1), status))", "AOK"),
+    # dates: sec vs ms heuristic at 1e10
+    ("date_format(ct_s, 'yyyy-MM-dd')", "2024-08-01"),
+    ("date_format(ct_ms, 'yyyy-MM-dd HH:mm:ss')", "2024-08-01 00:00:00"),
+    ("date_format('2024-08-10', 'yyyyMMdd')", "20240810"),
+    ("from_unixtime(ct_s)", "2024-08-01 00:00:00"),
+    ("from_unixtime(ct_ms, 'yyyyMMdd')", "20240801"),
+    ("date_diff('2024-08-10', '2024-08-01')", 9),
+    ("date_diff('2024-08-10', ct_s)", 9),
+    # math
+    ("abs(0 - price)", 1500.5),
+    ("round(price / 7, 2)", 214.36),
+    ("round(price / 7)", 214.0),
+    ("ceil(price / 1000)", 2),
+    ("floor(price / 1000)", 1),
+    # null handling
+    ("coalesce(maybe_null, 'dflt')", "dflt"),
+    ("nullif(status, 'ok')", None),
+    ("nullif(status, 'other')", "ok"),
+    # json path with array index
+    ("get_json_string(json_s, '$.a.b[0]')", "10"),
+    ("get_json_string(json_s, '$.a.b[1]')", "20"),
+    # dotted path keeps last segment
+    ("events.props.price * 2", 3001.0),
+]
+
+
+def _duck_row_sql() -> str:
+    cols = []
+    for k, v in FIELDS.items():
+        cols.append(f"NULL AS {k}" if v is None else f"'{v}' AS {k}")
+    return "SELECT " + ", ".join(cols)
+
+
+@pytest.fixture(scope="module")
+def spark_row(spark):
+    sql_cols = []
+    for k, v in FIELDS.items():
+        sql_cols.append(
+            f"CAST(NULL AS STRING) AS {k}" if v is None else f"'{v}' AS {k}"
+        )
+    df = spark.sql("SELECT " + ", ".join(sql_cols))
+    df.createOrReplaceTempView("expr_row")
+    return df
+
+
+@pytest.mark.parametrize("sql,expected", CORPUS, ids=[c[0][:40] for c in CORPUS])
+def test_conformance(spark, spark_row, sql, expected):
+    s_frag = COMPILER.to_spark_sql(sql)
+    d_frag = COMPILER.to_duckdb_sql(sql)
+
+    s_val = spark.sql(f"SELECT {s_frag} AS v FROM expr_row").collect()[0][0]
+    d_val = duckdb.sql(f"SELECT {d_frag} AS v FROM ({_duck_row_sql()})").fetchone()[0]
+
+    for engine, val in (("spark", s_val), ("duck", d_val)):
+        if expected is None:
+            assert val is None, f"{engine}: {val!r} != None ({sql})"
+        elif isinstance(expected, bool):
+            assert bool(val) == expected, f"{engine}: {val!r} ({sql})"
+        elif isinstance(expected, (int, float)):
+            assert val == pytest.approx(expected, abs=1e-9), f"{engine}: {val!r} ({sql})"
+        else:
+            assert val == expected, f"{engine}: {val!r} ({sql})"
+
+    # cross-engine agreement (same normalization)
+    if isinstance(expected, float):
+        assert float(s_val) == pytest.approx(float(d_val), abs=1e-9)
+    else:
+        assert (s_val is None) == (d_val is None)
+
+
+def test_aggregates_rejected():
+    for agg in ["SUM(price)", "avg(qty)", "COUNT(price)", "max(price)", "MEDIAN(qty)"]:
+        with pytest.raises(ExpressionError):
+            parse(agg)
+
+
+def test_parse_errors():
+    for bad in ["price +", "CASE price END", "unknownfn(1)", "(price", "1 ~~ 2"]:
+        with pytest.raises(ExpressionError):
+            parse(bad)

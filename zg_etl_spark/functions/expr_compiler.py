@@ -1,0 +1,647 @@
+"""Virtual-attribute expression compiler.
+
+The reference embeds a SQL scalar-expression engine (its only user-facing
+query language): a recursive-descent parser producing a JSON AST
+(`operator/id/virtualAttribute/SqlToJsonExpressionConverter.java:127-594`)
+interpreted per row (`VirtualAttributeExpressionEvaluator.java`). Grammar
+precedence (SqlToJsonExpressionConverter.java:303-416):
+
+    OR > AND > NOT > (= != <>) > (< <= > >=) > (+ -) > (* / %) > unary- >
+    primary (literal | identifier | function(args) | CASE WHEN | parens)
+
+plus: `'…'`/`"…"` strings, unicode + `$` identifiers, dotted paths keep the
+LAST segment (`:531-541`), aggregates rejected (`:98-122,459-462`).
+
+Function set (VirtualAttributeExpressionEvaluator.java:372-581): upper lower
+length concat substring now date_diff date_format from_unixtime abs round
+ceil floor coalesce nullif get_json_string.
+
+Spark-first design: instead of the reference's per-row interpreter, we
+compile the AST ONCE into engine SQL evaluated by Catalyst codegen — and
+into DuckDB SQL for the correctness oracle. One parser, two emitters; the
+oracle of a virtual-attribute query is generated, never hand-written twice.
+
+Documented semantics preserved:
+- division carries scale 10, HALF_UP (`:302-311`) → round(a/b, 10);
+- substring is 1-based (`:386-392`), as in both target dialects;
+- from_unixtime / date_format use the sec-vs-ms heuristic: value > 1e10 is
+  millis (`:449-456`) — emitted via timestamp_millis/epoch_ms so both
+  engines stay timezone-naive (UTC);
+- NULL semantics are SQL (reference throws on div-by-0; we yield NULL —
+  documented divergence, the batch engine must not abort a 100 TB job on
+  one bad row).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+AGGREGATES = {
+    "sum",
+    "avg",
+    "count",
+    "max",
+    "min",
+    "group_concat",
+    "stddev",
+    "variance",
+    "median",
+}
+
+KEYWORDS = {"case", "when", "then", "else", "end", "and", "or", "not", "null", "true", "false"}
+
+FUNCTIONS = {
+    "upper",
+    "lower",
+    "length",
+    "concat",
+    "substring",
+    "now",
+    "date_diff",
+    "date_format",
+    "from_unixtime",
+    "abs",
+    "round",
+    "ceil",
+    "floor",
+    "coalesce",
+    "nullif",
+    "get_json_string",
+}
+
+
+class ExpressionError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+@dataclass
+class Node:
+    pass
+
+
+@dataclass
+class Field(Node):
+    name: str  # last dotted segment, as in the reference
+
+
+@dataclass
+class Const(Node):
+    value: object  # str | float | int | bool | None
+
+
+@dataclass
+class Op(Node):
+    op: str
+    left: Node
+    right: Node | None = None  # None for unary minus / NOT
+
+
+@dataclass
+class Func(Node):
+    name: str
+    args: list[Node] = dc_field(default_factory=list)
+
+
+@dataclass
+class Case(Node):
+    whens: list[tuple[Node, Node]] = dc_field(default_factory=list)
+    default: Node | None = None
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*")
+  | (?P<op><=|>=|!=|<>|=|<|>|\+|-|\*|/|%|\(|\)|,)
+  | (?P<ident>[^\s<>=!+\-*/%(),'"]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise ExpressionError(f"cannot tokenize at {sql[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "ws":
+            continue
+        if kind == "ident":
+            low = text.lower()
+            if low in KEYWORDS:
+                tokens.append(("kw", low))
+                continue
+        tokens.append((kind, text))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# Parser (recursive descent, reference precedence)
+# ---------------------------------------------------------------------------
+class Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        if t is None:
+            raise ExpressionError("unexpected end of expression")
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> bool:
+        t = self.peek()
+        if t and t[0] == kind and (text is None or t[1].lower() == text):
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind: str, text: str | None = None) -> tuple[str, str]:
+        t = self.peek()
+        if not t or t[0] != kind or (text is not None and t[1].lower() != text):
+            raise ExpressionError(f"expected {text or kind}, got {t}")
+        self.i += 1
+        return t
+
+    def parse(self) -> Node:
+        node = self.or_expr()
+        if self.peek() is not None:
+            raise ExpressionError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def or_expr(self) -> Node:
+        node = self.and_expr()
+        while self.accept("kw", "or"):
+            node = Op("or", node, self.and_expr())
+        return node
+
+    def and_expr(self) -> Node:
+        node = self.not_expr()
+        while self.accept("kw", "and"):
+            node = Op("and", node, self.not_expr())
+        return node
+
+    def not_expr(self) -> Node:
+        if self.accept("kw", "not"):
+            return Op("not", self.not_expr())
+        return self.equality()
+
+    def equality(self) -> Node:
+        node = self.relational()
+        while True:
+            t = self.peek()
+            if t and t[0] == "op" and t[1] in ("=", "!=", "<>"):
+                self.next()
+                op = "=" if t[1] == "=" else "!="
+                node = Op(op, node, self.relational())
+            else:
+                return node
+
+    def relational(self) -> Node:
+        node = self.additive()
+        while True:
+            t = self.peek()
+            if t and t[0] == "op" and t[1] in ("<", "<=", ">", ">="):
+                self.next()
+                node = Op(t[1], node, self.additive())
+            else:
+                return node
+
+    def additive(self) -> Node:
+        node = self.multiplicative()
+        while True:
+            t = self.peek()
+            if t and t[0] == "op" and t[1] in ("+", "-"):
+                self.next()
+                node = Op(t[1], node, self.multiplicative())
+            else:
+                return node
+
+    def multiplicative(self) -> Node:
+        node = self.unary()
+        while True:
+            t = self.peek()
+            if t and t[0] == "op" and t[1] in ("*", "/", "%"):
+                self.next()
+                node = Op(t[1], node, self.unary())
+            else:
+                return node
+
+    def unary(self) -> Node:
+        if self.accept("op", "-"):
+            return Op("neg", self.unary())
+        return self.primary()
+
+    def primary(self) -> Node:
+        t = self.peek()
+        if t is None:
+            raise ExpressionError("unexpected end of expression")
+        kind, text = t
+        if kind == "num":
+            self.next()
+            return Const(float(text) if "." in text else int(text))
+        if kind == "str":
+            self.next()
+            quote = text[0]
+            return Const(text[1:-1].replace(quote * 2, quote))
+        if kind == "kw":
+            if text == "null":
+                self.next()
+                return Const(None)
+            if text in ("true", "false"):
+                self.next()
+                return Const(text == "true")
+            if text == "case":
+                return self.case_expr()
+            raise ExpressionError(f"unexpected keyword {text}")
+        if kind == "op" and text == "(":
+            self.next()
+            node = self.or_expr()
+            self.expect("op", ")")
+            return node
+        if kind == "ident":
+            self.next()
+            low = text.lower()
+            nxt = self.peek()
+            if nxt and nxt[0] == "op" and nxt[1] == "(":
+                if low in AGGREGATES:
+                    # SqlToJsonExpressionConverter.java:98-122 — aggregates banned
+                    raise ExpressionError(f"aggregate function not allowed: {text}")
+                if low not in FUNCTIONS:
+                    raise ExpressionError(f"unknown function: {text}")
+                self.next()
+                args: list[Node] = []
+                if not self.accept("op", ")"):
+                    args.append(self.or_expr())
+                    while self.accept("op", ","):
+                        args.append(self.or_expr())
+                    self.expect("op", ")")
+                return Func(low, args)
+            # dotted path keeps the last segment (reference :531-541)
+            return Field(text.split(".")[-1])
+        raise ExpressionError(f"unexpected token {t}")
+
+
+def parse(sql: str) -> Node:
+    return Parser(tokenize(sql)).parse()
+
+
+# ---------------------------------------------------------------------------
+# Emitters: AST -> SQL string per dialect, with type-context hints so
+# weakly-typed (stringly) fields get coerced at use sites, exactly like the
+# reference's dynamic coercion (numeric-first equality, BigDecimal math).
+# ---------------------------------------------------------------------------
+_JAVA_TO_STRF = [
+    ("yyyy", "%Y"),
+    ("MM", "%m"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("mm", "%M"),
+    ("ss", "%S"),
+]
+
+
+def java_fmt_to_strftime(fmt: str) -> str:
+    out = fmt
+    for i, (java, strf) in enumerate(_JAVA_TO_STRF):
+        out = out.replace(java, f"\x00{i}\x00")
+    for i, (java, strf) in enumerate(_JAVA_TO_STRF):
+        out = out.replace(f"\x00{i}\x00", strf)
+    return out
+
+
+def _sql_str(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+class Emitter:
+    """Base emitter. ``field_resolver(name, hint)`` maps an identifier to a
+    SQL fragment; hint ∈ {'any','number','string','timestamp'}."""
+
+    dialect = "base"
+
+    def __init__(self, field_resolver=None, now_literal: str | None = None):
+        self.resolve = field_resolver or (lambda name, hint: name)
+        self.now_literal = now_literal
+
+    # --- dialect hooks -----------------------------------------------------
+    def cast_num(self, frag: str) -> str:
+        raise NotImplementedError
+
+    def cast_str(self, frag: str) -> str:
+        raise NotImplementedError
+
+    def ts_from_any(self, frag_any: str) -> str:
+        """Coerce a stringly value (epoch sec / epoch ms / datetime string)
+        to a naive timestamp, with the reference's >1e10 ⇒ millis rule."""
+        raise NotImplementedError
+
+    def ts_from_num(self, frag_num: str) -> str:
+        raise NotImplementedError
+
+    def fmt_ts(self, ts_frag: str, fmt: str) -> str:
+        raise NotImplementedError
+
+    def datediff_days(self, a_ts: str, b_ts: str) -> str:
+        raise NotImplementedError
+
+    def json_get(self, j: str, p: str) -> str:
+        raise NotImplementedError
+
+    def now(self) -> str:
+        raise NotImplementedError
+
+    # --- shared emission ---------------------------------------------------
+    def emit(self, node: Node, hint: str = "any") -> str:
+        if isinstance(node, Const):
+            if node.value is None:
+                return "NULL"
+            if isinstance(node.value, bool):
+                return "TRUE" if node.value else "FALSE"
+            if isinstance(node.value, (int, float)):
+                return repr(node.value)
+            return _sql_str(node.value)
+        if isinstance(node, Field):
+            return self.resolve(node.name, hint)
+        if isinstance(node, Op):
+            return self.emit_op(node)
+        if isinstance(node, Func):
+            return self.emit_func(node)
+        if isinstance(node, Case):
+            parts = ["CASE"]
+            for cond, val in node.whens:
+                parts.append(f"WHEN {self.emit(cond, 'bool')} THEN {self.emit(val)}")
+            if node.default is not None:
+                parts.append(f"ELSE {self.emit(node.default)}")
+            parts.append("END")
+            return " ".join(parts)
+        raise ExpressionError(f"cannot emit {node}")
+
+    def _operand_hint(self, other: Node) -> str:
+        """Equality/comparison coercion: numeric-first when the other side is
+        numeric (reference :230-265), string when it is a string."""
+        if isinstance(other, Const):
+            if isinstance(other.value, bool):
+                return "any"
+            if isinstance(other.value, (int, float)):
+                return "number"
+            if isinstance(other.value, str):
+                return "string"
+        if isinstance(other, Op) and other.op in ("+", "-", "*", "/", "%", "neg"):
+            return "number"
+        if isinstance(other, Func) and other.name in (
+            "length",
+            "abs",
+            "round",
+            "ceil",
+            "floor",
+            "date_diff",
+        ):
+            return "number"
+        if isinstance(other, Func) and other.name in (
+            "upper",
+            "lower",
+            "concat",
+            "substring",
+            "date_format",
+            "get_json_string",
+        ):
+            return "string"
+        return "any"
+
+    def emit_op(self, node: Op) -> str:
+        op = node.op
+        if op == "not":
+            return f"(NOT {self.emit(node.left, 'bool')})"
+        if op == "neg":
+            return f"(- {self.emit(node.left, 'number')})"
+        if op in ("and", "or"):
+            return (
+                f"({self.emit(node.left, 'bool')} {op.upper()} "
+                f"{self.emit(node.right, 'bool')})"
+            )
+        if op in ("+", "-", "*", "%"):
+            return (
+                f"({self.emit(node.left, 'number')} {op} "
+                f"{self.emit(node.right, 'number')})"
+            )
+        if op == "/":
+            # reference divide carries scale 10 HALF_UP (:302-311)
+            return (
+                f"round(({self.emit(node.left, 'number')} / "
+                f"{self.emit(node.right, 'number')}), 10)"
+            )
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            lh = self._operand_hint(node.right)
+            rh = self._operand_hint(node.left)
+            lh = lh if lh != "any" else "string"
+            rh = rh if rh != "any" else "string"
+            return f"({self.emit(node.left, lh)} {op} {self.emit(node.right, rh)})"
+        raise ExpressionError(f"unknown op {op}")
+
+    def emit_func(self, node: Func) -> str:
+        name, args = node.name, node.args
+
+        def a(i: int, hint: str = "any") -> str:
+            return self.emit(args[i], hint)
+
+        if name in ("upper", "lower"):
+            return f"{name}({a(0, 'string')})"
+        if name == "length":
+            return self.cast_num(f"length({a(0, 'string')})")
+        if name == "concat":
+            parts = ", ".join(self.emit(x, "string") for x in args)
+            return f"concat({parts})"
+        if name == "substring":
+            start = f"CAST({a(1, 'number')} AS BIGINT)"
+            if len(args) == 2:
+                return f"substring({a(0, 'string')}, {start})"
+            return (
+                f"substring({a(0, 'string')}, {start}, "
+                f"CAST({a(2, 'number')} AS BIGINT))"
+            )
+        if name == "now":
+            return self.now()
+        if name == "date_diff":
+            return self.datediff_days(self.ts_from_any(a(0)), self.ts_from_any(a(1)))
+        if name == "date_format":
+            fmt = self._const_str(args[1], "date_format pattern")
+            return self.fmt_ts(self.ts_from_any(a(0)), fmt)
+        if name == "from_unixtime":
+            ts = self.ts_from_num(a(0, "number"))
+            if len(args) == 1:
+                return self.fmt_ts(ts, "yyyy-MM-dd HH:mm:ss")
+            fmt = self._const_str(args[1], "from_unixtime pattern")
+            return self.fmt_ts(ts, fmt)
+        if name == "abs":
+            return f"abs({a(0, 'number')})"
+        if name == "round":
+            if len(args) == 1:
+                return f"round({a(0, 'number')})"
+            return f"round({a(0, 'number')}, {self._const_int(args[1])})"
+        if name in ("ceil", "floor"):
+            return f"{name}({a(0, 'number')})"
+        if name == "coalesce":
+            return "coalesce(" + ", ".join(self.emit(x) for x in args) + ")"
+        if name == "nullif":
+            return f"nullif({a(0)}, {a(1)})"
+        if name == "get_json_string":
+            path = self._const_str(args[1], "json path")
+            return self.json_get(a(0, "string"), path)
+        raise ExpressionError(f"unknown function {name}")
+
+    @staticmethod
+    def _const_str(node: Node, what: str) -> str:
+        if not isinstance(node, Const) or not isinstance(node.value, str):
+            raise ExpressionError(f"{what} must be a string literal")
+        return node.value
+
+    @staticmethod
+    def _const_int(node: Node) -> int:
+        if not isinstance(node, Const) or not isinstance(node.value, (int, float)):
+            raise ExpressionError("round scale must be a numeric literal")
+        return int(node.value)
+
+
+class SparkEmitter(Emitter):
+    dialect = "spark"
+
+    def cast_num(self, frag: str) -> str:
+        return f"CAST({frag} AS DOUBLE)"
+
+    def cast_str(self, frag: str) -> str:
+        return f"CAST({frag} AS STRING)"
+
+    def ts_from_any(self, frag: str) -> str:
+        n = f"try_cast({frag} AS DOUBLE)"
+        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
+        return (
+            f"coalesce(try_to_timestamp({frag}), "
+            f"timestamp_millis(CAST({ms} AS BIGINT)))"
+        )
+
+    def ts_from_num(self, frag: str) -> str:
+        n = f"CAST({frag} AS DOUBLE)"
+        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
+        return f"timestamp_millis(CAST({ms} AS BIGINT))"
+
+    def fmt_ts(self, ts_frag: str, fmt: str) -> str:
+        return f"date_format({ts_frag}, {_sql_str(fmt)})"
+
+    def datediff_days(self, a_ts: str, b_ts: str) -> str:
+        return f"CAST(datediff(CAST({a_ts} AS DATE), CAST({b_ts} AS DATE)) AS BIGINT)"
+
+    def json_get(self, j: str, p: str) -> str:
+        return f"get_json_object({j}, {_sql_str(p)})"
+
+    def now(self) -> str:
+        return self.now_literal or "current_timestamp()"
+
+
+class DuckEmitter(Emitter):
+    dialect = "duckdb"
+
+    def cast_num(self, frag: str) -> str:
+        return f"CAST({frag} AS DOUBLE)"
+
+    def cast_str(self, frag: str) -> str:
+        return f"CAST({frag} AS VARCHAR)"
+
+    def ts_from_any(self, frag: str) -> str:
+        n = f"TRY_CAST({frag} AS DOUBLE)"
+        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
+        return (
+            f"coalesce(TRY_CAST({frag} AS TIMESTAMP), "
+            f"epoch_ms(CAST({ms} AS BIGINT)))"
+        )
+
+    def ts_from_num(self, frag: str) -> str:
+        n = f"CAST({frag} AS DOUBLE)"
+        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
+        return f"epoch_ms(CAST({ms} AS BIGINT))"
+
+    def fmt_ts(self, ts_frag: str, fmt: str) -> str:
+        return f"strftime({ts_frag}, {_sql_str(java_fmt_to_strftime(fmt))})"
+
+    def datediff_days(self, a_ts: str, b_ts: str) -> str:
+        return (
+            f"CAST(date_diff('day', CAST({b_ts} AS DATE), CAST({a_ts} AS DATE)) "
+            f"AS BIGINT)"
+        )
+
+    def json_get(self, j: str, p: str) -> str:
+        return f"json_extract_string({j}, {_sql_str(p)})"
+
+    def now(self) -> str:
+        return self.now_literal or "now()"
+
+
+# ---------------------------------------------------------------------------
+# Façade (reference VirtualAttributeManager.java:30-116)
+# ---------------------------------------------------------------------------
+class ExprCompiler:
+    def __init__(
+        self,
+        spark_field_resolver=None,
+        duck_field_resolver=None,
+        now_literal: str | None = None,
+    ):
+        self.spark = SparkEmitter(spark_field_resolver, now_literal)
+        self.duck = DuckEmitter(duck_field_resolver, now_literal)
+
+    def validate(self, sql: str) -> Node:
+        return parse(sql)
+
+    def to_spark_sql(self, sql: str) -> str:
+        return self.spark.emit(parse(sql))
+
+    def to_duckdb_sql(self, sql: str) -> str:
+        return self.duck.emit(parse(sql))
+
+    def to_column(self, sql: str):
+        from pyspark.sql import functions as F
+
+        return F.expr(self.to_spark_sql(sql))
+
+
+def compile_rule(sql: str, **kwargs) -> tuple[str, str]:
+    """Compile one rule → (spark_sql, duckdb_sql)."""
+    c = ExprCompiler(**kwargs)
+    return c.to_spark_sql(sql), c.to_duckdb_sql(sql)
+
+
+# CASE parsing lives on Parser but needs Case; defined here to keep the
+# class readable above.
+def _case_expr(self: Parser) -> Node:
+    self.expect("kw", "case")
+    node = Case()
+    while self.accept("kw", "when"):
+        cond = self.or_expr()
+        self.expect("kw", "then")
+        node.whens.append((cond, self.or_expr()))
+    if self.accept("kw", "else"):
+        node.default = self.or_expr()
+    self.expect("kw", "end")
+    if not node.whens:
+        raise ExpressionError("CASE requires at least one WHEN")
+    return node
+
+
+Parser.case_expr = _case_expr

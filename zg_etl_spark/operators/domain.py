@@ -1,0 +1,365 @@
+"""Pipeline domain: dialect-templated SQL for the ZG event pipeline.
+
+The reference pipeline (SURVEY.md §3.1) is: parse → gate → identity
+resolution → dictionaries → virtual attrs/events → enrichment → route/pivot.
+Here every stage is a CTE over the driver's ``events`` table, written ONCE
+as a template rendered for two dialects — Spark SQL (the engine) and DuckDB
+SQL (the correctness oracle) — so oracle and engine cannot drift.
+
+The feed CTE derives a deterministic ZG envelope (app/ak/owner/platform/
+device/cuid/ip/ua/props…) from ``events``; every downstream stage matches a
+reference operator:
+
+- gate        → GateFlatMapFunction (operator/gate/GateFlatMapFunction.java:102-213)
+                + TimeValidator (dataquality/TimeValidator.java:39-56)
+- identity    → DeviceIdAsyncOperator / UserIdAsyncOperator / ZgidAsyncOperator
+                (service/OneIdService.java:312-650), deterministic-ID mode:
+                dense_rank over first-seen order replaces Snowflake+HSETNX
+                (SURVEY.md §4 — reproducible, race-free in batch)
+- dictionaries→ EventAsyncOperator / EventAttrAsyncOperator with cus{n}
+                column allocation (EventAttrAsyncOperator.java:406-551)
+- enrichment  → IpEnrichOperator (broadcast range join), UserAgentEnrich,
+                SearchKeywordEnrich + UTM fallback (EventAttrTransfer.java:301-338)
+- wide table  → EventAttrTransfer time buckets + cus/type pivot
+                (transfer/EventAttrTransfer.java:94-350)
+
+Scale notes: registries/dicts are tiny → broadcast joins. The dense_rank ID
+assignment windows are PARTITIONed BY app_id (per-app sort, not global); at
+100 TB the scalable path is hash IDs (xxhash64(app, key)) — kept as a
+documented mode switch, the deterministic mode is the test/oracle profile.
+"""
+
+from __future__ import annotations
+
+from zg_etl_spark.operators import registries as R
+
+DAY_MS = 86_400_000
+VALID_PAST_MS = 21 * DAY_MS  # configured subtime (reference default 7d,
+VALID_FUTURE_MS = DAY_MS     # config.properties:98-99)
+
+
+class Dialect:
+    name = "base"
+    strtype = "STRING"
+
+    def event_ms(self) -> str:
+        """events.ts -> epoch millis. The driver parquet stores
+        TIMESTAMP(NANOS): Spark reads it as a nanos BIGINT (with
+        spark.sql.legacy.parquet.nanosAsLong), DuckDB as a µs timestamp —
+        both floor to identical millis."""
+        raise NotImplementedError
+
+    def ms(self, ts: str) -> str:          # timestamp -> epoch millis
+        raise NotImplementedError
+
+    def ts(self, ms: str) -> str:          # epoch millis -> naive timestamp
+        raise NotImplementedError
+
+    def json_str(self, col: str, path: str) -> str:
+        raise NotImplementedError
+
+    def idiv(self, a: str, b: str) -> str:
+        raise NotImplementedError
+
+    def fmt(self, ts_expr: str, java_fmt: str) -> str:
+        raise NotImplementedError
+
+    def date_sub(self, d: str, n: int) -> str:
+        raise NotImplementedError
+
+    def iso_thursday(self, d: str) -> str:  # date of the ISO-week Thursday
+        raise NotImplementedError
+
+    def s(self, x: str) -> str:
+        return f"CAST({x} AS {self.strtype})"
+
+
+class SparkDialect(Dialect):
+    name = "spark"
+    strtype = "STRING"
+
+    def event_ms(self):
+        return "(ts DIV 1000000)"
+
+    def ms(self, ts):
+        return f"unix_millis({ts})"
+
+    def ts(self, ms):
+        return f"timestamp_millis({ms})"
+
+    def json_str(self, col, path):
+        return f"get_json_object({col}, '{path}')"
+
+    def idiv(self, a, b):
+        return f"({a} DIV {b})"
+
+    def fmt(self, ts_expr, java_fmt):
+        return f"date_format({ts_expr}, '{java_fmt}')"
+
+    def date_sub(self, d, n):
+        return f"date_sub({d}, {n})"
+
+    def iso_thursday(self, d):
+        return f"date_add({d}, 3 - weekday({d}))"  # weekday: 0=Mon
+
+
+class DuckDialect(Dialect):
+    name = "duckdb"
+    strtype = "VARCHAR"
+
+    _strf = {"yyyyMMdd": "%Y%m%d", "HH": "%H", "yyyy-MM-dd": "%Y-%m-%d"}
+
+    def event_ms(self):
+        return "epoch_ms(ts)"
+
+    def ms(self, ts):
+        return f"epoch_ms({ts})"
+
+    def ts(self, ms):
+        return f"epoch_ms(CAST({ms} AS BIGINT))"
+
+    def json_str(self, col, path):
+        return f"json_extract_string({col}, '{path}')"
+
+    def idiv(self, a, b):
+        return f"({a} // {b})"
+
+    def fmt(self, ts_expr, java_fmt):
+        return f"strftime({ts_expr}, '{self._strf[java_fmt]}')"
+
+    def date_sub(self, d, n):
+        return f"({d} - {n})"
+
+    def iso_thursday(self, d):
+        return f"({d} + CAST(4 - isodow({d}) AS INTEGER))"
+
+
+SPARK = SparkDialect()
+DUCK = DuckDialect()
+
+
+def _values_cte(name: str, rows, cols) -> str:
+    return f"{name} AS (SELECT * FROM {R.values_sql(rows, cols)} AS t({', '.join(cols)}))"
+
+
+def prelude(d: Dialect) -> str:
+    """The full WITH-prelude: feed → gate → identity → dictionaries.
+    Unreferenced CTEs are pruned by both planners."""
+    s, idiv = d.s, d.idiv
+
+    app_id = "(user_id % 3 + 1)"
+    ip_hash = "((event_id * 2654435761) % 4294967296)"
+    feed = f"""
+feed AS (
+  SELECT event_id, user_id, event_type, value,
+         {d.event_ms()} AS ct,
+         {d.event_ms()} * 1000000 + event_id AS seq,
+         {app_id} AS app_id,
+         CASE WHEN user_id % 31 = 7 THEN 'ak_bad'
+              ELSE 'ak_' || {s(app_id)} END AS ak,
+         CASE WHEN event_type = 'signup' THEN 'zg_cdp'
+              WHEN event_type = 'error' AND user_id % 2 = 0 THEN 'weird'
+              ELSE 'zg' END AS owner_raw,
+         CASE user_id % 7 WHEN 0 THEN 'and' WHEN 1 THEN 'ios' WHEN 2 THEN 'js'
+              WHEN 3 THEN 'wxa' WHEN 4 THEN 'server' WHEN 5 THEN 'harmonyos'
+              ELSE 'none' END AS pl,
+         CASE user_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+              WHEN 3 THEN 4 WHEN 4 THEN 5 WHEN 5 THEN 6 ELSE 0 END AS pl_id,
+         CASE WHEN user_id % 11 = 0 THEN 'zg_server' ELSE 'zg-android' END AS sdk,
+         CASE event_type WHEN 'click' THEN 'evt' WHEN 'purchase' THEN 'evt'
+              WHEN 'view' THEN 'abp' WHEN 'signup' THEN 'usr'
+              ELSE CASE WHEN event_id % 2 = 0 THEN 'pl' ELSE 'mkt' END END AS dt,
+         'did_' || {s('user_id')} AS did,
+         CASE WHEN user_id % 5 < 2 THEN 'cu_' || {s('(user_id % 40)')} END AS cuid,
+         CASE WHEN event_type IN ('click', 'purchase', 'view')
+                   OR (event_type = 'error' AND event_id % 2 = 1)
+              THEN CASE WHEN event_id % 97 = 0
+                        THEN event_type || repeat('_long_name', 15)
+                        ELSE event_type END END AS event_name,
+         CASE WHEN event_id % 5 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE 1000 + event_id % 50 END AS sid,
+         CASE WHEN event_id % 17 = 0 THEN CAST(167772161 AS BIGINT)
+              WHEN event_id % 23 = 0 THEN CAST(0 AS BIGINT)
+              ELSE {ip_hash} END AS ip_long,
+         CASE WHEN event_id % 17 = 0 THEN '10.0.0.1'
+              WHEN event_id % 23 = 0 THEN '0.0.0.0'
+              ELSE {s(idiv(ip_hash, '16777216'))} || '.' ||
+                   {s(f"({idiv(ip_hash, '65536')} % 256)")} || '.' ||
+                   {s(f"({idiv(ip_hash, '256')} % 256)")} || '.' ||
+                   {s(f'({ip_hash} % 256)')} END AS ip,
+         'UA_' || {s('(user_id % 6)')} AS ua,
+         CAST({d.json_str('props', '$.k')} AS BIGINT) AS k,
+         (event_id * 7919) % 90000000 AS dur,
+         CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END AS debug,
+         CASE WHEN event_type = 'click' AND user_id % 3 = 0
+                THEN 'https://www.google.com/search?q=kw_' || {s(f"CAST({d.json_str('props', '$.k')} AS BIGINT)")}
+              WHEN event_type = 'click' AND user_id % 3 = 1
+                THEN 'https://www.baidu.com/s?wd=kw_' || {s(f"CAST({d.json_str('props', '$.k')} AS BIGINT)")}
+              WHEN event_type = 'click' THEN 'https://example.com/page'
+              END AS ref,
+         CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source
+  FROM events
+)"""
+
+    # G5 owner normalization (CheckJsonAndOwnerOperator.java:39-52)
+    # now_ref via a 1-row aggregate + cross join (broadcast), NOT a global
+    # window — MAX(ct) OVER () would move all data to a single partition
+    enveloped = """
+enveloped AS (
+  SELECT f.*,
+         CASE WHEN f.owner_raw IN ('zg', 'zg_adp', 'zg_mkt', 'zg_cdp')
+              THEN f.owner_raw ELSE 'zg' END AS owner,
+         nr.now_ref
+  FROM feed f CROSS JOIN (SELECT MAX(ct) AS now_ref FROM feed) nr
+)"""
+
+    regs = ",\n".join(
+        [
+            _values_cte("app_reg", R.APP_REGISTRY, ["r_ak", "r_app_id", "company_id"]),
+            _values_cte("ip_bl", R.IP_BLACKLIST, ["b_app_id", "b_ip"]),
+            _values_cte("ua_bl", R.UA_BLACKLIST, ["b_app_id", "b_ua"]),
+            _values_cte("ua_rules", R.UA_RULES, R.UA_RULE_COLS),
+            _values_cte("ip_ranges", R.IP_RANGES, R.IP_RANGE_COLS),
+        ]
+    )
+
+    # gate: error-code attribution order preserved (ak → ip-black → ua-black
+    # → time validity); zg_server sdk exempt from the window
+    gate = f"""
+gated AS (
+  SELECT f.*, r.company_id,
+         CASE WHEN r.r_app_id IS NULL THEN 1001
+              WHEN ipb.b_ip IS NOT NULL THEN 1003
+              WHEN uab.b_ua IS NOT NULL THEN 1004
+              WHEN NOT (f.sdk = 'zg_server' OR
+                        (f.ct BETWEEN f.now_ref - {VALID_PAST_MS}
+                                  AND f.now_ref + {VALID_FUTURE_MS})) THEN 1005
+              ELSE 0 END AS error_code
+  FROM enveloped f
+  LEFT JOIN app_reg r ON f.ak = r.r_ak
+  LEFT JOIN ip_bl ipb ON ipb.b_app_id = f.app_id AND ipb.b_ip = f.ip
+  LEFT JOIN ua_bl uab ON uab.b_app_id = f.app_id AND uab.b_ua = f.ua
+),
+gate_ok AS (SELECT * FROM gated WHERE error_code = 0 AND debug = 0)"""
+
+    # identity resolution, deterministic-ID mode
+    identity = """
+did_first AS (
+  SELECT app_id, did, MIN(seq) AS first_seq FROM gate_ok GROUP BY app_id, did
+),
+did_ids AS (
+  SELECT app_id, did,
+         CAST(100000 + DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
+              AS BIGINT) AS zg_did
+  FROM did_first
+),
+cuid_first AS (
+  SELECT app_id, cuid, MIN(seq) AS first_seq FROM gate_ok
+  WHERE cuid IS NOT NULL GROUP BY app_id, cuid
+),
+uid_ids AS (
+  SELECT app_id, cuid,
+         CAST(200000 + DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
+              AS BIGINT) AS zg_uid
+  FROM cuid_first
+),
+dev_first_cuid AS (
+  SELECT app_id, did, cuid FROM (
+    SELECT app_id, did, cuid,
+           ROW_NUMBER() OVER (PARTITION BY app_id, did ORDER BY seq) AS rn
+    FROM gate_ok WHERE cuid IS NOT NULL
+  ) x WHERE rn = 1
+),
+device_zgid AS (
+  SELECT d.app_id, d.did, d.zg_did, fc.cuid AS bound_cuid,
+         CASE WHEN u.zg_uid IS NOT NULL THEN 300000 + u.zg_uid
+              ELSE 900000 + d.zg_did END AS zg_id
+  FROM did_ids d
+  LEFT JOIN dev_first_cuid fc ON fc.app_id = d.app_id AND fc.did = d.did
+  LEFT JOIN uid_ids u ON u.app_id = fc.app_id AND u.cuid = fc.cuid
+),
+resolved AS (
+  SELECT g.*, di.zg_did, ui.zg_uid,
+         CASE WHEN g.cuid IS NOT NULL THEN 300000 + ui.zg_uid
+              ELSE dz.zg_id END AS zg_id
+  FROM gate_ok g
+  JOIN device_zgid dz ON dz.app_id = g.app_id AND dz.did = g.did
+  JOIN did_ids di ON di.app_id = g.app_id AND di.did = g.did
+  LEFT JOIN uid_ids ui ON ui.app_id = g.app_id AND ui.cuid = g.cuid
+)"""
+
+    # dictionaries: event dict (owner rule: dt=abp ⇒ owner zg,
+    # EventAsyncOperator.java:293-299; >100-char names truncated :120-299)
+    dicts = f"""
+events_typed AS (
+  SELECT *, CASE WHEN dt = 'abp' THEN 'zg' ELSE owner END AS owner_e,
+         substring(event_name, 1, 100) AS event_name_t
+  FROM resolved
+  WHERE dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL
+),
+event_first AS (
+  SELECT app_id, owner_e AS owner, event_name_t AS event_name,
+         MIN(seq) AS first_seq
+  FROM events_typed GROUP BY app_id, owner_e, event_name_t
+),
+event_dict AS (
+  SELECT app_id, owner, event_name,
+         CAST(1000 * app_id +
+              DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
+              AS BIGINT) AS zg_eid
+  FROM event_first
+),
+attrs_melted AS (
+  SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq,
+         '_etype' AS attr_name, event_type AS attr_value, 1 AS prop_type
+  FROM events_typed
+  UNION ALL
+  SELECT app_id, owner_e, event_name_t, seq, '_k', {d.s('k')}, 2
+  FROM events_typed
+  UNION ALL
+  SELECT app_id, owner_e, event_name_t, seq, '_vbucket',
+         {d.s(d.idiv('k', '10'))}, 2
+  FROM events_typed
+),
+attr_first AS (
+  SELECT e.zg_eid, m.owner, m.attr_name, m.prop_type, MIN(m.seq) AS first_seq
+  FROM attrs_melted m
+  JOIN event_dict e ON e.app_id = m.app_id AND e.owner = m.owner
+                   AND e.event_name = m.event_name
+  GROUP BY e.zg_eid, m.owner, m.attr_name, m.prop_type
+),
+attr_dict AS (
+  SELECT zg_eid, owner, attr_name, prop_type, col_idx,
+         zg_eid * 10 + col_idx AS attr_id,
+         'cus' || {d.s('col_idx')} AS column_name
+  FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY zg_eid, owner
+                                      ORDER BY first_seq, attr_name)
+                   AS BIGINT) AS col_idx
+    FROM attr_first
+  ) x
+)"""
+
+    return (
+        "WITH "
+        + ",\n".join([feed.strip(), enveloped.strip(), regs, gate.strip(),
+                      identity.strip(), dicts.strip()])
+    )
+
+
+def full_query(d: Dialect, body: str) -> str:
+    return prelude(d) + "\n" + body
+
+
+def spark_pipeline_df(spark, sf_dir: str, body: str):
+    """Run a pipeline query (body references the prelude CTEs) on Spark."""
+    from zg_etl_spark.sources.tables import load_table
+
+    # events.ts is parquet TIMESTAMP(NANOS); read it as a nanos BIGINT
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(full_query(SPARK, body))
+
+
+def duck_pipeline_sql(body: str) -> str:
+    return full_query(DUCK, body)

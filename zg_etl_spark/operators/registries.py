@@ -1,0 +1,94 @@
+"""Static registry tables (the reference's MySQL/KVRocks-backed catalog,
+SURVEY.md §1.4) as deterministic in-code fixtures.
+
+In the reference these are mutable external stores refreshed every 60 s
+(GateFlatMapFunction.java:79-99); in the batch engine each registry is a
+small DataFrame broadcast into the pipeline joins. Defined ONCE here and
+rendered as inline VALUES for both Spark SQL and the DuckDB oracle so the
+two can never diverge.
+"""
+
+from __future__ import annotations
+
+# app registry: ak -> (app_id, company_id)  (GateFlatMapFunction.java:252-293)
+APP_REGISTRY = [
+    ("ak_1", 1, 11),
+    ("ak_2", 2, 12),
+    ("ak_3", 3, 13),
+]
+
+# per-app blocklists (GateFlatMapFunction.java:177-208)
+IP_BLACKLIST = [(1, "10.0.0.1")]
+UA_BLACKLIST = [(2, "UA_5")]
+
+# closed-world UA parse table (reference uses a regex parser with a Caffeine
+# cache, UserAgentParser.java:29-280; a broadcast rules table is the
+# batch-oracle-checkable equivalent)
+UA_RULES = [
+    ("UA_0", "Android", "13", "Chrome", "120", "phone", "Xiaomi", "MI 9"),
+    ("UA_1", "iOS", "17.2", "Safari", "17", "phone", "Apple", "iPhone15"),
+    ("UA_2", "Windows", "11", "Edge", "120", "pc", "", ""),
+    ("UA_3", "macOS", "14.1", "Safari", "17", "pc", "Apple", "MacBook"),
+    ("UA_4", "Android", "12", "WebView", "119", "tablet", "Huawei", "MatePad"),
+    ("UA_5", "Linux", "6.5", "Firefox", "121", "pc", "", ""),
+]
+UA_RULE_COLS = [
+    "ua",
+    "os",
+    "os_version",
+    "browser",
+    "browser_version",
+    "device_type",
+    "brand",
+    "model",
+]
+
+# ip ranges: 32 equal slices of the IPv4 space (the reference loads a
+# memory-mapped range db from HDFS, IpDatabaseLoader.java:124-230; here a
+# deterministic broadcast range table)
+IP_RANGES = [
+    (
+        i * (1 << 27),
+        (i + 1) * (1 << 27) - 1,
+        f"C_{i % 8}",
+        f"P_{i % 16}",
+        f"CT_{i}",
+    )
+    for i in range(32)
+]
+IP_RANGE_COLS = ["ip_lo", "ip_hi", "country", "province", "city"]
+
+# virtual-attribute rules (operator/id/VirtualPropertyOperator.java:54-268):
+# (app_id 0 = all apps, event_name, out_name, sql) over feed fields
+VIRTUAL_ATTR_RULES = [
+    (0, "purchase", "k_level", "CASE WHEN k > 50 THEN 'high' ELSE 'low' END"),
+    (0, "purchase", "value_eur", "round(value / 1.1, 2)"),
+    (0, "click", "tagline", "concat(upper(event_type), '-', substring(pl, 1, 2))"),
+    (2, "view", "k_sq", "k * k + 1"),
+]
+
+# virtual-event rules (operator/id/VirtualEventOperator.java:48-339):
+# (app_id 0 = all, source_event, virtual_name, alias, filter_key, filter_val)
+# filters are equality-AND over the property bag; empty key = always-match
+VIRTUAL_EVENT_RULES = [
+    (0, "purchase", "vip_purchase", "vip", "", ""),
+    (2, "click", "promo_click", "promo", "_etype", "click"),
+    (1, "view", "never_match", "nm", "_etype", "purchase"),
+]
+
+
+def values_sql(rows: list[tuple], cols: list[str], quote=str) -> str:
+    """Render rows as an inline VALUES table usable in both dialects:
+    ``(VALUES (...), (...)) AS t(c1, c2)`` (caller adds alias)."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body})"

@@ -1,5 +1,302 @@
-"""Pipeline-semantics queries (FIXTURES.md §3 P1–P10) — filled in as the
-operators land."""
+"""Pipeline-semantics queries (FIXTURES.md §3 P1–P10).
+
+Each query body is a dialect-templated SQL string over the prelude CTEs in
+operators/domain.py (feed → gate → identity → dictionaries); the Spark and
+DuckDB renderings come from the same template, so the oracle is generated,
+not hand-duplicated. Virtual-attribute queries additionally run the rule SQL
+through the ExprCompiler's two emitters (functions/expr_compiler.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zg_etl_spark.functions.expr_compiler import DuckEmitter, SparkEmitter, parse
+from zg_etl_spark.operators import registries as R
+from zg_etl_spark.operators.domain import (
+    DUCK,
+    SPARK,
+    Dialect,
+    duck_pipeline_sql,
+    spark_pipeline_df,
+)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+
+def _register(name: str, body_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark_pipeline_df(spark, sf_dir, body_fn(SPARK))
+
+    QUERIES[name] = run
+    ORACLE[name] = duck_pipeline_sql(body_fn(DUCK))
+
+
+# ---------------------------------------------------------------------------
+# P0 envelope derivation parity (the spine everything else rides on)
+# ---------------------------------------------------------------------------
+def _p0(d: Dialect) -> str:
+    return """
+SELECT event_id, app_id, ak, owner, pl, pl_id, sdk, dt, did, cuid, event_name,
+       ct, seq, sid, ip, ip_long, ua, k, dur, debug, ref, utm_source
+FROM enveloped"""
+
+
+_register("p0_envelope", _p0)
+
+
+# ---------------------------------------------------------------------------
+# P1 gate: error/ok distribution by code (G3/G4/G7 semantics)
+# ---------------------------------------------------------------------------
+def _p1(d: Dialect) -> str:
+    return """
+SELECT app_id, error_code, COUNT(*) AS n, COUNT(DISTINCT did) AS n_devices
+FROM gated GROUP BY app_id, error_code"""
+
+
+_register("p1_gate_errors", _p1)
+
+
+# ---------------------------------------------------------------------------
+# P2 identity: device / user id assignment (I2, I4)
+# ---------------------------------------------------------------------------
+def _p2(d: Dialect) -> str:
+    return """
+SELECT d.app_id, d.n_devices, d.min_zg_did, d.max_zg_did,
+       u.n_users, u.min_zg_uid, u.max_zg_uid
+FROM (SELECT app_id, COUNT(*) AS n_devices, MIN(zg_did) AS min_zg_did,
+             MAX(zg_did) AS max_zg_did
+      FROM did_ids GROUP BY app_id) d
+LEFT JOIN (SELECT app_id, COUNT(*) AS n_users, MIN(zg_uid) AS min_zg_uid,
+                  MAX(zg_uid) AS max_zg_uid
+           FROM uid_ids GROUP BY app_id) u ON u.app_id = d.app_id"""
+
+
+_register("p2_identity_mappings", _p2)
+
+
+# ---------------------------------------------------------------------------
+# P3 zgid binding invariants (I5, OneIdService.java:420-435): identified
+# devices adopt the user's zgid; a cuid never maps to two zgids
+# ---------------------------------------------------------------------------
+def _p3(d: Dialect) -> str:
+    return """
+SELECT z.app_id,
+       COUNT(*) AS n_devices,
+       COUNT(z.bound_cuid) AS n_bound_devices,
+       COUNT(*) - COUNT(z.bound_cuid) AS n_anon_devices,
+       COUNT(DISTINCT z.zg_id) AS n_zgids,
+       MAX(c.zgids_per_cuid) AS max_zgids_per_cuid
+FROM device_zgid z
+LEFT JOIN (SELECT app_id, bound_cuid, COUNT(DISTINCT zg_id) AS zgids_per_cuid
+           FROM device_zgid WHERE bound_cuid IS NOT NULL
+           GROUP BY app_id, bound_cuid) c
+       ON c.app_id = z.app_id AND c.bound_cuid = z.bound_cuid
+GROUP BY z.app_id"""
+
+
+_register("p3_zgid_binding", _p3)
+
+
+# ---------------------------------------------------------------------------
+# P4 dictionaries: event dict + attr dict incl. cus{n} allocation (M1, M2)
+# ---------------------------------------------------------------------------
+def _p4(d: Dialect) -> str:
+    return """
+SELECT e.app_id, e.owner, e.event_name, e.zg_eid,
+       a.attr_name, a.attr_id, a.column_name, CAST(a.prop_type AS INT) AS prop_type
+FROM event_dict e
+JOIN attr_dict a ON a.zg_eid = e.zg_eid AND a.owner = e.owner"""
+
+
+_register("p4_dictionaries", _p4)
+
+
+# ---------------------------------------------------------------------------
+# P5 virtual attributes: rules compiled by the expression engine (V1-V4)
+# ---------------------------------------------------------------------------
+_VA_FIELDS = {"k", "value", "event_type", "pl"}
+
+
+def _va_resolver(name: str, hint: str) -> str:
+    if name not in _VA_FIELDS:
+        raise ValueError(f"unknown virtual-attr field {name}")
+    return name
+
+
+def _p5(d: Dialect) -> str:
+    emitter = SparkEmitter(_va_resolver) if d.name == "spark" else DuckEmitter(_va_resolver)
+    cols = []
+    for app_id, event_name, out_name, rule_sql in R.VIRTUAL_ATTR_RULES:
+        frag = emitter.emit(parse(rule_sql))
+        cond = f"event_type = '{event_name}'"
+        if app_id:
+            cond += f" AND app_id = {app_id}"
+        cols.append(f"CASE WHEN {cond} THEN ({frag}) END AS {out_name}")
+    col_sql = ",\n       ".join(cols)
+    return f"""
+SELECT event_id, app_id, event_type,
+       {col_sql}
+FROM resolved WHERE dt IN ('evt', 'abp')"""
+
+
+_register("p5_virtual_attrs", _p5)
+
+
+# ---------------------------------------------------------------------------
+# P6 virtual events: rule-driven 1→N fan-out (V5) — derived rows get owner
+# zg_vtl / dt vtl with provenance (VirtualEventOperator.java:260-326)
+# ---------------------------------------------------------------------------
+def _p6(d: Dialect) -> str:
+    rules = R.values_sql(
+        R.VIRTUAL_EVENT_RULES,
+        ["rule_app", "src_event", "virtual_name", "alias", "f_key", "f_val"],
+    )
+    return f"""
+SELECT app_id, 'zg_vtl' AS owner, 'vtl' AS dt, virtual_name, alias,
+       src_event AS event_name_src, src_dt AS event_dt_src, COUNT(*) AS n
+FROM (
+  SELECT r.app_id, v.virtual_name, v.alias, r.event_name AS src_event,
+         r.dt AS src_dt
+  FROM resolved r
+  JOIN {rules} AS v(rule_app, src_event, virtual_name, alias, f_key, f_val)
+    ON (v.rule_app = 0 OR v.rule_app = r.app_id)
+   AND v.src_event = r.event_name AND r.dt IN ('evt', 'abp')
+  WHERE v.f_key = ''
+     OR (v.f_key = '_etype' AND r.event_type = v.f_val)
+     OR (v.f_key = '_k' AND {d.s('r.k')} = v.f_val)
+) x
+GROUP BY app_id, virtual_name, alias, src_event, src_dt"""
+
+
+_register("p6_virtual_events", _p6)
+
+
+# ---------------------------------------------------------------------------
+# P7 enrichment: geo range join + UA rules + search keyword + UTM fallback
+# (E1-E4; fallback semantics EventAttrTransfer.java:301-338)
+# ---------------------------------------------------------------------------
+_PRIVATE_IP = (
+    "(ip_long = 0 OR (ip_long BETWEEN 167772160 AND 184549375)"
+    " OR (ip_long BETWEEN 2886729728 AND 2887778303)"
+    " OR (ip_long BETWEEN 3232235520 AND 3232301055)"
+    " OR (ip_long BETWEEN 2130706432 AND 2147483647))"
+)
+
+
+def _p7(d: Dialect) -> str:
+    return f"""
+SELECT event_id, app_id, country, province, city, os, browser, device_type,
+       search_engine,
+       CASE WHEN search_engine = 'google' THEN regexp_extract(ref, 'q=([^&]+)', 1)
+            WHEN search_engine = 'baidu' THEN regexp_extract(ref, 'wd=([^&]+)', 1)
+       END AS search_term,
+       CASE WHEN utm_source IS NOT NULL THEN 'given'
+            WHEN search_engine IS NOT NULL THEN '搜索自然流量'
+            WHEN ref IS NOT NULL THEN '引荐' END AS utm_medium_f,
+       COALESCE(utm_source,
+                CASE WHEN search_engine IS NOT NULL
+                     THEN regexp_extract(ref, 'https?://([^/]+)', 1) END)
+           AS utm_source_f
+FROM (
+  SELECT r.event_id, r.app_id, r.ref, r.utm_source,
+         g.country, g.province, g.city,
+         u.os, u.browser, u.device_type,
+         CASE WHEN r.ref LIKE '%google%' THEN 'google'
+              WHEN r.ref LIKE '%baidu%' THEN 'baidu' END AS search_engine
+  FROM (SELECT *, {_PRIVATE_IP} AS is_private FROM resolved) r
+  LEFT JOIN ip_ranges g
+         ON NOT r.is_private AND r.ip_long BETWEEN g.ip_lo AND g.ip_hi
+  LEFT JOIN ua_rules u ON u.ua = r.ua
+) x"""
+
+
+_register("p7_enrichment", _p7)
+
+
+# ---------------------------------------------------------------------------
+# P8 wide event table: time buckets + ids + cus/type pivot (R3 semantics,
+# EventAttrTransfer.java:94-350; pivot :162-228)
+# ---------------------------------------------------------------------------
+def _p8(d: Dialect) -> str:
+    ts_ct = d.ts("e.ct")
+    dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
+    th = d.iso_thursday(dref)
+    return f"""
+SELECT e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
+       COALESCE(e.sid, -1) AS zg_sid, dct.zg_eid,
+       CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT) AS begin_day_id,
+       {d.idiv('e.ct', '1000')} AS begin_date,
+       CAST({d.fmt(ts_ct, 'HH')} AS INT) AS begin_time_id,
+       CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yw,
+       CAST(e.pl_id AS INT) AS platform,
+       e.ip_long,
+       CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur END AS duration,
+       p.cus1, p.type1, p.cus2, p.type2, p.cus3, p.type3
+FROM events_typed e
+JOIN event_dict dct ON dct.app_id = e.app_id AND dct.owner = e.owner_e
+                   AND dct.event_name = e.event_name_t
+LEFT JOIN (
+  SELECT m.seq,
+         MAX(CASE WHEN a.col_idx = 1 THEN m.attr_value END) AS cus1,
+         MAX(CASE WHEN a.col_idx = 1 THEN CAST(a.prop_type AS INT) END) AS type1,
+         MAX(CASE WHEN a.col_idx = 2 THEN m.attr_value END) AS cus2,
+         MAX(CASE WHEN a.col_idx = 2 THEN CAST(a.prop_type AS INT) END) AS type2,
+         MAX(CASE WHEN a.col_idx = 3 THEN m.attr_value END) AS cus3,
+         MAX(CASE WHEN a.col_idx = 3 THEN CAST(a.prop_type AS INT) END) AS type3
+  FROM attrs_melted m
+  JOIN event_dict e2 ON e2.app_id = m.app_id AND e2.owner = m.owner
+                    AND e2.event_name = m.event_name
+  JOIN attr_dict a ON a.zg_eid = e2.zg_eid AND a.owner = m.owner
+                  AND a.attr_name = m.attr_name
+  GROUP BY m.seq
+) p ON p.seq = e.seq"""
+
+
+_register("p8_wide_table", _p8)
+
+
+# ---------------------------------------------------------------------------
+# P9 user-property EAV rows incl. synthetic app_user_id(-1)
+# (R6, UserPropertyTransfer.java:48-164)
+# ---------------------------------------------------------------------------
+def _p9(d: Dialect) -> str:
+    return f"""
+SELECT app_id, zg_id, property_name, property_value,
+       CAST(property_data_type AS INT) AS property_data_type,
+       CAST(property_id AS BIGINT) AS property_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY app_id, zg_id, property_name
+                               ORDER BY seq DESC) AS rn
+  FROM (
+    SELECT app_id, zg_id, seq, '_k' AS property_name,
+           {d.s('k')} AS property_value, 2 AS property_data_type,
+           1 AS property_id
+    FROM resolved WHERE dt = 'usr'
+    UNION ALL
+    SELECT app_id, zg_id, seq, 'app_user_id', cuid, 1, -1
+    FROM resolved WHERE dt = 'usr' AND cuid IS NOT NULL
+  ) z
+) y WHERE rn = 1"""
+
+
+_register("p9_user_properties", _p9)
+
+
+# ---------------------------------------------------------------------------
+# P10 upsert grain: b_user — UNIQUE KEY(device_id, zg_id) keep-latest
+# (schema.sql:1-24; MERGE-on-write emulated as row_number dedup)
+# ---------------------------------------------------------------------------
+def _p10(d: Dialect) -> str:
+    return f"""
+SELECT app_id, device_id, zg_id, user_id, begin_date, platform
+FROM (
+  SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+         {d.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
+         ROW_NUMBER() OVER (PARTITION BY app_id, did, zg_id ORDER BY seq DESC) AS rn
+  FROM resolved
+) x WHERE rn = 1"""
+
+
+_register("p10_b_user_upsert", _p10)
