@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary schema, Arrow-batched feature
+extraction, frame sampling. Decode itself is stubbed (no media libs in the
+container) — these verify the Spark-side shapes are real."""
+
+from __future__ import annotations
+
+import pytest
+
+from zg_etl_spark.operators import multimodal as MM
+from zg_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.documents_as_media(load_table(spark, SF, "documents"))
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    row = media.limit(1).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.payload)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x00")
+
+
+def test_extract_features(media):
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == media.count()
+    f0 = {r.media_id: r for r in feats}[0]
+    assert f0.n_bytes > 0
+    assert sum(f0.byte_histogram) == f0.n_bytes
+    assert 0 < f0.byte_mean < 255
+    assert f0.n_frames == (f0.n_bytes + 255) // 256
+
+
+def test_frame_sampling(media, spark):
+    frames = MM.sample_frames(media, every_n=2)
+    rows = frames.filter("media_id = 0").collect()
+    assert all(r.frame_idx % 2 == 0 for r in rows)
+    n_bytes = media.filter("media_id = 0").collect()[0].meta.n_bytes
+    n_chunks = (n_bytes + 255) // 256
+    assert len(rows) == (n_chunks + 1) // 2

@@ -2,14 +2,17 @@
 
 The reference pipeline (SURVEY.md §3.1) is: parse → gate → identity
 resolution → dictionaries → virtual attrs/events → enrichment → route/pivot.
-Here every stage is a CTE over the driver's ``events`` table, written ONCE
-as a template rendered for two dialects — Spark SQL (the engine) and DuckDB
-SQL (the correctness oracle) — so oracle and engine cannot drift.
+Here every stage is a named relation over the driver's ``events`` table,
+written ONCE as a template rendered for two dialects — Spark SQL (the
+engine) and DuckDB SQL (the correctness oracle) — so oracle and engine
+cannot drift.
 
-The feed CTE derives a deterministic ZG envelope (app/ak/owner/platform/
-device/cuid/ip/ua/props…) from ``events``; every downstream stage matches a
-reference operator:
+Execution differs per engine: DuckDB gets one WITH-prelude per query;
+Spark registers each stage as a temp view with the hot stages CACHED
+(Spark re-executes CTEs per reference — caching the shared spine turns the
+11 pipeline queries from 11 full rebuilds into one).
 
+Stage ↔ reference operator map:
 - gate        → GateFlatMapFunction (operator/gate/GateFlatMapFunction.java:102-213)
                 + TimeValidator (dataquality/TimeValidator.java:39-56)
 - identity    → DeviceIdAsyncOperator / UserIdAsyncOperator / ZgidAsyncOperator
@@ -18,15 +21,12 @@ reference operator:
                 (SURVEY.md §4 — reproducible, race-free in batch)
 - dictionaries→ EventAsyncOperator / EventAttrAsyncOperator with cus{n}
                 column allocation (EventAttrAsyncOperator.java:406-551)
-- enrichment  → IpEnrichOperator (broadcast range join), UserAgentEnrich,
-                SearchKeywordEnrich + UTM fallback (EventAttrTransfer.java:301-338)
-- wide table  → EventAttrTransfer time buckets + cus/type pivot
-                (transfer/EventAttrTransfer.java:94-350)
 
-Scale notes: registries/dicts are tiny → broadcast joins. The dense_rank ID
-assignment windows are PARTITIONed BY app_id (per-app sort, not global); at
-100 TB the scalable path is hash IDs (xxhash64(app, key)) — kept as a
-documented mode switch, the deterministic mode is the test/oracle profile.
+Scale notes: registries/dicts are tiny → broadcast joins. now_ref comes
+from a 1-row aggregate cross join (broadcast), never a global window. The
+dense_rank ID windows are PARTITIONed BY app_id (per-app sort, not global);
+at 100 TB the scalable path is hash IDs (xxhash64(app, key)) — kept as a
+documented mode, the deterministic mode is the test/oracle profile.
 """
 
 from __future__ import annotations
@@ -47,9 +47,6 @@ class Dialect:
         TIMESTAMP(NANOS): Spark reads it as a nanos BIGINT (with
         spark.sql.legacy.parquet.nanosAsLong), DuckDB as a µs timestamp —
         both floor to identical millis."""
-        raise NotImplementedError
-
-    def ms(self, ts: str) -> str:          # timestamp -> epoch millis
         raise NotImplementedError
 
     def ts(self, ms: str) -> str:          # epoch millis -> naive timestamp
@@ -81,9 +78,6 @@ class SparkDialect(Dialect):
     def event_ms(self):
         return "(ts DIV 1000000)"
 
-    def ms(self, ts):
-        return f"unix_millis({ts})"
-
     def ts(self, ms):
         return f"timestamp_millis({ms})"
 
@@ -112,9 +106,6 @@ class DuckDialect(Dialect):
     def event_ms(self):
         return "epoch_ms(ts)"
 
-    def ms(self, ts):
-        return f"epoch_ms({ts})"
-
     def ts(self, ms):
         return f"epoch_ms(CAST({ms} AS BIGINT))"
 
@@ -137,20 +128,31 @@ class DuckDialect(Dialect):
 SPARK = SparkDialect()
 DUCK = DuckDialect()
 
+# stages whose output is shared by many queries → cached on the Spark side
+CACHE_STAGES = {
+    "gated",
+    "resolved",
+    "events_typed",
+    "event_dict",
+    "attrs_melted",
+    "attr_dict",
+    "did_ids",
+    "uid_ids",
+    "device_zgid",
+}
 
-def _values_cte(name: str, rows, cols) -> str:
-    return f"{name} AS (SELECT * FROM {R.values_sql(rows, cols)} AS t({', '.join(cols)}))"
 
-
-def prelude(d: Dialect) -> str:
-    """The full WITH-prelude: feed → gate → identity → dictionaries.
-    Unreferenced CTEs are pruned by both planners."""
+def stages(d: Dialect) -> list[tuple[str, str]]:
+    """Ordered (name, SELECT-sql) pairs; each may reference earlier names."""
     s, idiv = d.s, d.idiv
+    out: list[tuple[str, str]] = []
 
     app_id = "(user_id % 3 + 1)"
     ip_hash = "((event_id * 2654435761) % 4294967296)"
-    feed = f"""
-feed AS (
+    k_expr = f"CAST({d.json_str('props', '$.k')} AS BIGINT)"
+    out.append((
+        "feed",
+        f"""
   SELECT event_id, user_id, event_type, value,
          {d.event_ms()} AS ct,
          {d.event_ms()} * 1000000 + event_id AS seq,
@@ -188,45 +190,42 @@ feed AS (
                    {s(f"({idiv(ip_hash, '256')} % 256)")} || '.' ||
                    {s(f'({ip_hash} % 256)')} END AS ip,
          'UA_' || {s('(user_id % 6)')} AS ua,
-         CAST({d.json_str('props', '$.k')} AS BIGINT) AS k,
+         {k_expr} AS k,
          (event_id * 7919) % 90000000 AS dur,
          CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END AS debug,
          CASE WHEN event_type = 'click' AND user_id % 3 = 0
-                THEN 'https://www.google.com/search?q=kw_' || {s(f"CAST({d.json_str('props', '$.k')} AS BIGINT)")}
+                THEN 'https://www.google.com/search?q=kw_' || {s(k_expr)}
               WHEN event_type = 'click' AND user_id % 3 = 1
-                THEN 'https://www.baidu.com/s?wd=kw_' || {s(f"CAST({d.json_str('props', '$.k')} AS BIGINT)")}
+                THEN 'https://www.baidu.com/s?wd=kw_' || {s(k_expr)}
               WHEN event_type = 'click' THEN 'https://example.com/page'
               END AS ref,
          CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source
-  FROM events
-)"""
+  FROM events""",
+    ))
 
-    # G5 owner normalization (CheckJsonAndOwnerOperator.java:39-52)
-    # now_ref via a 1-row aggregate + cross join (broadcast), NOT a global
-    # window — MAX(ct) OVER () would move all data to a single partition
-    enveloped = """
-enveloped AS (
+    # G5 owner normalization (CheckJsonAndOwnerOperator.java:39-52);
+    # now_ref via 1-row aggregate cross join (broadcast), not a global window
+    out.append((
+        "enveloped",
+        """
   SELECT f.*,
          CASE WHEN f.owner_raw IN ('zg', 'zg_adp', 'zg_mkt', 'zg_cdp')
               THEN f.owner_raw ELSE 'zg' END AS owner,
          nr.now_ref
-  FROM feed f CROSS JOIN (SELECT MAX(ct) AS now_ref FROM feed) nr
-)"""
+  FROM feed f CROSS JOIN (SELECT MAX(ct) AS now_ref FROM feed) nr""",
+    ))
 
-    regs = ",\n".join(
-        [
-            _values_cte("app_reg", R.APP_REGISTRY, ["r_ak", "r_app_id", "company_id"]),
-            _values_cte("ip_bl", R.IP_BLACKLIST, ["b_app_id", "b_ip"]),
-            _values_cte("ua_bl", R.UA_BLACKLIST, ["b_app_id", "b_ua"]),
-            _values_cte("ua_rules", R.UA_RULES, R.UA_RULE_COLS),
-            _values_cte("ip_ranges", R.IP_RANGES, R.IP_RANGE_COLS),
-        ]
-    )
+    out.append(("app_reg", f"SELECT * FROM {R.values_sql(R.APP_REGISTRY, [])} AS t(r_ak, r_app_id, company_id)"))
+    out.append(("ip_bl", f"SELECT * FROM {R.values_sql(R.IP_BLACKLIST, [])} AS t(b_app_id, b_ip)"))
+    out.append(("ua_bl", f"SELECT * FROM {R.values_sql(R.UA_BLACKLIST, [])} AS t(b_app_id, b_ua)"))
+    out.append(("ua_rules", f"SELECT * FROM {R.values_sql(R.UA_RULES, [])} AS t({', '.join(R.UA_RULE_COLS)})"))
+    out.append(("ip_ranges", f"SELECT * FROM {R.values_sql(R.IP_RANGES, [])} AS t({', '.join(R.IP_RANGE_COLS)})"))
 
     # gate: error-code attribution order preserved (ak → ip-black → ua-black
     # → time validity); zg_server sdk exempt from the window
-    gate = f"""
-gated AS (
+    out.append((
+        "gated",
+        f"""
   SELECT f.*, r.company_id,
          CASE WHEN r.r_app_id IS NULL THEN 1001
               WHEN ipb.b_ip IS NOT NULL THEN 1003
@@ -238,78 +237,97 @@ gated AS (
   FROM enveloped f
   LEFT JOIN app_reg r ON f.ak = r.r_ak
   LEFT JOIN ip_bl ipb ON ipb.b_app_id = f.app_id AND ipb.b_ip = f.ip
-  LEFT JOIN ua_bl uab ON uab.b_app_id = f.app_id AND uab.b_ua = f.ua
-),
-gate_ok AS (SELECT * FROM gated WHERE error_code = 0 AND debug = 0)"""
+  LEFT JOIN ua_bl uab ON uab.b_app_id = f.app_id AND uab.b_ua = f.ua""",
+    ))
+    out.append(("gate_ok", "SELECT * FROM gated WHERE error_code = 0 AND debug = 0"))
 
     # identity resolution, deterministic-ID mode
-    identity = """
-did_first AS (
-  SELECT app_id, did, MIN(seq) AS first_seq FROM gate_ok GROUP BY app_id, did
-),
-did_ids AS (
+    out.append((
+        "did_first",
+        "SELECT app_id, did, MIN(seq) AS first_seq FROM gate_ok GROUP BY app_id, did",
+    ))
+    out.append((
+        "did_ids",
+        """
   SELECT app_id, did,
          CAST(100000 + DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
               AS BIGINT) AS zg_did
-  FROM did_first
-),
-cuid_first AS (
+  FROM did_first""",
+    ))
+    out.append((
+        "cuid_first",
+        """
   SELECT app_id, cuid, MIN(seq) AS first_seq FROM gate_ok
-  WHERE cuid IS NOT NULL GROUP BY app_id, cuid
-),
-uid_ids AS (
+  WHERE cuid IS NOT NULL GROUP BY app_id, cuid""",
+    ))
+    out.append((
+        "uid_ids",
+        """
   SELECT app_id, cuid,
          CAST(200000 + DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
               AS BIGINT) AS zg_uid
-  FROM cuid_first
-),
-dev_first_cuid AS (
+  FROM cuid_first""",
+    ))
+    out.append((
+        "dev_first_cuid",
+        """
   SELECT app_id, did, cuid FROM (
     SELECT app_id, did, cuid,
            ROW_NUMBER() OVER (PARTITION BY app_id, did ORDER BY seq) AS rn
     FROM gate_ok WHERE cuid IS NOT NULL
-  ) x WHERE rn = 1
-),
-device_zgid AS (
+  ) x WHERE rn = 1""",
+    ))
+    out.append((
+        "device_zgid",
+        """
   SELECT d.app_id, d.did, d.zg_did, fc.cuid AS bound_cuid,
          CASE WHEN u.zg_uid IS NOT NULL THEN 300000 + u.zg_uid
               ELSE 900000 + d.zg_did END AS zg_id
   FROM did_ids d
   LEFT JOIN dev_first_cuid fc ON fc.app_id = d.app_id AND fc.did = d.did
-  LEFT JOIN uid_ids u ON u.app_id = fc.app_id AND u.cuid = fc.cuid
-),
-resolved AS (
+  LEFT JOIN uid_ids u ON u.app_id = fc.app_id AND u.cuid = fc.cuid""",
+    ))
+    out.append((
+        "resolved",
+        """
   SELECT g.*, di.zg_did, ui.zg_uid,
          CASE WHEN g.cuid IS NOT NULL THEN 300000 + ui.zg_uid
               ELSE dz.zg_id END AS zg_id
   FROM gate_ok g
   JOIN device_zgid dz ON dz.app_id = g.app_id AND dz.did = g.did
   JOIN did_ids di ON di.app_id = g.app_id AND di.did = g.did
-  LEFT JOIN uid_ids ui ON ui.app_id = g.app_id AND ui.cuid = g.cuid
-)"""
+  LEFT JOIN uid_ids ui ON ui.app_id = g.app_id AND ui.cuid = g.cuid""",
+    ))
 
     # dictionaries: event dict (owner rule: dt=abp ⇒ owner zg,
     # EventAsyncOperator.java:293-299; >100-char names truncated :120-299)
-    dicts = f"""
-events_typed AS (
+    out.append((
+        "events_typed",
+        """
   SELECT *, CASE WHEN dt = 'abp' THEN 'zg' ELSE owner END AS owner_e,
          substring(event_name, 1, 100) AS event_name_t
   FROM resolved
-  WHERE dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL
-),
-event_first AS (
+  WHERE dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL""",
+    ))
+    out.append((
+        "event_first",
+        """
   SELECT app_id, owner_e AS owner, event_name_t AS event_name,
          MIN(seq) AS first_seq
-  FROM events_typed GROUP BY app_id, owner_e, event_name_t
-),
-event_dict AS (
+  FROM events_typed GROUP BY app_id, owner_e, event_name_t""",
+    ))
+    out.append((
+        "event_dict",
+        """
   SELECT app_id, owner, event_name,
          CAST(1000 * app_id +
               DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
               AS BIGINT) AS zg_eid
-  FROM event_first
-),
-attrs_melted AS (
+  FROM event_first""",
+    ))
+    out.append((
+        "attrs_melted",
+        f"""
   SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq,
          '_etype' AS attr_name, event_type AS attr_value, 1 AS prop_type
   FROM events_typed
@@ -319,16 +337,20 @@ attrs_melted AS (
   UNION ALL
   SELECT app_id, owner_e, event_name_t, seq, '_vbucket',
          {d.s(d.idiv('k', '10'))}, 2
-  FROM events_typed
-),
-attr_first AS (
+  FROM events_typed""",
+    ))
+    out.append((
+        "attr_first",
+        """
   SELECT e.zg_eid, m.owner, m.attr_name, m.prop_type, MIN(m.seq) AS first_seq
   FROM attrs_melted m
   JOIN event_dict e ON e.app_id = m.app_id AND e.owner = m.owner
                    AND e.event_name = m.event_name
-  GROUP BY e.zg_eid, m.owner, m.attr_name, m.prop_type
-),
-attr_dict AS (
+  GROUP BY e.zg_eid, m.owner, m.attr_name, m.prop_type""",
+    ))
+    out.append((
+        "attr_dict",
+        f"""
   SELECT zg_eid, owner, attr_name, prop_type, col_idx,
          zg_eid * 10 + col_idx AS attr_id,
          'cus' || {d.s('col_idx')} AS column_name
@@ -337,13 +359,15 @@ attr_dict AS (
                                       ORDER BY first_seq, attr_name)
                    AS BIGINT) AS col_idx
     FROM attr_first
-  ) x
-)"""
+  ) x""",
+    ))
+    return out
 
-    return (
-        "WITH "
-        + ",\n".join([feed.strip(), enveloped.strip(), regs, gate.strip(),
-                      identity.strip(), dicts.strip()])
+
+def prelude(d: Dialect) -> str:
+    """Single WITH-prelude (DuckDB oracle path)."""
+    return "WITH " + ",\n".join(
+        f"{name} AS ({sql.strip()})" for name, sql in stages(d)
     )
 
 
@@ -351,14 +375,39 @@ def full_query(d: Dialect, body: str) -> str:
     return prelude(d) + "\n" + body
 
 
-def spark_pipeline_df(spark, sf_dir: str, body: str):
-    """Run a pipeline query (body references the prelude CTEs) on Spark."""
+# --- Spark execution: per-session cached stage views -----------------------
+_ACTIVE: dict[int, str] = {}
+_CACHED: dict[int, list] = {}
+
+
+def ensure_pipeline_views(spark, sf_dir: str) -> None:
+    """Register every stage as a temp view, caching the shared spine.
+    Re-registers (and drops old cache) when sf_dir changes."""
     from zg_etl_spark.sources.tables import load_table
+
+    key = id(spark)
+    if _ACTIVE.get(key) == sf_dir:
+        return
+    for df in _CACHED.get(key, []):
+        df.unpersist()
+    _CACHED[key] = []
 
     # events.ts is parquet TIMESTAMP(NANOS); read it as a nanos BIGINT
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(full_query(SPARK, body))
+    for name, sql in stages(SPARK):
+        df = spark.sql(sql)
+        if name in CACHE_STAGES:
+            df = df.cache()
+            _CACHED[key].append(df)
+        df.createOrReplaceTempView(name)
+    _ACTIVE[key] = sf_dir
+
+
+def spark_pipeline_df(spark, sf_dir: str, body: str):
+    """Run a pipeline query (body references the stage views) on Spark."""
+    ensure_pipeline_views(spark, sf_dir)
+    return spark.sql(body)
 
 
 def duck_pipeline_sql(body: str) -> str:

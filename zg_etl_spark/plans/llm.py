@@ -1,5 +1,468 @@
-"""LLM-training-data pipeline queries (dedup / similarity / text analysis)
-over the documents and embeddings tables — filled in as the operators land."""
+"""LLM-training-data pipeline operators over documents / embeddings
+(BASELINE.json north star: dedup, similarity search, text analysis as
+first-class engine components).
+
+Same dual-dialect discipline as the event pipeline: every query body is one
+template rendered for Spark SQL and DuckDB SQL, so oracle and engine cannot
+drift. Everything is expressed with built-in array/lambda functions — no
+Python UDFs in any hot path (JVM-side codegen in Spark).
+
+Scale design (100 TB corpus thinking):
+- exact dedup: hash-groupBy on md5(text) — one shuffle on the hash, partial
+  agg map-side;
+- MinHash: per-doc signatures via array_min over transform() — NO explode,
+  no shuffle until the band-bucket join; LSH banding turns all-pairs into an
+  equi-join on (band_idx, band_hash), which AQE handles even when skewed;
+- n-gram Jaccard: distinct (doc, shingle) explode → self-equi-join on
+  shingle — the join key space (4-gram) is sized to keep bucket fan-out ~1;
+- SimHash: one explode + one groupBy with 16 conditional sums;
+- ANN: brute-force cosine is a broadcast nested-loop of a small query set ×
+  candidates (top-k per query via window); the IVF variant prunes candidates
+  to the query's centroid bucket first (the scale path: bucket = partition
+  key, per-bucket search is embarrassingly parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict = {}
 ORACLE: dict = {}
+
+STOPWORDS = "('the', 'a')"
+
+
+# ---------------------------------------------------------------------------
+# dialect helpers
+# ---------------------------------------------------------------------------
+class LD:
+    name = "spark"
+
+    @staticmethod
+    def split(col: str) -> str:
+        return f"split({col}, ' ')"
+
+    @staticmethod
+    def alen(arr: str) -> str:
+        return f"size({arr})"
+
+    @staticmethod
+    def lmap(arr: str, var: str, body: str) -> str:
+        return f"transform({arr}, {var} -> {body})"
+
+    @staticmethod
+    def lfilter(arr: str, var: str, body: str) -> str:
+        return f"filter({arr}, {var} -> {body})"
+
+    @staticmethod
+    def lmin(arr: str) -> str:
+        return f"array_min({arr})"
+
+    @staticmethod
+    def fold_sum(arr: str) -> str:
+        return f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+    @staticmethod
+    def seq(lo: str, hi_incl: str) -> str:
+        return f"sequence({lo}, {hi_incl})"
+
+    @staticmethod
+    def slice_join(arr: str, start_var: str, n: int) -> str:
+        return f"concat_ws(' ', slice({arr}, {start_var}, {n}))"
+
+    @staticmethod
+    def strpos(s: str, sub: str) -> str:
+        return f"instr({s}, {sub})"
+
+    @staticmethod
+    def explode(arr_expr: str, alias: str) -> str:
+        return f"LATERAL VIEW explode({arr_expr}) _t AS {alias}"
+
+    @staticmethod
+    def dvec(col: str) -> str:
+        return f"CAST({col} AS ARRAY<DOUBLE>)"
+
+    @staticmethod
+    def zip_mul(a: str, b: str) -> str:
+        return f"zip_with({a}, {b}, (x, y) -> x * y)"
+
+    @staticmethod
+    def idx(arr: str, i: str) -> str:
+        return f"element_at({arr}, {i})"
+
+    @staticmethod
+    def idiv(a: str, b: str) -> str:
+        return f"({a} DIV {b})"
+
+
+class DD:
+    name = "duckdb"
+
+    @staticmethod
+    def split(col: str) -> str:
+        return f"string_split({col}, ' ')"
+
+    @staticmethod
+    def alen(arr: str) -> str:
+        return f"len({arr})"
+
+    @staticmethod
+    def lmap(arr: str, var: str, body: str) -> str:
+        return f"list_transform({arr}, {var} -> {body})"
+
+    @staticmethod
+    def lfilter(arr: str, var: str, body: str) -> str:
+        return f"list_filter({arr}, {var} -> {body})"
+
+    @staticmethod
+    def lmin(arr: str) -> str:
+        return f"list_min({arr})"
+
+    @staticmethod
+    def fold_sum(arr: str) -> str:
+        return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {arr}), (acc, x) -> acc + x)"
+
+    @staticmethod
+    def seq(lo: str, hi_incl: str) -> str:
+        return f"range({lo}, ({hi_incl}) + 1)"
+
+    @staticmethod
+    def slice_join(arr: str, start_var: str, n: int) -> str:
+        return f"array_to_string({arr}[{start_var}:{start_var}+{n - 1}], ' ')"
+
+    @staticmethod
+    def strpos(s: str, sub: str) -> str:
+        return f"strpos({s}, {sub})"
+
+    @staticmethod
+    def explode(arr_expr: str, alias: str) -> str:
+        return f", UNNEST({arr_expr}) AS _t({alias})"
+
+    @staticmethod
+    def dvec(col: str) -> str:
+        return f"CAST({col} AS DOUBLE[])"
+
+    @staticmethod
+    def zip_mul(a: str, b: str) -> str:
+        return f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])"
+
+    @staticmethod
+    def idx(arr: str, i: str) -> str:
+        return f"{arr}[{i}]"
+
+    @staticmethod
+    def idiv(a: str, b: str) -> str:
+        return f"({a} // {b})"
+
+
+def _register(name: str, body_fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from zg_etl_spark.sources.tables import load_table
+
+        for t in ("documents", "embeddings"):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(body_fn(LD))
+
+    QUERIES[name] = run
+    ORACLE[name] = body_fn(DD)
+
+
+# ---------------------------------------------------------------------------
+# L1 text statistics + quality scoring + fingerprint
+# ---------------------------------------------------------------------------
+def _l1(d) -> str:
+    ws = d.split("text")
+    n_tok = d.alen(ws)
+    n_stop = d.alen(d.lfilter(ws, "w", f"w IN {STOPWORDS}"))
+    return f"""
+SELECT doc_id, lang, source,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       md5(text) AS fingerprint,
+       CAST({n_stop} AS BIGINT) AS n_stopwords,
+       round(CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST({n_tok} AS DOUBLE), 6) AS avg_token_len,
+       round(CASE WHEN {n_tok} < 5 THEN 0.0
+                  WHEN {n_tok} > 200 THEN 0.5
+                  ELSE 1.0 - CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE)
+             END, 6) AS quality_score
+FROM documents"""
+
+
+_register("l1_text_stats", _l1)
+
+
+# ---------------------------------------------------------------------------
+# L2 language-ID: self-supervised word-profile heuristic — build top-5 word
+# profiles per lang from the corpus, classify each doc by profile overlap
+# ---------------------------------------------------------------------------
+def _l2(d) -> str:
+    words_from = d.explode(d.split("text"), "word")
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, word FROM documents {words_from}
+),
+profile AS (
+  SELECT lang AS p_lang, word AS p_word FROM (
+    SELECT lang, word, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+    FROM words GROUP BY lang, word
+  ) x WHERE rn <= 5
+),
+scores AS (
+  SELECT w.doc_id, p.p_lang, COUNT(*) AS overlap
+  FROM words w JOIN profile p ON p.p_word = w.word
+  GROUP BY w.doc_id, p.p_lang
+),
+best AS (
+  SELECT doc_id, p_lang AS predicted_lang FROM (
+    SELECT doc_id, p_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY overlap DESC, p_lang) AS rn
+    FROM scores
+  ) x WHERE rn = 1
+)
+SELECT dd.doc_id, dd.lang, b.predicted_lang,
+       CASE WHEN dd.lang = b.predicted_lang THEN 1 ELSE 0 END AS is_match
+FROM documents dd LEFT JOIN best b ON b.doc_id = dd.doc_id"""
+
+
+_register("l2_lang_id", _l2)
+
+
+# ---------------------------------------------------------------------------
+# L3 exact dedup: content-hash groupBy (summary + duplicate groups)
+# ---------------------------------------------------------------------------
+def _l3(d) -> str:
+    return """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dupes
+FROM documents"""
+
+
+_register("l3_dedup_exact", _l3)
+
+
+# ---------------------------------------------------------------------------
+# shared shingle CTE (n-word shingles over the pre-split ws column,
+# distinct per doc)
+# ---------------------------------------------------------------------------
+def _shingles_cte_fixed(d, n: int = 4) -> str:
+    starts = d.seq("1", f"{d.alen('ws')} - {n - 1}")
+    sh_arr = d.lmap(starts, "i", d.slice_join("ws", "i", n))
+    return f"""
+docw AS (SELECT doc_id, {d.split('text')} AS ws FROM documents
+         WHERE {d.alen(d.split('text'))} >= {n}),
+sharr AS (SELECT doc_id, {sh_arr} AS sh_arr FROM docw),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM sharr {d.explode('sh_arr', 'shingle')}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# L4 n-gram Jaccard near-dup: top pairs by 4-gram Jaccard similarity
+# ---------------------------------------------------------------------------
+def _l4(d) -> str:
+    return f"""
+WITH {_shingles_cte_fixed(d, 4)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_inter,
+       round(CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter >= 2
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 100"""
+
+
+_register("l4_ngram_jaccard", _l4)
+
+
+# ---------------------------------------------------------------------------
+# L5 MinHash signatures: 8 hashes = min over 3-gram shingles of seeded md5.
+# array_min over transform — no explode, no shuffle.
+# ---------------------------------------------------------------------------
+_N_HASHES = 8
+
+
+def _sig_cols(d, n: int = 3) -> str:
+    starts = d.seq("1", f"{d.alen('ws')} - {n - 1}")
+    cols = []
+    for j in range(_N_HASHES):
+        hashed = d.lmap(starts, "i", f"md5('s{j}|' || {d.slice_join('ws', 'i', n)})")
+        cols.append(f"{d.lmin(hashed)} AS h{j}")
+    return ",\n       ".join(cols)
+
+
+def _l5(d) -> str:
+    return f"""
+SELECT doc_id,
+       {_sig_cols(d)}
+FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents
+      WHERE {d.alen(d.split('text'))} >= 3) t"""
+
+
+_register("l5_minhash_signatures", _l5)
+
+
+# ---------------------------------------------------------------------------
+# L6 LSH candidate pairs: 4 bands × 2 rows; pairs sharing a band bucket,
+# scored by fraction of matching minhashes
+# ---------------------------------------------------------------------------
+def _l6(d) -> str:
+    # Spark path reads the CACHED signature view (mh_sigs) — Spark re-executes
+    # WITH-CTEs per reference, which made the band fan-out recompute the md5
+    # signatures 8×; DuckDB materializes CTEs and inlines _l5 directly.
+    inner = "SELECT * FROM mh_sigs" if d.name == "spark" else _l5(d).strip()
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val, "
+        f"h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs"
+        for b in range(_N_HASHES // 2)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(_N_HASHES)
+    )
+    return f"""
+WITH sigs AS ({inner}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST({matches} AS DOUBLE) / {_N_HASHES}, 6) AS est_sim
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+ AND a.doc_id < b.doc_id"""
+
+
+def _l6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(_l5(LD)).cache().createOrReplaceTempView("mh_sigs")
+    return spark.sql(_l6(LD))
+
+
+QUERIES["l6_lsh_candidates"] = _l6_run
+ORACLE["l6_lsh_candidates"] = _l6(DD)
+
+
+# ---------------------------------------------------------------------------
+# L7 SimHash-16: per-word md5-nibble bits, majority vote per bit position
+# ---------------------------------------------------------------------------
+def _l7(d) -> str:
+    def hexpos(j: int) -> str:
+        return d.strpos("'0123456789abcdef'", f"substring(md5(word), {j // 4 + 1}, 1)")
+
+    sums = ",\n         ".join(
+        f"SUM({d.idiv(f'({hexpos(j)} - 1)', 2 ** (j % 4))} % 2) AS s{j}"
+        for j in range(16)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} * 2 >= n THEN {2 ** j} ELSE 0 END)" for j in range(16)
+    )
+    words_from = d.explode(d.split("text"), "word")
+    return f"""
+WITH words AS (SELECT doc_id, word FROM documents {words_from}),
+bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {sums}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash16 FROM bits"""
+
+
+_register("l7_simhash", _l7)
+
+
+# ---------------------------------------------------------------------------
+# L8 brute-force cosine top-k: query set (vec_id < 5) × all candidates
+# ---------------------------------------------------------------------------
+def _cosine(d, a: str, b: str) -> str:
+    dot = d.fold_sum(d.zip_mul(a, b))
+    na = d.fold_sum(d.zip_mul(a, a))
+    nb = d.fold_sum(d.zip_mul(b, b))
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _l8(d) -> str:
+    cos = _cosine(d, d.dvec("q.embedding"), d.dvec("c.embedding"))
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         round({cos}, 4) AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT q_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+  FROM pairs
+) x WHERE rank <= 10"""
+
+
+_register("l8_ann_bruteforce", _l8)
+
+
+# ---------------------------------------------------------------------------
+# L9 IVF-style ANN: coarse-quantize to 4 seed centroids (vec_id 0-3), then
+# search only the query's bucket — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+def _l9(d) -> str:
+    cos_assign = _cosine(d, d.dvec("v.embedding"), d.dvec("ctr.embedding"))
+    cos_pair = _cosine(d, d.dvec("q.embedding"), d.dvec("c.embedding"))
+    return f"""
+WITH centroids AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < 4),
+assign AS (
+  SELECT vec_id, c_id AS bucket FROM (
+    SELECT v.vec_id, ctr.c_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos_assign}, 4) DESC, ctr.c_id) AS rn
+    FROM embeddings v CROSS JOIN centroids ctr
+  ) x WHERE rn = 1
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         round({cos_pair}, 4) AS cosine
+  FROM embeddings q
+  JOIN assign aq ON aq.vec_id = q.vec_id
+  JOIN assign ac ON ac.bucket = aq.bucket AND ac.vec_id != q.vec_id
+  JOIN embeddings c ON c.vec_id = ac.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT q_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+  FROM pairs
+) x WHERE rank <= 5"""
+
+
+_register("l9_ann_ivf", _l9)
+
+
+# ---------------------------------------------------------------------------
+# L10 multimodal binary-column stats: opaque bytes + typed metadata
+# (decode itself is a stubbed Pandas-UDF path, operators/multimodal.py)
+# ---------------------------------------------------------------------------
+def _l10(d) -> str:
+    if d.name == "spark":
+        nbytes = "length(encode(text, 'UTF-8'))"
+    else:
+        nbytes = "octet_length(encode(text))"
+    return f"""
+SELECT doc_id,
+       CAST({nbytes} AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST({d.idiv(f'({nbytes} + 255)', 256)} AS BIGINT) AS n_chunks
+FROM documents"""
+
+
+_register("l10_multimodal_binary", _l10)
