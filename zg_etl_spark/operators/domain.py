@@ -398,7 +398,15 @@ def ensure_pipeline_views(spark, sf_dir: str) -> None:
     for name, sql in stages(SPARK):
         df = spark.sql(sql)
         if name in CACHE_STAGES:
-            df = df.cache()
+            # localCheckpoint truncates lineage: without it every downstream
+            # query's logical plan inlines the whole chain and Catalyst
+            # spends seconds per query on analysis/cache-matching of
+            # thousand-node plans (measured: attr_dict count 5.8s with a
+            # warm cache, 0.05s checkpointed). In a cluster deployment the
+            # spine stages would be persisted tables (as the reference
+            # persists stage outputs to Kafka/Doris), giving the same
+            # lineage cut reliably.
+            df = df.localCheckpoint(eager=True)
             _CACHED[key].append(df)
         df.createOrReplaceTempView(name)
     _ACTIVE[key] = sf_dir
