@@ -372,6 +372,10 @@ def prelude(d: Dialect) -> str:
 
 
 def full_query(d: Dialect, body: str) -> str:
+    # a body with its own CTEs is spliced into the prelude's WITH clause
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH "):
+        body = "," + stripped[4:]
     return prelude(d) + "\n" + body
 
 

@@ -94,6 +94,14 @@ class LD:
     def idiv(a: str, b: str) -> str:
         return f"({a} DIV {b})"
 
+    @staticmethod
+    def fold(arr: str, init: str, body: str) -> str:
+        return f"aggregate({arr}, {init}, (acc, x) -> {body})"
+
+    @staticmethod
+    def re_count(col: str, pattern: str) -> str:
+        return f"size(regexp_extract_all({col}, '{pattern}', 0))"
+
 
 class DD:
     name = "duckdb"
@@ -153,6 +161,14 @@ class DD:
     @staticmethod
     def idiv(a: str, b: str) -> str:
         return f"({a} // {b})"
+
+    @staticmethod
+    def fold(arr: str, init: str, body: str) -> str:
+        return f"list_reduce(list_prepend({init}, {arr}), (acc, x) -> {body})"
+
+    @staticmethod
+    def re_count(col: str, pattern: str) -> str:
+        return f"len(regexp_extract_all({col}, '{pattern}'))"
 
 
 def _register(name: str, body_fn):
@@ -446,6 +462,104 @@ SELECT q_id, cand_id, cosine, rank FROM (
 
 
 _register("l9_ann_ivf", _l9)
+
+
+# ---------------------------------------------------------------------------
+# L10 multimodal binary-column stats: opaque bytes + typed metadata
+# (decode itself is a stubbed Pandas-UDF path, operators/multimodal.py)
+# ---------------------------------------------------------------------------
+def _l11(d) -> str:
+    """Embedding-cosine near-dup via sign-bucket LSH: vectors only pair
+    within the same 8-bit hyperplane-sign bucket (dims 1-8), so the
+    all-pairs O(n²) collapses to an equi-join on bucket — the same shape
+    that scales to 100 TB (bucket = shuffle key, per-bucket work is
+    independent). Brute-force recall baseline is l8."""
+    emb = d.dvec("embedding")
+
+    def sign_bucket(col: str) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {d.idx(col, str(j + 1))} >= 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(8)
+        )
+        return f"({bits})"
+
+    cos = _cosine(d, "a.v", "b.v")
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, {emb} AS v, {sign_bucket(emb)} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({cos}, 4) AS cosine
+FROM vecs a JOIN vecs b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= 0.15
+ORDER BY cosine DESC, vec_a, vec_b
+LIMIT 200"""
+
+
+_register("l11_embedding_neardup", _l11)
+
+
+# ---------------------------------------------------------------------------
+# L12 token counting (BPE-ish regex classes) + rolling-hash fingerprint
+# (polynomial fold over md5-nibble word hashes, mod 1e9+7 — integer-exact
+# in both engines, no overflow under ANSI)
+# ---------------------------------------------------------------------------
+def _word_hash(d, var: str) -> str:
+    nibbles = []
+    for j in range(1, 5):
+        pos = d.strpos("'0123456789abcdef'", f"substring(md5({var}), {j}, 1)")
+        nibbles.append(f"({pos} - 1) * {16 ** (4 - j)}")
+    return "CAST(" + " + ".join(nibbles) + " AS BIGINT)"
+
+
+def _l12(d) -> str:
+    ws = d.split("text")
+    hashes = d.lmap(ws, "w", _word_hash(d, "w"))
+    rolling = d.fold(hashes, "CAST(7 AS BIGINT)", "(acc * 31 + x) % 1000000007")
+    return f"""
+SELECT doc_id,
+       CAST({d.re_count('text', '[A-Za-z]+')} AS BIGINT) AS n_word_tokens,
+       CAST({d.re_count('text', '[0-9]')} AS BIGINT) AS n_digit_tokens,
+       CAST({d.re_count('text', '[^A-Za-z0-9 ]')} AS BIGINT) AS n_other_tokens,
+       {rolling} AS rolling_fp
+FROM documents"""
+
+
+_register("l12_tokens_fingerprint", _l12)
+
+
+# ---------------------------------------------------------------------------
+# L13 curation end-to-end: quality gate + exact-dedup keep-first → corpus
+# stats per (lang, source) — the "what survives into the training set" query
+# ---------------------------------------------------------------------------
+def _l13(d) -> str:
+    ws = d.split("text")
+    n_tok = d.alen(ws)
+    n_stop = d.alen(d.lfilter(ws, "w", f"w IN {STOPWORDS}"))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, md5(text) AS fp,
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         CASE WHEN {n_tok} < 5 THEN 0.0
+              WHEN {n_tok} > 200 THEN 0.5
+              ELSE 1.0 - CAST({n_stop} AS DOUBLE) / CAST({n_tok} AS DOUBLE)
+         END AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN rn = 1 AND quality >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN rn = 1 AND quality >= 0.5 THEN n_tokens ELSE 0 END) AS kept_tokens,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dupes_dropped,
+       SUM(CASE WHEN rn = 1 AND quality < 0.5 THEN 1 ELSE 0 END) AS n_quality_dropped
+FROM ranked
+GROUP BY lang, source"""
+
+
+_register("l13_curation", _l13)
 
 
 # ---------------------------------------------------------------------------

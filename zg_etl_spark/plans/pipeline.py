@@ -300,3 +300,157 @@ FROM (
 
 
 _register("p10_b_user_upsert", _p10)
+
+
+# ---------------------------------------------------------------------------
+# P11 b_device: keep-latest per device, UNIQUE KEY(device_id) merge-on-write
+# (R5, transfer/DeviceTransfer.java:85-109; schema.sql:26-66 — brand/model
+# columns stand in as ua/platform from the synthetic feed)
+# ---------------------------------------------------------------------------
+def _p11(d: Dialect) -> str:
+    return f"""
+SELECT app_id, device_id, zg_did, platform, model, attr1, last_update_date
+FROM (
+  SELECT app_id, did AS device_id, zg_did, CAST(pl_id AS INT) AS platform,
+         ua AS model, {d.s('k')} AS attr1,
+         {d.idiv('ct', '1000')} AS last_update_date,
+         ROW_NUMBER() OVER (PARTITION BY app_id, did ORDER BY seq DESC) AS rn
+  FROM resolved WHERE dt = 'pl'
+) x WHERE rn = 1"""
+
+
+_register("p11_b_device_upsert", _p11)
+
+
+# ---------------------------------------------------------------------------
+# P12 ID-mapping archive: the 5 dwd_id_* streams the identity stage emits
+# (S6/R7, archive/ArchiveKafkaService.java:17-120, main/IdArchiveJob.java:79-95,
+# sql/id_archive_tables.sql:9-94)
+# ---------------------------------------------------------------------------
+def _p12(d: Dialect) -> str:
+    return f"""
+SELECT archive_type, app_id, map_key, map_id FROM (
+  SELECT 'device' AS archive_type, app_id, did AS map_key, zg_did AS map_id
+  FROM did_ids
+  UNION ALL
+  SELECT 'user', app_id, cuid, zg_uid FROM uid_ids
+  UNION ALL
+  SELECT 'device_zgid', app_id, did, zg_id FROM device_zgid
+  UNION ALL
+  SELECT 'user_zgid', app_id, cuid, 300000 + zg_uid FROM uid_ids
+  UNION ALL
+  SELECT 'zgid_user', app_id, {d.s('(300000 + zg_uid)')}, zg_uid FROM uid_ids
+) u"""
+
+
+_register("p12_id_archive", _p12)
+
+
+# ---------------------------------------------------------------------------
+# P13 per-user visit aggregates: the t_user_detail_sum grain the product
+# queries (A5, sql/1.sql:396-657 — visit_times/duration/first-last visit)
+# ---------------------------------------------------------------------------
+def _p13(d: Dialect) -> str:
+    day_id = f"CAST({d.fmt(d.ts('ct'), 'yyyyMMdd')} AS INT)"
+    return f"""
+SELECT app_id, zg_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT sid) AS n_sessions,
+       SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur ELSE 0 END) AS total_duration,
+       MIN(ct) AS first_visit_ms,
+       MAX(ct) AS last_visit_ms,
+       COUNT(DISTINCT {day_id}) AS n_active_days
+FROM resolved
+WHERE dt IN ('evt', 'abp', 'mkt')
+GROUP BY app_id, zg_id"""
+
+
+_register("p13_user_visit_stats", _p13)
+
+
+# ---------------------------------------------------------------------------
+# P14 first-touch attribution: first platform/channel/event per user
+# (f_user_join first_* columns, sql/1.sql:396-657)
+# ---------------------------------------------------------------------------
+def _p14(d: Dialect) -> str:
+    day_id = f"CAST({d.fmt(d.ts('ct'), 'yyyyMMdd')} AS INT)"
+    return f"""
+SELECT app_id, zg_id, first_platform, first_utm, first_event, first_day
+FROM (
+  SELECT app_id, zg_id, pl AS first_platform,
+         COALESCE(utm_source, '(none)') AS first_utm,
+         COALESCE(event_name, '(none)') AS first_event,
+         {day_id} AS first_day,
+         ROW_NUMBER() OVER (PARTITION BY app_id, zg_id ORDER BY seq) AS rn
+  FROM resolved WHERE dt IN ('evt', 'abp', 'mkt')
+) x WHERE rn = 1"""
+
+
+_register("p14_first_touch", _p14)
+
+
+# ---------------------------------------------------------------------------
+# P15 cohort retention: users first active on day d0 still active at
+# d0 + offset (the t_user_active workload; epoch-day buckets keep both
+# engines integer-exact)
+# ---------------------------------------------------------------------------
+def _p15(d: Dialect) -> str:
+    day_num = d.idiv("ct", "86400000")
+    return f"""
+WITH activity AS (
+  SELECT DISTINCT app_id, zg_id, {day_num} AS day_num
+  FROM resolved WHERE dt IN ('evt', 'abp')
+),
+cohort AS (
+  SELECT app_id, zg_id, MIN(day_num) AS d0 FROM activity GROUP BY app_id, zg_id
+)
+SELECT a.app_id, c.d0 AS cohort_day,
+       CAST(a.day_num - c.d0 AS INT) AS day_offset,
+       COUNT(DISTINCT a.zg_id) AS n_users
+FROM activity a
+JOIN cohort c ON c.app_id = a.app_id AND c.zg_id = a.zg_id
+GROUP BY a.app_id, c.d0, a.day_num - c.d0"""
+
+
+_register("p15_retention_cohort", _p15)
+
+
+# ---------------------------------------------------------------------------
+# P16 event funnel: view → click → purchase per user, ordered by time
+# (the product-analytics flagship; step N counts require step N-1's
+# timestamp — expressed as successive min-over joins, shuffle-keyed on
+# (app_id, zg_id) throughout so all three steps co-partition)
+# ---------------------------------------------------------------------------
+def _p16(d: Dialect) -> str:
+    return """
+WITH e AS (
+  SELECT app_id, zg_id, event_type, ct FROM resolved
+  WHERE dt IN ('evt', 'abp') AND event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT app_id, zg_id, MIN(ct) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY app_id, zg_id
+),
+s2 AS (
+  SELECT e.app_id, e.zg_id, MIN(e.ct) AS t2
+  FROM e JOIN s1 ON s1.app_id = e.app_id AND s1.zg_id = e.zg_id
+  WHERE e.event_type = 'click' AND e.ct >= s1.t1
+  GROUP BY e.app_id, e.zg_id
+),
+s3 AS (
+  SELECT e.app_id, e.zg_id, MIN(e.ct) AS t3
+  FROM e JOIN s2 ON s2.app_id = e.app_id AND s2.zg_id = e.zg_id
+  WHERE e.event_type = 'purchase' AND e.ct >= s2.t2
+  GROUP BY e.app_id, e.zg_id
+)
+SELECT s1.app_id,
+       COUNT(*) AS step_view,
+       COUNT(s2.t2) AS step_click,
+       COUNT(s3.t3) AS step_purchase
+FROM s1
+LEFT JOIN s2 ON s2.app_id = s1.app_id AND s2.zg_id = s1.zg_id
+LEFT JOIN s3 ON s3.app_id = s1.app_id AND s3.zg_id = s1.zg_id
+GROUP BY s1.app_id"""
+
+
+_register("p16_funnel", _p16)
