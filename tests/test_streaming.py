@@ -1,0 +1,123 @@
+"""Structured-Streaming wrapper tests.
+
+Property under test (SURVEY.md §2.9, §7 step 10): the streaming pipeline
+run over time-ordered micro-batches assigns exactly the same device IDs as
+the batch pipeline over the union — i.e. the per-batch get-or-create MERGE
+reproduces KVRocks HSETNX get-or-create semantics deterministically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zg_etl_spark.streaming import (
+    MappingStore,
+    incremental_device_ids,
+    start_event_counts_stream,
+    start_identity_stream,
+)
+
+SCHEMA = "event_id BIGINT, app_id BIGINT, did STRING, ct BIGINT, seq BIGINT, event_type STRING"
+
+ROWS_B1 = [
+    # (event_id, app_id, did, ct, seq, event_type)
+    (1, 1, "d1", 60_000, 1, "click"),
+    (2, 1, "d2", 61_000, 2, "view"),
+    (3, 2, "d1", 62_000, 3, "click"),
+]
+ROWS_B2 = [
+    # ts 600s+: far enough ahead that batch 2's watermark (600s - 2min)
+    # closes batch 1's [60s,120s) windows in append mode
+    (4, 1, "d1", 600_000, 4, "click"),   # existing mapping must be reused
+    (5, 1, "d3", 601_000, 5, "view"),    # new device continues the sequence
+    (6, 2, "d9", 602_000, 6, "click"),
+]
+
+
+@pytest.fixture
+def batches(spark, tmp_path):
+    """Two plain parquet FILES (the file stream source does not recurse
+    into the directory layout df.write.parquet produces)."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([ROWS_B1, ROWS_B2]):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"b{i}.parquet")
+    return src
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    b1 = spark.createDataFrame(ROWS_B1, SCHEMA)
+    b2 = spark.createDataFrame(ROWS_B2, SCHEMA)
+    store = MappingStore(spark, str(tmp_path / "map"), key_col="did", id_col="zg_did")
+
+    r1 = incremental_device_ids(store, b1)
+    r2 = incremental_device_ids(store, b2)
+    streaming = {
+        (row.app_id, row.did): row.zg_did
+        for row in r1.unionByName(r2).select("app_id", "did", "zg_did").collect()
+    }
+
+    # batch reference: dense_rank over first-seen order per app
+    union = b1.unionByName(b2)
+    from pyspark.sql.window import Window
+
+    first = union.groupBy("app_id", "did").agg(F.min("seq").alias("first_seq"))
+    w = Window.partitionBy("app_id").orderBy("first_seq")
+    batch = {
+        (row.app_id, row.did): row.zg_did
+        for row in first.withColumn(
+            "zg_did", F.lit(100_000) + F.dense_rank().over(w)
+        ).collect()
+    }
+    assert streaming == batch
+    # cross-batch reuse: d1/app1 appears in both batches with ONE id
+    assert streaming[(1, "d1")] == batch[(1, "d1")]
+
+
+def test_identity_stream_end_to_end(spark, batches, tmp_path):
+    q = start_identity_stream(
+        spark,
+        source_dir=str(batches),
+        schema=SCHEMA,
+        store_path=str(tmp_path / "store"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out")
+    )
+    rows = {(r.app_id, r.did): r.zg_did for r in out.collect()}
+    assert len(out.collect()) == 6
+    # every event got an id; same (app, did) → same id across batches
+    assert all(v is not None for v in rows.values())
+    per_app1 = sorted(v for (a, _), v in rows.items() if a == 1)
+    assert per_app1[0] == 100_001  # ids continue deterministically from offset
+
+
+def test_event_counts_watermark_stream(spark, batches, tmp_path):
+    q = start_event_counts_stream(
+        spark,
+        source_dir=str(batches),
+        schema=SCHEMA,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        query_name="evt_counts_test",
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT win.start, app_id, event_type, count FROM evt_counts_test"
+    ).collect()
+    # batch 2's watermark (600s - 2min = 480s) closes batch 1's [60s,120s)
+    # windows; batch 2's own windows stay open (append-mode semantics)
+    counted = {(r.app_id, r.event_type): r["count"] for r in out}
+    assert counted[(1, "click")] == 1
+    assert counted[(1, "view")] == 1
+    assert counted[(2, "click")] == 1

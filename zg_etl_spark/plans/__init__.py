@@ -5,7 +5,7 @@ Each module contributes:
     ORACLE:  dict[str, str]   # DuckDB SQL equivalents (omit → rows-only check)
 """
 
-from zg_etl_spark.plans import llm, pipeline, relational
+from zg_etl_spark.plans import llm, pipeline, relational, streaming_queries
 
 
 def all_queries():
@@ -13,6 +13,7 @@ def all_queries():
     q.update(relational.QUERIES)
     q.update(pipeline.QUERIES)
     q.update(llm.QUERIES)
+    q.update(streaming_queries.QUERIES)
     return q
 
 
@@ -21,4 +22,5 @@ def all_oracles():
     o.update(relational.ORACLE)
     o.update(pipeline.ORACLE)
     o.update(llm.ORACLE)
+    o.update(streaming_queries.ORACLE)
     return o

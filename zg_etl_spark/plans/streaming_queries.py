@@ -1,0 +1,82 @@
+"""Streaming queries exposed on the declared-query surface.
+
+The streaming engine (zg_etl_spark/streaming/engine.py) is deterministic:
+get-or-create device-ID assignment over seq-ordered micro-batches produces
+exactly the IDs the batch pipeline assigns (dense_rank over first-seen
+order per app — proven equivalent in tests/test_streaming.py). That lets a
+REAL Structured Streaming run be checked against a plain SQL oracle: the
+stream's merged mapping table must equal the batch `did_ids` stage.
+
+s1 runs readStream (file source, maxFilesPerTrigger=1, availableNow) over
+gate-ok events split into two seq-ordered files → foreachBatch incremental
+identity → the final mapping store, and the DuckDB oracle is just
+`SELECT app_id, did, zg_did FROM did_ids`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zg_etl_spark.operators.domain import duck_pipeline_sql, spark_pipeline_df
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
+    """Split into two seq-ordered plain parquet files (b0 < b1 by seq),
+    with strictly increasing mtimes so the file stream source (which
+    orders by modification time) replays them in seq order."""
+    mid = df.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
+    for i, part_df in enumerate(
+        [df.filter(df.seq <= mid), df.filter(df.seq > mid)]
+    ):
+        stage = os.path.join(src_dir, f"_stage{i}")
+        part_df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        shutil.rmtree(stage)
+
+
+def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.streaming.engine import start_identity_stream
+
+    feed = spark_pipeline_df(
+        spark, sf_dir, "SELECT event_id, app_id, did, ct, seq FROM gate_ok"
+    )
+    work = tempfile.mkdtemp(prefix="zg_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_seq_ordered_files(feed, src)
+
+    q = start_identity_stream(
+        spark,
+        source_dir=src,
+        schema="event_id BIGINT, app_id BIGINT, did STRING, ct BIGINT, seq BIGINT",
+        store_path=os.path.join(work, "store"),
+        output_path=os.path.join(work, "out"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q.awaitTermination(300)
+    # the merged mapping store IS the result; localCheckpoint detaches it
+    # from the temp dir before cleanup
+    result = (
+        spark.read.parquet(os.path.join(work, "store"))
+        .select("app_id", "did", "zg_did")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s1_streaming_identity"] = _s1
+ORACLE["s1_streaming_identity"] = duck_pipeline_sql(
+    "SELECT app_id, did, zg_did FROM did_ids"
+)

@@ -1,0 +1,181 @@
+"""Structured-Streaming wrapper over the batch stage semantics.
+
+The reference is a Flink DataStream job suite (main/GateJob.java:41,
+main/IdJob.java:44, main/DwJob.java:43) whose only cross-record state is
+external get-or-create KV lookups (service/OneIdService.java:312-650) —
+no watermarks (WatermarkStrategy.noWatermarks() at GateJob.java:107) and
+no Flink keyed state. The Spark translation therefore needs exactly two
+streaming ingredients:
+
+1. ``foreachBatch`` running the same set-based stage logic per micro-batch,
+   with the ID-mapping registries as persistent tables MERGEd each batch
+   (KVRocks HSETNX first-writer-wins → deterministic anti-join + assign,
+   serialized per batch — stronger than the lock-based original);
+2. the data-quality counters (GateProcessFunction.java:106-180) as a
+   watermarked windowed aggregation — the one place event-time windowing
+   adds value over the reference's processing-time counters.
+
+Scale notes: each micro-batch does ONE shuffle per get-or-create (anti-join
+on the mapping key); the mapping store is read once per batch and broadcast
+when small. On a cluster the store would be a Delta table with MERGE; here
+it is parquet-overwrite, same logical contract (state size = number of
+distinct devices, not number of events).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+DEVICE_ID_OFFSET = 100_000  # same namespace as batch did_ids (domain.py)
+
+
+class MappingStore:
+    """Persistent (app_id, key) -> id mapping table, parquet-backed.
+
+    Plays the role of the reference's KVRocks hashes ``d:{appId}`` /
+    ``u:{appId}`` (service/OneIdService.java:66-79). ``merge`` is the
+    HSETNX analog: existing keys win, new keys get deterministic IDs.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str, id_col: str):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.id_col = id_col
+
+    def read(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, assigned: DataFrame) -> None:
+        existing = self.read()
+        out = assigned if existing is None else existing.unionByName(assigned)
+        # localCheckpoint breaks the read-path lineage so overwriting the
+        # same directory is safe (and keeps the store readable mid-write
+        # failure would be handled by Delta in a cluster deployment)
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        self.spark.catalog.refreshByPath(self.path)
+
+
+def incremental_device_ids(
+    store: MappingStore, batch: DataFrame
+) -> DataFrame:
+    """Get-or-create device IDs for one micro-batch.
+
+    Mirrors OneIdService.getOrCreateDeviceId (OneIdService.java:312-359):
+    read → miss → claim-new → re-read, collapsed into set operations:
+    existing mappings win (first-writer), distinct new keys are ranked by
+    first-seen order (min seq) continuing from the store's per-app max id.
+    Returns the batch annotated with ``zg_did``.
+    """
+    spark = store.spark
+    existing = store.read()
+    if existing is None:
+        existing = spark.createDataFrame(
+            [], f"app_id BIGINT, {store.key_col} STRING, {store.id_col} BIGINT"
+        )
+
+    new_first = (
+        batch.join(existing, ["app_id", store.key_col], "left_anti")
+        .groupBy("app_id", store.key_col)
+        .agg(F.min("seq").alias("first_seq"))
+    )
+    per_app_max = (
+        existing.groupBy("app_id")
+        .agg(F.max(store.id_col).alias("max_id"))
+    )
+    w = Window.partitionBy("app_id").orderBy("first_seq")
+    assigned = (
+        new_first.join(per_app_max, "app_id", "left")
+        .withColumn(
+            store.id_col,
+            F.coalesce(F.col("max_id"), F.lit(DEVICE_ID_OFFSET))
+            + F.dense_rank().over(w),
+        )
+        .select("app_id", store.key_col, store.id_col)
+    )
+    store.merge(assigned)
+    # eager materialization: the result must not lazily reference store
+    # files that the NEXT batch's merge will overwrite
+    return batch.join(
+        store.read(), ["app_id", store.key_col], "left"
+    ).localCheckpoint(eager=True)
+
+
+def start_identity_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    store_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """File-source stream → per-batch identity resolution → parquet sink.
+
+    availableNow + maxFilesPerTrigger gives ordered, bounded micro-batches
+    (the batch analog of the reference's Kafka consumption; a Kafka
+    deployment swaps ``format("kafka")`` + ``from_json`` in, nothing else
+    changes). Exactly-once: checkpoint + idempotent overwrite-by-batch-id
+    output layout.
+    """
+    store = MappingStore(spark, store_path, key_col="did", id_col="zg_did")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        resolved = incremental_device_ids(store, batch_df)
+        resolved.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_event_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    query_name: str = "event_counts",
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+):
+    """Watermarked tumbling-window success counters to a memory sink.
+
+    The streaming rendering of the gate counters (A1,
+    GateProcessFunction.java:106-124): per (window, app_id, event_type)
+    counts; rows later than the watermark are dropped instead of the
+    reference's ±7d validity filter (G7) — the event-time upgrade the
+    Flink job never had.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn("event_time", F.timestamp_millis(F.col("ct")))
+        .withWatermark("event_time", watermark_delay)
+    )
+    agg = src.groupBy(
+        F.window("event_time", window_duration).alias("win"),
+        F.col("app_id"),
+        F.col("event_type"),
+    ).count()
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
