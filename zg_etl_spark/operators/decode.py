@@ -1,0 +1,107 @@
+"""Wire-format decode stage (G1/G2).
+
+The reference's MsgResolver (service/MsgResolver.java:33-98) parses the
+raw wire JSON `{Ip, Now, Header, Args{event, compress, encrypt, type, key}}`,
+zlib-inflates when ``compress=1`` (MsgResolver.java:140), RSA/AES- or
+SM2/SM4-decrypts when ``encrypt=1`` (MsgResolver.java:109-135,
+service/DecodeService.java:20-52), then injects ``ip``/``st``/``ua`` into
+the payload (MsgResolver.java:93-95).
+
+Spark mapping: the JSON envelope is `from_json` (JVM-side); only the
+inflate/decrypt byte transforms need Python — implemented as ONE
+Arrow-batched Pandas UDF (zlib is stdlib; crypto is pluggable and stubbed
+when the library is absent, mirroring how the reference keys are
+deployment secrets we cannot have). Malformed payloads become error rows
+(result=-1, PERMISSIVE-style), never exceptions — the reference's
+ResolveException → errData path.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+WIRE_SCHEMA = (
+    "Ip STRING, Now BIGINT, Header STRING, "
+    "Args STRUCT<event: STRING, compress: INT, encrypt: INT, type: INT, key: STRING>"
+)
+
+_DECRYPTORS: dict[int, object] = {}
+
+
+def register_decryptor(enc_type: int, fn) -> None:
+    """Plug a deployment decryptor: fn(ciphertext: bytes, key: str) -> bytes.
+    Type 1 = RSA+AES (DecodeService.java:20-38), 2 = SM2+SM4 (:40-52)."""
+    _DECRYPTORS[enc_type] = fn
+
+
+def _make_decode_fn(decryptors: dict):
+    """Build the batch decode fn closing over a SNAPSHOT of the decryptor
+    registry — the UDF runs in executor Python workers where this module
+    is re-imported (empty registry), so the closure must carry the state
+    by value."""
+
+    def decode(event: pd.Series, compress: pd.Series, encrypt: pd.Series,
+               enc_type: pd.Series, key: pd.Series) -> pd.Series:
+        out = []
+        for ev, comp, enc, typ, k in zip(event, compress, encrypt, enc_type, key):
+            if ev is None:
+                out.append(None)
+                continue
+            try:
+                if (comp == 1) or (enc == 1):
+                    raw = base64.b64decode(ev)
+                    if enc == 1:
+                        dec = decryptors.get(int(typ) if typ is not None else 1)
+                        if dec is None:
+                            out.append(None)  # no decryptor wired → error row
+                            continue
+                        raw = dec(raw, k)
+                    if comp == 1:
+                        raw = zlib.decompress(raw)
+                    out.append(raw.decode("utf-8"))
+                else:
+                    out.append(ev)
+            except (binascii.Error, zlib.error, UnicodeDecodeError, ValueError):
+                out.append(None)
+        return pd.Series(out)
+
+    return decode
+
+
+def _decode_event_udf():
+    # pandas_udf needs an active session → created lazily, not at import
+    return pandas_udf(_make_decode_fn(dict(_DECRYPTORS)), "string")
+
+
+def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Wire JSON string column → decoded payload column + error flag.
+
+    Output columns: ip, server_ts, payload (decoded inner-event JSON
+    string), result (0 ok / -1 error — ZGMessage.result semantics,
+    entity/ZGMessage.java:18-50).
+    """
+    parsed = raw.withColumn("_w", F.from_json(F.col(raw_col), WIRE_SCHEMA))
+    decoded = parsed.withColumn(
+        "payload",
+        _decode_event_udf()(
+            F.col("_w.Args.event"),
+            F.coalesce(F.col("_w.Args.compress"), F.lit(0)),
+            F.coalesce(F.col("_w.Args.encrypt"), F.lit(0)),
+            F.coalesce(F.col("_w.Args.type"), F.lit(1)),
+            F.col("_w.Args.key"),
+        ),
+    )
+    return decoded.select(
+        F.col("_w.Ip").alias("ip"),
+        F.col("_w.Now").alias("server_ts"),
+        "payload",
+        F.when(
+            F.col("_w").isNull() | F.col("payload").isNull(), F.lit(-1)
+        ).otherwise(F.lit(0)).alias("result"),
+    )

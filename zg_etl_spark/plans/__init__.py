@@ -5,7 +5,7 @@ Each module contributes:
     ORACLE:  dict[str, str]   # DuckDB SQL equivalents (omit → rows-only check)
 """
 
-from zg_etl_spark.plans import llm, pipeline, relational, streaming_queries
+from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streaming_queries
 
 
 def all_queries():
@@ -14,6 +14,7 @@ def all_queries():
     q.update(pipeline.QUERIES)
     q.update(llm.QUERIES)
     q.update(streaming_queries.QUERIES)
+    q.update(gate_queries.QUERIES)
     return q
 
 
@@ -23,4 +24,5 @@ def all_oracles():
     o.update(pipeline.ORACLE)
     o.update(llm.ORACLE)
     o.update(streaming_queries.ORACLE)
+    o.update(gate_queries.ORACLE)
     return o

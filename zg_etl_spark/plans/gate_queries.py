@@ -1,0 +1,72 @@
+"""Wire-decode queries on the declared surface (G1/G2).
+
+g1 round-trips the events table through the reference wire format:
+each event is wrapped in the `{Ip, Now, Header, Args{event, compress}}`
+envelope (service/MsgResolver.java:33-98), odd event_ids zlib+base64
+compressed (MsgResolver.java:140), then decoded by resolve_wire's
+Arrow-batched UDF. The DuckDB oracle recomputes the expected decoded
+fields directly from events — if the encode/decode plumbing corrupts
+anything, hashes diverge.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _wire_encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
+    out = []
+    for eid, etype in zip(event_id, event_type):
+        payload = json.dumps({"eid": int(eid), "etype": etype}, sort_keys=True)
+        compress = int(eid) % 2
+        if compress:
+            payload = base64.b64encode(zlib.compress(payload.encode())).decode()
+        out.append(
+            json.dumps(
+                {
+                    "Ip": f"10.0.{int(eid) % 256}.1",
+                    "Now": int(eid) * 1000,
+                    "Header": "{}",
+                    "Args": {"event": payload, "compress": compress,
+                             "encrypt": 0, "type": 1, "key": None},
+                }
+            )
+        )
+    return pd.Series(out)
+
+
+def _g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.decode import resolve_wire
+    from zg_etl_spark.sources.tables import load_table
+
+    # events.ts is parquet TIMESTAMP(NANOS); must be readable as bigint
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enc = pandas_udf(_wire_encode, "string")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    raw = events.select(enc("event_id", "event_type").alias("raw"))
+    resolved = resolve_wire(raw)
+    return resolved.select(
+        F.get_json_object("payload", "$.eid").cast("bigint").alias("event_id"),
+        F.get_json_object("payload", "$.etype").alias("event_type"),
+        "ip",
+        "server_ts",
+        "result",
+    )
+
+
+QUERIES["g1_wire_roundtrip"] = _g1
+ORACLE["g1_wire_roundtrip"] = """
+SELECT event_id, event_type,
+       '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.1' AS ip,
+       event_id * 1000 AS server_ts,
+       0 AS result
+FROM events"""

@@ -454,3 +454,47 @@ GROUP BY s1.app_id"""
 
 
 _register("p16_funnel", _p16)
+
+
+# ---------------------------------------------------------------------------
+# W1 upsert writer end-to-end: the b_user table written via the real sink
+# (sinks.upsert_table) in two seq-split batches — merge-on-write must land
+# exactly where the single-shot p10 dedup lands, so it shares p10's oracle.
+# ---------------------------------------------------------------------------
+def _w1_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from zg_etl_spark.sinks import upsert_table
+
+    rows = spark_pipeline_df(
+        spark,
+        sf_dir,
+        f"""
+SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+       {SPARK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
+       seq
+FROM resolved""",
+    )
+    mid = rows.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
+    work = tempfile.mkdtemp(prefix="zg_w1_")
+    path = os.path.join(work, "b_user")
+    try:
+        for part in (rows.filter(rows.seq <= mid), rows.filter(rows.seq > mid)):
+            upsert_table(
+                spark, part, path,
+                keys=["app_id", "device_id", "zg_id"], order_col="seq",
+                partition_cols=["app_id"],
+            )
+        return (
+            spark.read.parquet(path)
+            .select("app_id", "device_id", "zg_id", "user_id", "begin_date", "platform")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w1_upsert_writer"] = _w1_run
+ORACLE["w1_upsert_writer"] = duck_pipeline_sql(_p10(DUCK))
