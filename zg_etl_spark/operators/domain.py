@@ -361,6 +361,53 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     FROM attr_first
   ) x""",
     ))
+
+    # M3 user-property dictionary: get-or-create per (app, owner, prop_name)
+    # (UserPropAsyncOperator.java:112-260); built-in app_user_id = -1
+    # (UserPropertyTransfer.java:30-33) joins in at projection time
+    out.append((
+        "usr_props_melted",
+        f"""
+  SELECT app_id, owner, zg_id, seq, '_k' AS prop_name, {d.s('k')} AS prop_value,
+         2 AS prop_type FROM resolved WHERE dt = 'usr'
+  UNION ALL
+  SELECT app_id, owner, zg_id, seq, '_plname', pl, 1
+  FROM resolved WHERE dt = 'usr'
+  UNION ALL
+  SELECT app_id, owner, zg_id, seq, '_vbucket', {d.s(d.idiv('k', '10'))}, 2
+  FROM resolved WHERE dt = 'usr' AND k IS NOT NULL""",
+    ))
+    out.append((
+        "user_prop_dict",
+        """
+  SELECT app_id, owner, prop_name, prop_type,
+         CAST(500 * app_id +
+              ROW_NUMBER() OVER (PARTITION BY app_id, owner
+                                 ORDER BY first_seq, prop_name)
+              AS BIGINT) AS prop_id
+  FROM (
+    SELECT app_id, owner, prop_name, prop_type, MIN(seq) AS first_seq
+    FROM usr_props_melted GROUP BY app_id, owner, prop_name, prop_type
+  ) f""",
+    ))
+
+    # M4 device-property dictionary: LOOKUP-ONLY static registry
+    # (DevicePropertyOperator.java:46-152 — no auto-create)
+    out.append((
+        "device_prop_dict",
+        f"SELECT * FROM {R.values_sql(R.DEVICE_PROP_DICT, [])} "
+        f"AS t({', '.join(R.DEVICE_PROP_COLS)})",
+    ))
+    out.append((
+        "dev_props_melted",
+        f"""
+  SELECT app_id, did, seq, '_model' AS prop_name, ua AS prop_value
+  FROM resolved WHERE dt = 'pl'
+  UNION ALL
+  SELECT app_id, did, seq, '_zs', {d.s('k')} FROM resolved WHERE dt = 'pl'
+  UNION ALL
+  SELECT app_id, did, seq, '_unknown_prop', 'x' FROM resolved WHERE dt = 'pl'""",
+    ))
     return out
 
 

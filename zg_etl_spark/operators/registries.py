@@ -58,6 +58,16 @@ IP_RANGES = [
 ]
 IP_RANGE_COLS = ["ip_lo", "ip_hi", "country", "province", "city"]
 
+# device-property dictionary (M4, DevicePropertyOperator.java:126-141):
+# LOOKUP-ONLY — no get-or-create; unknown props stay unannotated/dropped.
+# (prop_name, prop_id, prop_type 1=string 2=number)
+DEVICE_PROP_DICT = [
+    ("_model", 9001, 1),
+    ("_zs", 9002, 2),
+    # "_unknown_prop" deliberately absent: rows melting it must drop
+]
+DEVICE_PROP_COLS = ["dp_name", "dp_id", "dp_type"]
+
 # virtual-attribute rules (operator/id/VirtualPropertyOperator.java:54-268):
 # (app_id 0 = all apps, event_name, out_name, sql) over feed fields
 VIRTUAL_ATTR_RULES = [

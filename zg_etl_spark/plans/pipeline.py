@@ -223,20 +223,38 @@ def _p8(d: Dialect) -> str:
     ts_ct = d.ts("e.ct")
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
     th = d.iso_thursday(dref)
+    private_ip = _PRIVATE_IP.replace("ip_long", "e.ip_long")
     return f"""
 SELECT e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
        COALESCE(e.sid, -1) AS zg_sid, dct.zg_eid,
+       md5({d.s('e.seq')}) AS uuid,
        CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT) AS begin_day_id,
        {d.idiv('e.ct', '1000')} AS begin_date,
        CAST({d.fmt(ts_ct, 'HH')} AS INT) AS begin_time_id,
        CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yw,
        CAST(e.pl_id AS INT) AS platform,
        e.ip_long,
+       CASE WHEN {private_ip} THEN NULL ELSE g.country END AS country,
+       CASE WHEN {private_ip} THEN NULL ELSE g.province END AS province,
+       CASE WHEN {private_ip} THEN NULL ELSE g.city END AS city,
+       u.os, u.browser, u.device_type,
+       CASE WHEN e.ref LIKE '%google%' THEN 'google'
+            WHEN e.ref LIKE '%baidu%' THEN 'baidu' END AS search_engine,
+       CASE WHEN e.utm_source IS NOT NULL THEN 'given'
+            WHEN e.ref LIKE '%google%' OR e.ref LIKE '%baidu%' THEN '搜索自然流量'
+            WHEN e.ref IS NOT NULL THEN '引荐' END AS utm_medium,
+       COALESCE(e.utm_source,
+                CASE WHEN e.ref LIKE '%google%' OR e.ref LIKE '%baidu%'
+                     THEN regexp_extract(e.ref, 'https?://([^/]+)', 1) END)
+           AS utm_source_f,
        CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur END AS duration,
+       {d.s('e.zg_id')} || '_' || {d.s('COALESCE(e.sid, -1)')} AS attr5,
        p.cus1, p.type1, p.cus2, p.type2, p.cus3, p.type3
 FROM events_typed e
 JOIN event_dict dct ON dct.app_id = e.app_id AND dct.owner = e.owner_e
                    AND dct.event_name = e.event_name_t
+LEFT JOIN ip_ranges g ON e.ip_long BETWEEN g.ip_lo AND g.ip_hi
+LEFT JOIN ua_rules u ON u.ua = e.ua
 LEFT JOIN (
   SELECT m.seq,
          MAX(CASE WHEN a.col_idx = 1 THEN m.attr_value END) AS cus1,
@@ -454,6 +472,71 @@ GROUP BY s1.app_id"""
 
 
 _register("p16_funnel", _p16)
+
+
+# ---------------------------------------------------------------------------
+# P17 user-property dictionary get-or-create + annotated EAV rows
+# (M3, UserPropAsyncOperator.java:112-260 — the $zg_upid#/$zg_uptp# pattern
+# becomes prop_id/prop_type join-result columns; built-in app_user_id = -1,
+# UserPropertyTransfer.java:30-33,151-164)
+# ---------------------------------------------------------------------------
+def _p17(d: Dialect) -> str:
+    return """
+SELECT app_id, zg_id, property_name, property_value, property_id,
+       CAST(property_data_type AS INT) AS property_data_type
+FROM (
+  SELECT m.app_id, m.zg_id, m.prop_name AS property_name,
+         m.prop_value AS property_value, dct.prop_id AS property_id,
+         dct.prop_type AS property_data_type,
+         ROW_NUMBER() OVER (PARTITION BY m.app_id, m.zg_id, m.prop_name
+                            ORDER BY m.seq DESC) AS rn
+  FROM usr_props_melted m
+  JOIN user_prop_dict dct ON dct.app_id = m.app_id AND dct.owner = m.owner
+                         AND dct.prop_name = m.prop_name
+  UNION ALL
+  SELECT app_id, zg_id, 'app_user_id', cuid, -1, 1,
+         ROW_NUMBER() OVER (PARTITION BY app_id, zg_id ORDER BY seq DESC)
+  FROM resolved WHERE dt = 'usr' AND cuid IS NOT NULL
+) x WHERE rn = 1"""
+
+
+_register("p17_user_prop_dict", _p17)
+
+
+# ---------------------------------------------------------------------------
+# P18 device properties: LOOKUP-ONLY dictionary join — unknown props drop
+# silently (M4, DevicePropertyOperator.java:46-152)
+# ---------------------------------------------------------------------------
+def _p18(d: Dialect) -> str:
+    return """
+SELECT app_id, did, prop_name, prop_value, dp_id, CAST(dp_type AS INT) AS dp_type
+FROM (
+  SELECT m.app_id, m.did, m.prop_name, m.prop_value, dct.dp_id, dct.dp_type,
+         ROW_NUMBER() OVER (PARTITION BY m.app_id, m.did, m.prop_name
+                            ORDER BY m.seq DESC) AS rn
+  FROM dev_props_melted m
+  JOIN device_prop_dict dct ON dct.dp_name = m.prop_name
+) x WHERE rn = 1"""
+
+
+_register("p18_device_props", _p18)
+
+
+# ---------------------------------------------------------------------------
+# P19 event processing high-water marks (A4, EventAsyncOperator.java:180-244:
+# max processing time per event id)
+# ---------------------------------------------------------------------------
+def _p19(d: Dialect) -> str:
+    return """
+SELECT dct.zg_eid, dct.event_name, COUNT(*) AS n_events,
+       MAX(e.ct) AS high_water_ms
+FROM events_typed e
+JOIN event_dict dct ON dct.app_id = e.app_id AND dct.owner = e.owner_e
+                   AND dct.event_name = e.event_name_t
+GROUP BY dct.zg_eid, dct.event_name"""
+
+
+_register("p19_event_highwater", _p19)
 
 
 # ---------------------------------------------------------------------------
