@@ -102,6 +102,16 @@ class LD:
     def re_count(col: str, pattern: str) -> str:
         return f"size(regexp_extract_all({col}, '{pattern}', 0))"
 
+    @staticmethod
+    def h64(x: str) -> str:
+        # engine-local 64-bit hash: ONLY for internal join keys, never for
+        # values the oracle compares (algorithms differ across engines)
+        return f"xxhash64({x})"
+
+    @staticmethod
+    def adistinct(arr: str) -> str:
+        return f"array_distinct({arr})"
+
 
 class DD:
     name = "duckdb"
@@ -170,13 +180,31 @@ class DD:
     def re_count(col: str, pattern: str) -> str:
         return f"len(regexp_extract_all({col}, '{pattern}'))"
 
+    @staticmethod
+    def h64(x: str) -> str:
+        return f"hash({x})"
+
+    @staticmethod
+    def adistinct(arr: str) -> str:
+        return f"list_distinct({arr})"
+
+
+def _register_docs_views(spark: SparkSession, sf_dir: str) -> None:
+    """documents/embeddings ship as ONE parquet file per table, which
+    would serialize every per-row array/hash pipeline into a single task;
+    a round-robin repartition of the raw rows (cheap — thousands of rows)
+    parallelizes all downstream CPU. On a real 100 TB corpus the source
+    is many files and this becomes a no-op-sized safety net."""
+    from zg_etl_spark.sources.tables import load_table
+
+    n = spark.sparkContext.defaultParallelism
+    for t in ("documents", "embeddings"):
+        load_table(spark, sf_dir, t).repartition(n).createOrReplaceTempView(t)
+
 
 def _register(name: str, body_fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from zg_etl_spark.sources.tables import load_table
-
-        for t in ("documents", "embeddings"):
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        _register_docs_views(spark, sf_dir)
         return spark.sql(body_fn(LD))
 
     QUERIES[name] = run
@@ -265,15 +293,22 @@ _register("l3_dedup_exact", _l3)
 # shared shingle CTE (n-word shingles over the pre-split ws column,
 # distinct per doc)
 # ---------------------------------------------------------------------------
-def _shingles_cte_fixed(d, n: int = 4) -> str:
+def _shingles_cte_fixed(d, n: int = 4, hashed: bool = False) -> str:
     starts = d.seq("1", f"{d.alen('ws')} - {n - 1}")
     sh_arr = d.lmap(starts, "i", d.slice_join("ws", "i", n))
+    # hashed=True joins on 8-byte hashes instead of shingle strings —
+    # 3× less shuffle volume; counts are hash-agnostic (64-bit collision
+    # odds over ~1M shingles ≈ 1e-7), so the oracle still matches even
+    # though each engine uses its own hash function. Per-doc dedup happens
+    # INSIDE the array (array_distinct) before the explode, so no DISTINCT
+    # shuffle ever runs.
+    key = d.h64("shingle") + " AS shingle" if hashed else "shingle"
     return f"""
 docw AS (SELECT doc_id, {d.split('text')} AS ws FROM documents
          WHERE {d.alen(d.split('text'))} >= {n}),
-sharr AS (SELECT doc_id, {sh_arr} AS sh_arr FROM docw),
+sharr AS (SELECT doc_id, {d.adistinct(sh_arr)} AS sh_arr FROM docw),
 shingles AS (
-  SELECT DISTINCT doc_id, shingle
+  SELECT doc_id, {key}
   FROM sharr {d.explode('sh_arr', 'shingle')}
 )"""
 
@@ -283,7 +318,7 @@ shingles AS (
 # ---------------------------------------------------------------------------
 def _l4(d) -> str:
     return f"""
-WITH {_shingles_cte_fixed(d, 4)},
+WITH {_shingles_cte_fixed(d, 4, hashed=True)},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -306,27 +341,37 @@ _register("l4_ngram_jaccard", _l4)
 
 
 # ---------------------------------------------------------------------------
-# L5 MinHash signatures: 8 hashes = min over 3-gram shingles of seeded md5.
-# array_min over transform — no explode, no shuffle.
+# L5 MinHash signatures: 8 hashes = min over 3-gram shingles of 32-bit md5
+# chunks. array_min over transform — no explode, no shuffle — and only TWO
+# md5 evaluations per shingle (seeds 'a|'/'b|'), each md5 yielding four
+# 8-hex-char hash values; the staged projections (shingles → md5 arrays →
+# mins) stop the per-column expressions from recomputing the md5 eight
+# times.
 # ---------------------------------------------------------------------------
 _N_HASHES = 8
 
 
-def _sig_cols(d, n: int = 3) -> str:
+def _l5(d) -> str:
+    n = 3
     starts = d.seq("1", f"{d.alen('ws')} - {n - 1}")
+    sh = d.lmap(starts, "i", d.slice_join("ws", "i", n))
+    m0 = d.lmap("sh", "s", "md5('a|' || s)")
+    m1 = d.lmap("sh", "s", "md5('b|' || s)")
     cols = []
     for j in range(_N_HASHES):
-        hashed = d.lmap(starts, "i", f"md5('s{j}|' || {d.slice_join('ws', 'i', n)})")
-        cols.append(f"{d.lmin(hashed)} AS h{j}")
-    return ",\n       ".join(cols)
-
-
-def _l5(d) -> str:
+        src = "m0" if j < 4 else "m1"
+        off = (j % 4) * 8 + 1
+        chunk = d.lmap(src, "m", f"substring(m, {off}, 8)")
+        cols.append(f"{d.lmin(chunk)} AS h{j}")
+    col_sql = ",\n       ".join(cols)
     return f"""
 SELECT doc_id,
-       {_sig_cols(d)}
-FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents
-      WHERE {d.alen(d.split('text'))} >= 3) t"""
+       {col_sql}
+FROM (
+  SELECT doc_id, {m0} AS m0, {m1} AS m1 FROM (
+    SELECT doc_id, {sh} AS sh FROM (
+      SELECT doc_id, {d.split('text')} AS ws FROM documents
+      WHERE {d.alen(d.split('text'))} >= {n}) a) b) c"""
 
 
 _register("l5_minhash_signatures", _l5)
@@ -360,9 +405,7 @@ FROM bands a JOIN bands b
 
 
 def _l6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from zg_etl_spark.sources.tables import load_table
-
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _register_docs_views(spark, sf_dir)
     spark.sql(_l5(LD)).cache().createOrReplaceTempView("mh_sigs")
     return spark.sql(_l6(LD))
 
