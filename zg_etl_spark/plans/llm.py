@@ -314,15 +314,18 @@ shingles AS (
 
 
 # ---------------------------------------------------------------------------
-# L4 n-gram Jaccard near-dup: top pairs by 4-gram Jaccard similarity
+# L4 n-gram Jaccard near-dup: top pairs by 4-gram Jaccard similarity.
+# The shingle set is referenced 3× (self-join sides + sizes); Spark inlines
+# CTEs, which re-ran the whole split/hash/explode pipeline per reference —
+# so the Spark path caches the shingles as a temp view (DuckDB materializes
+# CTEs natively and keeps the single inline rendering).
 # ---------------------------------------------------------------------------
-def _l4(d) -> str:
+def _l4_inner(d, src: str) -> str:
     return f"""
-WITH {_shingles_cte_fixed(d, 4, hashed=True)},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+WITH sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM shingles a JOIN shingles b
+  FROM {src} a JOIN {src} b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -337,7 +340,19 @@ ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 100"""
 
 
-_register("l4_ngram_jaccard", _l4)
+def _l4_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_docs_views(spark, sf_dir)
+    spark.sql(
+        f"WITH {_shingles_cte_fixed(LD, 4, hashed=True)} SELECT * FROM shingles"
+    ).cache().createOrReplaceTempView("l4_shingles")
+    return spark.sql(_l4_inner(LD, "l4_shingles"))
+
+
+QUERIES["l4_ngram_jaccard"] = _l4_run
+ORACLE["l4_ngram_jaccard"] = (
+    f"WITH {_shingles_cte_fixed(DD, 4, hashed=True)},"
+    + _l4_inner(DD, "shingles").lstrip()[len("WITH "):]
+)
 
 
 # ---------------------------------------------------------------------------
