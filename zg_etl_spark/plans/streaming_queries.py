@@ -80,3 +80,90 @@ QUERIES["s1_streaming_identity"] = _s1
 ORACLE["s1_streaming_identity"] = duck_pipeline_sql(
     "SELECT app_id, did, zg_did FROM did_ids"
 )
+
+
+# ---------------------------------------------------------------------------
+# s2: the custom stateful operator (applyInPandasWithState sessionization)
+# must reproduce declarative batch sessionization exactly — the oracle is
+# the classic LAG + cumulative-sum session assignment, which DuckDB runs.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_MS = 3_600_000  # 1 hour
+
+_S2_ORACLE_BODY = f"""
+, sess_events AS (
+  SELECT app_id, zg_did, ct FROM resolved
+),
+marked AS (
+  SELECT app_id, zg_did, ct,
+         CASE WHEN ct - LAG(ct) OVER (PARTITION BY app_id, zg_did ORDER BY ct)
+                   > {_SESSION_GAP_MS} THEN 1 ELSE 0 END AS brk
+  FROM sess_events
+),
+assigned AS (
+  SELECT app_id, zg_did, ct,
+         SUM(brk) OVER (PARTITION BY app_id, zg_did ORDER BY ct
+                        ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM marked
+)
+SELECT app_id, zg_did, MIN(ct) AS session_start, MAX(ct) AS session_end,
+       COUNT(*) AS n_events
+FROM assigned GROUP BY app_id, zg_did, sess_idx"""
+
+
+def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.streaming.sessions import sessionize
+
+    feed = spark_pipeline_df(
+        spark, sf_dir, "SELECT app_id, zg_did, ct, seq FROM resolved"
+    )
+    work = tempfile.mkdtemp(prefix="zg_s2_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_seq_ordered_files(feed, src)
+
+    name = "s2_mem_" + _uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema("app_id BIGINT, zg_did BIGINT, ct BIGINT, seq BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # the state-store partition count is frozen from shuffle.partitions at
+    # query start; per-partition store commit cost dominates at this volume,
+    # so the stateful query runs with a handful of state shards (a real
+    # deployment sizes this to active-entity count / executor count)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize(stream, gap_ms=_SESSION_GAP_MS)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # update-mode sink holds every progress row; the final state of each
+    # session is its max (end, n) — sessions only grow
+    result = (
+        spark.table(name)
+        .groupBy("app_id", "zg_did", "session_start")
+        .agg(
+            F.max("session_end").alias("session_end"),
+            F.max("n_events").alias("n_events"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s2_streaming_sessions"] = _s2
+ORACLE["s2_streaming_sessions"] = duck_pipeline_sql(_S2_ORACLE_BODY)
