@@ -31,7 +31,30 @@ BROADCAST_TABLES = {"region", "nation"}
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Confs the engine's RESULTS depend on, set defensively at query time:
+    the driver harness constructs its own SparkSession, so correctness
+    cannot ride on zg_etl_spark.session defaults.
+
+    - session timezone UTC: every date_format/CAST-to-DATE bucket and
+      timestamp-literal comparison must agree with the DuckDB oracle's
+      naive-UTC timestamps;
+    - parquet nanos-as-long: the events table stores TIMESTAMP(NANOS),
+      which Spark otherwise refuses to read;
+    - shuffle partitions: lowered from the 200 default only (never
+      overriding a deliberate setting) — at oracle scale 200-partition
+      shuffles are pure task-launch overhead.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
