@@ -1,0 +1,74 @@
+"""Skew helpers + hash-ID scale mode tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zg_etl_spark.operators.scale_ids import (
+    with_hash_device_ids,
+    with_hash_user_ids,
+)
+from zg_etl_spark.operators.skew import salted_agg, salted_join
+
+
+def _skewed_df(spark, n=10_000):
+    # 80% of rows on one hot key
+    return spark.range(n).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 100).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+
+
+def test_salted_agg_equals_plain(spark):
+    df = _skewed_df(spark)
+    plain = {
+        (r.k,): (r.n, r.s)
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).collect()
+    }
+    salted = {
+        (r.k,): (r.n, r.s)
+        for r in salted_agg(
+            df, ["k"], {"n": F.count("*"), "s": F.sum("v")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    fact = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i) for i in range(100)], "k STRING, attr INT"
+    )
+    plain = sorted(
+        (r.k, r.v, r.attr) for r in fact.join(dim, "k", "inner").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.attr) for r in salted_join(fact, dim, ["k"]).collect()
+    )
+    assert plain == salted
+    # the salted plan joins on (k, _salt) — the hot key is spread
+    plan = salted_join(fact, dim, ["k"])._jdf.queryExecution().toString()
+    assert "_salt" in plan
+
+
+def test_hash_ids_deterministic_and_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "d1", "c1"), (1, "d2", None), (2, "d1", "c2")],
+        "app_id BIGINT, did STRING, cuid STRING",
+    )
+    a = with_hash_user_ids(with_hash_device_ids(df)).collect()
+    b = with_hash_user_ids(with_hash_device_ids(df)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable across runs
+
+    rows = {(r.app_id, r.did): r.zg_did for r in a}
+    assert len(set(rows.values())) == 3           # app-scoped: (1,d1) != (2,d1)
+    anon = [r for r in a if r.cuid is None][0]
+    assert anon.zg_uid is None
+
+    # map-side only: no Exchange in the plan
+    plan = with_hash_device_ids(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
