@@ -24,6 +24,8 @@ Scale design (100 TB corpus thinking):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict = {}
@@ -618,6 +620,83 @@ GROUP BY lang, source"""
 
 
 _register("l13_curation", _l13)
+
+
+# ---------------------------------------------------------------------------
+# L14 ANN via vectorized Pandas UDF: same top-k as l8, computed by a numpy
+# matmul over Arrow batches instead of per-row zip_with folds — the
+# alternative engine path for embedding math (and the proof the two agree:
+# it shares l8's oracle verbatim)
+# ---------------------------------------------------------------------------
+def _l14_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    _register_docs_views(spark, sf_dir)
+    qrows = spark.sql(
+        "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v "
+        "FROM embeddings WHERE vec_id < 5"
+    ).collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.v for r in qrows])            # (5, dim)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(q_norm)
+
+    @pandas_udf("array<double>")
+    def cosines(emb: pd.Series) -> pd.Series:
+        c = np.stack(emb.to_numpy())                   # (batch, dim)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = c @ bq.value.T                          # (batch, n_q)
+        return pd.Series(list(np.round(sims, 4)))
+
+    scored = spark.sql(
+        "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings"
+    ).selectExpr("vec_id AS cand_id", "v").withColumn("cos_arr", cosines("v"))
+    n_q = len(q_ids)
+    pairs = scored.selectExpr(
+        "cand_id",
+        f"posexplode(cos_arr) AS (q_idx, cosine)",
+    ).selectExpr(
+        f"element_at(array({','.join(str(int(i)) for i in bq_ids.value)}), q_idx + 1) AS q_id",
+        "cand_id", "cosine",
+    ).where("q_id != cand_id")
+    pairs.createOrReplaceTempView("l14_pairs")
+    return spark.sql("""
+SELECT q_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+  FROM l14_pairs
+) x WHERE rank <= 10""")
+
+
+QUERIES["l14_ann_pandas"] = _l14_run
+ORACLE["l14_ann_pandas"] = _l8(DD)
+
+
+# ---------------------------------------------------------------------------
+# L15 multimodal feature extraction through the REAL mapInPandas path
+# (operators/multimodal.py): byte-level features over opaque payloads; the
+# oracle recomputes the SQL-expressible subset (n_bytes, n_frames) from the
+# text bytes — if the Arrow plumbing mangles payloads, counts diverge
+# ---------------------------------------------------------------------------
+def _l15_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    _register_docs_views(spark, sf_dir)
+    feats = extract_features(documents_as_media(spark.table("documents")))
+    return feats.selectExpr("media_id AS doc_id", "n_bytes", "n_frames")
+
+
+QUERIES["l15_multimodal_features"] = _l15_run
+ORACLE["l15_multimodal_features"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames
+FROM documents"""
 
 
 # ---------------------------------------------------------------------------
