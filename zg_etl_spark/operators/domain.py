@@ -129,10 +129,11 @@ SPARK = SparkDialect()
 DUCK = DuckDialect()
 
 # stages whose output is shared by many queries → cached on the Spark side
+# (events_typed deliberately NOT cached: it is a cheap filter over the
+# cached `resolved`, and checkpointing it would copy half the data again)
 CACHE_STAGES = {
     "gated",
     "resolved",
-    "events_typed",
     "event_dict",
     "attrs_melted",
     "attr_dict",
@@ -204,15 +205,17 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     ))
 
     # G5 owner normalization (CheckJsonAndOwnerOperator.java:39-52);
-    # now_ref via 1-row aggregate cross join (broadcast), not a global window
+    # now_ref via 1-row aggregate cross join (broadcast), not a global
+    # window — and aggregated over the RAW events scan (one narrow column),
+    # not over feed, which would evaluate the whole feed projection twice
     out.append((
         "enveloped",
-        """
+        f"""
   SELECT f.*,
          CASE WHEN f.owner_raw IN ('zg', 'zg_adp', 'zg_mkt', 'zg_cdp')
               THEN f.owner_raw ELSE 'zg' END AS owner,
          nr.now_ref
-  FROM feed f CROSS JOIN (SELECT MAX(ct) AS now_ref FROM feed) nr""",
+  FROM feed f CROSS JOIN (SELECT MAX({d.event_ms()}) AS now_ref FROM events) nr""",
     ))
 
     out.append(("app_reg", f"SELECT * FROM {R.values_sql(R.APP_REGISTRY, [])} AS t(r_ak, r_app_id, company_id)"))
