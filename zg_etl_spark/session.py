@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 16g, not bigger: the suite fits comfortably, and an oversized heap
+        # makes G1 pauses longer and rarer-but-huger — measured 71s -> 49s
+        # suite wall at sf0.1 going 48g -> 16g (pauses randomly inflated
+        # queries that run right after allocation-heavy ones)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
