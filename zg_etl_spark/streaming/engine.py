@@ -79,8 +79,10 @@ def incremental_device_ids(
             [], f"app_id BIGINT, {store.key_col} STRING, {store.id_col} BIGINT"
         )
 
+    # the store holds one row per distinct device, not per event — broadcast
+    # it so neither join shuffles the (much larger) event batch
     new_first = (
-        batch.join(existing, ["app_id", store.key_col], "left_anti")
+        batch.join(F.broadcast(existing), ["app_id", store.key_col], "left_anti")
         .groupBy("app_id", store.key_col)
         .agg(F.min("seq").alias("first_seq"))
     )
@@ -99,11 +101,12 @@ def incremental_device_ids(
         .select("app_id", store.key_col, store.id_col)
     )
     store.merge(assigned)
-    # eager materialization: the result must not lazily reference store
-    # files that the NEXT batch's merge will overwrite
+    # the caller must materialize this before the NEXT batch's merge
+    # overwrites the store files it references (the foreachBatch sink's
+    # write does exactly that)
     return batch.join(
-        store.read(), ["app_id", store.key_col], "left"
-    ).localCheckpoint(eager=True)
+        F.broadcast(store.read()), ["app_id", store.key_col], "left"
+    )
 
 
 def start_identity_stream(
