@@ -1,0 +1,90 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove the queries right at small SF; these prove the
+PLANS stay right at any SF: filters reach the parquet scan, projections
+prune columns, small dimensions broadcast, the relational hot path stays
+inside whole-stage codegen (no Python in the loop), and AQE is live.
+A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zg_etl_spark import plans
+
+ALL = plans.all_queries()
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q1's date predicate must land in PushedFilters, not a post-scan
+    Filter over the full table."""
+    plan = _plan(ALL["q1_pricing_summary"](spark, sf_dir))
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ]
+    assert pushed, f"no PushedFilters in plan:\n{plan}"
+    assert any("IsNotNull" in p or "LessThan" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column aggregate must not read the full 16-column lineitem."""
+    df = ALL["q6_hash_agg"](spark, sf_dir)
+    plan = _plan(df)
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schemas, plan
+    # every scan in this query reads a strict subset of columns
+    for line in read_schemas:
+        n_cols = line.count(":")
+        assert n_cols <= 8, f"scan reads too many columns: {line}"
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    """nation/region joins must be broadcast, never shuffle both sides."""
+    plan = _plan(ALL["q4_nation_region"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, f"small-dim join shuffled:\n{plan}"
+
+
+def test_relational_path_stays_jvm_side(spark, sf_dir):
+    """No Python evaluation nodes in any q* relational query — the hot
+    path must stay inside codegen'd JVM operators."""
+    for name in sorted(ALL):
+        if not name.startswith("q"):
+            continue
+        plan = _plan(ALL[name](spark, sf_dir), "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    plan = _plan(ALL["q1_pricing_summary"](spark, sf_dir), "simple")
+    assert "WholeStageCodegen" in _plan(
+        ALL["q1_pricing_summary"](spark, sf_dir), "codegen"
+    ) or "*(" in plan, plan
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["p0_envelope", "p8_wide_table", "p13_user_visit_stats"],
+)
+def test_pipeline_queries_stay_jvm_side(spark, sf_dir, name):
+    """The event-pipeline spine is pure Column/SQL — Python appears only
+    in explicitly-UDF operators (l14, l15, s2), never in the spine."""
+    plan = _plan(ALL[name](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"

@@ -167,3 +167,65 @@ def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s2_streaming_sessions"] = _s2
 ORACLE["s2_streaming_sessions"] = duck_pipeline_sql(_S2_ORACLE_BODY)
+
+
+# ---------------------------------------------------------------------------
+# s3: watermarked tumbling-window gate counters (the event-time upgrade of
+# GateProcessFunction.java:106-124) — append-mode emission is deterministic
+# for ordered replay, so the DuckDB oracle states the emission rule exactly:
+# a window is emitted iff window_end <= final_watermark, and the final
+# watermark is max(ct) - delay (the trailing no-data micro-batch flushes).
+# ---------------------------------------------------------------------------
+_S3_WINDOW_MS = 3_600_000      # 1 hour tumbling
+_S3_DELAY_MS = 7_200_000       # 2 hour watermark delay
+
+
+def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.streaming.engine import start_event_counts_stream
+
+    feed = spark_pipeline_df(
+        spark, sf_dir, "SELECT app_id, event_type, ct, seq FROM gate_ok"
+    )
+    work = tempfile.mkdtemp(prefix="zg_s3_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_seq_ordered_files(feed, src)
+
+    name = "s3_mem_" + _uuid.uuid4().hex[:8]
+    q = start_event_counts_stream(
+        spark,
+        source_dir=src,
+        schema="app_id BIGINT, event_type STRING, ct BIGINT, seq BIGINT",
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=name,
+        window_duration="1 hour",
+        watermark_delay="2 hours",
+    )
+    q.awaitTermination(300)
+    result = (
+        spark.table(name)
+        .select(
+            (F.unix_millis(F.col("win.start"))).alias("win_start"),
+            "app_id",
+            "event_type",
+            F.col("count").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s3_streaming_counts"] = _s3
+ORACLE["s3_streaming_counts"] = duck_pipeline_sql(f"""
+, s3_feed AS (SELECT app_id, event_type, ct FROM gate_ok),
+s3_mx AS (SELECT MAX(ct) AS max_ct FROM s3_feed)
+SELECT (ct // {_S3_WINDOW_MS}) * {_S3_WINDOW_MS} AS win_start,
+       app_id, event_type, COUNT(*) AS n
+FROM s3_feed CROSS JOIN s3_mx
+GROUP BY 1, app_id, event_type, s3_mx.max_ct
+HAVING win_start + {_S3_WINDOW_MS} <= max_ct - {_S3_DELAY_MS}""")
