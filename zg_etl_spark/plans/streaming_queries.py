@@ -56,15 +56,23 @@ def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
     _write_seq_ordered_files(feed, src)
 
-    q = start_identity_stream(
-        spark,
-        source_dir=src,
-        schema="event_id BIGINT, app_id BIGINT, did STRING, ct BIGINT, seq BIGINT",
-        store_path=os.path.join(work, "store"),
-        output_path=os.path.join(work, "out"),
-        checkpoint_dir=os.path.join(work, "ckpt"),
-    )
-    q.awaitTermination(300)
+    # the per-batch shuffles here touch only distinct NEW devices (the
+    # event-side joins are broadcast) — a handful of shards beats paying
+    # 32-task scheduling overhead per micro-batch job on tiny state
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_identity_stream(
+            spark,
+            source_dir=src,
+            schema="event_id BIGINT, app_id BIGINT, did STRING, ct BIGINT, seq BIGINT",
+            store_path=os.path.join(work, "store"),
+            output_path=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # the merged mapping store IS the result; localCheckpoint detaches it
     # from the temp dir before cleanup
     result = (
@@ -196,16 +204,23 @@ def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_seq_ordered_files(feed, src)
 
     name = "s3_mem_" + _uuid.uuid4().hex[:8]
-    q = start_event_counts_stream(
-        spark,
-        source_dir=src,
-        schema="app_id BIGINT, event_type STRING, ct BIGINT, seq BIGINT",
-        checkpoint_dir=os.path.join(work, "ckpt"),
-        query_name=name,
-        window_duration="1 hour",
-        watermark_delay="2 hours",
-    )
-    q.awaitTermination(300)
+    # windowed-agg state is (windows × apps × event types) — a few
+    # thousand rows; 8 state shards, not 32 (same sizing rule as s1/s2)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_event_counts_stream(
+            spark,
+            source_dir=src,
+            schema="app_id BIGINT, event_type STRING, ct BIGINT, seq BIGINT",
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            query_name=name,
+            window_duration="1 hour",
+            watermark_delay="2 hours",
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = (
         spark.table(name)
         .select(
