@@ -79,6 +79,28 @@ def test_aqe_enabled_in_session(spark):
     )
 
 
+def test_bucketed_join_has_no_shuffle_under_join(spark, sf_dir):
+    """w2's bucketed fact-fact join must read both sides pre-partitioned:
+    the only Exchange in the plan is the final group-by, never under the
+    SortMergeJoin."""
+    from zg_etl_spark.plans.pipeline import w2_joined
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, cleanup = w2_joined(spark, sf_dir, "plantest")
+        try:
+            plan = _plan(joined, "simple")
+            assert "SortMergeJoin" in plan, plan
+            assert plan.count("Exchange") == 1, (
+                f"expected exactly one Exchange (final agg):\n{plan}"
+            )
+        finally:
+            cleanup()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 @pytest.mark.parametrize(
     "name",
     ["p0_envelope", "p8_wide_table", "p13_user_visit_stats"],

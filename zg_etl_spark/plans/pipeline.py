@@ -581,3 +581,78 @@ FROM resolved""",
 
 QUERIES["w1_upsert_writer"] = _w1_run
 ORACLE["w1_upsert_writer"] = duck_pipeline_sql(_p10(DUCK))
+
+
+# ---------------------------------------------------------------------------
+# W2 bucketed co-located join: lineitem and orders written bucketed on the
+# join key (the Spark analog of Doris's colocated tables / the pre-keyed
+# Kafka partitioning the reference relies on), then joined with NO exchange
+# on either side — the fact-to-fact join strategy at 100 TB, where neither
+# side broadcasts and a repeated shuffle of the big fact is the bottleneck.
+# tests/test_plan_quality.py asserts the plan has exactly one Exchange (the
+# final group-by), none under the join.
+# ---------------------------------------------------------------------------
+_W2_BUCKETS = 8
+
+
+def w2_joined(spark: SparkSession, sf_dir: str, tag: str):
+    """Build the bucketed tables and return (joined_df, cleanup_fn)."""
+    import shutil
+    import tempfile
+
+    from zg_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="zg_w2_")
+    names = {}
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"w2_{tbl}_{tag}"
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .bucketBy(_W2_BUCKETS, key)
+            .sortBy(key)
+            .option("path", f"{work}/{name}")
+            .saveAsTable(name)
+        )
+        names[tbl] = name
+
+    def cleanup() -> None:
+        for name in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(work, ignore_errors=True)
+
+    joined = spark.sql(
+        f"""
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM {names['lineitem']} l JOIN {names['orders']} o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
+    )
+    return joined, cleanup
+
+
+def _w2_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    # no broadcast: the point is the co-located big-big join path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, cleanup = w2_joined(spark, sf_dir, _uuid.uuid4().hex[:8])
+        try:
+            return joined.localCheckpoint(eager=True)
+        finally:
+            cleanup()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+QUERIES["w2_bucketed_join"] = _w2_run
+ORACLE["w2_bucketed_join"] = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority"""
