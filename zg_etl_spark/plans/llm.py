@@ -398,7 +398,7 @@ _register("l5_minhash_signatures", _l5)
 # L6 LSH candidate pairs: 4 bands × 2 rows; pairs sharing a band bucket,
 # scored by fraction of matching minhashes
 # ---------------------------------------------------------------------------
-def _l6(d) -> str:
+def _l6_ctes(d) -> str:
     # Spark path reads the CACHED signature view (mh_sigs) — Spark re-executes
     # WITH-CTEs per reference, which made the band fan-out recompute the md5
     # signatures 8×; DuckDB materializes CTEs and inlines _l5 directly.
@@ -408,17 +408,23 @@ def _l6(d) -> str:
         f"h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs"
         for b in range(_N_HASHES // 2)
     )
+    return f"sigs AS ({inner}),\nbands AS ({band_rows})"
+
+
+def _l6_select(d) -> str:
     matches = " + ".join(
         f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(_N_HASHES)
     )
     return f"""
-WITH sigs AS ({inner}),
-bands AS ({band_rows})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        round(CAST({matches} AS DOUBLE) / {_N_HASHES}, 6) AS est_sim
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val
  AND a.doc_id < b.doc_id"""
+
+
+def _l6(d) -> str:
+    return f"\nWITH {_l6_ctes(d)}\n{_l6_select(d).strip()}"
 
 
 def _l6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +435,69 @@ def _l6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["l6_lsh_candidates"] = _l6_run
 ORACLE["l6_lsh_candidates"] = _l6(DD)
+
+
+# ---------------------------------------------------------------------------
+# L16 dedup GROUPS: connected components over the LSH candidate graph —
+# pairs → clusters → one canonical doc (min doc_id) per cluster. Spark side
+# is iterative min-label propagation (the standard Pregel-style CC on
+# DataFrames: per round one broadcast join + one groupBy, state checkpointed
+# between rounds; rounds = graph diameter, ≤4 for near-dup clusters).
+# The oracle is exact: DuckDB WITH RECURSIVE reachability over the same
+# edges. This is the genuinely-iterative algorithm on the query surface.
+# ---------------------------------------------------------------------------
+_L16_SIM = 0.5  # ≥4 of 8 minhashes agree
+
+
+def _l16_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    _register_docs_views(spark, sf_dir)
+    spark.sql(_l5(LD)).cache().createOrReplaceTempView("mh_sigs")
+    edges = spark.sql(_l6(LD)).where(f"est_sim >= {_L16_SIM}")
+    sym = (
+        edges.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionAll(edges.selectExpr("doc_b AS a", "doc_a AS b"))
+        .localCheckpoint(eager=True)  # computed once, joined every round
+    )
+    labels = spark.table("documents").selectExpr(
+        "doc_id AS doc", "doc_id AS lab"
+    ).localCheckpoint(eager=True)
+    # min-labels decrease monotonically → fixpoint iff sum(lab) unchanged
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(20):
+        prop = (
+            F.broadcast(sym)
+            .join(labels, F.col("a") == F.col("doc"))
+            .selectExpr("b AS doc", "lab")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError("l16 label propagation did not converge in 20 rounds")
+    return labels.selectExpr("doc AS doc_id", "lab AS group_id")
+
+
+QUERIES["l16_dedup_groups"] = _l16_run
+ORACLE["l16_dedup_groups"] = f"""
+WITH RECURSIVE {_l6_ctes(DD)},
+cand AS ({_l6_select(DD)}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM cand WHERE est_sim >= {_L16_SIM}),
+sym_edges AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+walk(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN sym_edges e ON e.a = w.doc
+)
+SELECT doc AS doc_id, MIN(lab) AS group_id FROM walk GROUP BY doc"""
 
 
 # ---------------------------------------------------------------------------
