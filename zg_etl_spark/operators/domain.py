@@ -449,20 +449,46 @@ def ensure_pipeline_views(spark, sf_dir: str) -> None:
     # events.ts is parquet TIMESTAMP(NANOS); read it as a nanos BIGINT
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+    # localCheckpoint truncates lineage: without it every downstream
+    # query's logical plan inlines the whole chain and Catalyst spends
+    # seconds per query on analysis/cache-matching of thousand-node plans
+    # (measured: attr_dict count 5.8s with a warm cache, 0.05s
+    # checkpointed). In a cluster deployment the spine stages would be
+    # persisted tables (as the reference persists stage outputs to
+    # Kafka/Doris), giving the same lineage cut reliably.
+    #
+    # Consecutive cache stages that don't reference each other (e.g.
+    # did_ids / uid_ids; event_dict / attrs_melted) materialize
+    # CONCURRENTLY — Spark schedules jobs from multiple driver threads
+    # onto the same executor pool, exactly as independent registry builds
+    # would run on a cluster.
+    import re
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending: list[tuple[str, object]] = []
+
+    def flush() -> None:
+        if not pending:
+            return
+        with ThreadPoolExecutor(max_workers=len(pending)) as ex:
+            dfs = list(
+                ex.map(lambda nd: nd[1].localCheckpoint(eager=True), pending)
+            )
+        for (name, _), df in zip(pending, dfs):
+            _CACHED[key].append(df)
+            df.createOrReplaceTempView(name)
+        pending.clear()
+
     for name, sql in stages(SPARK):
+        if any(re.search(rf"\b{p}\b", sql) for p, _ in pending):
+            flush()  # this stage reads a pending one — barrier first
         df = spark.sql(sql)
         if name in CACHE_STAGES:
-            # localCheckpoint truncates lineage: without it every downstream
-            # query's logical plan inlines the whole chain and Catalyst
-            # spends seconds per query on analysis/cache-matching of
-            # thousand-node plans (measured: attr_dict count 5.8s with a
-            # warm cache, 0.05s checkpointed). In a cluster deployment the
-            # spine stages would be persisted tables (as the reference
-            # persists stage outputs to Kafka/Doris), giving the same
-            # lineage cut reliably.
-            df = df.localCheckpoint(eager=True)
-            _CACHED[key].append(df)
-        df.createOrReplaceTempView(name)
+            pending.append((name, df))
+        else:
+            df.createOrReplaceTempView(name)
+    flush()
     _ACTIVE[key] = sf_dir
 
 

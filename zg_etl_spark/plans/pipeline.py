@@ -604,10 +604,19 @@ def w2_joined(spark: SparkSession, sf_dir: str, tag: str):
 
     work = tempfile.mkdtemp(prefix="zg_w2_")
     names = {}
+    # materialize only the columns this derived layout serves — column
+    # pruning applies to writes too (a 100 TB bucketed projection of 2
+    # columns is ~10× cheaper than carrying all 16 through the shuffle-free
+    # layout)
+    cols = {
+        "lineitem": ["l_orderkey", "l_extendedprice"],
+        "orders": ["o_orderkey", "o_orderpriority"],
+    }
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         name = f"w2_{tbl}_{tag}"
         (
             load_table(spark, sf_dir, tbl)
+            .select(*cols[tbl])
             .write.mode("overwrite")
             .bucketBy(_W2_BUCKETS, key)
             .sortBy(key)
