@@ -612,7 +612,10 @@ def w2_joined(spark: SparkSession, sf_dir: str, tag: str):
         "lineitem": ["l_orderkey", "l_extendedprice"],
         "orders": ["o_orderkey", "o_orderpriority"],
     }
-    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_bucketed(tbl_key) -> None:
+        tbl, key = tbl_key
         name = f"w2_{tbl}_{tag}"
         (
             load_table(spark, sf_dir, tbl)
@@ -624,6 +627,15 @@ def w2_joined(spark: SparkSession, sf_dir: str, tag: str):
             .saveAsTable(name)
         )
         names[tbl] = name
+
+    # the two layout builds are independent — overlap them
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(
+            ex.map(
+                write_bucketed,
+                (("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+            )
+        )
 
     def cleanup() -> None:
         for name in names.values():

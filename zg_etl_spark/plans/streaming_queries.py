@@ -32,10 +32,12 @@ def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
     """Split into two seq-ordered plain parquet files (b0 < b1 by seq),
     with strictly increasing mtimes so the file stream source (which
     orders by modification time) replays them in seq order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     mid = df.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
-    for i, part_df in enumerate(
-        [df.filter(df.seq <= mid), df.filter(df.seq > mid)]
-    ):
+
+    def write_half(i_and_df) -> None:
+        i, part_df = i_and_df
         stage = os.path.join(src_dir, f"_stage{i}")
         part_df.coalesce(1).write.parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
@@ -43,6 +45,16 @@ def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
         shutil.copy(part, dst)
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
         shutil.rmtree(stage)
+
+    # the two single-task half-writes are independent — run them as
+    # concurrent jobs instead of back-to-back
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(
+            ex.map(
+                write_half,
+                enumerate([df.filter(df.seq <= mid), df.filter(df.seq > mid)]),
+            )
+        )
 
 
 def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,8 +87,13 @@ def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # the merged mapping store IS the result; localCheckpoint detaches it
     # from the temp dir before cleanup
+    from zg_etl_spark.streaming.engine import MappingStore
+
     result = (
-        spark.read.parquet(os.path.join(work, "store"))
+        MappingStore(
+            spark, os.path.join(work, "store"), key_col="did", id_col="zg_did"
+        )
+        .read()
         .select("app_id", "did", "zg_did")
         .localCheckpoint(eager=True)
     )

@@ -46,19 +46,31 @@ class MappingStore:
         self.key_col = key_col
         self.id_col = id_col
 
-    def read(self) -> DataFrame | None:
-        if not os.path.exists(self.path):
+    def _latest(self) -> str | None:
+        if not os.path.isdir(self.path):
             return None
-        return self.spark.read.parquet(self.path)
+        versions = [d for d in os.listdir(self.path) if d.startswith("v")]
+        if not versions:
+            return None
+        return os.path.join(self.path, max(versions, key=lambda d: int(d[1:])))
+
+    def read(self) -> DataFrame | None:
+        cur = self._latest()
+        return None if cur is None else self.spark.read.parquet(cur)
 
     def merge(self, assigned: DataFrame) -> None:
+        # each merge writes a NEW version directory (v0, v1, …): the write
+        # never clobbers the files its own input plan scans, so no defensive
+        # localCheckpoint materialization is needed — one job per merge, and
+        # a crashed write leaves the previous version intact (restart reads
+        # the latest complete version, the MVCC contract a Delta MERGE gives
+        # on a cluster). Versions are one per micro-batch, dropped with the
+        # work dir.
+        cur = self._latest()
+        nxt = 0 if cur is None else int(os.path.basename(cur)[1:]) + 1
         existing = self.read()
         out = assigned if existing is None else existing.unionByName(assigned)
-        # localCheckpoint breaks the read-path lineage so overwriting the
-        # same directory is safe (and keeps the store readable mid-write
-        # failure would be handled by Delta in a cluster deployment)
-        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
-        self.spark.catalog.refreshByPath(self.path)
+        out.write.parquet(os.path.join(self.path, f"v{nxt}"))
 
 
 def incremental_device_ids(
