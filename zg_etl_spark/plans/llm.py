@@ -269,12 +269,15 @@ _register("l1_text_stats", _l1)
 # L2 language-ID: self-supervised word-profile heuristic — build top-5 word
 # profiles per lang from the corpus, classify each doc by profile overlap
 # ---------------------------------------------------------------------------
-def _l2(d) -> str:
+def _l2(d, words_src: str | None = None) -> str:
     words_from = d.explode(d.split("text"), "word")
+    words_cte = (
+        f"words AS (SELECT * FROM {words_src})"
+        if words_src
+        else f"words AS (\n  SELECT doc_id, lang, word FROM documents {words_from}\n)"
+    )
     return f"""
-WITH words AS (
-  SELECT doc_id, lang, word FROM documents {words_from}
-),
+WITH {words_cte},
 profile AS (
   SELECT lang AS p_lang, word AS p_word FROM (
     SELECT lang, word, COUNT(*) AS cnt,
@@ -300,7 +303,21 @@ SELECT dd.doc_id, dd.lang, b.predicted_lang,
 FROM documents dd LEFT JOIN best b ON b.doc_id = dd.doc_id"""
 
 
-_register("l2_lang_id", _l2)
+def _l2_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `words` feeds both the per-lang profile build AND the per-doc scoring
+    # join — materialize it once (see _shared_view on CTE cache bypass)
+    _shared_view(
+        spark,
+        sf_dir,
+        "l2_words",
+        f"SELECT doc_id, lang, word FROM documents "
+        f"{LD.explode(LD.split('text'), 'word')}",
+    )
+    return spark.sql(_l2(LD, words_src="l2_words"))
+
+
+QUERIES["l2_lang_id"] = _l2_run
+ORACLE["l2_lang_id"] = _l2(DD)
 
 
 # ---------------------------------------------------------------------------
@@ -659,7 +676,10 @@ def _l11(d) -> str:
     within the same 8-bit hyperplane-sign bucket (dims 1-8), so the
     all-pairs O(n²) collapses to an equi-join on bucket — the same shape
     that scales to 100 TB (bucket = shuffle key, per-bucket work is
-    independent). Brute-force recall baseline is l8."""
+    independent). Vectors are L2-normalized ONCE per vector before the
+    join, so the per-pair work is a single dot product instead of three
+    array folds (norms recomputed n² times otherwise). Brute-force recall
+    baseline is l8."""
     emb = d.dvec("embedding")
 
     def sign_bucket(col: str) -> str:
@@ -669,15 +689,22 @@ def _l11(d) -> str:
         )
         return f"({bits})"
 
-    cos = _cosine(d, "a.v", "b.v")
+    dot = d.fold_sum(d.zip_mul("a.v", "b.v"))
     return f"""
-WITH vecs AS (
-  SELECT vec_id, {emb} AS v, {sign_bucket(emb)} AS bucket FROM embeddings
+WITH raw AS (
+  SELECT vec_id, {emb} AS v0, {sign_bucket(emb)} AS bucket FROM embeddings
+),
+normed AS (
+  SELECT vec_id, bucket, sqrt({d.fold_sum(d.zip_mul('v0', 'v0'))}) AS nv, v0
+  FROM raw
+),
+vecs AS (
+  SELECT vec_id, bucket, {d.lmap('v0', 'x', 'x / nv')} AS v FROM normed
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({cos}, 4) AS cosine
+       round({dot}, 4) AS cosine
 FROM vecs a JOIN vecs b ON b.bucket = a.bucket AND a.vec_id < b.vec_id
-WHERE round({cos}, 4) >= 0.15
+WHERE round({dot}, 4) >= 0.15
 ORDER BY cosine DESC, vec_a, vec_b
 LIMIT 200"""
 
