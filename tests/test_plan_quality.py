@@ -110,3 +110,20 @@ def test_pipeline_queries_stay_jvm_side(spark, sf_dir, name):
     in explicitly-UDF operators (l14, l15, s2), never in the spine."""
     plan = _plan(ALL[name](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["l4_ngram_jaccard", "l6_lsh_candidates"])
+def test_shared_views_not_recomputed(spark, sf_dir, name):
+    """Queries over a shared derived set (shingles / minhash signatures)
+    must scan the materialized view, never re-derive it from the source
+    table. Spark substitutes cached plans BEFORE CTE inlining, so a
+    cache()d view referenced inside a WITH body silently recomputes its
+    whole lineage per reference — the engine materializes these via
+    localCheckpoint precisely so this plan shape is impossible. A
+    FileScan of documents here means the fix regressed (4× recompute of
+    the shingle pipeline at any SF)."""
+    plan = _plan(ALL[name](spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan, plan
+    assert "documents.parquet" not in plan, (
+        f"{name} re-derives its shared view from the source scan:\n{plan}"
+    )
