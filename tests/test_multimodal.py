@@ -39,6 +39,17 @@ def test_extract_features(media):
     assert f0.n_frames == (f0.n_bytes + 255) // 256
 
 
+def test_resize_media(media):
+    resized = MM.resize_media(media, width=16, height=8)
+    # stage is schema-preserving (modulo nullability flags)
+    assert resized.schema.simpleString() == media.schema.simpleString()
+    rows = {r.media_id: r for r in resized.limit(50).collect()}
+    for r in rows.values():
+        assert len(r.payload) == 16 * 8
+        assert r.meta.width == 16 and r.meta.height == 8
+        assert r.meta.n_bytes == 16 * 8
+
+
 def test_frame_sampling(media, spark):
     frames = MM.sample_frames(media, every_n=2)
     rows = frames.filter("media_id = 0").collect()

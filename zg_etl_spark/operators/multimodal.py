@@ -93,6 +93,44 @@ def extract_features(df: DataFrame, n_bins: int = 16, frame_size: int = 256) -> 
     return df.select("media_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
 
 
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: same schema in and out (payload + meta), target
+    dims recorded in meta, payload re-emitted at the decoded-image byte
+    budget. The pixel resample itself needs a decoder (decode_image stub);
+    the deterministic stand-in crops/cycle-pads the payload to
+    width*height bytes so output sizes — and therefore downstream
+    partition/memory budgets — behave exactly like a real resize stage.
+    Arrow-batched via mapInPandas; one output row per input row, so the
+    stage preserves partitioning (no shuffle)."""
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                resized = (
+                    (b * (target // max(len(b), 1) + 1))[:target] if b else b""
+                )
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "payload": resized,
+                        "meta": {
+                            "mime": meta["mime"] if meta is not None else None,
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(resized),
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(op, MEDIA_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame sampling: explode fixed-size chunks of the payload, keep every
     n-th — the plumbing of video frame-sampling with the decode stubbed to

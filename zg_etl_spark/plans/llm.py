@@ -853,6 +853,51 @@ FROM documents"""
 
 
 # ---------------------------------------------------------------------------
+# L17 resize → feature-extract chain through the mapInPandas path: the
+# deterministic stand-in resize (crop/cycle-pad to width*height bytes)
+# is byte-exactly restatable in SQL, so the oracle checks the WHOLE chain
+# including the resized payload's content (byte_mean), not just counts.
+# documents text is ASCII (verified), so DuckDB char ops == byte ops.
+# ---------------------------------------------------------------------------
+_L17_W, _L17_H = 16, 8
+
+
+def _l17_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        resize_media,
+    )
+
+    _register_docs_views(spark, sf_dir)
+    media = resize_media(
+        documents_as_media(spark.table("documents")), _L17_W, _L17_H
+    )
+    feats = extract_features(media)
+    return feats.selectExpr(
+        "media_id", "n_bytes", "byte_mean", "n_frames"
+    )
+
+
+QUERIES["l17_resize_features"] = _l17_run
+ORACLE["l17_resize_features"] = f"""
+WITH r AS (
+  SELECT doc_id,
+         substring(repeat(text, CAST(floor({_L17_W * _L17_H}.0
+                                      / length(text)) AS INT) + 1),
+                   1, {_L17_W * _L17_H}) AS rz
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST({_L17_W * _L17_H} AS BIGINT) AS n_bytes,
+       list_reduce(list_transform(range(1, {_L17_W * _L17_H} + 1),
+                                  i -> CAST(ord(substring(rz, i, 1)) AS DOUBLE)),
+                   (a, b) -> a + b) / {_L17_W * _L17_H} AS byte_mean,
+       CAST(1 AS BIGINT) AS n_frames
+FROM r"""
+
+
+# ---------------------------------------------------------------------------
 # L10 multimodal binary-column stats: opaque bytes + typed metadata
 # (decode itself is a stubbed Pandas-UDF path, operators/multimodal.py)
 # ---------------------------------------------------------------------------
