@@ -430,3 +430,31 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000).alias("price_k_floor"),
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 cube + grouping_id: all four aggregation levels of
+# (o_orderstatus, o_orderpriority) in one pass — the multi-level summary
+# shape Doris serves from its rollup tables (SURVEY.md §2.8), computed
+# natively. grouping_id distinguishes total/subtotal rows from genuine
+# NULL group keys; Spark and DuckDB share the bit encoding (1 = column
+# aggregated away, first listed column = most significant bit).
+# ---------------------------------------------------------------------------
+@_q(
+    "q13_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {o_dsum(_TOTAL)} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice")).alias("total_price"),
+    )
