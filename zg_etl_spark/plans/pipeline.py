@@ -677,3 +677,44 @@ SELECT o.o_orderpriority,
        COUNT(*) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# P20 as-of join: each event picks up the most recent user-property value
+# at-or-before its timestamp — the batch restatement of the reference's
+# read-current-KV-state-at-event-time semantics (OneIdService-style
+# lookups). Spark has no native ASOF JOIN; operators/asof.py implements
+# the single-shuffle union + window forward-fill merge. The oracle is
+# DuckDB's NATIVE `ASOF LEFT JOIN` — two entirely different formulations
+# that must agree row-for-row.
+# ---------------------------------------------------------------------------
+_P20_UPDATES = """
+SELECT app_id, zg_did, ct, value AS last_usr_value FROM (
+  SELECT app_id, zg_did, ct, value,
+         ROW_NUMBER() OVER (PARTITION BY app_id, zg_did, ct
+                            ORDER BY seq DESC) AS rn
+  FROM resolved WHERE dt = 'usr') x WHERE rn = 1"""
+_P20_EVENTS = "SELECT app_id, zg_did, event_id, ct FROM resolved WHERE dt = 'evt'"
+
+
+def _p20_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.asof import asof_join
+
+    events = spark_pipeline_df(spark, sf_dir, _P20_EVENTS)
+    updates = spark_pipeline_df(spark, sf_dir, _P20_UPDATES)
+    return asof_join(
+        events,
+        updates,
+        on=["app_id", "zg_did"],
+        left_ts="ct",
+        right_ts="ct",
+        value_cols=["last_usr_value"],
+    )
+
+
+QUERIES["p20_asof_props"] = _p20_run
+ORACLE["p20_asof_props"] = duck_pipeline_sql(f"""
+SELECT e.app_id, e.zg_did, e.event_id, e.ct, u.last_usr_value
+FROM ({_P20_EVENTS}) e
+ASOF LEFT JOIN ({_P20_UPDATES}) u
+  ON e.app_id = u.app_id AND e.zg_did = u.zg_did AND e.ct >= u.ct""")
