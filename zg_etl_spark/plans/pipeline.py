@@ -612,10 +612,11 @@ def w2_joined(spark: SparkSession, sf_dir: str, tag: str):
         "lineitem": ["l_orderkey", "l_extendedprice"],
         "orders": ["o_orderkey", "o_orderpriority"],
     }
-    from concurrent.futures import ThreadPoolExecutor
-
-    def write_bucketed(tbl_key) -> None:
-        tbl, key = tbl_key
+    # sequential on purpose: bucketBy goes through saveAsTable, and
+    # concurrent DDL against the embedded Derby metastore hits lock
+    # waits that cost far more than the overlap saves (measured 21 s
+    # vs 2.5 s on a contended run)
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         name = f"w2_{tbl}_{tag}"
         (
             load_table(spark, sf_dir, tbl)
@@ -627,15 +628,6 @@ def w2_joined(spark: SparkSession, sf_dir: str, tag: str):
             .saveAsTable(name)
         )
         names[tbl] = name
-
-    # the two layout builds are independent — overlap them
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        list(
-            ex.map(
-                write_bucketed,
-                (("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
-            )
-        )
 
     def cleanup() -> None:
         for name in names.values():
