@@ -915,3 +915,40 @@ FROM documents"""
 
 
 _register("l10_multimodal_binary", _l10)
+
+
+# ---------------------------------------------------------------------------
+# L18 deterministic split + sample assignment: content-addressed md5-bucket
+# train/val/test split (80/10/10) plus a 5% sample flag, entirely map-side
+# (no shuffle, no RNG) — the reproducible-split primitive of a training
+# corpus pipeline: the same document lands in the same split on any
+# cluster, any partitioning, any rerun, and late-arriving data never
+# reshuffles earlier assignments. Exact across engines because the hash
+# is md5, not an engine-local function.
+# ---------------------------------------------------------------------------
+def _hex_int(d, var: str, n_nibbles: int = 8) -> str:
+    nibbles = []
+    for j in range(1, n_nibbles + 1):
+        pos = d.strpos("'0123456789abcdef'", f"substring(md5({var}), {j}, 1)")
+        # widen before the multiply: 32-bit positions overflow under ANSI
+        nibbles.append(
+            f"CAST({pos} - 1 AS BIGINT) * {16 ** (n_nibbles - j)}"
+        )
+    return "(" + " + ".join(nibbles) + ")"
+
+
+def _l18(d) -> str:
+    return f"""
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CASE WHEN sample_h < 5 THEN 1 ELSE 0 END AS in_5pct_sample
+FROM (
+  SELECT doc_id, source,
+         {_hex_int(d, 'text')} % 100 AS bucket,
+         {_hex_int(d, "'sample|' || text")} % 100 AS sample_h
+  FROM documents) h"""
+
+
+_register("l18_split_sample", _l18)
