@@ -53,6 +53,12 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_suite, 3)
 
+    # Same-host calibration: run the DuckDB oracle suite on the same data.
+    # Absolute seconds vary wildly across driver hosts (fresh VMs, noisy
+    # neighbors); the spark/duckdb ratio on ONE host is the comparable
+    # number across rounds.
+    duck_total = _duckdb_oracle_suite_sec(sf_dir)
+
     print(
         json.dumps(
             {
@@ -61,9 +67,38 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "duckdb_oracle_suite_sec": duck_total,
+                "spark_over_duckdb_ratio": (
+                    round(total / duck_total, 2) if duck_total else None
+                ),
             }
         )
     )
+
+
+def _duckdb_oracle_suite_sec(sf_dir: str) -> float | None:
+    """Wall seconds for DuckDB to run every oracle SQL over the same
+    parquet tables (the driver's correctness-gate workload)."""
+    try:
+        import duckdb
+
+        from zg_etl_spark import plans
+        from zg_etl_spark.oracle import TABLES
+
+        con = duckdb.connect()
+        con.execute("SET enable_progress_bar = false")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+            )
+        t0 = time.perf_counter()
+        for sql in plans.all_oracles().values():
+            con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchall()
+        return round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — calibration is best-effort
+        print(f"bench: duckdb calibration failed: {exc}", file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":

@@ -806,10 +806,15 @@ def _l14_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = spark.sql(
         "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings"
     ).selectExpr("vec_id AS cand_id", "v").withColumn("cos_arr", cosines("v"))
-    n_q = len(q_ids)
+    # posexplode_outer, not posexplode: the non-outer Generate infers a
+    # size(cos_arr) > 0 predicate that Catalyst pushes below the source
+    # repartition, re-evaluating the pandas UDF a second time on the
+    # unparallelized pre-shuffle side (verified via .explain: two
+    # ArrowEvalPython nodes). The outer variant infers nothing; the UDF
+    # runs once, post-shuffle.
     pairs = scored.selectExpr(
         "cand_id",
-        f"posexplode(cos_arr) AS (q_idx, cosine)",
+        "posexplode_outer(cos_arr) AS (q_idx, cosine)",
     ).selectExpr(
         f"element_at(array({','.join(str(int(i)) for i in bq_ids.value)}), q_idx + 1) AS q_id",
         "cand_id", "cosine",
