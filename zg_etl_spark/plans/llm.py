@@ -957,3 +957,57 @@ FROM (
 
 
 _register("l18_split_sample", _l18)
+
+
+# ---------------------------------------------------------------------------
+# L19 TF-IDF distinctive terms: top-3 terms per document by tf/df — the
+# term-weighting primitive behind corpus search / topical clustering.
+# Score uses a single IEEE division (exact in both engines) instead of a
+# log-idf, so values hash-match without rounding tolerance. Scale shape:
+# tf = one shuffle on (doc_id, word) with map-side partial agg; df reuses
+# tf's output (one narrow groupBy on word — no COUNT(DISTINCT) shuffle);
+# the tf⋈df equi-join on word is AQE-handled; top-k per doc is a window
+# with WindowGroupLimit pushdown (rank<=3 applied partially pre-shuffle).
+# ---------------------------------------------------------------------------
+def _l19(d, tf_src: str | None = None) -> str:
+    words_from = d.explode(d.split("text"), "word")
+    tf_cte = (
+        f"tf AS (SELECT * FROM {tf_src})"
+        if tf_src
+        else f"""tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf
+  FROM (SELECT doc_id, word FROM documents {words_from}) w
+  GROUP BY doc_id, word
+)"""
+    )
+    return f"""
+WITH {tf_cte},
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+  FROM tf t JOIN df d ON d.word = t.word
+)
+SELECT doc_id, word, tf, df, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, word) AS BIGINT) AS rank
+  FROM scored
+) x WHERE rank <= 3"""
+
+
+def _l19_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tf feeds both df and the scoring join — materialize once (Spark
+    # inlines CTEs, which would re-run the word explode + groupBy twice)
+    _shared_view(
+        spark,
+        sf_dir,
+        "l19_tf",
+        f"SELECT doc_id, word, COUNT(*) AS tf FROM (SELECT doc_id, word "
+        f"FROM documents {LD.explode(LD.split('text'), 'word')}) w "
+        f"GROUP BY doc_id, word",
+    )
+    return spark.sql(_l19(LD, tf_src="l19_tf"))
+
+
+QUERIES["l19_tfidf_terms"] = _l19_run
+ORACLE["l19_tfidf_terms"] = _l19(DD)

@@ -710,3 +710,27 @@ SELECT e.app_id, e.zg_did, e.event_id, e.ct, u.last_usr_value
 FROM ({_P20_EVENTS}) e
 ASOF LEFT JOIN ({_P20_UPDATES}) u
   ON e.app_id = u.app_id AND e.zg_did = u.zg_did AND e.ct >= u.ct""")
+
+
+# ---------------------------------------------------------------------------
+# P21 sink success counters (A3: per-table commit-callback counts,
+# DwJob.java:299-310, common/sink/CommitSuccessCallback.java) — the rows
+# ROUTED to each of the four analytical sinks, pre-merge (stream-load rows,
+# not post-upsert cardinality; the upsert grains are p8-p11). Four counts
+# over the already-materialized pipeline spine, unioned — no extra scan of
+# the source.
+# ---------------------------------------------------------------------------
+def _p21(d: Dialect) -> str:
+    return """
+SELECT 'b_user_event_attr' AS sink_table, COUNT(*) AS n_rows FROM events_typed
+UNION ALL
+SELECT 'b_user', COUNT(*) FROM resolved
+UNION ALL
+SELECT 'b_device', COUNT(*) FROM resolved WHERE dt = 'pl'
+UNION ALL
+SELECT 'b_user_property',
+       COUNT(*) + COUNT(CASE WHEN cuid IS NOT NULL THEN 1 END)
+FROM resolved WHERE dt = 'usr'"""
+
+
+_register("p21_sink_counts", _p21)

@@ -458,3 +458,67 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(money("o_totalprice")).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14 GROUPING SETS — the arbitrary-set sibling of rollup (q7) and cube
+# (q13): a non-hierarchical set choice ((flag, status), (status), ()) that
+# neither ROLLUP nor CUBE can express. One pass, Expand + single shuffle;
+# Spark and DuckDB share the grouping_id bit encoding.
+# ---------------------------------------------------------------------------
+@_q(
+    "q14_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           {o_dsum(_QTY)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q14_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM q14_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+# share the continuous-interpolation definition ((1-d)*lo + d*hi at index
+# p*(n-1)); the arithmetic is IEEE-exact so the values hash-match without
+# rounding. At scale this is a single shuffle on the group key; for the
+# approximate scale path see q11 (approx_count_distinct) — Spark would use
+# percentile_approx, which has no cross-engine oracle by construction.
+# ---------------------------------------------------------------------------
+@_q(
+    "q15_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_extendedprice, 0.25) AS price_p25,
+           quantile_cont(l_extendedprice, 0.99) AS price_p99,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("qty_p50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("qty_p90"),
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("price_p25"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("price_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
