@@ -734,3 +734,67 @@ FROM resolved WHERE dt = 'usr'"""
 
 
 _register("p21_sink_counts", _p21)
+
+
+# ---------------------------------------------------------------------------
+# P22 interval (range) join: attribute gate-rejected events (errors + the
+# debug side channel — rows that never enter the session-building stream,
+# GateProcessFunction.java:46-97) to the device's active session window —
+# sessions derived from resolved events (LAG+cumsum, 1 h gap), points
+# mapped to zg_did via did_ids. Spark path is the bucket-decomposition
+# range join (operators/interval_join.py — one equi-shuffle, no nested
+# loop); the oracle is DuckDB's native inequality join.
+# ---------------------------------------------------------------------------
+_P22_GAP_MS = 3_600_000
+
+_P22_SESSIONS = f"""
+SELECT app_id, zg_did, MIN(ct) AS session_start, MAX(ct) AS session_end,
+       MIN(ct) - {_P22_GAP_MS} AS win_lo, MAX(ct) + {_P22_GAP_MS} AS win_hi
+FROM (
+  SELECT app_id, zg_did, ct,
+         SUM(brk) OVER (PARTITION BY app_id, zg_did ORDER BY ct
+                        ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM (
+    SELECT app_id, zg_did, ct,
+           CASE WHEN ct - LAG(ct) OVER (PARTITION BY app_id, zg_did
+                                        ORDER BY ct) > {_P22_GAP_MS}
+                THEN 1 ELSE 0 END AS brk
+    FROM resolved) m) a
+GROUP BY app_id, zg_did, sess_idx"""
+
+_P22_ERRORS = """
+SELECT g.app_id, d.zg_did, g.event_id AS err_event_id, g.ct AS err_ct,
+       g.error_code, g.debug
+FROM gated g JOIN did_ids d ON d.app_id = g.app_id AND d.did = g.did
+WHERE g.error_code <> 0 OR g.debug = 1"""
+
+
+def _p22_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.interval_join import interval_join
+
+    errors = spark_pipeline_df(spark, sf_dir, _P22_ERRORS)
+    sessions = spark_pipeline_df(spark, sf_dir, _P22_SESSIONS)
+    # attribution window = session ± gap (most sessions in the synthetic
+    # feed are single events, i.e. zero-length intervals; the widened
+    # window is the meaningful grain AND exercises overlapping intervals —
+    # a point inside two adjacent windows matches both, per join semantics)
+    return interval_join(
+        errors,
+        sessions,
+        on=["app_id", "zg_did"],
+        ts_col="err_ct",
+        start_col="win_lo",
+        end_col="win_hi",
+        bucket_width=_P22_GAP_MS,
+    )
+
+
+QUERIES["p22_session_attribution"] = _p22_run
+ORACLE["p22_session_attribution"] = duck_pipeline_sql(f"""
+, p22_sess AS ({_P22_SESSIONS}),
+p22_err AS ({_P22_ERRORS})
+SELECT e.app_id, e.zg_did, e.err_event_id, e.err_ct, e.error_code, e.debug,
+       s.session_start, s.session_end, s.win_lo, s.win_hi
+FROM p22_err e JOIN p22_sess s
+  ON s.app_id = e.app_id AND s.zg_did = e.zg_did
+ AND e.err_ct BETWEEN s.win_lo AND s.win_hi""")

@@ -522,3 +522,42 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.99)).alias("price_p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16 window frame variants: event-time RANGE frame (30-day trailing spend —
+# peers at equal timestamps all see the full peer-group sum, which a ROWS
+# frame gets wrong), lag/lead navigation, first_value, and ntile
+# quartiles — the remaining window surface beyond q8's ROWS frame + rank.
+# One shuffle on o_custkey serves every window (same partition key; the
+# two specs differ only in ordering/frame, so Spark sorts once per spec
+# within the same exchange).
+# ---------------------------------------------------------------------------
+_Q16_BODY = """
+SELECT o_custkey, o_orderkey, {epoch} AS ts_s,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+            (PARTITION BY o_custkey ORDER BY {epoch}
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_30d,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       CAST(NTILE(4) OVER w AS BIGINT) AS recency_quartile
+FROM {src}
+WINDOW w AS (PARTITION BY o_custkey ORDER BY {epoch}, o_orderkey)"""
+
+
+@_q(
+    "q16_window_frames",
+    _Q16_BODY.format(src="orders", epoch="date_part('epoch', o_orderdate)"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q16_orders")
+    # parquet stores TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # NTZ -> TIMESTAMP cast inside unix_seconds is an identity conversion
+    return spark.sql(
+        _Q16_BODY.format(
+            src="q16_orders",
+            epoch="unix_seconds(CAST(o_orderdate AS TIMESTAMP))",
+        )
+    )
