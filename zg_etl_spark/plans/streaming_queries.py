@@ -261,3 +261,65 @@ SELECT (ct // {_S3_WINDOW_MS}) * {_S3_WINDOW_MS} AS win_start,
 FROM s3_feed CROSS JOIN s3_mx
 GROUP BY 1, app_id, event_type, s3_mx.max_ct
 HAVING win_start + {_S3_WINDOW_MS} <= max_ct - {_S3_DELAY_MS}""")
+
+
+# ---------------------------------------------------------------------------
+# s4: the streaming ROUTE stage (Dw step of AllJob in streaming form) —
+# two persistent dictionaries (device IDs + event dictionary) get-or-create
+# per micro-batch, routed rows appended per batch. The event-dictionary id
+# scheme matches the batch pipeline (1000*app_id + first-seen dense rank),
+# and the stream consumes seq-ordered files, so the streamed output must
+# equal the batch events_typed ⋈ did_ids ⋈ event_dict join — which is the
+# DuckDB oracle, verbatim.
+# ---------------------------------------------------------------------------
+def _s4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.streaming.engine import start_route_stream
+
+    feed = spark_pipeline_df(
+        spark,
+        sf_dir,
+        "SELECT event_id, app_id, did, dt, owner, event_name, ct, seq FROM gate_ok",
+    )
+    work = tempfile.mkdtemp(prefix="zg_s4_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_seq_ordered_files(feed, src)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = start_route_stream(
+            spark,
+            source_dir=src,
+            schema=(
+                "event_id BIGINT, app_id BIGINT, did STRING, dt STRING, "
+                "owner STRING, event_name STRING, ct BIGINT, seq BIGINT"
+            ),
+            dev_store_path=os.path.join(work, "dev_store"),
+            event_store_path=os.path.join(work, "ev_store"),
+            output_path=os.path.join(work, "out"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = (
+        spark.read.parquet(os.path.join(work, "out"))
+        .select(
+            "event_id", "app_id", "did", "zg_did", "owner", "event_name",
+            "zg_eid", "ct",
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s4_streaming_route"] = _s4
+ORACLE["s4_streaming_route"] = duck_pipeline_sql("""
+SELECT e.event_id, e.app_id, e.did, d.zg_did, e.owner_e AS owner,
+       e.event_name_t AS event_name, ed.zg_eid, e.ct
+FROM events_typed e
+JOIN did_ids d ON d.app_id = e.app_id AND d.did = e.did
+JOIN event_dict ed ON ed.app_id = e.app_id AND ed.owner = e.owner_e
+                  AND ed.event_name = e.event_name_t""")

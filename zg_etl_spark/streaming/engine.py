@@ -73,51 +73,67 @@ class MappingStore:
         out.write.parquet(os.path.join(self.path, f"v{nxt}"))
 
 
-def incremental_device_ids(
-    store: MappingStore, batch: DataFrame
+def incremental_get_or_create(
+    store: MappingStore,
+    batch: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    base: F.Column,
 ) -> DataFrame:
-    """Get-or-create device IDs for one micro-batch.
+    """Generalized per-micro-batch get-or-create against a MappingStore.
 
-    Mirrors OneIdService.getOrCreateDeviceId (OneIdService.java:312-359):
-    read → miss → claim-new → re-read, collapsed into set operations:
-    existing mappings win (first-writer), distinct new keys are ranked by
-    first-seen order (min seq) continuing from the store's per-app max id.
-    Returns the batch annotated with ``zg_did``.
+    Mirrors the reference's read → miss → claim-new → re-read KV pattern
+    (OneIdService.java:312-359 for devices; EventAsyncOperator.java:301-402
+    for the event dictionary), collapsed into set operations: existing
+    mappings win (first-writer), distinct new (app_id, *key_cols) keys are
+    ranked by first-seen order (min seq) continuing from the store's
+    per-app max id, or from ``base`` for an unseen app. Returns the batch
+    annotated with ``id_col``.
     """
     spark = store.spark
     existing = store.read()
     if existing is None:
-        existing = spark.createDataFrame(
-            [], f"app_id BIGINT, {store.key_col} STRING, {store.id_col} BIGINT"
+        key_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in batch.select("app_id", *key_cols).schema.fields
         )
+        existing = spark.createDataFrame([], f"{key_schema}, {id_col} BIGINT")
 
-    # the store holds one row per distinct device, not per event — broadcast
+    # the store holds one row per distinct key, not per event — broadcast
     # it so neither join shuffles the (much larger) event batch
     new_first = (
-        batch.join(F.broadcast(existing), ["app_id", store.key_col], "left_anti")
-        .groupBy("app_id", store.key_col)
+        batch.join(F.broadcast(existing), ["app_id", *key_cols], "left_anti")
+        .groupBy("app_id", *key_cols)
         .agg(F.min("seq").alias("first_seq"))
     )
     per_app_max = (
         existing.groupBy("app_id")
-        .agg(F.max(store.id_col).alias("max_id"))
+        .agg(F.max(id_col).alias("max_id"))
     )
     w = Window.partitionBy("app_id").orderBy("first_seq")
     assigned = (
         new_first.join(per_app_max, "app_id", "left")
         .withColumn(
-            store.id_col,
-            F.coalesce(F.col("max_id"), F.lit(DEVICE_ID_OFFSET))
-            + F.dense_rank().over(w),
+            id_col,
+            F.coalesce(F.col("max_id"), base) + F.dense_rank().over(w),
         )
-        .select("app_id", store.key_col, store.id_col)
+        .select("app_id", *key_cols, id_col)
     )
     store.merge(assigned)
     # the caller must materialize this before the NEXT batch's merge
     # overwrites the store files it references (the foreachBatch sink's
     # write does exactly that)
     return batch.join(
-        F.broadcast(store.read()), ["app_id", store.key_col], "left"
+        F.broadcast(store.read()), ["app_id", *key_cols], "left"
+    )
+
+
+def incremental_device_ids(
+    store: MappingStore, batch: DataFrame
+) -> DataFrame:
+    """Get-or-create device IDs for one micro-batch (I2 streaming form)."""
+    return incremental_get_or_create(
+        store, batch, [store.key_col], store.id_col, F.lit(DEVICE_ID_OFFSET)
     )
 
 
@@ -190,6 +206,69 @@ def start_event_counts_stream(
         agg.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_route_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    dev_store_path: str,
+    event_store_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming route stage (the Dw step of AllJob in streaming form):
+    per micro-batch, get-or-create device IDs AND event-dictionary IDs
+    (two persistent stores), then append the routed event rows.
+
+    The event-dictionary id scheme matches the batch pipeline exactly
+    (1000*app_id base + first-seen dense rank, EventAsyncOperator.java:
+    301-402 semantics), so the streamed output equals the batch
+    events_typed ⋈ did_ids ⋈ event_dict join — the oracle s4 states.
+    """
+    dev_store = MappingStore(spark, dev_store_path, key_col="did", id_col="zg_did")
+    ev_store = MappingStore(
+        spark, event_store_path, key_col="event_name", id_col="zg_eid"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        with_dev = incremental_device_ids(dev_store, batch_df)
+        # M1 owner rule + name truncation (EventAsyncOperator.java:120-299):
+        # dt=abp forces owner 'zg'; names cap at 100 chars; only event-like
+        # sub-records enter the dictionary
+        events = with_dev.filter(
+            F.col("dt").isin("evt", "abp", "mkt") & F.col("event_name").isNotNull()
+        ).withColumns(
+            {
+                "owner": F.when(F.col("dt") == "abp", F.lit("zg")).otherwise(
+                    F.col("owner")
+                ),
+                "event_name": F.substring("event_name", 1, 100),
+            }
+        )
+        routed = incremental_get_or_create(
+            ev_store,
+            events,
+            ["owner", "event_name"],
+            "zg_eid",
+            F.col("app_id") * 1000,
+        )
+        routed.select(
+            "event_id", "app_id", "did", "zg_did", "owner", "event_name",
+            "zg_eid", "ct",
+        ).write.mode("overwrite").parquet(
+            os.path.join(output_path, f"batch_id={batch_id}")
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
