@@ -87,6 +87,19 @@ VIRTUAL_EVENT_RULES = [
 ]
 
 
+# ad-click store (AdvAsyncOperator.java:60-130): Redis keys
+# ``adtfad:{click_id}:rawdata`` written by the ad-touch ingest, consumed
+# exactly once by the first conversion event referencing the click id.
+# Even click ids only — odd-id conversions must find no match; ids >= 50
+# are outside the conversion key space, so they always survive unclaimed.
+AD_CLICKS = [
+    (a, f"ck_{i}", f"camp_{i % 5}")
+    for a in (1, 2, 3)
+    for i in range(0, 80, 2)
+]
+AD_CLICK_COLS = ["ad_app_id", "ad_click_id", "ad_campaign"]
+
+
 def values_sql(rows: list[tuple], cols: list[str], quote=str) -> str:
     """Render rows as an inline VALUES table usable in both dialects:
     ``(VALUES (...), (...)) AS t(c1, c2)`` (caller adds alias)."""

@@ -798,3 +798,46 @@ SELECT e.app_id, e.zg_did, e.err_event_id, e.err_ct, e.error_code, e.debug,
 FROM p22_err e JOIN p22_sess s
   ON s.app_id = e.app_id AND s.zg_did = e.zg_did
  AND e.err_ct BETWEEN s.win_lo AND s.win_hi""")
+
+
+# ---------------------------------------------------------------------------
+# P23 ad-conversion click matching (AdvAsyncOperator.java:60-130): stored
+# ad clicks (Redis ``adtfad:{click_id}:rawdata``) are consumed EXACTLY ONCE
+# by the first conversion event referencing the click id — subsequent
+# conversions find the key deleted. Batch form: earliest-conversion-wins
+# claim (min seq per click) joined to the click store; unclaimed clicks
+# survive with NULL claim columns (= the store's remaining keys), so one
+# relation captures both the emitted conversions and the post-run store.
+# Scale: the claim dedup is one groupBy on (app_id, click_id); the store
+# join is an equi-join on the same key — no per-event KV round-trips.
+# ---------------------------------------------------------------------------
+def _p23(d: Dialect) -> str:
+    clicks = (
+        f"{R.values_sql(R.AD_CLICKS, [])} "
+        f"AS s({', '.join(R.AD_CLICK_COLS)})"
+    )
+    return f"""
+WITH p23_conv AS (
+  SELECT app_id, 'ck_' || {d.s('(k % 50)')} AS click_id, event_id, seq, ct
+  FROM gate_ok WHERE utm_source = 'adwords' AND k IS NOT NULL
+),
+p23_first AS (
+  SELECT app_id, click_id, MIN(seq) AS claim_seq
+  FROM p23_conv GROUP BY app_id, click_id
+),
+p23_claims AS (
+  SELECT f.app_id, f.click_id, v.event_id, v.ct
+  FROM p23_first f
+  JOIN p23_conv v ON v.app_id = f.app_id AND v.click_id = f.click_id
+                 AND v.seq = f.claim_seq
+)
+SELECT s.ad_app_id AS app_id, s.ad_click_id AS click_id,
+       s.ad_campaign AS campaign,
+       c.event_id AS claim_event_id, c.ct AS claim_ct,
+       CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END AS still_in_store
+FROM {clicks}
+LEFT JOIN p23_claims c
+  ON c.app_id = s.ad_app_id AND c.click_id = s.ad_click_id"""
+
+
+_register("p23_ad_conversion", _p23)
