@@ -841,3 +841,24 @@ LEFT JOIN p23_claims c
 
 
 _register("p23_ad_conversion", _p23)
+
+
+# ---------------------------------------------------------------------------
+# P24 first-data-seen (I1 side effect, SetAppIdAndBusinessOperator.java:
+# 92-145,194-269): the INSERT IGNORE app/app_create_notice + per-(app,
+# platform) hasData flag, as a batch relation — first event time and first
+# device per (app_id, pl), anti-join-free (MIN/arg-min in one groupBy).
+# ---------------------------------------------------------------------------
+def _p24(d: Dialect) -> str:
+    return """
+SELECT app_id, pl, MIN(seq) AS first_seq, MIN(ct) AS first_ct,
+       COUNT(*) AS n_events,
+       MIN(CASE WHEN seq = first_seq THEN did END) AS first_did
+FROM (
+  SELECT app_id, pl, seq, ct, did,
+         MIN(seq) OVER (PARTITION BY app_id, pl) AS first_seq
+  FROM gate_ok) x
+GROUP BY app_id, pl"""
+
+
+_register("p24_app_first_seen", _p24)
