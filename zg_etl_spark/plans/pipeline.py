@@ -862,3 +862,42 @@ GROUP BY app_id, pl"""
 
 
 _register("p24_app_first_seen", _p24)
+
+
+# ---------------------------------------------------------------------------
+# W3 stream-load-compat CSV round-trip: the b_user relation exported in the
+# reference's stream-load wire shape (tab-separated, nulls as \\N —
+# EventAttrRow.java:49, EventAttrTransfer.java:32) and read back typed.
+# The read-back rows must equal the p10 relation exactly, proving the
+# \\N null convention and the type round-trip are lossless — the compat
+# contract a Doris-side consumer of our export relies on.
+# ---------------------------------------------------------------------------
+def _w3_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from zg_etl_spark.sinks import NULL_TOKEN, export_stream_load_csv
+
+    rows = spark_pipeline_df(spark, sf_dir, _p10(SPARK))
+    work = tempfile.mkdtemp(prefix="zg_w3_")
+    path = os.path.join(work, "b_user_csv")
+    try:
+        export_stream_load_csv(rows, path)
+        schema = (
+            "app_id BIGINT, device_id STRING, zg_id BIGINT, user_id STRING, "
+            "begin_date BIGINT, platform INT"
+        )
+        return (
+            spark.read.schema(schema)
+            .option("sep", "\t")
+            .option("nullValue", NULL_TOKEN)
+            .csv(path)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w3_compat_csv_roundtrip"] = _w3_run
+ORACLE["w3_compat_csv_roundtrip"] = duck_pipeline_sql(_p10(DUCK))
