@@ -82,3 +82,34 @@ def test_interval_no_nested_loop_plan(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_randomized_vs_reference(spark):
+    """Seeded random points/intervals (boundary-heavy: widths 0..3 buckets,
+    shared endpoints, duplicate keys) against a driver-side reference —
+    the fixture cases above are hand-picked; this sweeps the space."""
+    import random
+
+    rng = random.Random(42)
+    pts = [
+        (f"k{rng.randrange(5)}", rng.randrange(0, 400), i)
+        for i in range(300)
+    ]
+    ivs = []
+    for j in range(120):
+        lo = rng.randrange(0, 400)
+        ivs.append(
+            (f"k{rng.randrange(5)}", lo, lo + rng.randrange(0, 150), f"iv{j}")
+        )
+    expected = sorted(
+        (pid, iv_id)
+        for (pk, ts, pid) in pts
+        for (ik, lo, hi, iv_id) in ivs
+        if pk == ik and lo <= ts <= hi
+    )
+    out = interval_join(
+        spark.createDataFrame(pts, "k string, ts long, pid long"),
+        spark.createDataFrame(ivs, "k string, lo long, hi long, iv_id string"),
+        on=["k"], ts_col="ts", start_col="lo", end_col="hi", bucket_width=50,
+    ).collect()
+    assert sorted((r.pid, r.iv_id) for r in out) == expected
