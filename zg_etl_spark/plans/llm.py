@@ -69,6 +69,10 @@ class LD:
         return f"sequence({lo}, {hi_incl})"
 
     @staticmethod
+    def seq_step(lo: str, hi_incl: str, step: int) -> str:
+        return f"sequence({lo}, {hi_incl}, {step})"
+
+    @staticmethod
     def slice_join(arr: str, start_var: str, n: int) -> str:
         return f"concat_ws(' ', slice({arr}, {start_var}, {n}))"
 
@@ -145,6 +149,10 @@ class DD:
     @staticmethod
     def seq(lo: str, hi_incl: str) -> str:
         return f"range({lo}, ({hi_incl}) + 1)"
+
+    @staticmethod
+    def seq_step(lo: str, hi_incl: str, step: int) -> str:
+        return f"range({lo}, ({hi_incl}) + 1, {step})"
 
     @staticmethod
     def slice_join(arr: str, start_var: str, n: int) -> str:
@@ -1011,3 +1019,35 @@ def _l19_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["l19_tfidf_terms"] = _l19_run
 ORACLE["l19_tfidf_terms"] = _l19(DD)
+
+
+# ---------------------------------------------------------------------------
+# L20 document chunking: fixed-size overlapping token windows (size 50,
+# stride 40 → 10-token overlap) — the map-only sharding primitive that
+# turns documents into training sequences. Per chunk: position, exact token
+# count, and a content fingerprint (so downstream dedup can run at chunk
+# grain). Entirely map-side — the sequence/slice runs inside the row, the
+# explode multiplies rows without any shuffle; at 100 TB this is a pure
+# scan→write stage whose output partitioning follows the input.
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+
+def _l20(d) -> str:
+    starts = d.seq_step("1", d.alen("ws"), _CHUNK_STRIDE)
+    chunk_text = d.slice_join("ws", "chunk_start", _CHUNK_SIZE)
+    return f"""
+SELECT doc_id, lang,
+       CAST((chunk_start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(LEAST({_CHUNK_SIZE}, n_toks - chunk_start + 1) AS BIGINT)
+           AS n_chunk_tokens,
+       md5({chunk_text}) AS chunk_fp
+FROM (
+  SELECT doc_id, lang, ws, {d.alen('ws')} AS n_toks
+  FROM (SELECT doc_id, lang, {d.split('text')} AS ws FROM documents) t
+) w {d.explode(starts, 'chunk_start')}"""
+
+
+_register("l20_chunking", _l20)
