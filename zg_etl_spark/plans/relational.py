@@ -561,3 +561,40 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch="unix_seconds(CAST(o_orderdate AS TIMESTAMP))",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q17 supplier-side revenue (the last provided table): lineitem ⋈ supplier
+# ⋈ nation — fact shuffled zero times (both dims broadcast), revenue and
+# supplier-count per nation with acctbal stats.
+# ---------------------------------------------------------------------------
+@_q(
+    "q17_supplier_revenue",
+    f"""
+    SELECT n.n_name,
+           COUNT(DISTINCT s.s_suppkey) AS n_suppliers,
+           {o_dsum(f"{o_money('l.l_extendedprice')} * (1 - {o_money('l.l_discount', 5)})")} AS revenue,
+           COUNT(*) AS n_lineitems,
+           {o_davg(o_money('s.s_acctbal'))} AS avg_acctbal
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount", 5))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            davg(money("s_acctbal")).alias("avg_acctbal"),
+        )
+    )
