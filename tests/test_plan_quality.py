@@ -127,3 +127,23 @@ def test_shared_views_not_recomputed(spark, sf_dir, name):
     assert "documents.parquet" not in plan, (
         f"{name} re-derives its shared view from the source scan:\n{plan}"
     )
+
+
+def test_map_only_stages_have_no_shuffle(spark, sf_dir):
+    """l18 (content-addressed split) and l20 (chunking) claim to be pure
+    map-side stages — their plans must contain no aggregate/join shuffle.
+    The only allowed Exchange is the source-parallelizing round-robin
+    repartition of the single-file test input (a no-op on a real
+    many-file corpus)."""
+    for name in ("l18_split_sample", "l20_chunking"):
+        plan = _plan(ALL[name](spark, sf_dir), "simple")
+        exchanges = [
+            line for line in plan.splitlines() if "Exchange" in line
+        ]
+        for line in exchanges:
+            assert "RoundRobinPartitioning" in line or "REPARTITION" in line, (
+                f"{name} shuffles:\n{plan}"
+            )
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, (
+            f"{name} is not map-only:\n{plan}"
+        )

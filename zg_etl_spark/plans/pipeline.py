@@ -901,3 +901,30 @@ def _w3_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["w3_compat_csv_roundtrip"] = _w3_run
 ORACLE["w3_compat_csv_roundtrip"] = duck_pipeline_sql(_p10(DUCK))
+
+
+# ---------------------------------------------------------------------------
+# P25 multi-granularity time rollup (the hypertable/continuous-aggregate
+# shape serving the t_*/f_* time-series tables, sql/1.sql:396-657): event
+# counts + device reach at HOUR, DAY, and WEEK grain in ONE pass — GROUPING
+# SETS over three derived buckets expands each row once per grain inside a
+# single Expand + shuffle, instead of three scans/aggregations. grain_id
+# disambiguates levels via the shared grouping_id bit encoding
+# (aggregated-away columns set their bit: 3=hour grain, 5=day, 6=week).
+# ---------------------------------------------------------------------------
+def _p25(d: Dialect) -> str:
+    hour = d.idiv("ct", str(3_600_000))
+    day = d.idiv("ct", str(86_400_000))
+    week = d.idiv("ct", str(7 * 86_400_000))
+    return f"""
+SELECT app_id, hour_b, day_b, week_b,
+       CAST(GROUPING_ID(app_id, hour_b, day_b, week_b) AS BIGINT) AS grain_id,
+       COUNT(*) AS n_events, COUNT(DISTINCT did) AS n_devices
+FROM (
+  SELECT app_id, did,
+         {hour} AS hour_b, {day} AS day_b, {week} AS week_b
+  FROM gate_ok) b
+GROUP BY GROUPING SETS ((app_id, hour_b), (app_id, day_b), (app_id, week_b))"""
+
+
+_register("p25_time_rollup", _p25)
