@@ -598,3 +598,27 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(money("s_acctbal")).alias("avg_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18 correlated scalar subquery: orders above their own customer's average
+# — Catalyst rewrites the correlated aggregate into a join (RewriteCorrelated
+# ScalarSubquery); the average goes through the exact-decimal sum so the
+# boundary comparison is bit-identical across engines.
+# ---------------------------------------------------------------------------
+_Q18_BODY = """
+SELECT o.o_custkey, COUNT(*) AS n_above,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           AS above_total
+FROM {src} o
+WHERE o.o_totalprice > (
+  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         / COUNT(*)
+  FROM {src} i WHERE i.o_custkey = o.o_custkey)
+GROUP BY o.o_custkey"""
+
+
+@_q("q18_correlated_subquery", _Q18_BODY.format(src="orders"))
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
+    return spark.sql(_Q18_BODY.format(src="q18_orders"))
