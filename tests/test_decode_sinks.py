@@ -107,3 +107,45 @@ def test_stream_load_csv_nulls(spark, tmp_path):
         for line in open(f).read().splitlines()
     )
     assert lines == ["1\t\\N", "2\tx"]
+
+
+def _aes_encrypt(secret: str, iv: str, content: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    pad = 16 - len(content) % 16
+    e = Cipher(algorithms.AES(secret.encode()), modes.CBC(iv.encode())).encryptor()
+    return e.update(content + bytes([pad]) * pad) + e.finalize()
+
+
+def test_resolve_with_real_aes(spark):
+    """AES/CBC/PKCS5 round trip through the decode stage — the reference's
+    actual cipher (AESUtil.java), with the RSA key step as a resolver."""
+    import json
+    import zlib as _zlib
+
+    from zg_etl_spark.operators.decode import aes_cbc_decryptor
+
+    secret, iv = "0123456789abcdef", "fedcba9876543210"
+    register_decryptor(1, aes_cbc_decryptor(lambda wire_key: (secret, iv)))
+    payload = json.dumps({"ak": "ak_1", "data": [{"dt": "evt"}]}).encode()
+
+    cases = [
+        # encrypt only
+        {"encrypt": 1, "compress": 0, "event": _aes_encrypt(secret, iv, payload)},
+        # compress-then-encrypt (decode runs decrypt -> inflate)
+        {"encrypt": 1, "compress": 1,
+         "event": _aes_encrypt(secret, iv, _zlib.compress(payload))},
+    ]
+    rows = []
+    for c in cases:
+        rows.append((json.dumps({
+            "Ip": "1.2.3.4", "Now": 1700000000,
+            "Args": {"event": base64.b64encode(c["event"]).decode(),
+                     "compress": c["compress"], "encrypt": c["encrypt"],
+                     "type": 1, "key": "enc_key_blob"},
+        }),))
+    out = resolve_wire(spark.createDataFrame(rows, "raw string")).collect()
+    assert all(r.result == 0 for r in out), out
+    assert all(json.loads(r.payload) == json.loads(payload) for r in out)

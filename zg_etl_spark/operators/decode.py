@@ -105,3 +105,31 @@ def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
             F.col("_w").isNull() | F.col("payload").isNull(), F.lit(-1)
         ).otherwise(F.lit(0)).alias("result"),
     )
+
+
+def aes_cbc_decryptor(key_resolver):
+    """Real AES/CBC/PKCS5Padding decryptor — the reference's cipher
+    (common/util/AESUtil.java:22, UTF-8 key/iv bytes, base64 ciphertext).
+
+    ``key_resolver(wire_key) -> (secret, iv)`` plays the RSA step
+    (service/DecodeService.java:20-38: the deployment's private key
+    decrypts the per-message AES key carried in ``Args.key``) — key
+    management stays pluggable, the cipher itself is real. Register with
+    ``register_decryptor(1, aes_cbc_decryptor(resolver))``.
+    """
+    def decrypt(raw: bytes, wire_key: str) -> bytes:
+        # imported HERE, not in the factory: the UDF closure is
+        # cloudpickled to executor workers, and cryptography's module
+        # objects don't pickle — the import must re-run worker-side
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        secret, iv = key_resolver(wire_key)
+        d = Cipher(
+            algorithms.AES(secret.encode()), modes.CBC(iv.encode())
+        ).decryptor()
+        padded = d.update(raw) + d.finalize()
+        return padded[: -padded[-1]]  # PKCS5/PKCS7 unpad
+
+    return decrypt
