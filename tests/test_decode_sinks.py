@@ -149,3 +149,31 @@ def test_resolve_with_real_aes(spark):
     out = resolve_wire(spark.createDataFrame(rows, "raw string")).collect()
     assert all(r.result == 0 for r in out), out
     assert all(json.loads(r.payload) == json.loads(payload) for r in out)
+
+
+def test_resolve_with_real_sm4(spark):
+    """SM4/ECB round trip (the type-2 national-standard cipher), with the
+    SM2 key-unwrap step as a resolver."""
+    import json
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from zg_etl_spark.operators.decode import sm4_ecb_decryptor
+
+    key = b"0123456789abcdef"
+    register_decryptor(2, sm4_ecb_decryptor(lambda wire_key: key))
+    payload = json.dumps({"ak": "ak_2", "data": [{"dt": "usr"}]}).encode()
+    pad = 16 - len(payload) % 16
+    e = Cipher(algorithms.SM4(key), modes.ECB()).encryptor()
+    ct = e.update(payload + bytes([pad]) * pad) + e.finalize()
+
+    wire = json.dumps({
+        "Ip": "4.3.2.1", "Now": 1700000001,
+        "Args": {"event": base64.b64encode(ct).decode(), "compress": 0,
+                 "encrypt": 1, "type": 2, "key": "sm2_blob"},
+    })
+    out = resolve_wire(spark.createDataFrame([(wire,)], "raw string")).collect()
+    assert out[0].result == 0, out
+    assert json.loads(out[0].payload) == json.loads(payload)

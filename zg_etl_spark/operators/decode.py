@@ -133,3 +133,23 @@ def aes_cbc_decryptor(key_resolver):
         return padded[: -padded[-1]]  # PKCS5/PKCS7 unpad
 
     return decrypt
+
+
+def sm4_ecb_decryptor(key_resolver):
+    """SM4/ECB/PKCS5Padding decryptor — the reference's type-2 cipher
+    (MsgResolver.java:109-125: hutool ``SmUtil.sm4`` default mode over a
+    key recovered by SM2-decrypting ``Args.key``). ``key_resolver(wire_key)
+    -> key_bytes`` plays that SM2 step (the private key is a deployment
+    secret). Register with ``register_decryptor(2, sm4_ecb_decryptor(r))``.
+    """
+
+    def decrypt(raw: bytes, wire_key: str) -> bytes:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        d = Cipher(algorithms.SM4(key_resolver(wire_key)), modes.ECB()).decryptor()
+        padded = d.update(raw) + d.finalize()
+        return padded[: -padded[-1]]  # PKCS5/PKCS7 unpad
+
+    return decrypt
