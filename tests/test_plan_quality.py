@@ -147,3 +147,17 @@ def test_map_only_stages_have_no_shuffle(spark, sf_dir):
         assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, (
             f"{name} is not map-only:\n{plan}"
         )
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """q11 has no cross-engine value oracle (HLL sketches differ by
+    construction); pin its accuracy locally instead — Spark's default
+    rsd=0.05 should land well within 10% of the exact counts."""
+    row = ALL["q11_approx_distinct"](spark, sf_dir).first()
+    from zg_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    assert abs(row.approx_orders - exact_orders) <= 0.1 * exact_orders
+    assert abs(row.approx_parts - exact_parts) <= 0.1 * exact_parts
