@@ -443,10 +443,15 @@ class Emitter:
                 f"{self.emit(node.right, 'number')})"
             )
         if op == "/":
-            # reference divide carries scale 10 HALF_UP (:302-311)
+            # reference divide carries scale 10 HALF_UP (:302-311).
+            # Operands are forced to DOUBLE: with decimal-literal operands
+            # Spark would otherwise divide in decimal space, where its
+            # result-scale rule can settle on scale 6 — digits round(x, 10)
+            # can never restore (found by the randomized conformance sweep:
+            # 255.87 / 7 → 36.552857 vs the reference's 36.5528571429)
             return (
-                f"round(({self.emit(node.left, 'number')} / "
-                f"{self.emit(node.right, 'number')}), 10)"
+                f"round(({self.cast_num(self.emit(node.left, 'number'))} / "
+                f"{self.cast_num(self.emit(node.right, 'number'))}), 10)"
             )
         if op in ("=", "!=", "<", "<=", ">", ">="):
             lh = self._operand_hint(node.right)
