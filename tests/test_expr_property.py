@@ -23,6 +23,8 @@ FIELDS = {
     "name_s": "Alice",
     "status": "ok",
     "maybe_null": None,
+    "ct_s": "1722470400",      # 2024-08-01 00:00:00 UTC, seconds
+    "ct_ms": "1735689600123",  # 2025-01-01 00:00:00.123 UTC, millis
 }
 
 
@@ -79,12 +81,30 @@ def _gen_bool(rng: random.Random, depth: int) -> str:
     return rng.choice([f"({a} AND {b})", f"({a} OR {b})", f"NOT {a}"])
 
 
+_DATE_FMTS = ["yyyy-MM-dd", "yyyyMMdd", "yyyy-MM-dd HH:mm:ss", "HH:mm"]
+
+
+def _gen_date(rng: random.Random) -> str:
+    ts = rng.choice(["ct_s", "ct_ms", "'2024-08-10'", "'2025-02-28 13:45:00'"])
+    pick = rng.random()
+    if pick < 0.4:
+        return f"date_format({ts}, '{rng.choice(_DATE_FMTS)}')"
+    if pick < 0.6:
+        fld = rng.choice(["ct_s", "ct_ms"])
+        return (f"from_unixtime({fld}, '{rng.choice(_DATE_FMTS)}')"
+                if rng.random() < 0.5 else f"from_unixtime({fld})")
+    other = rng.choice(["ct_s", "'2024-07-15'", "'2024-12-31'"])
+    return f"date_diff({ts}, {other})"
+
+
 def _gen_expr(rng: random.Random) -> str:
     pick = rng.random()
-    if pick < 0.35:
+    if pick < 0.3:
         return _gen_num(rng, rng.randrange(1, 4))
-    if pick < 0.55:
+    if pick < 0.45:
         return _gen_str(rng, rng.randrange(1, 4))
+    if pick < 0.6:
+        return _gen_date(rng)
     if pick < 0.75:
         # branches share one type: mixed string/number branches diverge
         # across engines' coercion lattices (Spark ANSI casts the string
@@ -98,7 +118,7 @@ def _gen_expr(rng: random.Random) -> str:
     return f"nullif({_gen_str(rng, 1)}, 'ok')"
 
 
-N_EXPRS = 120
+N_EXPRS = 250
 
 
 def test_random_expressions_agree(spark):
