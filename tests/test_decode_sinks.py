@@ -177,3 +177,33 @@ def test_resolve_with_real_sm4(spark):
     out = resolve_wire(spark.createDataFrame([(wire,)], "raw string")).collect()
     assert out[0].result == 0, out
     assert json.loads(out[0].payload) == json.loads(payload)
+
+
+def test_partial_upsert(spark, tmp_path):
+    """Doris partial-column update semantics: matched rows take incoming
+    values for the update columns ONLY (including explicit NULLs — the
+    \\N overwrite), keep everything else; new keys insert with NULL
+    non-updated columns."""
+    from zg_etl_spark.sinks import partial_upsert_table
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10, 100), (2, "b", 20, 200)],
+        "k int, name string, score int, extra int",
+    )
+    base.write.parquet(path)
+
+    incoming = spark.createDataFrame(
+        [(1, 11, None, 1), (1, 12, None, 2),   # two versions: seq 2 wins
+         (3, 30, 300, 1)],                      # new key
+        "k int, score int, extra int, seq int",
+    )
+    partial_upsert_table(
+        spark, incoming, path, keys=["k"], order_col="seq",
+        update_cols=["score", "extra"],
+    )
+    rows = {r.k: r for r in spark.read.parquet(path).collect()}
+    assert rows[1].score == 12 and rows[1].extra is None  # NULL overwrites
+    assert rows[1].name == "a"                            # untouched col kept
+    assert rows[2].score == 20 and rows[2].name == "b"    # unmatched row intact
+    assert rows[3].score == 30 and rows[3].name is None   # insert w/ NULL rest

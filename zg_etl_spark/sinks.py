@@ -88,3 +88,44 @@ def export_stream_load_csv(df: DataFrame, path: str, sep: str = "\t") -> None:
     df.select(cols).write.mode("overwrite").option("sep", sep).option(
         "emptyValue", ""
     ).csv(path)
+
+
+def partial_upsert_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    update_cols: list[str],
+) -> None:
+    """Partial-column update upsert: incoming rows carry only
+    ``keys + update_cols (+ order_col)``; matched rows take the incoming
+    values for ``update_cols`` and KEEP every other column from the
+    existing row — Doris's partial_columns stream-load mode
+    (DorisSinkFactory.java:60,96,137), i.e. Delta's
+    ``MERGE ... UPDATE SET <subset>``. Unmatched incoming keys insert
+    with NULLs for the non-updated columns.
+    """
+    latest = keep_latest(df, keys, order_col).drop(order_col)
+    if not os.path.exists(path):
+        latest.write.mode("overwrite").parquet(path)
+        spark.catalog.refreshByPath(path)
+        return
+    existing = spark.read.parquet(path)
+    # presence flag, not per-column coalesce: an incoming explicit NULL
+    # must overwrite (the \N stream-load semantics), which coalesce would
+    # silently keep as the old value
+    e = existing.alias("e")
+    i = latest.withColumn("_i_present", F.lit(True)).alias("i")
+    hit = F.coalesce(F.col("_i_present"), F.lit(False))
+    other_cols = [c for c in existing.columns if c not in keys and c not in update_cols]
+    merged = e.join(i, keys, "full_outer").select(
+        *[F.coalesce(f"e.{k}", f"i.{k}").alias(k) for k in keys],
+        *[
+            F.when(hit, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+            for c in update_cols
+        ],
+        *[F.col(f"e.{c}").alias(c) for c in other_cols],
+    ).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
