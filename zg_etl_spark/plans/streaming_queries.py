@@ -323,3 +323,49 @@ FROM events_typed e
 JOIN did_ids d ON d.app_id = e.app_id AND d.did = e.did
 JOIN event_dict ed ON ed.app_id = e.app_id AND ed.owner = e.owner_e
                   AND ed.event_name = e.event_name_t""")
+
+
+# ---------------------------------------------------------------------------
+# s5: streaming one-ID (zgid) binding — the order-sensitive I5 merge over
+# seq-ordered micro-batches with three persistent stores (device ids, user
+# ids, first-cuid bindings). The first-binding-wins rule composes across
+# batches to the global first-cuid rule, so the assembled stores must equal
+# the batch device_zgid relation exactly — the oracle states it verbatim.
+# ---------------------------------------------------------------------------
+def _s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.streaming.engine import start_zgid_stream, zgid_result
+
+    feed = spark_pipeline_df(
+        spark, sf_dir, "SELECT event_id, app_id, did, cuid, seq FROM gate_ok"
+    )
+    work = tempfile.mkdtemp(prefix="zg_s5_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    _write_seq_ordered_files(feed, src)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q, dev_store, uid_store, bind_store = start_zgid_stream(
+            spark,
+            source_dir=src,
+            schema="event_id BIGINT, app_id BIGINT, did STRING, cuid STRING, seq BIGINT",
+            dev_store_path=os.path.join(work, "dev"),
+            uid_store_path=os.path.join(work, "uid"),
+            bind_store_path=os.path.join(work, "bind"),
+            checkpoint_dir=os.path.join(work, "ckpt"),
+        )
+        q.awaitTermination(300)
+        result = zgid_result(dev_store, uid_store, bind_store).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s5_streaming_zgid"] = _s5
+ORACLE["s5_streaming_zgid"] = duck_pipeline_sql(
+    "SELECT app_id, did, zg_did, bound_cuid, zg_id FROM device_zgid"
+)

@@ -273,3 +273,105 @@ def start_route_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+USER_ID_OFFSET = 200_000     # batch uid_ids namespace (domain.py)
+ZGID_USER_OFFSET = 300_000   # user-rooted zgid namespace
+ZGID_DEVICE_OFFSET = 900_000 # device-rooted zgid namespace
+
+
+def start_zgid_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    dev_store_path: str,
+    uid_store_path: str,
+    bind_store_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming one-ID (zgid) binding — the order-sensitive I5 merge
+    (ZgidAsyncOperator.java:77-192, OneIdService.java:413-650) in
+    micro-batch form, with three persistent stores:
+
+    - device ids (did → zg_did, get-or-create),
+    - user ids (cuid → zg_uid, get-or-create),
+    - bindings (did → bound_cuid): a device binds to the FIRST cuid it is
+      ever seen with — an anonymous device binds the first time a later
+      batch identifies it (the reference's "identified wins, device
+      re-points"), and an already-bound device never re-binds (the
+      reference never merges two existing zgids, OneIdService.java:420-435).
+
+    Over seq-ordered batches the first-binding rule composes to the global
+    first-cuid rule, so the final stores must equal the batch
+    ``device_zgid`` relation — which is the s5 oracle verbatim.
+    """
+    dev_store = MappingStore(spark, dev_store_path, key_col="did", id_col="zg_did")
+    uid_store = MappingStore(spark, uid_store_path, key_col="cuid", id_col="zg_uid")
+    bind_store = MappingStore(
+        spark, bind_store_path, key_col="did", id_col="bound_cuid"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_device_ids(dev_store, batch_df)
+        identified = batch_df.filter(F.col("cuid").isNotNull())
+        incremental_get_or_create(
+            uid_store, identified, ["cuid"], "zg_uid", F.lit(USER_ID_OFFSET)
+        )
+        # first cuid per device within the batch (ROW_NUMBER by seq), then
+        # drop devices already bound in the store (first-writer-wins, the
+        # HSETNX analog)
+        bound = bind_store.read()
+        w = Window.partitionBy("app_id", "did").orderBy("seq")
+        first_in_batch = (
+            identified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("app_id", "did", F.col("cuid").alias("bound_cuid"))
+        )
+        if bound is not None:
+            first_in_batch = first_in_batch.join(
+                F.broadcast(bound.select("app_id", "did")),
+                ["app_id", "did"],
+                "left_anti",
+            )
+        bind_store.merge(first_in_batch.localCheckpoint(eager=True))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, dev_store, uid_store, bind_store
+
+
+def zgid_result(dev_store, uid_store, bind_store) -> DataFrame:
+    """Assemble the device_zgid-shaped relation from the three stores."""
+    dev = dev_store.read()
+    uid = uid_store.read()
+    bind = bind_store.read()
+    if bind is not None:
+        out = dev.join(F.broadcast(bind), ["app_id", "did"], "left")
+    else:
+        out = dev.withColumn("bound_cuid", F.lit(None).cast("string"))
+    if uid is not None:
+        out = out.join(
+            F.broadcast(uid.withColumnRenamed("cuid", "bound_cuid")),
+            ["app_id", "bound_cuid"],
+            "left",
+        )
+    else:
+        out = out.withColumn("zg_uid", F.lit(None).cast("bigint"))
+    return out.select(
+        "app_id",
+        "did",
+        "zg_did",
+        "bound_cuid",
+        F.when(
+            F.col("zg_uid").isNotNull(), F.lit(ZGID_USER_OFFSET) + F.col("zg_uid")
+        )
+        .otherwise(F.lit(ZGID_DEVICE_OFFSET) + F.col("zg_did"))
+        .alias("zg_id"),
+    )
