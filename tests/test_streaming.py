@@ -125,3 +125,58 @@ def test_event_counts_watermark_stream(spark, batches, tmp_path):
     assert counted[(1, "click")] == 1
     assert counted[(1, "view")] == 1
     assert counted[(2, "click")] == 1
+
+
+def test_zgid_stream_binding_rules(spark, tmp_path):
+    """Crafted 4-batch ordering pinning the I5 rules: anonymous device
+    later identified re-points to the user zgid; an already-bound device
+    NEVER re-binds to a second cuid (no zgid merge); two devices sharing
+    one cuid share its zgid; a never-identified device keeps the
+    device-rooted zgid."""
+    import os
+
+    from zg_etl_spark.streaming.engine import start_zgid_stream, zgid_result
+
+    rows_per_batch = [
+        # (event_id, app_id, did, cuid, seq)
+        [(1, 1, "dA", None, 1),        # dA anonymous
+         (2, 1, "dB", "u1", 2)],       # dB binds u1  -> u1 = first user id
+        [(3, 1, "dA", "u2", 3)],       # dA identified later -> binds u2
+        [(4, 1, "dA", "u1", 4),        # dA sees a second cuid: must NOT rebind
+         (5, 1, "dC", "u1", 5)],       # dC shares u1 -> same zgid as dB
+        [(6, 1, "dD", None, 6)],       # dD never identified
+    ]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, rows in enumerate(rows_per_batch):
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, app_id BIGINT, did STRING, cuid STRING, seq BIGINT"
+        )
+        p = str(src / f"b{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_st{i}"))
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(str(tmp_path / f"_st{i}" / "part-*.parquet"))[0]
+        _shutil.copy(part, p)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    q, dev, uid, bind = start_zgid_stream(
+        spark,
+        source_dir=str(src),
+        schema="event_id BIGINT, app_id BIGINT, did STRING, cuid STRING, seq BIGINT",
+        dev_store_path=str(tmp_path / "dev"),
+        uid_store_path=str(tmp_path / "uid"),
+        bind_store_path=str(tmp_path / "bind"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = {r.did: r for r in zgid_result(dev, uid, bind).collect()}
+
+    assert out["dA"].bound_cuid == "u2"          # re-pointed on first login...
+    assert out["dB"].bound_cuid == "u1"
+    assert out["dC"].bound_cuid == "u1"
+    assert out["dC"].zg_id == out["dB"].zg_id    # shared user -> shared zgid
+    assert out["dA"].zg_id != out["dB"].zg_id    # ...but never re-bound to u1
+    assert out["dD"].bound_cuid is None
+    assert out["dD"].zg_id == 900_000 + out["dD"].zg_did  # device-rooted
