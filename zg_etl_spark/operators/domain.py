@@ -225,7 +225,8 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     out.append(("ip_ranges", f"SELECT * FROM {R.values_sql(R.IP_RANGES, [])} AS t({', '.join(R.IP_RANGE_COLS)})"))
 
     # gate: error-code attribution order preserved (ak → ip-black → ua-black
-    # → time validity); zg_server sdk exempt from the window
+    # → time validity); zg_server / zg-cdp sdks exempt from the window
+    # (dataquality/TimeValidator.java:40-41)
     out.append((
         "gated",
         f"""
@@ -233,7 +234,7 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
          CASE WHEN r.r_app_id IS NULL THEN 1001
               WHEN ipb.b_ip IS NOT NULL THEN 1003
               WHEN uab.b_ua IS NOT NULL THEN 1004
-              WHEN NOT (f.sdk = 'zg_server' OR
+              WHEN NOT (f.sdk IN ('zg_server', 'zg-cdp') OR
                         (f.ct BETWEEN f.now_ref - {VALID_PAST_MS}
                                   AND f.now_ref + {VALID_FUTURE_MS})) THEN 1005
               ELSE 0 END AS error_code

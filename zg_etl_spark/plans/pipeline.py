@@ -928,3 +928,62 @@ GROUP BY GROUPING SETS ((app_id, hour_b), (app_id, day_b), (app_id, week_b))"""
 
 
 _register("p25_time_rollup", _p25)
+
+
+# ---------------------------------------------------------------------------
+# W4 dynamic partition overwrite: the RANGE(begin_day_id)-partition rewrite
+# path (schema.sql:342-388) — write the day-partitioned event counts, then
+# re-write ONLY the latest day's partition with corrected rows; untouched
+# days must survive byte-identical (a 100 TB backfill rewrites days, not
+# the table). The read-back equals the day-level counts where the latest
+# day carries the corrected (doubled) values — stated in the oracle.
+# ---------------------------------------------------------------------------
+_W4_DAYS = f"""
+SELECT app_id, {DUCK.idiv('ct', '86400000')} AS day_id, COUNT(*) AS n
+FROM gate_ok GROUP BY app_id, {DUCK.idiv('ct', '86400000')}"""
+
+
+def _w4_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from zg_etl_spark.sinks import write_partitioned
+
+    days = spark_pipeline_df(
+        spark,
+        sf_dir,
+        f"""
+SELECT app_id, {SPARK.idiv('ct', '86400000')} AS day_id, COUNT(*) AS n
+FROM gate_ok GROUP BY app_id, {SPARK.idiv('ct', '86400000')}""",
+    ).localCheckpoint(eager=True)
+    work = tempfile.mkdtemp(prefix="zg_w4_")
+    path = os.path.join(work, "day_counts")
+    try:
+        write_partitioned(days, path, ["day_id"], mode="overwrite", dynamic=False)
+        # the "correction" batch: latest day only, counts doubled — dynamic
+        # overwrite must replace exactly that partition
+        from pyspark.sql import functions as F
+
+        latest = days.agg(F.max("day_id").alias("m")).first().m
+        corrected = (
+            days.filter(F.col("day_id") == latest)
+            .withColumn("n", F.col("n") * 2)
+        )
+        write_partitioned(corrected, path, ["day_id"], mode="overwrite", dynamic=True)
+        return (
+            spark.read.parquet(path)
+            .select("app_id", "day_id", "n")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w4_partition_overwrite"] = _w4_run
+ORACLE["w4_partition_overwrite"] = duck_pipeline_sql(f"""
+, w4_days AS ({_W4_DAYS}),
+w4_latest AS (SELECT MAX(day_id) AS m FROM w4_days)
+SELECT app_id, day_id,
+       CASE WHEN day_id = (SELECT m FROM w4_latest) THEN n * 2 ELSE n END AS n
+FROM w4_days""")
