@@ -1051,3 +1051,33 @@ FROM (
 
 
 _register("l20_chunking", _l20)
+
+
+# ---------------------------------------------------------------------------
+# L21 per-language bigram statistics: the n-gram frequency table a language
+# model's data-prep stage builds — top-10 word bigrams per language with
+# document frequency. One explode of per-doc DISTINCT bigram arrays (dedup
+# inside the array, no DISTINCT shuffle), one groupBy, one windowed top-k
+# with WindowGroupLimit pushdown.
+# ---------------------------------------------------------------------------
+def _l21(d) -> str:
+    starts = d.seq("1", f"{d.alen('ws')} - 1")
+    bg_arr = d.lmap(starts, "i", d.slice_join("ws", "i", 2))
+    return f"""
+SELECT lang, bigram, n_docs, rank FROM (
+  SELECT lang, bigram, n_docs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n_docs DESC, bigram) AS BIGINT) AS rank
+  FROM (
+    SELECT lang, bigram, COUNT(*) AS n_docs
+    FROM (
+      SELECT doc_id, lang, {d.adistinct(bg_arr)} AS bgs
+      FROM (SELECT doc_id, lang, {d.split('text')} AS ws FROM documents
+            WHERE {d.alen(d.split('text'))} >= 2) w
+    ) a {d.explode('bgs', 'bigram')}
+    GROUP BY lang, bigram
+  ) c
+) r WHERE rank <= 10"""
+
+
+_register("l21_bigram_stats", _l21)

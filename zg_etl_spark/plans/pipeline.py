@@ -987,3 +987,27 @@ w4_latest AS (SELECT MAX(day_id) AS m FROM w4_days)
 SELECT app_id, day_id,
        CASE WHEN day_id = (SELECT m FROM w4_latest) THEN n * 2 ELSE n END AS n
 FROM w4_days""")
+
+
+# ---------------------------------------------------------------------------
+# P26 error detail docs (A2, GateProcessFunction.java:136-180 +
+# IdResultProcessFunction.java:194-309): alongside the error COUNTERS (p1),
+# the DQ channel carries md5-keyed detail documents — one per distinct
+# error shape — so repeated identical failures dedup to one doc with a
+# count. md5 is engine-portable, so the fingerprints hash-match.
+# ---------------------------------------------------------------------------
+def _p26(d: Dialect) -> str:
+    return """
+SELECT app_id, error_code,
+       md5(CONCAT_WS('|', CAST(app_id AS STRING), CAST(error_code AS STRING),
+                     COALESCE(event_name, ''), COALESCE(sdk, ''),
+                     COALESCE(pl, ''))) AS detail_fp,
+       COUNT(*) AS n_occurrences,
+       MIN(seq) AS first_seq
+FROM gated WHERE error_code <> 0
+GROUP BY app_id, error_code, event_name, sdk, pl""".replace(
+        "AS STRING", "AS STRING" if d.name == "spark" else "AS VARCHAR"
+    )
+
+
+_register("p26_error_details", _p26)

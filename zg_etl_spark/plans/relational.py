@@ -1,4 +1,4 @@
-"""Relational query surface (FIXTURES.md §3 Q1–Q12).
+"""Relational query surface (q1–q18; grew past the FIXTURES.md §3 plan).
 
 The reference delegates all analytical SQL to Doris (SURVEY.md §2.8 — its
 runtime only counts); these queries ARE the analytical surface our engine
