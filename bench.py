@@ -59,6 +59,9 @@ def main() -> None:
     # number across rounds.
     duck_total = _duckdb_oracle_suite_sec(sf_dir)
 
+    import resource
+
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     print(
         json.dumps(
             {
@@ -71,6 +74,7 @@ def main() -> None:
                 "spark_over_duckdb_ratio": (
                     round(total / duck_total, 2) if duck_total else None
                 ),
+                "driver_python_peak_mb": peak_mb,
             }
         )
     )

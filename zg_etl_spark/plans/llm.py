@@ -1081,3 +1081,34 @@ SELECT lang, bigram, n_docs, rank FROM (
 
 
 _register("l21_bigram_stats", _l21)
+
+
+# ---------------------------------------------------------------------------
+# L22 stratified deterministic sampling: per-language keep rates (corpus
+# rebalancing — downsample the over-represented languages) via the same
+# content-addressed md5 bucket as l18, so the SAME document keeps/drops on
+# any cluster, partitioning, or rerun, and changing one stratum's rate
+# never reshuffles another's sample. Map-only; the rate table is an inline
+# VALUES broadcast.
+# ---------------------------------------------------------------------------
+_L22_RATES = [("en", 20), ("de", 50), ("zh", 50), ("fr", 80), ("es", 80)]
+
+
+def _l22(d) -> str:
+    rates = ", ".join(f"('{lang}', {pct})" for lang, pct in _L22_RATES)
+    return f"""
+SELECT lang, rate_pct,
+       COUNT(*) AS n_docs,
+       SUM(kept) AS n_kept,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+FROM (
+  SELECT dd.lang, r.rate_pct,
+         CASE WHEN {_hex_int(d, 'text')} % 100 < r.rate_pct
+              THEN 1 ELSE 0 END AS kept
+  FROM documents dd
+  JOIN (VALUES {rates}) AS r(r_lang, rate_pct) ON r.r_lang = dd.lang
+) s
+GROUP BY lang, rate_pct"""
+
+
+_register("l22_stratified_sample", _l22)
