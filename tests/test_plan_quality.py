@@ -161,3 +161,35 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     exact_parts = li.select("l_partkey").distinct().count()
     assert abs(row.approx_orders - exact_orders) <= 0.1 * exact_orders
     assert abs(row.approx_parts - exact_parts) <= 0.1 * exact_parts
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a filtered dim must prune fact
+    partitions at RUNTIME (dynamicpruning expression in the scan) — the
+    mechanism that keeps a 100 TB day-partitioned table from being fully
+    scanned when a dim filter selects few partition values."""
+    from zg_etl_spark.sinks import write_partitioned
+    from zg_etl_spark.sources.tables import load_table
+
+    fact_path = str(tmp_path / "li_part")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    write_partitioned(li, fact_path, ["l_returnflag"], dynamic=False)
+
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag string, verdict string"
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        fact = spark.read.parquet(fact_path)
+        joined = fact.join(
+            dim.filter("verdict = 'keep'"), fact.l_returnflag == dim.flag
+        )
+        plan = _plan(joined, "formatted")
+        assert "dynamicpruning" in plan.lower(), plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
