@@ -72,3 +72,37 @@ def test_hash_ids_deterministic_and_shuffle_free(spark):
     # map-side only: no Exchange in the plan
     plan = with_hash_device_ids(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_aqe_skew_join_splits(spark):
+    """AQE must detect and split the hot partition at runtime
+    (SortMergeJoin(skew=true) in the final adaptive plan) — the built-in
+    complement to the manual salting helpers; thresholds are lowered so
+    test-sized data exhibits the 100 TB behavior."""
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        fact = _skewed_df(spark, n=300_000)
+        dim = spark.createDataFrame(
+            [("hot", 1)] + [(f"k{i}", i) for i in range(100)], "k STRING, attr INT"
+        )
+        # execute THIS DataFrame's plan (collect) — .count() would build a
+        # separate QueryExecution and leave this one un-finalized
+        joined = fact.join(dim, "k").select(F.lit(1).alias("x"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
