@@ -1112,3 +1112,22 @@ GROUP BY lang, rate_pct"""
 
 
 _register("l22_stratified_sample", _l22)
+
+
+def release_derived_views(spark: SparkSession) -> None:
+    """Drop this session's memoized derived-set views so their
+    checkpointed blocks can be reclaimed. Long-lived sessions that sweep
+    many scale factors (or run the full suite repeatedly) otherwise keep
+    localCheckpoint blocks for the whole session lifetime — measured as
+    late-suite slowdown in BASELINE.md.
+
+    localCheckpoint blocks bypass the CacheManager, so there is no
+    direct unpersist: dropping the temp views releases the last plan
+    references and Spark's ContextCleaner unpersists the orphaned RDDs
+    after a JVM GC (nudged here). A cluster deployment persists these
+    sets as tables and DROPs them instead."""
+    key = id(spark)
+    names = _VIEW_MEMO.pop(key, {})
+    for name in names:
+        spark.catalog.dropTempView(name)
+    spark.sparkContext._jvm.System.gc()
