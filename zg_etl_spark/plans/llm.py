@@ -1131,3 +1131,35 @@ def release_derived_views(spark: SparkSession) -> None:
     for name in names:
         spark.catalog.dropTempView(name)
     spark.sparkContext._jvm.System.gc()
+
+
+# ---------------------------------------------------------------------------
+# L23 frame sampling as a declared query: every 4th fixed-size frame of
+# each media payload (operators/multimodal.py sample_frames — JVM-side
+# chunk explode, decode stubbed to byte slicing). The oracle reformulates
+# byte-slicing as hex-string slicing (DuckDB 1.0 cannot slice BLOBs), so
+# the two sides share no code path yet must produce identical frames.
+# ---------------------------------------------------------------------------
+def _l23_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    _register_docs_views(spark, sf_dir)
+    media = documents_as_media(spark.table("documents"))
+    return sample_frames(media, every_n=4).selectExpr(
+        "media_id",
+        "CAST(frame_idx AS BIGINT) AS frame_idx",
+        "hex(frame) AS frame_hex",
+    )
+
+
+QUERIES["l23_frame_sample"] = _l23_run
+ORACLE["l23_frame_sample"] = """
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+       substring(hex(encode(text)), CAST(i AS INT) * 512 + 1, 512) AS frame_hex
+FROM documents,
+     UNNEST(range(0, greatest(0, (octet_length(encode(text)) - 1) // 256) + 1))
+       AS t(i)
+WHERE i % 4 = 0"""
