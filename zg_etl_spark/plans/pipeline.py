@@ -1011,3 +1011,32 @@ GROUP BY app_id, error_code, event_name, sdk, pl""".replace(
 
 
 _register("p26_error_details", _p26)
+
+
+# ---------------------------------------------------------------------------
+# P27 per-user lifetime profile — the t_user_detail shape (sql/1.sql:
+# 396-657): first/last visit, span, and first/current channel + geo per
+# user in ONE aggregation pass via min_by/max_by (arg-min/arg-max on the
+# unique seq — no self-join, no window over the full history, one shuffle
+# on zg_id). Completes the first-touch (p14) / visit-stats (p13) family
+# with the "current value" side the reference's f_* tables carry.
+# ---------------------------------------------------------------------------
+def _p27(d: Dialect) -> str:
+    fn_min = "MIN_BY" if d.name == "spark" else "ARG_MIN"
+    fn_max = "MAX_BY" if d.name == "spark" else "ARG_MAX"
+    return f"""
+SELECT app_id, zg_id,
+       MIN(ct) AS first_visit_ct, MAX(ct) AS last_visit_ct,
+       MAX(ct) - MIN(ct) AS lifetime_ms,
+       COUNT(*) AS n_events,
+       {fn_min}(COALESCE(utm_source, ''), seq) AS first_channel,
+       {fn_max}(COALESCE(utm_source, ''), seq) AS current_channel,
+       {fn_min}(COALESCE(ref, ''), seq) AS first_ref,
+       {fn_max}(COALESCE(ref, ''), seq) AS current_ref,
+       {fn_min}(pl, seq) AS first_platform,
+       {fn_max}(pl, seq) AS current_platform
+FROM resolved
+GROUP BY app_id, zg_id"""
+
+
+_register("p27_user_profile", _p27)
