@@ -1,4 +1,4 @@
-"""Relational query surface (q1–q18; grew past the FIXTURES.md §3 plan).
+"""Relational query surface (q1–q19; grew past the FIXTURES.md §3 plan).
 
 The reference delegates all analytical SQL to Doris (SURVEY.md §2.8 — its
 runtime only counts); these queries ARE the analytical surface our engine
@@ -622,3 +622,28 @@ GROUP BY o.o_custkey"""
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
     return spark.sql(_Q18_BODY.format(src="q18_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Q19 NOT IN → null-aware anti join: customers with no high-value order.
+# NOT IN has three-valued-logic semantics a plain anti join gets wrong
+# when the subquery can yield NULL, so Spark plans a null-aware anti join
+# (single-column, broadcast-only) — a distinct physical path from q5's
+# left_anti. The subquery column here is non-null, so results match the
+# intuitive set difference in both engines while still exercising that
+# plan shape.
+# ---------------------------------------------------------------------------
+_Q19_BODY = """
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM {cust} c
+WHERE c.c_custkey NOT IN (
+  SELECT o.o_custkey FROM {orders} o WHERE o.o_totalprice > 400000
+)
+GROUP BY c.c_mktsegment"""
+
+
+@_q("q19_not_in_null_aware", _Q19_BODY.format(cust="customer", orders="orders"))
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q19_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q19_orders")
+    return spark.sql(_Q19_BODY.format(cust="q19_customer", orders="q19_orders"))
