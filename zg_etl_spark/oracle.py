@@ -39,6 +39,77 @@ def _norm(v: Any) -> Any:
     return v
 
 
+# DuckDB logical type -> comparison family. Families must agree with the
+# Spark column family or the driver's value hash (which stringifies after
+# an arrow/pandas conversion) drifts even when python fetchall() values
+# compare equal — e.g. HUGEINT -> float64 in pandas, DOUBLE 1.5e9 vs
+# BIGINT 1500000000. Caught r01: p13 (SUM->HUGEINT), q16 (epoch->DOUBLE).
+_DUCK_FAMILY = {
+    "TINYINT": "int",
+    "SMALLINT": "int",
+    "INTEGER": "int",
+    "BIGINT": "int",
+    "UTINYINT": "int",
+    "USMALLINT": "int",
+    "UINTEGER": "int",
+    "UBIGINT": "int",
+    "DOUBLE": "float",
+    "FLOAT": "float",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "DATE": "date",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    "BLOB": "bytes",
+}
+
+_SPARK_FAMILY = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "double": "float",
+    "float": "float",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "binary": "bytes",
+}
+
+
+def _family(type_name: str, table: dict) -> str:
+    t = type_name.split("(")[0].strip().lower() if table is _SPARK_FAMILY else type_name
+    if table is _DUCK_FAMILY:
+        t = str(type_name).upper()
+        if t.startswith("DECIMAL"):
+            return "decimal"
+        return table.get(t, f"other:{t}")
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array"):
+        return "array"
+    return table.get(t, f"other:{t}")
+
+
+def type_families(
+    spark_dtypes: list[tuple[str, str]], duck_cols: list[str], duck_types: list
+) -> list[str]:
+    """Per-column family mismatches between a Spark schema and a DuckDB
+    relation (matched by lower-cased column name)."""
+    duck = {c.lower(): _family(t, _DUCK_FAMILY) for c, t in zip(duck_cols, duck_types)}
+    errs = []
+    for name, dt in spark_dtypes:
+        sfam = _family(dt, _SPARK_FAMILY)
+        dfam = duck.get(name.lower())
+        if dfam is None:
+            continue  # column-name mismatch reported separately
+        if sfam != dfam:
+            errs.append(f"{name}: spark={dt}({sfam}) duck={dfam}")
+    return errs
+
+
 def _canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm(r[i]) for i in order) for r in rows]
@@ -54,13 +125,17 @@ def compare(
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_connection(sf_dir)
-    res = con.execute(oracle_sql)
-    d_cols = [d[0].lower() for d in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(oracle_sql)
+    d_cols = [c.lower() for c in rel.columns]
+    d_types = list(rel.types)
+    d_rows = rel.fetchall()
     con.close()
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    tf = type_families(sdf.dtypes, d_cols, d_types)
+    if tf:
+        return False, f"type-family mismatch (driver hash would drift): {tf}"
     if len(s_rows) != len(d_rows):
         return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
     sc, dc = _canon(s_rows, s_cols), _canon(d_rows, d_cols)

@@ -374,7 +374,8 @@ def _p13(d: Dialect) -> str:
 SELECT app_id, zg_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT sid) AS n_sessions,
-       SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur ELSE 0 END) AS total_duration,
+       CAST(SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur ELSE 0 END)
+            AS BIGINT) AS total_duration,
        MIN(ct) AS first_visit_ms,
        MAX(ct) AS last_visit_ms,
        COUNT(DISTINCT {day_id}) AS n_active_days

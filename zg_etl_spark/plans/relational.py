@@ -549,7 +549,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY {epoch}, o_orderkey)"""
 
 @_q(
     "q16_window_frames",
-    _Q16_BODY.format(src="orders", epoch="date_part('epoch', o_orderdate)"),
+    _Q16_BODY.format(
+        src="orders", epoch="CAST(date_part('epoch', o_orderdate) AS BIGINT)"
+    ),
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q16_orders")

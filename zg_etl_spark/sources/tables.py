@@ -39,8 +39,8 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - session timezone UTC: every date_format/CAST-to-DATE bucket and
       timestamp-literal comparison must agree with the DuckDB oracle's
       naive-UTC timestamps;
-    - parquet nanos-as-long: the events table stores TIMESTAMP(NANOS),
-      which Spark otherwise refuses to read;
+    - parquet nanos-as-long: older driver testdata stored events.ts as
+      TIMESTAMP(NANOS); harmless no-op on µs data / newer Spark;
     - shuffle partitions: lowered from the 200 default only (never
       overriding a deliberate setting) — at oracle scale 200-partition
       shuffles are pure task-launch overhead.
@@ -55,7 +55,29 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_events_ts(df)
+    return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Pin the engine-internal contract events.ts = epoch-NANOS BIGINT.
+
+    The driver testdata has shipped both TIMESTAMP(NANOS) (read as a nanos
+    BIGINT under nanosAsLong) and timestamp[us] (read as TIMESTAMP_NTZ —
+    Spark ≥4.1 ignores nanosAsLong for µs data). Every downstream stage
+    derives `ct` as `ts DIV 1_000_000`, so convert the NTZ reading to
+    nanos here. Map-side column arithmetic — no shuffle, stays inside
+    whole-stage codegen; the µs→ns widening is exact (int64 covers ±292y).
+    Session TZ is pinned UTC so the NTZ→TIMESTAMP cast is identity.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("timestamp_ntz", "timestamp"):
+        df = df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
