@@ -772,10 +772,10 @@ ranked AS (
 )
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN rn = 1 AND quality >= 0.5 THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN rn = 1 AND quality >= 0.5 THEN n_tokens ELSE 0 END) AS kept_tokens,
-       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dupes_dropped,
-       SUM(CASE WHEN rn = 1 AND quality < 0.5 THEN 1 ELSE 0 END) AS n_quality_dropped
+       CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn = 1 AND quality >= 0.5 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes_dropped,
+       CAST(SUM(CASE WHEN rn = 1 AND quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped
 FROM ranked
 GROUP BY lang, source"""
 
@@ -1099,7 +1099,7 @@ def _l22(d) -> str:
     return f"""
 SELECT lang, rate_pct,
        COUNT(*) AS n_docs,
-       SUM(kept) AS n_kept,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
        CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
 FROM (
   SELECT dd.lang, r.rate_pct,
