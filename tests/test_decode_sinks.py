@@ -179,6 +179,45 @@ def test_resolve_with_real_sm4(spark):
     assert json.loads(out[0].payload) == json.loads(payload)
 
 
+def test_pkcs5_unpad_validation():
+    """The naive padded[:-padded[-1]] unpad has three failure modes the
+    validated version must close: empty input crashed, trailing 0x00
+    silently emptied the plaintext, and a corrupt pad byte ate real data."""
+    import pytest
+
+    from zg_etl_spark.operators.decode import _pkcs5_unpad
+
+    assert _pkcs5_unpad(b"hello world\x05\x05\x05\x05\x05") == b"hello world"
+    assert _pkcs5_unpad(bytes([16] * 16)) == b""  # full-block pad
+    for bad in (
+        b"",                                    # empty → was IndexError
+        bytes(16),                              # trailing 0x00 → was b''
+        b"0123456789abcde\x11",                 # pad byte 17 > block size
+        b"0123456789abc\x01\x03\x03",           # pad bytes don't all match
+        b"short\x03\x03\x03",                   # not block-aligned
+    ):
+        with pytest.raises(ValueError):
+            _pkcs5_unpad(bad)
+
+
+def test_tampered_ciphertext_is_error_row(spark):
+    """Corrupt AES ciphertext must become result=-1 (the reference's
+    ResolveException → errData path), never an executor exception."""
+    from zg_etl_spark.operators.decode import aes_cbc_decryptor
+
+    secret, iv = "0123456789abcdef", "fedcba9876543210"
+    register_decryptor(1, aes_cbc_decryptor(lambda wire_key: (secret, iv)))
+    ct = _aes_encrypt(secret, iv, b'{"ak": "x"}')
+    tampered = ct[:-1] + bytes([ct[-1] ^ 0xFF])
+    wire = json.dumps({
+        "Ip": "1.2.3.4", "Now": 1,
+        "Args": {"event": base64.b64encode(tampered).decode(), "compress": 0,
+                 "encrypt": 1, "type": 1, "key": "k"},
+    })
+    out = resolve_wire(spark.createDataFrame([(wire,)], "raw string")).collect()
+    assert out[0].result == -1
+
+
 def test_partial_upsert(spark, tmp_path):
     """Doris partial-column update semantics: matched rows take incoming
     values for the update columns ONLY (including explicit NULLs — the

@@ -64,6 +64,25 @@ def test_interval_left_outer(spark):
     assert len(rows) == 7               # 5 matches + 2 null-filled
 
 
+def test_interval_left_outer_null_payload(spark):
+    """A MATCHED point carrying a NULL payload column must not re-emit as
+    unmatched: the anti-join must be null-safe (plain equality treats
+    NULL = NULL as unknown, so the null row leaked through as a duplicate
+    'unmatched' copy)."""
+    pts = spark.createDataFrame(
+        [("a", 150, None), ("a", 50, None)], "k string, ts long, pid long"
+    )
+    _, ivs = _frames(spark)
+    rows = interval_join(
+        pts, ivs, on=["k"], ts_col="ts", start_col="lo", end_col="hi",
+        bucket_width=100, how="left_outer",
+    ).collect()
+    got = sorted((r.ts, r.iv_id or "") for r in rows)
+    # ts=150 matches iv1+iv2 (and ONLY those — no null-filled duplicate);
+    # ts=50 is genuinely unmatched and appears once
+    assert got == [(50, ""), (150, "iv1"), (150, "iv2")]
+
+
 def test_interval_rejects_collision(spark):
     pts, _ = _frames(spark)
     with pytest.raises(ValueError, match="collision"):

@@ -22,3 +22,25 @@ def test_oracle_parity(spark, sf_dir, name):
 def test_rows_only(spark, sf_dir, name):
     df = ALL[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_type_family_arrays_and_decimals():
+    """DuckDB LIST types (BIGINT[] / LIST(...)) must map to the same
+    'array' family as Spark array<...>, and dialect dispatch must not
+    depend on dict identity."""
+    from zg_etl_spark.oracle import _duck_family, _spark_family
+
+    assert _duck_family("BIGINT[]") == "array"
+    assert _duck_family("LIST(VARCHAR)") == "array"
+    assert _spark_family("array<bigint>") == "array"
+    assert _duck_family("DECIMAL(38,6)") == _spark_family("decimal(38,6)") == "decimal"
+    assert _duck_family("HUGEINT") == "other:HUGEINT"  # still a mismatch vs bigint
+
+
+def test_session_key_is_application_id(spark):
+    """Memo keys must survive id() reuse after GC — applicationId is
+    unique per SparkContext lifetime."""
+    from zg_etl_spark.session import session_key
+
+    assert session_key(spark) == spark.sparkContext.applicationId
+    assert isinstance(session_key(spark), str)

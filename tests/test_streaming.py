@@ -85,6 +85,49 @@ def test_incremental_matches_batch(spark, tmp_path):
     assert streaming[(1, "d1")] == batch[(1, "d1")]
 
 
+def test_tied_seq_new_keys_get_distinct_ids(spark, tmp_path):
+    """Two NEW keys arriving with the SAME min-seq (duplicate seq values —
+    e.g. replayed offsets) must still receive distinct ids: dense_rank over
+    first_seq alone collided them onto one id."""
+    store = MappingStore(spark, str(tmp_path / "map"), key_col="did", id_col="zg_did")
+    b = spark.createDataFrame(
+        [(1, 1, "dx", 1_000, 7, "click"), (2, 1, "dy", 1_001, 7, "view")],
+        SCHEMA,
+    )
+    ids = {
+        r.did: r.zg_did
+        for r in incremental_device_ids(store, b).select("did", "zg_did").collect()
+    }
+    assert ids["dx"] != ids["dy"]
+    assert sorted(ids.values()) == [100_001, 100_002]
+
+
+def test_mapping_store_append_only(spark, tmp_path):
+    """merge() must write O(new keys), not a full store rewrite: each delta
+    dir holds only that batch's assignments, and a compaction snapshot
+    bounds read fan-in without touching prior deltas."""
+    import os
+
+    path = str(tmp_path / "map")
+    store = MappingStore(spark, path, key_col="did", id_col="zg_did")
+    for i in range(store.COMPACT_EVERY + 2):
+        b = spark.createDataFrame(
+            [(i, 1, f"d{i}", 1_000 + i, i, "click")], SCHEMA
+        )
+        incremental_device_ids(store, b)
+    deltas = [d for d in os.listdir(path) if d.startswith("v")]
+    snaps = [d for d in os.listdir(path) if d.startswith("s")]
+    assert len(deltas) == store.COMPACT_EVERY + 2
+    assert snaps, "compaction snapshot expected after COMPACT_EVERY merges"
+    # each delta holds exactly its batch's one new key (no rewrite)
+    for d in deltas:
+        assert spark.read.parquet(os.path.join(path, d)).count() == 1
+    # and the assembled state is complete and duplicate-free
+    state = store.read()
+    assert state.count() == store.COMPACT_EVERY + 2
+    assert state.select("did").distinct().count() == store.COMPACT_EVERY + 2
+
+
 def test_identity_stream_end_to_end(spark, batches, tmp_path):
     q = start_identity_stream(
         spark,

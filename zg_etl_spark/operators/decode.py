@@ -107,6 +107,20 @@ def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
     )
 
 
+def _pkcs5_unpad(padded: bytes) -> bytes:
+    """Validated PKCS5/PKCS7 unpad. A bare ``padded[:-padded[-1]]`` breaks
+    three ways: empty input → IndexError; trailing 0x00 → silently returns
+    b''; a corrupt pad byte >16 eats real plaintext. Invalid padding raises
+    ValueError, which the decode UDF maps to result=-1 (the reference's
+    ResolveException → errData path)."""
+    if not padded or len(padded) % 16:
+        raise ValueError("ciphertext not block-aligned")
+    pad = padded[-1]
+    if not 1 <= pad <= 16 or padded[-pad:] != bytes([pad]) * pad:
+        raise ValueError("invalid PKCS5 padding")
+    return padded[:-pad]
+
+
 def aes_cbc_decryptor(key_resolver):
     """Real AES/CBC/PKCS5Padding decryptor — the reference's cipher
     (common/util/AESUtil.java:22, UTF-8 key/iv bytes, base64 ciphertext).
@@ -130,7 +144,7 @@ def aes_cbc_decryptor(key_resolver):
             algorithms.AES(secret.encode()), modes.CBC(iv.encode())
         ).decryptor()
         padded = d.update(raw) + d.finalize()
-        return padded[: -padded[-1]]  # PKCS5/PKCS7 unpad
+        return _pkcs5_unpad(padded)
 
     return decrypt
 
@@ -150,6 +164,6 @@ def sm4_ecb_decryptor(key_resolver):
 
         d = Cipher(algorithms.SM4(key_resolver(wire_key)), modes.ECB()).decryptor()
         padded = d.update(raw) + d.finalize()
-        return padded[: -padded[-1]]  # PKCS5/PKCS7 unpad
+        return _pkcs5_unpad(padded)
 
     return decrypt

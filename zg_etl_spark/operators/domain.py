@@ -440,7 +440,9 @@ def ensure_pipeline_views(spark, sf_dir: str) -> None:
     Re-registers (and drops old cache) when sf_dir changes."""
     from zg_etl_spark.sources.tables import load_table
 
-    key = id(spark)
+    from zg_etl_spark.session import session_key
+
+    key = session_key(spark)
     if _ACTIVE.get(key) == sf_dir:
         return
     for df in _CACHED.get(key, []):

@@ -78,8 +78,16 @@ def interval_join(
     # bucketed key would duplicate a point across its false-hit buckets
     matched = pt.join(iv, [*on, _BUCKET]).where(contained).drop(_BUCKET)
     iv_cols = [c for c in intervals.columns if c not in on]
-    unmatched = pt.drop(_BUCKET).join(
-        matched.select(*points.columns), points.columns, "left_anti"
+    # null-safe anti-join: a name-list anti-join uses plain equality, so a
+    # matched point carrying a NULL in any payload column would re-emit as
+    # "unmatched" (NULL = NULL is not true); eqNullSafe closes that hole
+    left, right = pt.drop(_BUCKET).alias("_ivl"), matched.select(*points.columns).alias("_ivr")
+    cond = None
+    for c in points.columns:
+        eq = F.col(f"_ivl.{c}").eqNullSafe(F.col(f"_ivr.{c}"))
+        cond = eq if cond is None else cond & eq
+    unmatched = left.join(right, cond, "left_anti").select(
+        *[F.col(f"_ivl.{c}") for c in points.columns]
     )
     for c in iv_cols:
         unmatched = unmatched.withColumn(

@@ -79,18 +79,23 @@ _SPARK_FAMILY = {
 }
 
 
-def _family(type_name: str, table: dict) -> str:
-    t = type_name.split("(")[0].strip().lower() if table is _SPARK_FAMILY else type_name
-    if table is _DUCK_FAMILY:
-        t = str(type_name).upper()
-        if t.startswith("DECIMAL"):
-            return "decimal"
-        return table.get(t, f"other:{t}")
+def _spark_family(type_name: str) -> str:
+    t = type_name.split("(")[0].strip().lower()
     if t.startswith("decimal"):
         return "decimal"
     if t.startswith("array"):
         return "array"
-    return table.get(t, f"other:{t}")
+    return _SPARK_FAMILY.get(t, f"other:{t}")
+
+
+def _duck_family(type_name) -> str:
+    t = str(type_name).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    # LIST types print as ELEM[] (BIGINT[]) or LIST(ELEM)
+    if t.endswith("[]") or t.startswith("LIST("):
+        return "array"
+    return _DUCK_FAMILY.get(t, f"other:{t}")
 
 
 def type_families(
@@ -98,10 +103,10 @@ def type_families(
 ) -> list[str]:
     """Per-column family mismatches between a Spark schema and a DuckDB
     relation (matched by lower-cased column name)."""
-    duck = {c.lower(): _family(t, _DUCK_FAMILY) for c, t in zip(duck_cols, duck_types)}
+    duck = {c.lower(): _duck_family(t) for c, t in zip(duck_cols, duck_types)}
     errs = []
     for name, dt in spark_dtypes:
-        sfam = _family(dt, _SPARK_FAMILY)
+        sfam = _spark_family(dt)
         dfam = duck.get(name.lower())
         if dfam is None:
             continue  # column-name mismatch reported separately

@@ -225,7 +225,9 @@ _VIEW_MEMO: dict = {}
 
 
 def _shared_view(spark: SparkSession, sf_dir: str, name: str, sql: str) -> None:
-    key = id(spark)
+    from zg_etl_spark.session import session_key
+
+    key = session_key(spark)
     sf_views = _VIEW_MEMO.setdefault(key, {})
     # base views are re-registered unconditionally: another query may have
     # re-pointed `documents`/`embeddings` at a different sf_dir since the
@@ -1126,7 +1128,9 @@ def release_derived_views(spark: SparkSession) -> None:
     references and Spark's ContextCleaner unpersists the orphaned RDDs
     after a JVM GC (nudged here). A cluster deployment persists these
     sets as tables and DROPs them instead."""
-    key = id(spark)
+    from zg_etl_spark.session import session_key
+
+    key = session_key(spark)
     names = _VIEW_MEMO.pop(key, {})
     for name in names:
         spark.catalog.dropTempView(name)

@@ -65,7 +65,9 @@ _SRC_MEMO: dict = {}
 
 
 def _seq_ordered_source(spark: SparkSession, sf_dir: str, sql: str) -> str:
-    key = (id(spark), sf_dir, sql)
+    from zg_etl_spark.session import session_key
+
+    key = (session_key(spark), sf_dir, sql)
     if key in _SRC_MEMO:
         return _SRC_MEMO[key]
     import atexit

@@ -24,6 +24,14 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable per-session memo key. ``id(spark)`` is unsafe for this: a
+    GC'd session's id can be reused by a NEW session, which would then
+    inherit the dead session's memoized views/paths. applicationId is
+    unique per SparkContext lifetime."""
+    return spark.sparkContext.applicationId
+
+
 def get_spark(
     app_name: str = "zg_etl_spark",
     cpus: int | None = None,

@@ -33,12 +33,25 @@ DEVICE_ID_OFFSET = 100_000  # same namespace as batch did_ids (domain.py)
 
 
 class MappingStore:
-    """Persistent (app_id, key) -> id mapping table, parquet-backed.
+    """Persistent (app_id, key) -> id mapping table, parquet-backed,
+    append-only with periodic compaction.
 
     Plays the role of the reference's KVRocks hashes ``d:{appId}`` /
     ``u:{appId}`` (service/OneIdService.java:66-79). ``merge`` is the
     HSETNX analog: existing keys win, new keys get deterministic IDs.
+
+    Layout: each merge appends ONLY that batch's newly-assigned rows as a
+    delta directory (v0, v1, …); every ``COMPACT_EVERY`` merges a full
+    snapshot (s{n}) is written and reads start from it. Per-batch write
+    cost is O(new keys), not O(store) — the full-rewrite formulation was
+    O(store × batches) write amplification, which dominated the s-suite
+    wall clock and would be unrunnable at cluster state sizes. A crashed
+    write leaves prior dirs intact (restart re-merges the batch, same
+    deterministic ids); on a cluster this store is a Delta table and
+    ``merge`` is MERGE INTO, same logical contract.
     """
+
+    COMPACT_EVERY = 8
 
     def __init__(self, spark: SparkSession, path: str, key_col: str, id_col: str):
         self.spark = spark
@@ -46,31 +59,37 @@ class MappingStore:
         self.key_col = key_col
         self.id_col = id_col
 
-    def _latest(self) -> str | None:
+    def _dirs(self, prefix: str) -> dict[int, str]:
         if not os.path.isdir(self.path):
-            return None
-        versions = [d for d in os.listdir(self.path) if d.startswith("v")]
-        if not versions:
-            return None
-        return os.path.join(self.path, max(versions, key=lambda d: int(d[1:])))
+            return {}
+        return {
+            int(d[1:]): os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith(prefix) and d[1:].isdigit()
+        }
+
+    def _state_paths(self) -> list[str]:
+        """Latest snapshot (if any) + the delta dirs after it, in order."""
+        deltas, snaps = self._dirs("v"), self._dirs("s")
+        base = max(snaps) if snaps else -1
+        paths = [snaps[base]] if snaps else []
+        paths += [deltas[k] for k in sorted(deltas) if k > base]
+        return paths
 
     def read(self) -> DataFrame | None:
-        cur = self._latest()
-        return None if cur is None else self.spark.read.parquet(cur)
+        paths = self._state_paths()
+        return None if not paths else self.spark.read.parquet(*paths)
 
     def merge(self, assigned: DataFrame) -> None:
-        # each merge writes a NEW version directory (v0, v1, …): the write
-        # never clobbers the files its own input plan scans, so no defensive
-        # localCheckpoint materialization is needed — one job per merge, and
-        # a crashed write leaves the previous version intact (restart reads
-        # the latest complete version, the MVCC contract a Delta MERGE gives
-        # on a cluster). Versions are one per micro-batch, dropped with the
-        # work dir.
-        cur = self._latest()
-        nxt = 0 if cur is None else int(os.path.basename(cur)[1:]) + 1
-        existing = self.read()
-        out = assigned if existing is None else existing.unionByName(assigned)
-        out.write.parquet(os.path.join(self.path, f"v{nxt}"))
+        deltas = self._dirs("v")
+        nxt = max(deltas) + 1 if deltas else 0
+        assigned.write.parquet(os.path.join(self.path, f"v{nxt}"))
+        snaps = self._dirs("s")
+        base = max(snaps) if snaps else -1
+        if nxt - base >= self.COMPACT_EVERY:
+            # compaction bounds read() fan-in; writes a NEW dir, never
+            # touching the delta files any in-flight plan still scans
+            self.read().write.parquet(os.path.join(self.path, f"s{nxt}"))
 
 
 def incremental_get_or_create(
@@ -110,19 +129,21 @@ def incremental_get_or_create(
         existing.groupBy("app_id")
         .agg(F.max(id_col).alias("max_id"))
     )
-    w = Window.partitionBy("app_id").orderBy("first_seq")
+    # row_number with the key columns as tiebreak: two NEW keys tying on
+    # min-seq must still get DISTINCT ids (dense_rank over first_seq alone
+    # collides them — two devices sharing one id)
+    w = Window.partitionBy("app_id").orderBy("first_seq", *key_cols)
     assigned = (
         new_first.join(per_app_max, "app_id", "left")
         .withColumn(
             id_col,
-            F.coalesce(F.col("max_id"), base) + F.dense_rank().over(w),
+            F.coalesce(F.col("max_id"), base) + F.row_number().over(w),
         )
         .select("app_id", *key_cols, id_col)
     )
     store.merge(assigned)
-    # the caller must materialize this before the NEXT batch's merge
-    # overwrites the store files it references (the foreachBatch sink's
-    # write does exactly that)
+    # append-only store: the next merge never rewrites the delta files this
+    # plan scans, so no materialization hazard
     return batch.join(
         F.broadcast(store.read()), ["app_id", *key_cols], "left"
     )
@@ -333,7 +354,9 @@ def start_zgid_stream(
                 ["app_id", "did"],
                 "left_anti",
             )
-        bind_store.merge(first_in_batch.localCheckpoint(eager=True))
+        # append-only merge never clobbers the store files the anti-join
+        # above scans, so no localCheckpoint materialization is needed
+        bind_store.merge(first_in_batch)
 
     q = (
         spark.readStream.schema(schema)
