@@ -112,6 +112,21 @@ def test_pipeline_queries_stay_jvm_side(spark, sf_dir, name):
     assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
 
 
+def test_wide_table_pivot_is_map_side(spark, sf_dir):
+    """p8 derives cus{n}/type{n} from the row's own fields through the
+    broadcast attr_map pivot — the plan over the materialized spine must
+    contain NO Exchange and NO fact-grain aggregate (the melt+groupBy(seq)
+    +self-join formulation added two fact shuffles that dominate at scale).
+    All dimension joins broadcast."""
+    plan = _plan(ALL["p8_wide_table"](spark, sf_dir), "simple")
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not shuffles, f"p8 shuffles the fact:\n{plan}"
+    assert "SortMergeJoin" not in plan, f"p8 dim join fell off broadcast:\n{plan}"
+
+
 @pytest.mark.parametrize("name", ["l4_ngram_jaccard", "l6_lsh_candidates"])
 def test_shared_views_not_recomputed(spark, sf_dir, name):
     """Queries over a shared derived set (shingles / minhash signatures)

@@ -70,6 +70,36 @@ class Dialect:
     def s(self, x: str) -> str:
         return f"CAST({x} AS {self.strtype})"
 
+    # --- G8 sanitizers (transfer/EventAttrTransfer.java:497-534) ---------
+    def _bad_chars(self) -> str:
+        """SQL string literal whose runtime value is TAB NL CR " \\ —
+        the character class ensureLength strips (reference also strips
+        \\u0000, unrepresentable in a SQL literal; noted, not needed for
+        parquet-borne strings)."""
+        raise NotImplementedError
+
+    def clean(self, x: str, maxlen: int) -> str:
+        """ensureLength: NULL for null/empty, strip control chars/quotes/
+        backslashes to spaces, trim, truncate."""
+        return (
+            f"CASE WHEN {x} IS NULL OR {x} = '' THEN NULL "
+            f"ELSE substring(trim(translate({x}, {self._bad_chars()}, '     ')), 1, {maxlen}) END"
+        )
+
+    def is_digits(self, x: str) -> str:
+        raise NotImplementedError
+
+    def int_len(self, x: str) -> str:
+        """ensureIntLength(…, 256): digits-only, ≤6 chars, else NULL."""
+        return (
+            f"CASE WHEN {x} IS NULL OR {x} = '' OR {x} = 'null' "
+            f"OR length({x}) > 6 OR NOT {self.is_digits(x)} THEN NULL ELSE {x} END"
+        )
+
+    def net(self, x: str) -> str:
+        """ensureNetwork: '-1' -> NULL, else ensureIntLength."""
+        return f"CASE WHEN {x} = '-1' THEN NULL ELSE {self.int_len(x)} END"
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -95,6 +125,14 @@ class SparkDialect(Dialect):
 
     def iso_thursday(self, d):
         return f"date_add({d}, 3 - weekday({d}))"  # weekday: 0=Mon
+
+    def _bad_chars(self):
+        # Spark processes backslash escapes in '…' literals: \t\n\r stay
+        # escapes, \\\\ -> one backslash at runtime
+        return "'\\t\\n\\r\"\\\\'"
+
+    def is_digits(self, x):
+        return f"{x} RLIKE '^[0-9]+$'"
 
 
 class DuckDialect(Dialect):
@@ -124,9 +162,30 @@ class DuckDialect(Dialect):
     def iso_thursday(self, d):
         return f"({d} + CAST(4 - isodow({d}) AS INTEGER))"
 
+    def _bad_chars(self):
+        # DuckDB '…' literals are raw: embed the control chars directly
+        return "'\t\n\r\"\\'"
+
+    def is_digits(self, x):
+        return f"regexp_matches({x}, '^[0-9]+$')"
+
 
 SPARK = SparkDialect()
 DUCK = DuckDialect()
+
+
+def custom_attrs(d: Dialect, q: str = "") -> list[tuple[str, str, int]]:
+    """The `_`-prefixed custom properties the synthetic feed carries
+    (attr_name, value_expr over a feed row, prop_type 1=string 2=number).
+    ``q`` qualifies the row alias (e.g. "e."). Single source for BOTH the
+    melt that feeds dictionary registration (attrs_melted) and the
+    map-side cus{n} pivot in the wide table — the two can never disagree
+    on a property's value."""
+    return [
+        ("_etype", f"{q}event_type", 1),
+        ("_k", d.s(f"{q}k"), 2),
+        ("_vbucket", d.s(d.idiv(f"{q}k", "10")), 2),
+    ]
 
 # stages whose output is shared by many queries → cached on the Spark side
 # (events_typed deliberately NOT cached: it is a cheap filter over the
@@ -137,6 +196,7 @@ CACHE_STAGES = {
     "event_dict",
     "attrs_melted",
     "attr_dict",
+    "attr_map",
     "did_ids",
     "uid_ids",
     "device_zgid",
@@ -171,7 +231,10 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
          CASE WHEN user_id % 11 = 0 THEN 'zg_server' ELSE 'zg-android' END AS sdk,
          CASE event_type WHEN 'click' THEN 'evt' WHEN 'purchase' THEN 'evt'
               WHEN 'view' THEN 'abp' WHEN 'signup' THEN 'usr'
-              ELSE CASE WHEN event_id % 2 = 0 THEN 'pl' ELSE 'mkt' END END AS dt,
+              ELSE CASE WHEN event_id % 2 = 1 THEN 'mkt'
+                        WHEN event_id % 10 = 0 THEN 'ss'
+                        WHEN event_id % 10 = 4 THEN 'se'
+                        ELSE 'pl' END END AS dt,
          'did_' || {s('user_id')} AS did,
          CASE WHEN user_id % 5 < 2 THEN 'cu_' || {s('(user_id % 40)')} END AS cuid,
          CASE WHEN event_type IN ('click', 'purchase', 'view')
@@ -200,7 +263,17 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
                 THEN 'https://www.baidu.com/s?wd=kw_' || {s(k_expr)}
               WHEN event_type = 'click' THEN 'https://example.com/page'
               END AS ref,
-         CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source
+         CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source,
+         CASE user_id % 8 WHEN 0 THEN '-1' WHEN 1 THEN '2' WHEN 2 THEN '4'
+              WHEN 3 THEN '1234567' WHEN 4 THEN 'wifi' END AS net,
+         CASE WHEN user_id % 4 = 0 THEN {s('(46000 + user_id % 3)')}
+              WHEN user_id % 4 = 1 THEN 'mnc?' END AS cr,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN 'https://site' || {s(app_id)} || '.example.com/p/'
+                   || {s('(event_id % 20)')} END AS url,
+         CASE user_id % 6 WHEN 0 THEN 'appstore'
+              WHEN 1 THEN 'ch"q"' WHEN 2 THEN 'c' || chr(9) || 'tab' END AS cn,
+         'v' || {s('(user_id % 4)')} || '.0' AS vn
   FROM events""",
     ))
 
@@ -331,17 +404,13 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     ))
     out.append((
         "attrs_melted",
-        f"""
+        "\n  UNION ALL\n".join(
+            f"""
   SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq,
-         '_etype' AS attr_name, event_type AS attr_value, 1 AS prop_type
-  FROM events_typed
-  UNION ALL
-  SELECT app_id, owner_e, event_name_t, seq, '_k', {d.s('k')}, 2
-  FROM events_typed
-  UNION ALL
-  SELECT app_id, owner_e, event_name_t, seq, '_vbucket',
-         {d.s(d.idiv('k', '10'))}, 2
-  FROM events_typed""",
+         '{name}' AS attr_name, {val} AS attr_value, {ptype} AS prop_type
+  FROM events_typed"""
+            for name, val, ptype in custom_attrs(d)
+        ),
     ))
     out.append((
         "attr_first",
@@ -364,6 +433,24 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
                    AS BIGINT) AS col_idx
     FROM attr_first
   ) x""",
+    ))
+    # attr_map: the dictionary pivoted to one row per (zg_eid, owner) with
+    # the attr name + type occupying each physical cus column. Aggregates
+    # the DICT (broadcast-sized by construction), never the fact — the wide
+    # table derives cus{n} map-side from the row's own fields through this
+    # lookup, with ZERO fact-grain shuffles (EventAttrTransfer.java:162-228
+    # does the same via a per-record column-index cache).
+    out.append((
+        "attr_map",
+        """
+  SELECT zg_eid, owner,
+         MAX(CASE WHEN col_idx = 1 THEN attr_name END) AS a1,
+         MAX(CASE WHEN col_idx = 1 THEN CAST(prop_type AS INT) END) AS t1,
+         MAX(CASE WHEN col_idx = 2 THEN attr_name END) AS a2,
+         MAX(CASE WHEN col_idx = 2 THEN CAST(prop_type AS INT) END) AS t2,
+         MAX(CASE WHEN col_idx = 3 THEN attr_name END) AS a3,
+         MAX(CASE WHEN col_idx = 3 THEN CAST(prop_type AS INT) END) AS t3
+  FROM attr_dict GROUP BY zg_eid, owner""",
     ))
 
     # M3 user-property dictionary: get-or-create per (app, owner, prop_name)

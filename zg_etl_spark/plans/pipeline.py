@@ -216,28 +216,67 @@ _register("p7_enrichment", _p7)
 
 
 # ---------------------------------------------------------------------------
-# P8 wide event table: time buckets + ids + cus/type pivot (R3 semantics,
-# EventAttrTransfer.java:94-350; pivot :162-228)
+# P8 wide event table: time buckets + ids + map-side cus/type pivot
+# (R3 semantics, EventAttrTransfer.java:94-365; basic fill :233-350;
+# st/se rewrite :360-365; sanitizers :497-534; pivot :162-228).
+#
+# Scale shape: the fact scans ONCE and every join is against a
+# broadcast-sized side (event_dict, attr_map, ip_ranges, ua_rules) — cus{n}
+# values are derived from the row's OWN fields via the pivoted dictionary
+# (attr_map), so there is NO fact-grain groupBy(seq) + self-join (the
+# previous formulation shuffled the melted fact twice on a high-cardinality
+# key; at 100 TB those two Exchanges dominate the stage).
 # ---------------------------------------------------------------------------
+def _cus_value(d: Dialect, name_expr: str) -> str:
+    """Value of the custom attr occupying a physical column, derived from
+    the event row's own fields — same value table as attrs_melted."""
+    from zg_etl_spark.operators.domain import custom_attrs
+
+    whens = " ".join(
+        f"WHEN '{name}' THEN {val}" for name, val, _ in custom_attrs(d, q="e.")
+    )
+    return f"CASE {name_expr} {whens} END"
+
+
 def _p8(d: Dialect) -> str:
     ts_ct = d.ts("e.ct")
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
     th = d.iso_thursday(dref)
     private_ip = _PRIVATE_IP.replace("ip_long", "e.ip_long")
+    website = "regexp_extract(e.ref, 'https?://([^/]+)', 1)"
+    # the BROADCAST hint is a comment to DuckDB, a join-strategy pin to
+    # Spark: checkpointed dict views carry no stats, so without it the
+    # planner falls back to SortMergeJoin (two fact shuffles)
     return f"""
-SELECT e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
-       COALESCE(e.sid, -1) AS zg_sid, dct.zg_eid,
+SELECT /*+ BROADCAST(dct), BROADCAST(am), BROADCAST(g), BROADCAST(u) */
+       e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
+       COALESCE(e.sid, -1) AS zg_sid,
+       CASE e.dt WHEN 'ss' THEN CAST(-1 AS BIGINT)
+                 WHEN 'se' THEN CAST(-2 AS BIGINT)
+                 ELSE dct.zg_eid END AS zg_eid,
        md5({d.s('e.seq')}) AS uuid,
+       CASE e.dt WHEN 'ss' THEN 'st' WHEN 'se' THEN 'se'
+                 ELSE {d.clean('e.event_name_t', 256)} END AS event_name,
        CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT) AS begin_day_id,
        {d.idiv('e.ct', '1000')} AS begin_date,
        CAST({d.fmt(ts_ct, 'HH')} AS INT) AS begin_time_id,
        CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yw,
        CAST(e.pl_id AS INT) AS platform,
+       {d.net('e.net')} AS network,
+       {d.int_len('e.cr')} AS mccmnc,
+       {d.clean('e.ua', 256)} AS useragent,
+       {d.clean(website, 1088)} AS website,
+       {d.clean('e.url', 1088)} AS current_url,
+       {d.clean('e.ref', 1088)} AS referrer_url,
+       {d.clean('e.cn', 256)} AS channel,
+       {d.clean('e.vn', 256)} AS app_version,
        e.ip_long,
+       {d.clean('e.ip', 256)} AS ip_str,
        CASE WHEN {private_ip} THEN NULL ELSE g.country END AS country,
-       CASE WHEN {private_ip} THEN NULL ELSE g.province END AS province,
+       CASE WHEN {private_ip} THEN NULL ELSE g.province END AS area,
        CASE WHEN {private_ip} THEN NULL ELSE g.city END AS city,
-       u.os, u.browser, u.device_type,
+       u.os, u.os_version AS ov, u.browser AS bs, u.browser_version AS bv,
+       u.device_type,
        CASE WHEN e.ref LIKE '%google%' THEN 'google'
             WHEN e.ref LIKE '%baidu%' THEN 'baidu' END AS search_engine,
        CASE WHEN e.utm_source IS NOT NULL THEN 'given'
@@ -245,31 +284,30 @@ SELECT e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
             WHEN e.ref IS NOT NULL THEN '引荐' END AS utm_medium,
        COALESCE(e.utm_source,
                 CASE WHEN e.ref LIKE '%google%' OR e.ref LIKE '%baidu%'
-                     THEN regexp_extract(e.ref, 'https?://([^/]+)', 1) END)
+                     THEN {website} END)
            AS utm_source_f,
-       CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur END AS duration,
+       CASE WHEN e.ref LIKE '%google%'
+              THEN regexp_extract(e.ref, '[?&]q=([^&]*)', 1)
+            WHEN e.ref LIKE '%baidu%'
+              THEN regexp_extract(e.ref, '[?&]wd=([^&]*)', 1) END AS utm_term,
+       CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur
+            ELSE CAST(0 AS BIGINT) END AS duration,
        {d.s('e.zg_id')} || '_' || {d.s('COALESCE(e.sid, -1)')} AS attr5,
-       p.cus1, p.type1, p.cus2, p.type2, p.cus3, p.type3
-FROM events_typed e
-JOIN event_dict dct ON dct.app_id = e.app_id AND dct.owner = e.owner_e
-                   AND dct.event_name = e.event_name_t
+       {_cus_value(d, 'am.a1')} AS cus1, am.t1 AS type1,
+       {_cus_value(d, 'am.a2')} AS cus2, am.t2 AS type2,
+       {_cus_value(d, 'am.a3')} AS cus3, am.t3 AS type3
+FROM (
+  SELECT *, CASE WHEN dt = 'abp' THEN 'zg' ELSE owner END AS owner_e,
+         substring(event_name, 1, 100) AS event_name_t
+  FROM resolved
+  WHERE (dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL)
+     OR dt IN ('ss', 'se')
+) e
+LEFT JOIN event_dict dct ON dct.app_id = e.app_id AND dct.owner = e.owner_e
+                        AND dct.event_name = e.event_name_t
+LEFT JOIN attr_map am ON am.zg_eid = dct.zg_eid AND am.owner = e.owner_e
 LEFT JOIN ip_ranges g ON e.ip_long BETWEEN g.ip_lo AND g.ip_hi
-LEFT JOIN ua_rules u ON u.ua = e.ua
-LEFT JOIN (
-  SELECT m.seq,
-         MAX(CASE WHEN a.col_idx = 1 THEN m.attr_value END) AS cus1,
-         MAX(CASE WHEN a.col_idx = 1 THEN CAST(a.prop_type AS INT) END) AS type1,
-         MAX(CASE WHEN a.col_idx = 2 THEN m.attr_value END) AS cus2,
-         MAX(CASE WHEN a.col_idx = 2 THEN CAST(a.prop_type AS INT) END) AS type2,
-         MAX(CASE WHEN a.col_idx = 3 THEN m.attr_value END) AS cus3,
-         MAX(CASE WHEN a.col_idx = 3 THEN CAST(a.prop_type AS INT) END) AS type3
-  FROM attrs_melted m
-  JOIN event_dict e2 ON e2.app_id = m.app_id AND e2.owner = m.owner
-                    AND e2.event_name = m.event_name
-  JOIN attr_dict a ON a.zg_eid = e2.zg_eid AND a.owner = m.owner
-                  AND a.attr_name = m.attr_name
-  GROUP BY m.seq
-) p ON p.seq = e.seq"""
+LEFT JOIN ua_rules u ON u.ua = e.ua"""
 
 
 _register("p8_wide_table", _p8)
