@@ -219,13 +219,15 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
          {d.event_ms()} * 1000000 + event_id AS seq,
          {app_id} AS app_id,
          CASE WHEN user_id % 31 = 7 THEN 'ak_bad'
+              WHEN user_id % 31 = 16 THEN 'ak_drop'
               ELSE 'ak_' || {s(app_id)} END AS ak,
          CASE WHEN event_type = 'signup' THEN 'zg_cdp'
               WHEN event_type = 'error' AND user_id % 2 = 0 THEN 'weird'
               ELSE 'zg' END AS owner_raw,
-         CASE user_id % 7 WHEN 0 THEN 'and' WHEN 1 THEN 'ios' WHEN 2 THEN 'js'
-              WHEN 3 THEN 'wxa' WHEN 4 THEN 'server' WHEN 5 THEN 'harmonyos'
-              ELSE 'none' END AS pl,
+         CASE WHEN user_id % 53 = 9 THEN 'bb10'
+              ELSE CASE user_id % 7 WHEN 0 THEN 'and' WHEN 1 THEN 'ios'
+                   WHEN 2 THEN 'js' WHEN 3 THEN 'wxa' WHEN 4 THEN 'server'
+                   WHEN 5 THEN 'harmonyos' ELSE 'none' END END AS pl,
          CASE user_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
               WHEN 3 THEN 4 WHEN 4 THEN 5 WHEN 5 THEN 6 ELSE 0 END AS pl_id,
          CASE WHEN user_id % 11 = 0 THEN 'zg_server' ELSE 'zg-android' END AS sdk,
@@ -235,7 +237,9 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
                         WHEN event_id % 10 = 0 THEN 'ss'
                         WHEN event_id % 10 = 4 THEN 'se'
                         ELSE 'pl' END END AS dt,
-         'did_' || {s('user_id')} AS did,
+         CASE WHEN user_id % 37 = 5 THEN ''
+              WHEN user_id % 43 = 11 THEN 'did_' || repeat('x', 120)
+              ELSE 'did_' || {s('user_id')} END AS did,
          CASE WHEN user_id % 5 < 2 THEN 'cu_' || {s('(user_id % 40)')} END AS cuid,
          CASE WHEN event_type IN ('click', 'purchase', 'view')
                    OR (event_type = 'error' AND event_id % 2 = 1)
@@ -273,7 +277,9 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
                    || {s('(event_id % 20)')} END AS url,
          CASE user_id % 6 WHEN 0 THEN 'appstore'
               WHEN 1 THEN 'ch"q"' WHEN 2 THEN 'c' || chr(9) || 'tab' END AS cn,
-         'v' || {s('(user_id % 4)')} || '.0' AS vn
+         'v' || {s('(user_id % 4)')} || '.0' AS vn,
+         CASE user_id % 10 WHEN 0 THEN 'biz_a' WHEN 1 THEN 'biz_x' END
+             AS business_raw
   FROM events""",
     ))
 
@@ -296,25 +302,46 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     out.append(("ua_bl", f"SELECT * FROM {R.values_sql(R.UA_BLACKLIST, [])} AS t(b_app_id, b_ua)"))
     out.append(("ua_rules", f"SELECT * FROM {R.values_sql(R.UA_RULES, [])} AS t({', '.join(R.UA_RULE_COLS)})"))
     out.append(("ip_ranges", f"SELECT * FROM {R.values_sql(R.IP_RANGES, [])} AS t({', '.join(R.IP_RANGE_COLS)})"))
+    out.append((
+        "biz_wl",
+        f"SELECT * FROM {R.values_sql(R.BUSINESS_WHITELIST, [])} AS t(wb_cid, wb_business)",
+    ))
 
-    # gate: error-code attribution order preserved (ak → ip-black → ua-black
-    # → time validity); zg_server / zg-cdp sdks exempt from the window
-    # (dataquality/TimeValidator.java:40-41)
+    # gate (GateFlatMapFunction.java:102-213), the reference's observable
+    # attribution order:
+    #   1. ak not in filter.aks       -> SILENT drop (:139-141, no error row)
+    #   2. ak not in app registry     -> 1010006 AK_NONE
+    #   3. basicSchema conformance    -> 1020002 BASIC_SCHEMA_FORMAT_NOT_MATCH
+    #      (CheckJSONSchemaUtil.java:55-78 + basicSchema.json: usr.did
+    #      minLength 1 / maxLength 100, pl enum)
+    #   4. business whitelist         -> NOT an error: business reset to ''
+    #   5. per-app ip blacklist       -> 1010001 IP_BLOCK
+    #   6. per-app ua blacklist       -> 1010002 UA_BLOCK
+    #   7. time validity (G7, dw)     -> 1030005 EVENT_TIME_EXCEEDS_RANGE;
+    #      zg_server / zg-cdp sdks exempt (dataquality/TimeValidator.java:40-41)
+    filter_aks = ", ".join(f"'{a}'" for a in R.FILTER_AKS)
     out.append((
         "gated",
         f"""
   SELECT f.*, r.company_id,
-         CASE WHEN r.r_app_id IS NULL THEN 1001
-              WHEN ipb.b_ip IS NOT NULL THEN 1003
-              WHEN uab.b_ua IS NOT NULL THEN 1004
+         CASE WHEN b.wb_business IS NOT NULL THEN f.business_raw
+              ELSE '' END AS business,
+         CASE WHEN r.r_app_id IS NULL THEN 1010006
+              WHEN f.did = '' OR length(f.did) > 100 OR f.pl NOT IN
+                   ('none', 'and', 'ios', 'js', 'wxa', 'server', 'harmonyos')
+                THEN 1020002
+              WHEN ipb.b_ip IS NOT NULL THEN 1010001
+              WHEN uab.b_ua IS NOT NULL THEN 1010002
               WHEN NOT (f.sdk IN ('zg_server', 'zg-cdp') OR
                         (f.ct BETWEEN f.now_ref - {VALID_PAST_MS}
-                                  AND f.now_ref + {VALID_FUTURE_MS})) THEN 1005
+                                  AND f.now_ref + {VALID_FUTURE_MS})) THEN 1030005
               ELSE 0 END AS error_code
   FROM enveloped f
   LEFT JOIN app_reg r ON f.ak = r.r_ak
+  LEFT JOIN biz_wl b ON b.wb_cid = r.company_id AND b.wb_business = f.business_raw
   LEFT JOIN ip_bl ipb ON ipb.b_app_id = f.app_id AND ipb.b_ip = f.ip
-  LEFT JOIN ua_bl uab ON uab.b_app_id = f.app_id AND uab.b_ua = f.ua""",
+  LEFT JOIN ua_bl uab ON uab.b_app_id = f.app_id AND uab.b_ua = f.ua
+  WHERE f.ak IN ({filter_aks})""",
     ))
     out.append(("gate_ok", "SELECT * FROM gated WHERE error_code = 0 AND debug = 0"))
 

@@ -17,9 +17,29 @@ APP_REGISTRY = [
     ("ak_3", 3, 13),
 ]
 
-# per-app blocklists (GateFlatMapFunction.java:177-208)
+# per-app blocklists (GateFlatMapFunction.java:177-208).
+# NB: ua and app derive from the same user_id (ua = user_id%6, app =
+# user_id%3+1), so the blacklisted pair must be residue-compatible:
+# (2, UA_5) could never co-occur (5 mod 3 = 2 ≠ 1) and the UA_BLOCK
+# path silently never fired — (2, UA_4) does (4 mod 3 = 1).
 IP_BLACKLIST = [(1, "10.0.0.1")]
-UA_BLACKLIST = [(2, "UA_5")]
+UA_BLACKLIST = [(2, "UA_4")]
+
+# the `filter.aks` processing list (GateFlatMapFunction.java:139-141):
+# records whose ak is NOT here are dropped silently — no error row, no
+# counter; ak_bad stays listed so it reaches the registry lookup and
+# fails with AK_NONE instead
+FILTER_AKS = ["ak_1", "ak_2", "ak_3", "ak_bad"]
+
+# business whitelist (GateFlatMapFunction.java:160-175): business kept
+# only when (company_id, business) is whitelisted, else reset to '' —
+# a normalization, not an error
+BUSINESS_WHITELIST = [
+    (11, "biz_a"),
+    (12, "biz_a"),
+    (13, "biz_a"),
+    (12, "biz_x"),
+]
 
 # closed-world UA parse table (reference uses a regex parser with a Caffeine
 # cache, UserAgentParser.java:29-280; a broadcast rules table is the

@@ -40,7 +40,7 @@ _WINDOW = [
     "p23_ad_conversion",
     "p24_app_first_seen",
     "p13_user_visit_stats",
-    "p19_event_highwater",
+    "p28_gate_business",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational)

@@ -292,6 +292,10 @@ SELECT /*+ BROADCAST(dct), BROADCAST(am), BROADCAST(g), BROADCAST(u) */
               THEN regexp_extract(e.ref, '[?&]wd=([^&]*)', 1) END AS utm_term,
        CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur
             ELSE CAST(0 AS BIGINT) END AS duration,
+       {d.clean('e.business', 256)} AS attr1,
+       CAST(NULL AS {d.strtype}) AS attr2,
+       CAST(NULL AS {d.strtype}) AS attr3,
+       CAST(NULL AS {d.strtype}) AS attr4,
        {d.s('e.zg_id')} || '_' || {d.s('COALESCE(e.sid, -1)')} AS attr5,
        {_cus_value(d, 'am.a1')} AS cus1, am.t1 AS type1,
        {_cus_value(d, 'am.a2')} AS cus2, am.t2 AS type2,
@@ -1079,3 +1083,19 @@ GROUP BY app_id, zg_id"""
 
 
 _register("p27_user_profile", _p27)
+
+
+# ---------------------------------------------------------------------------
+# P28 gate coverage: per (ak, business, error_code) accounting — exercises
+# the filter.aks silent drop (ak_drop never appears), AK_NONE vs schema vs
+# blacklist attribution order, and the business whitelist normalization
+# (biz_x survives only for company 12; everything else resets to '')
+# (GateFlatMapFunction.java:102-213, CheckJSONSchemaUtil.java:55-78)
+# ---------------------------------------------------------------------------
+def _p28(d: Dialect) -> str:
+    return """
+SELECT ak, business, error_code, COUNT(*) AS n
+FROM gated GROUP BY ak, business, error_code"""
+
+
+_register("p28_gate_business", _p28)
