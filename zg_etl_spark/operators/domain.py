@@ -194,6 +194,7 @@ CACHE_STAGES = {
     "gated",
     "resolved",
     "event_dict",
+    "event_dict_eff",
     "attrs_melted",
     "attr_dict",
     "attr_map",
@@ -429,25 +430,115 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
               AS BIGINT) AS zg_eid
   FROM event_first""",
     ))
+
+    # --- dictionary governance (M1 gating) ---------------------------------
+    # event_dict above is the UNGATED get-or-create relation (every
+    # first-seen event assigned an id) — it stays the oracle for the
+    # streaming get-or-create (s4) and the high-water query. The effective
+    # dictionary below applies the reference's creation rules: preseeded
+    # rows always exist; new events are created only when the app allows
+    # auto-create and the total id count stays under the app's cap
+    # (EventAsyncOperator.java:300-326; company_app.event_sum/auto_event).
+    out.append((
+        "app_cfg",
+        f"SELECT * FROM {R.values_sql(R.APP_CONFIG, [])} "
+        "AS t(cfg_app_id, auto_disabled, event_cap, attr_cap)",
+    ))
+    out.append((
+        "event_preseed",
+        f"SELECT * FROM {R.values_sql(R.EVENT_PRESEED, [])} "
+        "AS t(ps_app_id, ps_owner, ps_event_name, ps_eid)",
+    ))
+    out.append((
+        "event_bl",
+        f"SELECT * FROM {R.values_sql(R.EVENT_BLACKLIST, [])} "
+        "AS t(bl_app_id, bl_owner, bl_event_name)",
+    ))
+    out.append((
+        "attr_bl",
+        f"SELECT * FROM {R.values_sql(R.ATTR_BLACKLIST, [])} "
+        "AS t(ab_app_id, ab_attr_name)",
+    ))
+    out.append((
+        "uprop_bl",
+        f"SELECT * FROM {R.values_sql(R.USER_PROP_BLACKLIST, [])} "
+        "AS t(ub_app_id, ub_prop_name)",
+    ))
+    out.append((
+        "event_dict_eff",
+        """
+  SELECT ps_app_id AS app_id, ps_owner AS owner, ps_event_name AS event_name,
+         CAST(ps_eid AS BIGINT) AS zg_eid
+  FROM event_preseed
+  UNION ALL
+  SELECT app_id, owner, event_name,
+         CAST(1000 * app_id + pre_n + rk AS BIGINT) AS zg_eid
+  FROM (
+    SELECT ef.app_id, ef.owner, ef.event_name, c.event_cap,
+           COALESCE(pc.pre_n, 0) AS pre_n,
+           DENSE_RANK() OVER (PARTITION BY ef.app_id ORDER BY ef.first_seq) AS rk
+    FROM event_first ef
+    JOIN app_cfg c ON c.cfg_app_id = ef.app_id
+    LEFT JOIN event_preseed p ON p.ps_app_id = ef.app_id
+         AND p.ps_owner = ef.owner AND p.ps_event_name = ef.event_name
+    LEFT JOIN (SELECT ps_app_id, COUNT(*) AS pre_n FROM event_preseed
+               GROUP BY ps_app_id) pc ON pc.ps_app_id = ef.app_id
+    WHERE c.auto_disabled = 0 AND p.ps_eid IS NULL
+  ) x WHERE pre_n + rk <= event_cap""",
+    ))
+    # per-sub-record event resolution outcome, reference attribution order:
+    # resolved + blacklisted -> EVENT_BLACK; unresolved on a no-auto-create
+    # app -> EVENT_CREATE_DISABLED; unresolved under the cap rule ->
+    # EVENT_COUNT_EXCEED (ErrorMessageEnum 1020102/1020103/1020104)
+    out.append((
+        "events_dicted",
+        """
+  SELECT /*+ BROADCAST(ed), BROADCAST(bl), BROADCAST(cfg) */
+         et.*, ed.zg_eid,
+         CASE WHEN ed.zg_eid IS NOT NULL AND bl.bl_event_name IS NOT NULL
+                THEN 1020102
+              WHEN ed.zg_eid IS NULL AND cfg.auto_disabled = 1 THEN 1020103
+              WHEN ed.zg_eid IS NULL THEN 1020104
+              ELSE 0 END AS event_error_code
+  FROM events_typed et
+  JOIN app_cfg cfg ON cfg.cfg_app_id = et.app_id
+  LEFT JOIN event_dict_eff ed ON ed.app_id = et.app_id
+       AND ed.owner = et.owner_e AND ed.event_name = et.event_name_t
+  LEFT JOIN event_bl bl ON bl.bl_app_id = et.app_id
+       AND bl.bl_owner = et.owner_e AND bl.bl_event_name = et.event_name_t""",
+    ))
+    # attr melt runs only for sub-records whose event RESOLVED (the
+    # reference's operator order: EventAttrAsyncOperator after
+    # EventAsyncOperator, errored records skip ahead); blacklisted
+    # property keys are dropped before registration
+    # (EventAttrAsyncOperator.java:784-834)
+    melt_union = "\n  UNION ALL\n".join(
+        f"""
+  SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq, zg_eid,
+         '{name}' AS attr_name, {val} AS attr_value, {ptype} AS prop_type
+  FROM events_dicted WHERE event_error_code = 0"""
+        for name, val, ptype in custom_attrs(d)
+    )
     out.append((
         "attrs_melted",
-        "\n  UNION ALL\n".join(
-            f"""
-  SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq,
-         '{name}' AS attr_name, {val} AS attr_value, {ptype} AS prop_type
-  FROM events_typed"""
-            for name, val, ptype in custom_attrs(d)
-        ),
+        f"""
+  SELECT m.* FROM ({melt_union}
+  ) m
+  LEFT JOIN attr_bl ab ON ab.ab_app_id = m.app_id
+       AND ab.ab_attr_name = m.attr_name
+  WHERE ab.ab_attr_name IS NULL""",
     ))
     out.append((
         "attr_first",
         """
-  SELECT e.zg_eid, m.owner, m.attr_name, m.prop_type, MIN(m.seq) AS first_seq
+  SELECT m.app_id, m.zg_eid, m.owner, m.attr_name, m.prop_type,
+         MIN(m.seq) AS first_seq
   FROM attrs_melted m
-  JOIN event_dict e ON e.app_id = m.app_id AND e.owner = m.owner
-                   AND e.event_name = m.event_name
-  GROUP BY e.zg_eid, m.owner, m.attr_name, m.prop_type""",
+  GROUP BY m.app_id, m.zg_eid, m.owner, m.attr_name, m.prop_type""",
     ))
+    # physical column allocation, capped at the app's attr_sum
+    # (EventAttrAsyncOperator.java:539-551 column alloc; properties beyond
+    # the cap get no physical column and drop out of the wide pivot)
     out.append((
         "attr_dict",
         f"""
@@ -455,11 +546,13 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
          zg_eid * 10 + col_idx AS attr_id,
          'cus' || {d.s('col_idx')} AS column_name
   FROM (
-    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY zg_eid, owner
-                                      ORDER BY first_seq, attr_name)
-                   AS BIGINT) AS col_idx
-    FROM attr_first
-  ) x""",
+    SELECT x.*, c.attr_cap FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY zg_eid, owner
+                                        ORDER BY first_seq, attr_name)
+                     AS BIGINT) AS col_idx
+      FROM attr_first
+    ) x JOIN app_cfg c ON c.cfg_app_id = x.app_id
+  ) y WHERE col_idx <= attr_cap""",
     ))
     # attr_map: the dictionary pivoted to one row per (zg_eid, owner) with
     # the attr name + type occupying each physical cus column. Aggregates
@@ -483,9 +576,12 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     # M3 user-property dictionary: get-or-create per (app, owner, prop_name)
     # (UserPropAsyncOperator.java:112-260); built-in app_user_id = -1
     # (UserPropertyTransfer.java:30-33) joins in at projection time
+    # user-prop blacklist drops the key before dictionary registration
+    # (UserPropAsyncOperator.java:112-260)
     out.append((
         "usr_props_melted",
         f"""
+  SELECT m.* FROM (
   SELECT app_id, owner, zg_id, seq, '_k' AS prop_name, {d.s('k')} AS prop_value,
          2 AS prop_type FROM resolved WHERE dt = 'usr'
   UNION ALL
@@ -493,7 +589,11 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
   FROM resolved WHERE dt = 'usr'
   UNION ALL
   SELECT app_id, owner, zg_id, seq, '_vbucket', {d.s(d.idiv('k', '10'))}, 2
-  FROM resolved WHERE dt = 'usr' AND k IS NOT NULL""",
+  FROM resolved WHERE dt = 'usr' AND k IS NOT NULL
+  ) m
+  LEFT JOIN uprop_bl ub ON ub.ub_app_id = m.app_id
+       AND ub.ub_prop_name = m.prop_name
+  WHERE ub.ub_prop_name IS NULL""",
     ))
     out.append((
         "user_prop_dict",

@@ -78,6 +78,36 @@ IP_RANGES = [
 ]
 IP_RANGE_COLS = ["ip_lo", "ip_hi", "country", "province", "city"]
 
+# per-app dictionary governance (company_app: auto_event / event_sum /
+# attr_sum — EventAsyncOperator.java:308-320 isAutoCreateDisabled /
+# isCreateEventForbid; EventAttrAsyncOperator column cap):
+# (app_id, auto_event_disabled, event_cap, attr_cap)
+APP_CONFIG = [
+    (1, 0, 6, 2),      # app 1: capped at 6 events, 2 physical attr columns
+    (2, 0, 999, 999),  # app 2: unrestricted
+    (3, 1, 999, 999),  # app 3: auto-create disabled — preseed only
+]
+
+# pre-existing dictionary rows for the auto-create-disabled app (the MySQL
+# `event` table content a real deployment starts with); unseeded names on
+# app 3 fail with EVENT_CREATE_DISABLED
+EVENT_PRESEED = [
+    (3, "zg", "click", 3001),
+    (3, "zg", "view", 3002),
+    (3, "zg", "error", 3003),
+]
+
+# event blacklist (EventAsyncOperator.java:317-402 isBlackEvent): resolved
+# events listed here error with EVENT_BLACK and never reach the wide table
+EVENT_BLACKLIST = [(2, "zg", "error")]
+
+# event-attr blacklist (EventAttrAsyncOperator.java:784-834): the property
+# KEY is dropped — no annotation, no cus column, no dictionary row
+ATTR_BLACKLIST = [(2, "_vbucket")]
+
+# user-prop blacklist (UserPropAsyncOperator.java:112-260)
+USER_PROP_BLACKLIST = [(2, "_plname")]
+
 # device-property dictionary (M4, DevicePropertyOperator.java:126-141):
 # LOOKUP-ONLY — no get-or-create; unknown props stay unannotated/dropped.
 # (prop_name, prop_id, prop_type 1=string 2=number)

@@ -39,8 +39,8 @@ _WINDOW = [
     "w1_upsert_writer",
     "p23_ad_conversion",
     "p24_app_first_seen",
-    "p13_user_visit_stats",
     "p28_gate_business",
+    "p29_event_resolution",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational)

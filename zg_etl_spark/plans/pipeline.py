@@ -103,10 +103,12 @@ _register("p3_zgid_binding", _p3)
 # P4 dictionaries: event dict + attr dict incl. cus{n} allocation (M1, M2)
 # ---------------------------------------------------------------------------
 def _p4(d: Dialect) -> str:
+    # event_dict_eff = the dictionary after preseed/auto-create/cap
+    # gating — what a real deployment's MySQL `event` table would contain
     return """
 SELECT e.app_id, e.owner, e.event_name, e.zg_eid,
        a.attr_name, a.attr_id, a.column_name, CAST(a.prop_type AS INT) AS prop_type
-FROM event_dict e
+FROM event_dict_eff e
 JOIN attr_dict a ON a.zg_eid = e.zg_eid AND a.owner = e.owner"""
 
 
@@ -247,13 +249,16 @@ def _p8(d: Dialect) -> str:
     # the BROADCAST hint is a comment to DuckDB, a join-strategy pin to
     # Spark: checkpointed dict views carry no stats, so without it the
     # planner falls back to SortMergeJoin (two fact shuffles)
+    cols = (
+        "event_id, app_id, zg_id, zg_did, zg_uid, sid, dt, seq, ct, pl_id, "
+        "net, cr, ua, url, ref, cn, vn, ip_long, ip, utm_source, dur, "
+        "business, event_type, k"
+    )
     return f"""
-SELECT /*+ BROADCAST(dct), BROADCAST(am), BROADCAST(g), BROADCAST(u) */
+SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
        COALESCE(e.sid, -1) AS zg_sid,
-       CASE e.dt WHEN 'ss' THEN CAST(-1 AS BIGINT)
-                 WHEN 'se' THEN CAST(-2 AS BIGINT)
-                 ELSE dct.zg_eid END AS zg_eid,
+       e.zg_eid,
        md5({d.s('e.seq')}) AS uuid,
        CASE e.dt WHEN 'ss' THEN 'st' WHEN 'se' THEN 'se'
                  ELSE {d.clean('e.event_name_t', 256)} END AS event_name,
@@ -301,15 +306,15 @@ SELECT /*+ BROADCAST(dct), BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        {_cus_value(d, 'am.a2')} AS cus2, am.t2 AS type2,
        {_cus_value(d, 'am.a3')} AS cus3, am.t3 AS type3
 FROM (
-  SELECT *, CASE WHEN dt = 'abp' THEN 'zg' ELSE owner END AS owner_e,
-         substring(event_name, 1, 100) AS event_name_t
-  FROM resolved
-  WHERE (dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL)
-     OR dt IN ('ss', 'se')
+  SELECT {cols}, owner_e, event_name_t, zg_eid
+  FROM events_dicted WHERE event_error_code = 0
+  UNION ALL
+  SELECT {cols}, owner AS owner_e,
+         CAST(NULL AS {d.strtype}) AS event_name_t,
+         CAST(CASE dt WHEN 'ss' THEN -1 ELSE -2 END AS BIGINT) AS zg_eid
+  FROM resolved WHERE dt IN ('ss', 'se')
 ) e
-LEFT JOIN event_dict dct ON dct.app_id = e.app_id AND dct.owner = e.owner_e
-                        AND dct.event_name = e.event_name_t
-LEFT JOIN attr_map am ON am.zg_eid = dct.zg_eid AND am.owner = e.owner_e
+LEFT JOIN attr_map am ON am.zg_eid = e.zg_eid AND am.owner = e.owner_e
 LEFT JOIN ip_ranges g ON e.ip_long BETWEEN g.ip_lo AND g.ip_hi
 LEFT JOIN ua_rules u ON u.ua = e.ua"""
 
@@ -1099,3 +1104,20 @@ FROM gated GROUP BY ak, business, error_code"""
 
 
 _register("p28_gate_business", _p28)
+
+
+# ---------------------------------------------------------------------------
+# P29 dictionary governance: per-app event-resolution outcomes — exercises
+# the event blacklist (1020102, EventAsyncOperator.java:317-332), the
+# auto-create-disabled app with a preseeded dictionary (1020103), and the
+# per-app event cap (1020104); n_events counts the distinct names behind
+# each outcome
+# ---------------------------------------------------------------------------
+def _p29(d: Dialect) -> str:
+    return """
+SELECT app_id, event_error_code, COUNT(*) AS n,
+       COUNT(DISTINCT event_name_t) AS n_events
+FROM events_dicted GROUP BY app_id, event_error_code"""
+
+
+_register("p29_event_resolution", _p29)
