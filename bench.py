@@ -41,17 +41,28 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.range(cpus * 4, numPartitions=cpus).select(_noop("id")).count()
 
-    per_query: dict[str, float] = {}
-    t_suite = time.perf_counter()
-    for name in sorted(all_queries):
-        t0 = time.perf_counter()
-        try:
-            all_queries[name](spark, sf_dir).count()
-            per_query[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — record failure, keep suite
-            per_query[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-    total = round(time.perf_counter() - t_suite, 3)
+    def run_suite() -> tuple[dict[str, float], float]:
+        per: dict[str, float] = {}
+        t_suite = time.perf_counter()
+        for name in sorted(all_queries):
+            t0 = time.perf_counter()
+            try:
+                all_queries[name](spark, sf_dir).count()
+                per[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record failure, keep suite
+                per[name] = -1.0
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        return per, round(time.perf_counter() - t_suite, 3)
+
+    per_query, total = run_suite()
+
+    # Warm pass: same suite again in the same JVM. The cold pass pays
+    # per-novel-plan Catalyst analysis + codegen compilation + streaming
+    # checkpoint bootstrap — one-time costs a long-lived cluster amortizes
+    # to zero; the warm number is the data-proportional cost that actually
+    # scales with SF and is the one BASELINE.md's ≤2×-DuckDB target is
+    # stated against.
+    per_query_warm, warm_total = run_suite()
 
     # Same-host calibration: run the DuckDB oracle suite on the same data.
     # Absolute seconds vary wildly across driver hosts (fresh VMs, noisy
@@ -70,9 +81,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warm_suite_sec": warm_total,
+                "queries_warm": per_query_warm,
                 "duckdb_oracle_suite_sec": duck_total,
                 "spark_over_duckdb_ratio": (
                     round(total / duck_total, 2) if duck_total else None
+                ),
+                "warm_ratio": (
+                    round(warm_total / duck_total, 2) if duck_total else None
                 ),
                 "driver_python_peak_mb": peak_mb,
             }
