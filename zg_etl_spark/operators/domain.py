@@ -100,6 +100,14 @@ class Dialect:
         """ensureNetwork: '-1' -> NULL, else ensureIntLength."""
         return f"CASE WHEN {x} = '-1' THEN NULL ELSE {self.int_len(x)} END"
 
+    def re_lit(self, pattern: str) -> str:
+        """Render a regex (given as its runtime character sequence) as a
+        SQL string literal for this dialect."""
+        raise NotImplementedError
+
+    def rlike(self, x: str, pattern: str) -> str:
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -133,6 +141,14 @@ class SparkDialect(Dialect):
 
     def is_digits(self, x):
         return f"{x} RLIKE '^[0-9]+$'"
+
+    def re_lit(self, pattern):
+        # Spark '…' literals process backslash escapes: double them so the
+        # runtime regex keeps its \. etc.; quotes escape as \'
+        return "'" + pattern.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    def rlike(self, x, pattern):
+        return f"{x} RLIKE {self.re_lit(pattern)}"
 
 
 class DuckDialect(Dialect):
@@ -168,6 +184,13 @@ class DuckDialect(Dialect):
 
     def is_digits(self, x):
         return f"regexp_matches({x}, '^[0-9]+$')"
+
+    def re_lit(self, pattern):
+        # DuckDB '…' literals are raw except '' for a quote
+        return "'" + pattern.replace("'", "''") + "'"
+
+    def rlike(self, x, pattern):
+        return f"regexp_matches({x}, {self.re_lit(pattern)})"
 
 
 SPARK = SparkDialect()
@@ -262,12 +285,21 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
          {k_expr} AS k,
          (event_id * 7919) % 90000000 AS dur,
          CASE WHEN event_id % 101 = 0 THEN 1 ELSE 0 END AS debug,
-         CASE WHEN event_type = 'click' AND user_id % 3 = 0
-                THEN 'https://www.google.com/search?q=kw_' || {s(k_expr)}
-              WHEN event_type = 'click' AND user_id % 3 = 1
-                THEN 'https://www.baidu.com/s?wd=kw_' || {s(k_expr)}
-              WHEN event_type = 'click' THEN 'https://example.com/page'
-              END AS ref,
+         CASE WHEN event_type = 'click' THEN
+           CASE event_id % 12
+             WHEN 0 THEN 'https://www.google.com/search?q=kw_' || {s(k_expr)}
+             WHEN 1 THEN 'https://www.baidu.com/s?wd=kw_' || {s(k_expr)}
+             WHEN 2 THEN 'https://www.baidu.com/s?word=w%20rd_' || {s(k_expr)}
+             WHEN 3 THEN 'https://www.sogou.com/web?query=%E4%B8%AD%E6%96%87_' || {s(k_expr)}
+             WHEN 4 THEN 'https://www.so.com/s?Q=kw_' || {s(k_expr)}
+             WHEN 5 THEN 'https://cn.bing.com/search?q=kw%2520' || {s(k_expr)}
+             WHEN 6 THEN 'https://m.sm.cn/s?q="kw_' || {s(k_expr)} || '"'
+             WHEN 7 THEN 'https://so.toutiao.com/search?keyword=kw_' || {s(k_expr)}
+             WHEN 8 THEN 'https://search.yahoo.com/search?p=kw_' || {s(k_expr)}
+             WHEN 9 THEN 'https://www.google.com/search?hl=en'
+             WHEN 10 THEN 'https://example.com/page'
+           END
+         END AS ref,
          CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source,
          CASE user_id % 8 WHEN 0 THEN '-1' WHEN 1 THEN '2' WHEN 2 THEN '4'
               WHEN 3 THEN '1234567' WHEN 4 THEN 'wifi' END AS net,

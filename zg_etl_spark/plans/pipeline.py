@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from zg_etl_spark.functions import search_keywords as SK
 from zg_etl_spark.functions.expr_compiler import DuckEmitter, SparkEmitter, parse
 from zg_etl_spark.operators import registries as R
 from zg_etl_spark.operators.domain import (
@@ -188,12 +189,14 @@ _PRIVATE_IP = (
 
 
 def _p7(d: Dialect) -> str:
+    # full 8-engine table + per-engine param priority + cleanKeyword
+    # (SearchKeywordParser.java:36-163); the multi-charset decode is the
+    # Spark-side UDF in functions/search_keywords.py (not SQL-expressible)
+    term = SK.clean_keyword(d, SK.term_case(d, "ref", "search_engine"))
     return f"""
 SELECT event_id, app_id, country, province, city, os, browser, device_type,
        search_engine,
-       CASE WHEN search_engine = 'google' THEN regexp_extract(ref, 'q=([^&]+)', 1)
-            WHEN search_engine = 'baidu' THEN regexp_extract(ref, 'wd=([^&]+)', 1)
-       END AS search_term,
+       {term} AS search_term,
        CASE WHEN utm_source IS NOT NULL THEN 'given'
             WHEN search_engine IS NOT NULL THEN '搜索自然流量'
             WHEN ref IS NOT NULL THEN '引荐' END AS utm_medium_f,
@@ -205,8 +208,7 @@ FROM (
   SELECT r.event_id, r.app_id, r.ref, r.utm_source,
          g.country, g.province, g.city,
          u.os, u.browser, u.device_type,
-         CASE WHEN r.ref LIKE '%google%' THEN 'google'
-              WHEN r.ref LIKE '%baidu%' THEN 'baidu' END AS search_engine
+         {SK.engine_case(d, 'r.ref')} AS search_engine
   FROM (SELECT *, {_PRIVATE_IP} AS is_private FROM resolved) r
   LEFT JOIN ip_ranges g
          ON NOT r.is_private AND r.ip_long BETWEEN g.ip_lo AND g.ip_hi
@@ -282,19 +284,15 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        CASE WHEN {private_ip} THEN NULL ELSE g.city END AS city,
        u.os, u.os_version AS ov, u.browser AS bs, u.browser_version AS bv,
        u.device_type,
-       CASE WHEN e.ref LIKE '%google%' THEN 'google'
-            WHEN e.ref LIKE '%baidu%' THEN 'baidu' END AS search_engine,
+       e.search_engine,
        CASE WHEN e.utm_source IS NOT NULL THEN 'given'
-            WHEN e.ref LIKE '%google%' OR e.ref LIKE '%baidu%' THEN '搜索自然流量'
+            WHEN e.search_engine IS NOT NULL THEN '搜索自然流量'
             WHEN e.ref IS NOT NULL THEN '引荐' END AS utm_medium,
        COALESCE(e.utm_source,
-                CASE WHEN e.ref LIKE '%google%' OR e.ref LIKE '%baidu%'
-                     THEN {website} END)
+                CASE WHEN e.search_engine IS NOT NULL THEN {website} END)
            AS utm_source_f,
-       CASE WHEN e.ref LIKE '%google%'
-              THEN regexp_extract(e.ref, '[?&]q=([^&]*)', 1)
-            WHEN e.ref LIKE '%baidu%'
-              THEN regexp_extract(e.ref, '[?&]wd=([^&]*)', 1) END AS utm_term,
+       {SK.clean_keyword(d, SK.term_case(d, 'e.ref', 'e.search_engine'))}
+           AS utm_term,
        CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur
             ELSE CAST(0 AS BIGINT) END AS duration,
        {d.clean('e.business', 256)} AS attr1,
@@ -306,12 +304,14 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        {_cus_value(d, 'am.a2')} AS cus2, am.t2 AS type2,
        {_cus_value(d, 'am.a3')} AS cus3, am.t3 AS type3
 FROM (
-  SELECT {cols}, owner_e, event_name_t, zg_eid
+  SELECT {cols}, owner_e, event_name_t, zg_eid,
+         {SK.engine_case(d, 'ref')} AS search_engine
   FROM events_dicted WHERE event_error_code = 0
   UNION ALL
   SELECT {cols}, owner AS owner_e,
          CAST(NULL AS {d.strtype}) AS event_name_t,
-         CAST(CASE dt WHEN 'ss' THEN -1 ELSE -2 END AS BIGINT) AS zg_eid
+         CAST(CASE dt WHEN 'ss' THEN -1 ELSE -2 END AS BIGINT) AS zg_eid,
+         {SK.engine_case(d, 'ref')} AS search_engine
   FROM resolved WHERE dt IN ('ss', 'se')
 ) e
 LEFT JOIN attr_map am ON am.zg_eid = e.zg_eid AND am.owner = e.owner_e
@@ -1121,3 +1121,28 @@ FROM events_dicted GROUP BY app_id, event_error_code"""
 
 
 _register("p29_event_resolution", _p29)
+
+
+# ---------------------------------------------------------------------------
+# P30 search-keyword extraction: the full 8-engine table with per-engine
+# keyword-param priority and cleanKeyword — one row per (engine, raw
+# keyword) over every referrer in the batch. Covers baidu wd/word/kw
+# priority, case-insensitive param match (?Q=), percent-encoded and
+# double-encoded values kept RAW (the reference stores non-Chinese
+# keywords undecoded — UrlDecoder.java:48-71), quote stripping, and
+# engine-without-keyword rows (SearchKeywordParser.java:36-163)
+# ---------------------------------------------------------------------------
+def _p30(d: Dialect) -> str:
+    term = SK.clean_keyword(d, SK.term_case(d, "ref", "search_engine"))
+    return f"""
+SELECT search_engine, keyword, COUNT(*) AS n,
+       COUNT(DISTINCT app_id) AS n_apps
+FROM (
+  SELECT app_id, search_engine, {term} AS keyword
+  FROM (SELECT app_id, ref, {SK.engine_case(d, 'ref')} AS search_engine
+        FROM resolved WHERE ref IS NOT NULL) r
+) x
+GROUP BY search_engine, keyword"""
+
+
+_register("p30_search_keywords", _p30)
