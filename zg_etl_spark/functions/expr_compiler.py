@@ -303,6 +303,15 @@ def parse(sql: str) -> Node:
     return Parser(tokenize(sql)).parse()
 
 
+def returns_boolean(node: Node) -> bool:
+    """True when the expression's root yields a boolean — the case the
+    reference's convertValue maps to 1/0 before writing back into the
+    property bag (VirtualPropertyOperator.java:231-268)."""
+    return isinstance(node, Op) and node.op in (
+        "=", "!=", "<", "<=", ">", ">=", "and", "or", "not",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Emitters: AST -> SQL string per dialect, with type-context hints so
 # weakly-typed (stringly) fields get coerced at use sites, exactly like the

@@ -125,15 +125,37 @@ VIRTUAL_ATTR_RULES = [
     (0, "purchase", "value_eur", "round(value / 1.1, 2)"),
     (0, "click", "tagline", "concat(upper(event_type), '-', substring(pl, 1, 2))"),
     (2, "view", "k_sq", "k * k + 1"),
+    # boolean-rooted rule: convertValue maps the result to 1/0
+    # (VirtualPropertyOperator.java:231-235)
+    (0, "click", "is_big", "k > 50 AND value > 10"),
+]
+
+# user-scope virtual-attribute rules (VirtualPropertyOperator.java:157-203):
+# (app_id 0 = all, out_name, rule_sql, table_fields). table_fields is the
+# reference's comma-separated gate list — the rule fires only when EVERY
+# listed field (last dotted segment) is present in the property bag
+# (isAllProp, :186-203); here presence = the column is non-NULL.
+VIRTUAL_USER_PROP_RULES = [
+    (0, "u_k2", "k * 2", "t.k"),
+    # gated on cuid: anonymous usr rows (cuid NULL) skip the rule
+    (0, "u_named", "concat('u:', cuid)", "usr.cuid"),
+    # boolean rule + two-field gate (k always present, sid sometimes NULL)
+    (2, "u_active", "k > 30", "k, sid"),
 ]
 
 # virtual-event rules (operator/id/VirtualEventOperator.java:48-339):
-# (app_id 0 = all, source_event, virtual_name, alias, filter_key, filter_val)
-# filters are equality-AND over the property bag; empty key = always-match
+# (app_id 0 = all, source_event, virtual_name, alias, k1, v1, k2, v2) —
+# filters are an equality-AND over the property bag (matchFilters
+# :216-254: lookup "_"+key first, then the raw key; ALL pairs must
+# match); empty key = pair unused, no pairs = always-match
 VIRTUAL_EVENT_RULES = [
-    (0, "purchase", "vip_purchase", "vip", "", ""),
-    (2, "click", "promo_click", "promo", "_etype", "click"),
-    (1, "view", "never_match", "nm", "_etype", "purchase"),
+    (0, "purchase", "vip_purchase", "vip", "", "", "", ""),
+    (2, "click", "promo_click", "promo", "_etype", "click", "", ""),
+    (1, "view", "never_match", "nm", "_etype", "purchase", "", ""),
+    # multi-key AND: "_"-prefixed bag key + raw envelope key
+    (0, "purchase", "whale", "wh", "_vbucket", "6", "pl", "ios"),
+    # first pair matches, second never does — AND must suppress it
+    (3, "click", "half_match", "hm", "_etype", "click", "_vbucket", "999"),
 ]
 
 

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from zg_etl_spark.functions import search_keywords as SK
-from zg_etl_spark.functions.expr_compiler import DuckEmitter, SparkEmitter, parse
+from zg_etl_spark.functions.expr_compiler import (
+    DuckEmitter,
+    SparkEmitter,
+    parse,
+    returns_boolean,
+)
 from zg_etl_spark.operators import registries as R
 from zg_etl_spark.operators.domain import (
     DUCK,
@@ -117,9 +122,12 @@ _register("p4_dictionaries", _p4)
 
 
 # ---------------------------------------------------------------------------
-# P5 virtual attributes: rules compiled by the expression engine (V1-V4)
+# P5 virtual attributes: rules compiled by the expression engine (V1-V4).
+# Event-scope rules apply to dt evt/abp; user-scope rules to dt usr behind
+# the isAllProp field-presence gate (VirtualPropertyOperator.java:157-203);
+# boolean results become 1/0 per convertValue (:231-235) for BOTH scopes.
 # ---------------------------------------------------------------------------
-_VA_FIELDS = {"k", "value", "event_type", "pl"}
+_VA_FIELDS = {"k", "value", "event_type", "pl", "cuid", "sid"}
 
 
 def _va_resolver(name: str, hint: str) -> str:
@@ -128,20 +136,38 @@ def _va_resolver(name: str, hint: str) -> str:
     return name
 
 
-def _p5(d: Dialect) -> str:
+def _va_frag(d: Dialect, rule_sql: str) -> str:
     emitter = SparkEmitter(_va_resolver) if d.name == "spark" else DuckEmitter(_va_resolver)
+    ast = parse(rule_sql)
+    frag = emitter.emit(ast)
+    if returns_boolean(ast):
+        frag = f"CASE WHEN {frag} THEN 1 ELSE 0 END"
+    return frag
+
+
+def _is_all_prop(table_fields: str) -> str:
+    """isAllProp: every listed field (last dotted segment) present."""
+    fields = [f.strip().split(".")[-1] for f in table_fields.split(",") if f.strip()]
+    return " AND ".join(f"{_va_resolver(f, 'any')} IS NOT NULL" for f in fields)
+
+
+def _p5(d: Dialect) -> str:
     cols = []
     for app_id, event_name, out_name, rule_sql in R.VIRTUAL_ATTR_RULES:
-        frag = emitter.emit(parse(rule_sql))
-        cond = f"event_type = '{event_name}'"
+        cond = f"dt IN ('evt', 'abp') AND event_type = '{event_name}'"
         if app_id:
             cond += f" AND app_id = {app_id}"
-        cols.append(f"CASE WHEN {cond} THEN ({frag}) END AS {out_name}")
+        cols.append(f"CASE WHEN {cond} THEN ({_va_frag(d, rule_sql)}) END AS {out_name}")
+    for app_id, out_name, rule_sql, table_fields in R.VIRTUAL_USER_PROP_RULES:
+        cond = f"dt = 'usr' AND {_is_all_prop(table_fields)}"
+        if app_id:
+            cond += f" AND app_id = {app_id}"
+        cols.append(f"CASE WHEN {cond} THEN ({_va_frag(d, rule_sql)}) END AS {out_name}")
     col_sql = ",\n       ".join(cols)
     return f"""
-SELECT event_id, app_id, event_type,
+SELECT event_id, app_id, dt, event_type,
        {col_sql}
-FROM resolved WHERE dt IN ('evt', 'abp')"""
+FROM resolved WHERE dt IN ('evt', 'abp', 'usr')"""
 
 
 _register("p5_virtual_attrs", _p5)
@@ -151,26 +177,44 @@ _register("p5_virtual_attrs", _p5)
 # P6 virtual events: rule-driven 1→N fan-out (V5) — derived rows get owner
 # zg_vtl / dt vtl with provenance (VirtualEventOperator.java:260-326)
 # ---------------------------------------------------------------------------
+def _pr_lookup(d: Dialect, key: str) -> str:
+    """matchFilters value resolution (VirtualEventOperator.java:237-243):
+    try the "_"-prefixed bag key first, then the raw envelope key —
+    rendered over the row's own columns, string-typed like the bag."""
+    from zg_etl_spark.operators.domain import custom_attrs
+
+    whens = " ".join(
+        f"WHEN '{name}' THEN {val}" for name, val, _ in custom_attrs(d, q="r.")
+    )
+    raw = " ".join(
+        f"WHEN '{f}' THEN {d.s('r.' + f)}" for f in ("pl", "k", "event_type", "cuid")
+    )
+    return f"CASE {key} {whens} {raw} END"
+
+
 def _p6(d: Dialect) -> str:
     rules = R.values_sql(
         R.VIRTUAL_EVENT_RULES,
-        ["rule_app", "src_event", "virtual_name", "alias", "f_key", "f_val"],
+        ["rule_app", "src_event", "virtual_name", "alias", "k1", "v1", "k2", "v2"],
     )
+    pair1 = f"(v.k1 = '' OR {_pr_lookup(d, 'v.k1')} = v.v1)"
+    pair2 = f"(v.k2 = '' OR {_pr_lookup(d, 'v.k2')} = v.v2)"
     return f"""
-SELECT app_id, 'zg_vtl' AS owner, 'vtl' AS dt, virtual_name, alias,
-       src_event AS event_name_src, src_dt AS event_dt_src, COUNT(*) AS n
+SELECT app_id, 'zg_vtl' AS owner, 'vtl' AS dt, virtual_name,
+       virtual_alias, event_owner, event_name_src, event_dt_src,
+       COUNT(*) AS n
 FROM (
-  SELECT r.app_id, v.virtual_name, v.alias, r.event_name AS src_event,
-         r.dt AS src_dt
+  SELECT r.app_id, v.virtual_name, v.alias AS virtual_alias,
+         r.owner AS event_owner, r.event_name AS event_name_src,
+         r.dt AS event_dt_src
   FROM resolved r
-  JOIN {rules} AS v(rule_app, src_event, virtual_name, alias, f_key, f_val)
+  JOIN {rules} AS v(rule_app, src_event, virtual_name, alias, k1, v1, k2, v2)
     ON (v.rule_app = 0 OR v.rule_app = r.app_id)
    AND v.src_event = r.event_name AND r.dt IN ('evt', 'abp')
-  WHERE v.f_key = ''
-     OR (v.f_key = '_etype' AND r.event_type = v.f_val)
-     OR (v.f_key = '_k' AND {d.s('r.k')} = v.f_val)
+  WHERE {pair1} AND {pair2}
 ) x
-GROUP BY app_id, virtual_name, alias, src_event, src_dt"""
+GROUP BY app_id, virtual_name, virtual_alias, event_owner,
+         event_name_src, event_dt_src"""
 
 
 _register("p6_virtual_events", _p6)
