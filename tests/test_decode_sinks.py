@@ -79,6 +79,38 @@ def test_keep_latest_and_upsert(spark, tmp_path):
     assert got == {"d1": 99, "d2": 11, "d3": 12}
 
 
+def test_upsert_is_partition_scoped(spark, tmp_path):
+    """An upsert batch touching only app 1 must not rewrite app 2's
+    partition files — the 100 TB contract (days rewritten, not tables)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "b_user_p")
+    t1 = spark.createDataFrame(
+        [(1, "d1", 10, 100), (2, "d9", 20, 100)],
+        "app_id INT, device_id STRING, zg_id INT, seq INT",
+    )
+    upsert_table(
+        spark, t1, path, keys=["app_id", "device_id"], order_col="seq",
+        partition_cols=["app_id"],
+    )
+    app2_files = sorted(glob.glob(os.path.join(path, "app_id=2", "*.parquet")))
+    app2_mtimes = [os.path.getmtime(f) for f in app2_files]
+    t2 = spark.createDataFrame(
+        [(1, "d1", 99, 200), (1, "d3", 12, 201)],
+        "app_id INT, device_id STRING, zg_id INT, seq INT",
+    )
+    upsert_table(
+        spark, t2, path, keys=["app_id", "device_id"], order_col="seq",
+        partition_cols=["app_id"],
+    )
+    got = {r.device_id: r.zg_id for r in spark.read.parquet(path).collect()}
+    assert got == {"d1": 99, "d3": 12, "d9": 20}
+    # app 2's partition kept its exact files (same names, same mtimes)
+    assert sorted(glob.glob(os.path.join(path, "app_id=2", "*.parquet"))) == app2_files
+    assert [os.path.getmtime(f) for f in app2_files] == app2_mtimes
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     path = str(tmp_path / "events_wide")
     df = spark.createDataFrame(

@@ -67,14 +67,36 @@ def upsert_table(
     """Merge-on-write upsert into a parquet table: union with existing,
     keep-latest per key, write back. On Delta this is MERGE INTO; the
     logical contract (last writer per UNIQUE KEY wins) is identical
-    (DorisSinkFactory.java:60,96,137 partial-update mode)."""
+    (DorisSinkFactory.java:60,96,137 partial-update mode).
+
+    Partitioned tables are upserted PARTITION-SCOPED: only the partitions
+    the incoming batch touches are read, merged, and dynamically
+    overwritten — at 100 TB a daily batch rewrites its days, never the
+    table. Contract (same as Doris RANGE partitioning): ``partition_cols``
+    must be functionally dependent on ``keys`` (begin_day_id / app_id are
+    part of the UNIQUE KEY), so a key's existing row always lives in a
+    partition the incoming batch touches.
+    """
     incoming = df
+    touched = None
     if os.path.exists(path):
         existing = spark.read.parquet(path)
+        if partition_cols:
+            # bounded collect: distinct (day, app) tuples, not data rows
+            touched = df.select(*partition_cols).distinct().collect()
+            pred = None
+            for row in touched:
+                t = None
+                for c in partition_cols:
+                    eq = F.col(c) == F.lit(row[c])
+                    t = eq if t is None else (t & eq)
+                pred = t if pred is None else (pred | t)
+            existing = existing.filter(pred) if pred is not None else existing.limit(0)
         incoming = existing.unionByName(df, allowMissingColumns=True)
     merged = keep_latest(incoming, keys, order_col).localCheckpoint(eager=True)
     if partition_cols:
-        write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=False)
+        # dynamic: untouched partitions keep their files
+        write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=True)
     else:
         merged.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)
