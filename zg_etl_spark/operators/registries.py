@@ -171,6 +171,29 @@ AD_CLICKS = [
 ]
 AD_CLICK_COLS = ["ad_app_id", "ad_click_id", "ad_campaign"]
 
+# ad-link conversion rules (the `ads_link_event` table consumed by
+# AdvConvertEventFlatMapFunction.java:142-300): which event converts for
+# which ad link, the attribution window, and the send frequency —
+# 0 = first conversion only (首次), 1 = every conversion (每次).
+# lids 0..4 match the touch rows' k % 5 lid space; lid 3's 1-second
+# window exercises the window filter (almost nothing converts).
+ADS_LINK_RULES = [
+    (0, "purchase", 3600, 0),
+    (1, "purchase", 86400, 1),
+    (2, "click", 600, 0),
+    (3, "purchase", 1, 0),
+    (4, "click", 86400, 1),
+]
+ADS_LINK_COLS = ["r_lid", "conv_event", "window_sec", "frequency"]
+
+# per-event UTM override store (AdvAddUtmFlatMapFunction.java:108-155:
+# Redis `utm:{zg_eid}` JSON applied to evt/abp records as $utm_* props)
+UTM_OVERRIDES = [
+    ("purchase", "tf_src", "cpc", "camp_q3"),
+    ("view", "tf_view", "cpm", "camp_v"),
+]
+UTM_OVERRIDE_COLS = ["u_event", "u_source", "u_medium", "u_campaign"]
+
 
 def values_sql(rows: list[tuple], cols: list[str], quote=str) -> str:
     """Render rows as an inline VALUES table usable in both dialects:

@@ -1190,3 +1190,61 @@ GROUP BY search_engine, keyword"""
 
 
 _register("p30_search_keywords", _p30)
+
+
+# ---------------------------------------------------------------------------
+# P31 ad conversion attribution (AdvJob's gate-side chain): each `evt` row
+# is attributed to the LATEST prior ad touch of the same (app, zgid) — the
+# reference's `adtfuser:{app}:{zgid}` max-ct lookup + `adtfdata` payload
+# (AdvConvertEventFlatMapFunction.java:188-211) — then matched against the
+# ads_link_event rules: conversion event + attribution window
+# (`ct - touch_ct <= window*1000`, :211) + frequency 0=first/1=every
+# (:289-300, the `frequencyKey` first-send gate). Touches are the batch's
+# own `mkt` sub-records (dt='mkt' — marketing/ad touch rows), lid = k % 5.
+# Per-event UTM overrides (AdvAddUtmFlatMapFunction.java:108-155) join in
+# as utm_source_adv. The rule-level matchJson property predicates are
+# deployment config and not modeled.
+#
+# Scale shape: the as-of join shuffles both sides ONCE on (app_id, zg_id);
+# the rank-1 filter is a per-key window, and rules/overrides are
+# broadcast-sized VALUES tables.
+# ---------------------------------------------------------------------------
+def _p31(d: Dialect) -> str:
+    rules = R.values_sql(R.ADS_LINK_RULES, R.ADS_LINK_COLS)
+    utm = R.values_sql(R.UTM_OVERRIDES, R.UTM_OVERRIDE_COLS)
+    return f"""
+SELECT app_id, event_name, lid, frequency, utm_source_adv,
+       COUNT(*) AS n_conversions, COUNT(DISTINCT zg_id) AS n_users
+FROM (
+  SELECT m.*, u.u_source AS utm_source_adv,
+         CASE WHEN m.frequency = 0
+              THEN ROW_NUMBER() OVER (
+                     PARTITION BY m.app_id, m.event_name, m.lid, m.zg_id
+                     ORDER BY m.ct, m.seq)
+              ELSE 1 END AS conv_rank
+  FROM (
+    SELECT c.app_id, c.event_name, c.zg_id, c.ct, c.seq, c.lid,
+           l.frequency
+    FROM (
+      SELECT r.app_id, r.event_name, r.zg_id, r.ct, r.seq,
+             t.lid, t.touch_ct,
+             ROW_NUMBER() OVER (PARTITION BY r.seq
+                                ORDER BY t.touch_ct DESC, t.seq DESC) AS rn
+      FROM resolved r
+      JOIN (SELECT app_id, zg_id, ct AS touch_ct, seq, k % 5 AS lid
+            FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL) t
+        ON t.app_id = r.app_id AND t.zg_id = r.zg_id AND t.touch_ct <= r.ct
+      WHERE r.dt = 'evt'
+    ) c
+    JOIN {rules} AS l(r_lid, conv_event, window_sec, frequency)
+      ON l.r_lid = c.lid AND l.conv_event = c.event_name
+    WHERE c.rn = 1 AND c.ct - c.touch_ct <= l.window_sec * 1000
+  ) m
+  LEFT JOIN {utm} AS u(u_event, u_source, u_medium, u_campaign)
+         ON u.u_event = m.event_name
+) x
+WHERE conv_rank = 1 OR frequency = 1
+GROUP BY app_id, event_name, lid, frequency, utm_source_adv"""
+
+
+_register("p31_adv_attribution", _p31)
