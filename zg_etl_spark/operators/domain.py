@@ -37,6 +37,13 @@ DAY_MS = 86_400_000
 VALID_PAST_MS = 21 * DAY_MS  # configured subtime (reference default 7d,
 VALID_FUTURE_MS = DAY_MS     # config.properties:98-99)
 
+# physical cus{n}/type{n} width of the wide event table — the reference's
+# `EventAttrRow.configure(customColumns)` (AllJob.java:41-42), default 100
+# there; 8 keeps the test layout readable while still exercising columns
+# beyond the allocated dictionary (cus6..8 stay NULL) and beyond app 1's
+# attr_cap=2 truncation
+ZG_CUS_N = 8
+
 
 class Dialect:
     name = "base"
@@ -208,6 +215,8 @@ def custom_attrs(d: Dialect, q: str = "") -> list[tuple[str, str, int]]:
         ("_etype", f"{q}event_type", 1),
         ("_k", d.s(f"{q}k"), 2),
         ("_vbucket", d.s(d.idiv(f"{q}k", "10")), 2),
+        ("_plat", f"{q}pl", 1),
+        ("_band", f"CASE WHEN {q}value > 10 THEN 'hi' ELSE 'lo' END", 1),
     ]
 
 # stages whose output is shared by many queries → cached on the Spark side
@@ -592,16 +601,16 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     # table derives cus{n} map-side from the row's own fields through this
     # lookup, with ZERO fact-grain shuffles (EventAttrTransfer.java:162-228
     # does the same via a per-record column-index cache).
+    map_cols = ",\n         ".join(
+        f"MAX(CASE WHEN col_idx = {i} THEN attr_name END) AS a{i},\n"
+        f"         MAX(CASE WHEN col_idx = {i} THEN CAST(prop_type AS INT) END) AS t{i}"
+        for i in range(1, ZG_CUS_N + 1)
+    )
     out.append((
         "attr_map",
-        """
+        f"""
   SELECT zg_eid, owner,
-         MAX(CASE WHEN col_idx = 1 THEN attr_name END) AS a1,
-         MAX(CASE WHEN col_idx = 1 THEN CAST(prop_type AS INT) END) AS t1,
-         MAX(CASE WHEN col_idx = 2 THEN attr_name END) AS a2,
-         MAX(CASE WHEN col_idx = 2 THEN CAST(prop_type AS INT) END) AS t2,
-         MAX(CASE WHEN col_idx = 3 THEN attr_name END) AS a3,
-         MAX(CASE WHEN col_idx = 3 THEN CAST(prop_type AS INT) END) AS t3
+         {map_cols}
   FROM attr_dict GROUP BY zg_eid, owner""",
     ))
 

@@ -286,6 +286,19 @@ def _cus_value(d: Dialect, name_expr: str) -> str:
     return f"CASE {name_expr} {whens} END"
 
 
+def _cus_cols(d: Dialect) -> str:
+    """cus1..cusN / type1..typeN at the configured physical width
+    (ZG_CUS_N ~ EventAttrRow.configure, AllJob.java:41-42) — columns
+    beyond the allocated dictionary stay NULL, like the reference's
+    fixed-width Doris layout."""
+    from zg_etl_spark.operators.domain import ZG_CUS_N
+
+    return ",\n       ".join(
+        f"{_cus_value(d, f'am.a{i}')} AS cus{i}, am.t{i} AS type{i}"
+        for i in range(1, ZG_CUS_N + 1)
+    )
+
+
 def _p8(d: Dialect) -> str:
     ts_ct = d.ts("e.ct")
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
@@ -298,7 +311,7 @@ def _p8(d: Dialect) -> str:
     cols = (
         "event_id, app_id, zg_id, zg_did, zg_uid, sid, dt, seq, ct, pl_id, "
         "net, cr, ua, url, ref, cn, vn, ip_long, ip, utm_source, dur, "
-        "business, event_type, k"
+        "business, event_type, k, pl, value"
     )
     return f"""
 SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
@@ -344,9 +357,7 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        CAST(NULL AS {d.strtype}) AS attr3,
        CAST(NULL AS {d.strtype}) AS attr4,
        {d.s('e.zg_id')} || '_' || {d.s('COALESCE(e.sid, -1)')} AS attr5,
-       {_cus_value(d, 'am.a1')} AS cus1, am.t1 AS type1,
-       {_cus_value(d, 'am.a2')} AS cus2, am.t2 AS type2,
-       {_cus_value(d, 'am.a3')} AS cus3, am.t3 AS type3
+       {_cus_cols(d)}
 FROM (
   SELECT {cols}, owner_e, event_name_t, zg_eid,
          {SK.engine_case(d, 'ref')} AS search_engine
