@@ -321,7 +321,21 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
               WHEN 1 THEN 'ch"q"' WHEN 2 THEN 'c' || chr(9) || 'tab' END AS cn,
          'v' || {s('(user_id % 4)')} || '.0' AS vn,
          CASE user_id % 10 WHEN 0 THEN 'biz_a' WHEN 1 THEN 'biz_x' END
-             AS business_raw
+             AS business_raw,
+         CASE user_id % 6 WHEN 0 THEN '1080*1920' WHEN 1 THEN '750x1334'
+              WHEN 2 THEN 'bad-res' WHEN 3 THEN 'a1920*1080'
+              WHEN 4 THEN '1080**2340' END AS rs,
+         CASE WHEN user_id % 3 = 0 THEN 'brand_' || {s('(user_id % 4)')} END AS br,
+         'model_' || {s('(user_id % 6)')} AS dv,
+         CASE WHEN user_id % 7 = 0 THEN 'imei_' || {s('user_id')} END AS imei,
+         CASE user_id % 4 WHEN 0 THEN '1' WHEN 1 THEN '0' END AS jail,
+         CASE user_id % 5 WHEN 0 THEN '1' ELSE '0' END AS crack,
+         CASE user_id % 3 WHEN 0 THEN 'zh-CN' WHEN 1 THEN 'en-US' END AS lang,
+         CASE user_id % 9 WHEN 0 THEN CAST(28800000 AS BIGINT)
+              WHEN 1 THEN CAST(-18000000 AS BIGINT)
+              WHEN 2 THEN CAST(999999999999 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS tzoff,
+         CASE WHEN user_id % 11 = 3 THEN 'zs_' || {s(app_id)} END AS zs
   FROM events""",
     ))
 

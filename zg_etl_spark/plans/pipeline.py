@@ -423,17 +423,53 @@ _register("p10_b_user_upsert", _p10)
 
 
 # ---------------------------------------------------------------------------
-# P11 b_device: keep-latest per device, UNIQUE KEY(device_id) merge-on-write
-# (R5, transfer/DeviceTransfer.java:85-109; schema.sql:26-66 — brand/model
-# columns stand in as ua/platform from the synthetic feed)
+# P11 b_device: keep-latest per device, UNIQUE KEY(device_id) merge-on-write,
+# full 22-column layout (R5, transfer/DeviceTransfer.java:30-133;
+# schema.sql:26-66): resolution split replicates Java
+# `split("[^0-9]")` + trailing-empty removal + parts.length>=2 gate
+# (:118-133); brand pinned to Apple on iOS (:78-81); phone/mac/device_type/
+# attr2-5 wired to NULL exactly as the reference writes \\N; tz offsets
+# beyond ±48h invalidate last_update_date (:135-146)
 # ---------------------------------------------------------------------------
 def _p11(d: Dialect) -> str:
+    # parts.length >= 2 after Java trailing-empty removal ⟺ a digit
+    # occurs somewhere after the first non-digit
+    has_two = d.rlike("rs", "[^0-9].*[0-9]")
+    h_px = "regexp_extract(rs, '^([0-9]*)', 1)"
+    v_px = "regexp_extract(rs, '^[0-9]*[^0-9]([0-9]*)', 1)"
     return f"""
-SELECT app_id, device_id, zg_did, platform, model, attr1, last_update_date
+SELECT app_id, device_id, device_md5, platform, device_type,
+       horizontal_pixel, vertical_pixel, device_brand, device_model,
+       resolution, phone, imei, mac, is_prison_break, is_crack,
+       language, timezone, attr1, attr2, attr3, attr4, attr5,
+       last_update_date
 FROM (
-  SELECT app_id, did AS device_id, zg_did, CAST(pl_id AS INT) AS platform,
-         ua AS model, {d.s('k')} AS attr1,
-         {d.idiv('ct', '1000')} AS last_update_date,
+  SELECT app_id, zg_did AS device_id,
+         {d.clean('did', 256)} AS device_md5,
+         CAST(pl_id AS INT) AS platform,
+         CAST(NULL AS {d.strtype}) AS device_type,
+         CASE WHEN rs IS NOT NULL AND {has_two} THEN {h_px} END
+             AS horizontal_pixel,
+         CASE WHEN rs IS NOT NULL AND {has_two} THEN {v_px} END
+             AS vertical_pixel,
+         CASE WHEN pl = 'ios' THEN 'Apple'
+              ELSE {d.clean('br', 256)} END AS device_brand,
+         {d.clean('dv', 256)} AS device_model,
+         {d.clean('rs', 256)} AS resolution,
+         CAST(NULL AS {d.strtype}) AS phone,
+         {d.clean('imei', 256)} AS imei,
+         CAST(NULL AS {d.strtype}) AS mac,
+         jail AS is_prison_break,
+         crack AS is_crack,
+         {d.clean('lang', 256)} AS language,
+         {d.clean(d.s('tzoff'), 256)} AS timezone,
+         {d.clean('zs', 256)} AS attr1,
+         CAST(NULL AS {d.strtype}) AS attr2,
+         CAST(NULL AS {d.strtype}) AS attr3,
+         CAST(NULL AS {d.strtype}) AS attr4,
+         CAST(NULL AS {d.strtype}) AS attr5,
+         CASE WHEN abs(tzoff) > 172800000 THEN CAST(NULL AS BIGINT)
+              ELSE {d.idiv('ct', '1000')} END AS last_update_date,
          ROW_NUMBER() OVER (PARTITION BY app_id, did ORDER BY seq DESC) AS rn
   FROM resolved WHERE dt = 'pl'
 ) x WHERE rn = 1"""
@@ -1259,3 +1295,39 @@ GROUP BY app_id, event_name, lid, frequency, utm_source_adv"""
 
 
 _register("p31_adv_attribution", _p31)
+
+
+# ---------------------------------------------------------------------------
+# P32 synthesized sub-records (I6, IdResultProcessFunction.java:29-192):
+# after the ID stages every message's data[] gains (a) one `zgid` record
+# per distinct ($zg_did,$zg_uid,$zg_zgid) composite, (b) one `pl` record
+# carrying $zg_did + $dv='zhuge.io', (c) one `usr` record per distinct
+# $cuid — this query is the router's post-I6 input: original sub-records
+# UNION ALL the synthesized ones (each batch row is a 1-sub-record
+# message, so the per-message composite/cuid dedup is per-row). The
+# fan-out is a union of narrow projections of the SAME scan — Spark
+# reuses the exchange; no extra shuffle.
+# ---------------------------------------------------------------------------
+def _p32(d: Dialect) -> str:
+    null_s = f"CAST(NULL AS {d.strtype})"
+    return f"""
+SELECT dt, app_id, COUNT(*) AS n_records,
+       COUNT(DISTINCT zg_id) AS n_zgids,
+       COUNT(cuid) AS n_with_cuid,
+       CAST(SUM(CASE WHEN dv_syn = 'zhuge.io' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zhuge_marker
+FROM (
+  SELECT dt, app_id, zg_id, cuid, dv AS dv_syn FROM resolved
+  UNION ALL
+  SELECT 'zgid' AS dt, app_id, zg_id, cuid, {null_s} AS dv_syn FROM resolved
+  UNION ALL
+  SELECT 'pl' AS dt, app_id, zg_id, {null_s} AS cuid,
+         'zhuge.io' AS dv_syn FROM resolved
+  UNION ALL
+  SELECT 'usr' AS dt, app_id, zg_id, cuid, {null_s} AS dv_syn
+  FROM resolved WHERE cuid IS NOT NULL
+) x
+GROUP BY dt, app_id"""
+
+
+_register("p32_synthesized_records", _p32)
