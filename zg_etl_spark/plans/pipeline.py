@@ -1331,3 +1331,33 @@ GROUP BY dt, app_id"""
 
 
 _register("p32_synthesized_records", _p32)
+
+
+# ---------------------------------------------------------------------------
+# P33 User-Agent parsing (E2, UserAgentParser.java:29-280): a REAL parser
+# over raw UA strings — ordered regex tables (Edge before Chrome before
+# Safari, iPad before iPhone, tablet = Android minus Mobile token), major
+# browser version only, iOS 16_6 → 16.6 normalization, UNKNOWN defaults.
+# Runs JVM-side as CASE/regexp chains (functions/ua_parser.py), no UDF;
+# the same table renders the DuckDB oracle.
+# ---------------------------------------------------------------------------
+def _p33(d: Dialect) -> str:
+    from zg_etl_spark.functions import ua_parser as UP
+
+    return f"""
+SELECT os_family, os_version, browser, browser_major, device_type, brand,
+       COUNT(*) AS n, COUNT(DISTINCT app_id) AS n_apps
+FROM (
+  SELECT app_id,
+         {UP.os_family(d, 'ua_real')} AS os_family,
+         {UP.os_version(d, 'ua_real')} AS os_version,
+         {UP.browser(d, 'ua_real')} AS browser,
+         {UP.browser_major(d, 'ua_real')} AS browser_major,
+         {UP.device_type(d, 'ua_real')} AS device_type,
+         {UP.brand(d, 'ua_real')} AS brand
+  FROM resolved WHERE ua_real IS NOT NULL
+) x
+GROUP BY os_family, os_version, browser, browser_major, device_type, brand"""
+
+
+_register("p33_ua_parse", _p33)
