@@ -118,6 +118,11 @@ class LD:
     def adistinct(arr: str) -> str:
         return f"array_distinct({arr})"
 
+    @staticmethod
+    def re_replace_all(col: str, pattern: str, repl: str) -> str:
+        # Spark regexp_replace replaces every occurrence
+        return f"regexp_replace({col}, '{pattern}', '{repl}')"
+
 
 class DD:
     name = "duckdb"
@@ -197,6 +202,11 @@ class DD:
     @staticmethod
     def adistinct(arr: str) -> str:
         return f"list_distinct({arr})"
+
+    @staticmethod
+    def re_replace_all(col: str, pattern: str, repl: str) -> str:
+        # DuckDB replaces the first match unless the 'g' flag is given
+        return f"regexp_replace({col}, '{pattern}', '{repl}', 'g')"
 
 
 def _register_docs_views(spark: SparkSession, sf_dir: str) -> None:
@@ -1167,3 +1177,109 @@ FROM documents,
      UNNEST(range(0, greatest(0, (octet_length(encode(text)) - 1) // 256) + 1))
        AS t(i)
 WHERE i % 4 = 0"""
+
+
+# ---------------------------------------------------------------------------
+# L24 PII scrubbing: regex redaction of emails / phone numbers / IPv4s —
+# the standard pre-training privacy pass. PII is planted deterministically
+# into the synthetic corpus (it contains none), then counted and redacted;
+# per-doc fingerprints of the redacted text make the oracle value-level.
+# Patterns avoid backslashes so one literal serves both regex engines
+# (Java in Spark codegen, RE2 in DuckDB). Map-only over the corpus scan —
+# no shuffle at any scale.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PHONE_RE = "[+][0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+_IP_RE = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+
+def _l24(d) -> str:
+    did = "CAST(doc_id AS VARCHAR)" if d.name == "duckdb" else "CAST(doc_id AS STRING)"
+    planted = f"""text
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' contact u' || {did} || '@example.com now' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call +1 555 010 4242' ELSE '' END
+      || CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.0.' || {did} || '.99 today' ELSE '' END"""
+    redacted = d.re_replace_all(
+        d.re_replace_all(
+            d.re_replace_all("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return f"""
+SELECT doc_id,
+       CAST({d.re_count('t', _EMAIL_RE)} AS BIGINT) AS n_emails,
+       CAST({d.re_count('t', _PHONE_RE)} AS BIGINT) AS n_phones,
+       CAST({d.re_count('t', _IP_RE)} AS BIGINT) AS n_ips,
+       md5({redacted}) AS redacted_fp,
+       CAST(length({redacted}) AS BIGINT) AS redacted_len
+FROM (SELECT doc_id, {planted} AS t FROM documents) corpus"""
+
+
+_register("l24_pii_scrub", _l24)
+
+
+# ---------------------------------------------------------------------------
+# L25 decontamination: drop training docs that share any 4-gram shingle
+# with the held-out benchmark slice (doc_id % 97 = 0 plays the benchmark).
+# The overlap check is a shingle equi-join against the benchmark's
+# DISTINCT shingle set — bucketed by shingle, never all-pairs; the
+# benchmark side is tiny and broadcasts. Same scale shape as l4/l6.
+# ---------------------------------------------------------------------------
+def _l25(d) -> str:
+    return f"""
+WITH {_shingles_cte_fixed(d, n=4)},
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT DISTINCT s.doc_id
+  FROM shingles s JOIN bench b ON b.shingle = s.shingle
+  WHERE s.doc_id % 97 <> 0
+)
+SELECT dd.source,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean
+FROM documents dd LEFT JOIN hits h ON h.doc_id = dd.doc_id
+WHERE dd.doc_id % 97 <> 0
+GROUP BY dd.source"""
+
+
+_register("l25_decontaminate", _l25)
+
+
+# ---------------------------------------------------------------------------
+# L26 repetition filter (Gopher-style): per-doc top-word frequency ratio
+# and distinct-word ratio; keep = not dominated by one token and lexically
+# diverse. One (doc_id, word) groupBy with map-side partial aggregation —
+# the scan dominates at 100 TB.
+# ---------------------------------------------------------------------------
+def _l26(d) -> str:
+    words_from = d.explode(d.split("text"), "word")
+    return f"""
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, text FROM documents) dws {words_from}
+  GROUP BY doc_id, word
+),
+agg AS (
+  SELECT doc_id, MAX(c) AS max_freq,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         COUNT(*) AS n_distinct
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, max_freq, n_words, n_distinct,
+       round(CAST(max_freq AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+           AS top_freq_ratio,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+           AS distinct_ratio,
+       CASE WHEN CAST(max_freq AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2
+             AND CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.3
+            THEN 1 ELSE 0 END AS keep
+FROM agg"""
+
+
+_register("l26_repetition_filter", _l26)
