@@ -14,33 +14,33 @@ changed this round; the twice-green remainder rotates behind them.
 
 from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streaming_queries
 
-# First-50 priority: 23 llm + 5 streaming + g1 + p27 = 30 never-verified,
-# then 20 pipeline/writer queries (changed this round or identity-critical).
+# First-50 priority: 26 llm + 5 streaming + g1 + p27..p33 (incl. the
+# round-3 additions p30-p33) = 39 never-driver-verified, then the 11
+# pipeline/writer queries whose semantics changed this round (feed gained
+# ref/device/ua fields; p5-p8/p11 reworked). The twice-green remainder
+# (p9-p26, w2-w4, q1-q19) rotates behind them.
 _WINDOW = [
     *llm.QUERIES,
     *streaming_queries.QUERIES,
     *gate_queries.QUERIES,
     "p27_user_profile",
+    "p28_gate_business",
+    "p29_event_resolution",
+    "p30_search_keywords",
+    "p31_adv_attribution",
+    "p32_synthesized_records",
+    "p33_ua_parse",
+    "p0_envelope",
     "p1_gate_errors",
-    "p26_error_details",
+    "p2_identity_mappings",
+    "p3_zgid_binding",
     "p4_dictionaries",
-    "p17_user_prop_dict",
     "p5_virtual_attrs",
     "p6_virtual_events",
     "p7_enrichment",
     "p8_wide_table",
-    "p0_envelope",
-    "p2_identity_mappings",
-    "p3_zgid_binding",
-    "p9_user_properties",
-    "p10_b_user_upsert",
     "p11_b_device_upsert",
-    "p12_id_archive",
     "w1_upsert_writer",
-    "p23_ad_conversion",
-    "p24_app_first_seen",
-    "p28_gate_business",
-    "p29_event_resolution",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational)
