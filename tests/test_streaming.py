@@ -223,3 +223,51 @@ def test_zgid_stream_binding_rules(spark, tmp_path):
     assert out["dA"].zg_id != out["dB"].zg_id    # ...but never re-bound to u1
     assert out["dD"].bound_cuid is None
     assert out["dD"].zg_id == 900_000 + out["dD"].zg_did  # device-rooted
+
+
+def test_kafka_envelope_projection(spark):
+    """The Kafka deserializer (ZGMsgSchema parity) as a pure transform:
+    binary JSON values + record metadata → typed envelope columns. Runs
+    on a batch DataFrame with the connector's exact output shape, so the
+    S1/S2 parse path is exercised without a broker."""
+    from zg_etl_spark.streaming.kafka import envelope_projection
+
+    raw = spark.createDataFrame(
+        [
+            ("sdk_events", 0, 7, b"ak_1", b'{"ak": "ak_1", "pl": "ios", "ct": 1700000000000}'),
+            ("sdk_events", 1, 9, None, b"not json at all"),
+        ],
+        "topic STRING, partition INT, offset BIGINT, key BINARY, value BINARY",
+    )
+    out = envelope_projection(raw, "ak STRING, pl STRING, ct BIGINT")
+    rows = {r.offset: r for r in out.collect()}
+    assert rows[7].msg_key == "ak_1"
+    assert (rows[7].ak, rows[7].pl, rows[7].ct) == ("ak_1", "ios", 1700000000000)
+    assert rows[7].topic == "sdk_events" and rows[7].partition == 0
+    # malformed payload -> NULL envelope columns (PERMISSIVE), record kept
+    assert rows[9].ak is None and rows[9].pl is None
+
+
+def test_kafka_sink_builder_shape(spark, tmp_path):
+    """kafka_sink serializes every column to a JSON value (+ optional key)
+    and configures the kafka writer — asserted without start()ing, since
+    the connector jar isn't bundled here."""
+    from zg_etl_spark.streaming.kafka import kafka_sink
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    writer = kafka_sink(
+        stream.selectExpr("CAST(value AS BIGINT) AS v", "'a' AS app"),
+        servers="broker:9092",
+        topic="stage_out",
+        checkpoint_dir=str(tmp_path / "ck"),
+        key_col="app",
+    )
+    # the projected plan must be (key, value) with value = JSON of all cols
+    df = writer._df
+    assert [f.name for f in df.schema.fields] == ["key", "value"]
+    row = (
+        spark.createDataFrame([(5, "a")], "v BIGINT, app STRING")
+        .selectExpr("CAST(app AS STRING) AS key", "to_json(struct(v, app)) AS value")
+        .first()
+    )
+    assert row.value == '{"v":5,"app":"a"}'

@@ -20,25 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def kafka_source(
-    spark: SparkSession,
-    servers: str,
-    topic: str,
-    payload_schema: str,
-    starting_offsets: str = "earliest",
-) -> DataFrame:
-    """readStream from a topic → parsed envelope columns.
-
-    Mirrors ZGMsgSchema (kafka/ZGMsgSchema.java): the Kafka metadata
-    (topic/partition/offset) rides along as columns the way ZGMessage
-    carries them."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
+def envelope_projection(raw: DataFrame, payload_schema: str) -> DataFrame:
+    """Kafka-record shape (topic/partition/offset/key/value) → parsed
+    envelope columns. This IS the deserializer (kafka/ZGMsgSchema.java):
+    the Kafka metadata rides along as columns the way ZGMessage carries
+    them, and the binary value parses as JSON. Pure transform — works on
+    the streaming reader's output AND on any batch DataFrame with the
+    same shape (how the tests exercise it without a broker)."""
     return raw.select(
         F.col("topic"),
         F.col("partition"),
@@ -46,6 +34,24 @@ def kafka_source(
         F.col("key").cast("string").alias("msg_key"),
         F.from_json(F.col("value").cast("string"), payload_schema).alias("data"),
     ).select("topic", "partition", "offset", "msg_key", "data.*")
+
+
+def kafka_source(
+    spark: SparkSession,
+    servers: str,
+    topic: str,
+    payload_schema: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """readStream from a topic → parsed envelope columns."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return envelope_projection(raw, payload_schema)
 
 
 def kafka_sink(
