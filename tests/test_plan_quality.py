@@ -208,3 +208,41 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["p30_search_keywords", "p31_adv_attribution", "p33_ua_parse"]
+)
+def test_round3_queries_stay_jvm_side(spark, sf_dir, name):
+    """The 8-engine keyword extraction, ad attribution, and UA parsing
+    are regex/CASE chains and joins — no Python node may appear."""
+    plan = _plan(ALL[name](spark, sf_dir), "simple")
+    assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
+
+
+def test_adv_attribution_broadcasts_rules(spark, sf_dir):
+    """p31's ads_link rules and UTM overrides are VALUES tables — they
+    must broadcast; the only shuffle-grade joins are the (app, zgid)
+    touch join and its rank window."""
+    plan = _plan(ALL["p31_adv_attribution"](spark, sf_dir), "simple")
+    # two broadcast joins (rules + utm); the touch join may SMJ or
+    # shuffle-hash — but never a nested-loop product
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_wide_table_stays_map_side_at_width(spark, sf_dir):
+    """ZG_CUS_N widening must not re-introduce a fact shuffle: the
+    cus/type projection is still a broadcast-dict lookup per row."""
+    from zg_etl_spark.operators.domain import ZG_CUS_N
+
+    assert ZG_CUS_N >= 8
+    df = ALL["p8_wide_table"](spark, sf_dir)
+    assert f"cus{ZG_CUS_N}" in df.columns and f"type{ZG_CUS_N}" in df.columns
+    plan = _plan(df, "simple")
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not shuffles, f"p8 shuffles the fact at width {ZG_CUS_N}:\n{plan}"
