@@ -79,3 +79,78 @@ def test_with_search_keyword_dataframe(spark):
     assert got[rows[3][0]] == ("yahoo", "%22quoted%22")
     assert got[rows[4][0]][0] is None
     assert got[None] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# Independent oracle: a direct Python transliteration of the REFERENCE
+# algorithm (SearchKeywordParser.java:60-143 — find engine by pattern,
+# split the query string on '&', first case-insensitive param match) run
+# against the SQL fragments over a generated URL corpus. The two
+# implementations share no code or dialect template.
+# ---------------------------------------------------------------------------
+def _reference_parse(url):
+    import re
+
+    if not url:
+        return (None, None)
+    engine = None
+    for eng, pat, _ in ENGINES:
+        if re.search(pat, url, re.IGNORECASE):
+            engine = eng
+            break
+    if engine is None:
+        return (None, None)
+    params = dict(ENGINES_PARAMS)[engine]
+    q = url.find("?")
+    keyword = None
+    if q != -1:
+        for part in url[q + 1:].split("&"):
+            eq = part.find("=")
+            if eq == -1:
+                continue
+            name, value = part[:eq], part[eq + 1:]
+            if any(name.lower() == p.lower() for p in params) and value:
+                keyword = value
+                break
+    if keyword:
+        keyword = keyword.strip()
+        for ch in ('"', "'"):
+            if keyword.startswith(ch):
+                keyword = keyword[1:]
+            if keyword.endswith(ch):
+                keyword = keyword[:-1]
+    return (engine, keyword or None)
+
+
+ENGINES_PARAMS = [(e, p) for e, _, p in ENGINES]
+
+
+def test_sql_extraction_matches_reference_model(spark):
+    hosts = [
+        "www.baidu.com/s", "www.google.com.hk/search", "www.sogou.com/web",
+        "www.so.com/s", "cn.bing.com/search", "m.sm.cn/s",
+        "so.toutiao.com/search", "search.yahoo.com/search",
+        "example.org/page", "news.site.net/a",
+    ]
+    qsets = [
+        "", "?wd=alpha", "?word=beta&x=1", "?kw=gamma", "?q=delta",
+        "?QUERY=epsilon", "?keyword=zeta", "?p=eta", "?x=1&q=theta",
+        "?q=", "?q='quoted'&y=2", "?noise", "?Q=%E4%B8%AD",
+    ]
+    urls = [f"https://{h}{q}" for h in hosts for q in qsets]
+    from zg_etl_spark.functions.search_keywords import (
+        clean_keyword,
+        engine_case,
+        term_case,
+    )
+    from zg_etl_spark.operators.domain import SPARK
+
+    df = spark.createDataFrame([(u,) for u in urls], "ref string")
+    out = df.selectExpr(
+        "ref",
+        f"{engine_case(SPARK, 'ref')} AS eng",
+        f"NULLIF({clean_keyword(SPARK, term_case(SPARK, 'ref', engine_case(SPARK, 'ref')))}, '') AS kw",
+    ).collect()
+    for r in out:
+        expect = _reference_parse(r.ref)
+        assert (r.eng, r.kw) == expect, f"{r.ref}: sql={(r.eng, r.kw)} ref={expect}"

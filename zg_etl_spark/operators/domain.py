@@ -310,6 +310,10 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
            END
          END AS ref,
          CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source,
+         CASE WHEN user_id % 13 = 0 AND event_id % 3 = 0
+              THEN 'camp_' || {s('(event_id % 4)')} END AS utm_campaign,
+         CASE WHEN user_id % 13 = 0 AND event_id % 5 = 0
+              THEN 'banner"x"' END AS utm_content,
          CASE user_id % 8 WHEN 0 THEN '-1' WHEN 1 THEN '2' WHEN 2 THEN '4'
               WHEN 3 THEN '1234567' WHEN 4 THEN 'wifi' END AS net,
          CASE WHEN user_id % 4 = 0 THEN {s('(46000 + user_id % 3)')}

@@ -311,7 +311,7 @@ def _p8(d: Dialect) -> str:
     cols = (
         "event_id, app_id, zg_id, zg_did, zg_uid, sid, dt, seq, ct, pl_id, "
         "net, cr, ua, url, ref, cn, vn, ip_long, ip, utm_source, dur, "
-        "business, event_type, k, pl, value"
+        "business, event_type, k, pl, value, utm_campaign, utm_content"
     )
     return f"""
 SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
@@ -350,6 +350,8 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
            AS utm_source_f,
        {SK.clean_keyword(d, SK.term_case(d, 'e.ref', 'e.search_engine'))}
            AS utm_term,
+       {d.clean('e.utm_campaign', 256)} AS utm_campaign,
+       {d.clean('e.utm_content', 256)} AS utm_content,
        CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur
             ELSE CAST(0 AS BIGINT) END AS duration,
        {d.clean('e.business', 256)} AS attr1,
