@@ -162,7 +162,12 @@ class DuckDialect(Dialect):
     name = "duckdb"
     strtype = "VARCHAR"
 
-    _strf = {"yyyyMMdd": "%Y%m%d", "HH": "%H", "yyyy-MM-dd": "%Y-%m-%d"}
+    _strf = {
+        "yyyyMMdd": "%Y%m%d",
+        "yyyyMM": "%Y%m",
+        "HH": "%H",
+        "yyyy-MM-dd": "%Y-%m-%d",
+    }
 
     def event_ms(self):
         return "epoch_ms(ts)"

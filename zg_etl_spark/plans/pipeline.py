@@ -1363,3 +1363,59 @@ GROUP BY os_family, os_version, browser, browser_major, device_type, brand"""
 
 
 _register("p33_ua_parse", _p33)
+
+
+# ---------------------------------------------------------------------------
+# P34 t_user_duration (sql/1.sql:430-447): per (zg_id, day, period) visit
+# duration + times, with yearweek/yearmonth buckets — the remaining A5
+# aggregate table. `period` is the within-day slot the product rolls
+# sessions into (morning/afternoon/evening from the event hour). One
+# map-side-combined groupBy on (zg_id, day) grain.
+# ---------------------------------------------------------------------------
+def _p34(d: Dialect) -> str:
+    ts_ct = d.ts("ct")
+    day_id = f"CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT)"
+    hour = f"CAST({d.fmt(ts_ct, 'HH')} AS INT)"
+    dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
+    th = d.iso_thursday(dref)
+    return f"""
+SELECT zg_id, day_id, period,
+       CAST(SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur ELSE 0 END)
+            AS BIGINT) AS duration,
+       CAST(COUNT(*) AS INT) AS times,
+       yearweek, yearmonth, platform
+FROM (
+  SELECT zg_id, {day_id} AS day_id,
+         CASE WHEN {hour} < 6 THEN 'night'
+              WHEN {hour} < 12 THEN 'morning'
+              WHEN {hour} < 18 THEN 'afternoon'
+              ELSE 'evening' END AS period,
+         dur,
+         CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yearweek,
+         CAST({d.fmt(ts_ct, 'yyyyMM')} AS INT) AS yearmonth,
+         CAST(pl_id AS INT) AS platform
+  FROM resolved WHERE dt IN ('evt', 'abp', 'mkt')
+) x
+GROUP BY zg_id, day_id, period, yearweek, yearmonth, platform"""
+
+
+_register("p34_user_duration", _p34)
+
+
+# ---------------------------------------------------------------------------
+# P35 b_user_anonymous view (sql/1.sql:643-654): per zgid, the max bound
+# user id and the 匿名/实名 (anonymous/identified) classification over the
+# b_user mapping rows.
+# ---------------------------------------------------------------------------
+def _p35(d: Dialect) -> str:
+    return """
+SELECT app_id, zg_id, MAX(cuid) AS user_id,
+       CASE WHEN MAX(cuid) IS NULL THEN '匿名' ELSE '实名' END AS is_anonymous
+FROM device_zgid z
+LEFT JOIN (SELECT app_id AS u_app, bound_cuid AS cuid, zg_id AS u_zgid
+           FROM device_zgid WHERE bound_cuid IS NOT NULL) u
+       ON u.u_app = z.app_id AND u.u_zgid = z.zg_id
+GROUP BY app_id, zg_id"""
+
+
+_register("p35_user_anonymous", _p35)
