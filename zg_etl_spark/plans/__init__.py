@@ -30,10 +30,10 @@ _WINDOW = [
     "p31_adv_attribution",
     "p32_synthesized_records",
     "p33_ua_parse",
+    "p34_user_duration",
+    "p35_user_anonymous",
     "p0_envelope",
     "p1_gate_errors",
-    "p2_identity_mappings",
-    "p3_zgid_binding",
     "p4_dictionaries",
     "p5_virtual_attrs",
     "p6_virtual_events",
