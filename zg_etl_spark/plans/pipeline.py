@@ -1155,24 +1155,37 @@ _register("p26_error_details", _p26)
 
 
 # ---------------------------------------------------------------------------
-# P27 per-user lifetime profile — the t_user_detail shape (sql/1.sql:
-# 396-657): first/last visit, span, and first/current channel + geo per
-# user in ONE aggregation pass via min_by/max_by (arg-min/arg-max on the
-# unique seq — no self-join, no window over the full history, one shuffle
-# on zg_id). Completes the first-touch (p14) / visit-stats (p13) family
-# with the "current value" side the reference's f_* tables carry.
+# P27 per-user lifetime profile — the t_user_detail / f_user_all shape
+# (sql/1.sql:467-510, 590-641): first/last visit, span, visit_times,
+# duration, is_registered, first/current version + channel, first-visit
+# utm set, first website/referrer — in ONE aggregation pass via
+# min_by/max_by (arg-min/arg-max on the unique seq — no self-join, no
+# window over the full history, one shuffle on zg_id). Nullable sources
+# wrap in COALESCE('') so both engines' arg-extrema see the same value.
 # ---------------------------------------------------------------------------
 def _p27(d: Dialect) -> str:
     fn_min = "MIN_BY" if d.name == "spark" else "ARG_MIN"
     fn_max = "MAX_BY" if d.name == "spark" else "ARG_MAX"
+    website = "regexp_extract(COALESCE(ref, ''), 'https?://([^/]+)', 1)"
     return f"""
 SELECT app_id, zg_id,
        MIN(ct) AS first_visit_ct, MAX(ct) AS last_visit_ct,
        MAX(ct) - MIN(ct) AS lifetime_ms,
        COUNT(*) AS n_events,
-       {fn_min}(COALESCE(utm_source, ''), seq) AS first_channel,
-       {fn_max}(COALESCE(utm_source, ''), seq) AS current_channel,
-       {fn_min}(COALESCE(ref, ''), seq) AS first_ref,
+       COUNT(DISTINCT sid) AS visit_times,
+       CAST(SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur ELSE 0 END)
+            AS BIGINT) AS duration,
+       CAST(MAX(CASE WHEN cuid IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS is_registered,
+       {fn_min}(COALESCE(vn, ''), seq) AS first_version,
+       {fn_max}(COALESCE(vn, ''), seq) AS current_app_version,
+       {fn_min}(COALESCE(cn, ''), seq) AS first_channel,
+       {fn_max}(COALESCE(cn, ''), seq) AS current_app_channel,
+       {fn_min}(COALESCE(utm_source, ''), seq) AS utm_source_f,
+       {fn_min}(COALESCE(utm_campaign, ''), seq) AS utm_campaign_f,
+       {fn_min}(COALESCE(utm_content, ''), seq) AS utm_content_f,
+       {fn_min}({website}, seq) AS first_website,
+       {fn_min}(COALESCE(ref, ''), seq) AS first_referrer_url,
        {fn_max}(COALESCE(ref, ''), seq) AS current_ref,
        {fn_min}(pl, seq) AS first_platform,
        {fn_max}(pl, seq) AS current_platform
