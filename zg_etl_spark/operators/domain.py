@@ -283,6 +283,8 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
                    OR (event_type = 'error' AND event_id % 2 = 1)
               THEN CASE WHEN event_id % 97 = 0
                         THEN event_type || repeat('_long_name', 15)
+                        WHEN event_id % 89 = 3
+                        THEN event_type || '!bad name'
                         ELSE event_type END END AS event_name,
          CASE WHEN event_id % 5 = 0 THEN CAST(NULL AS BIGINT)
               ELSE 1000 + event_id % 50 END AS sid,
@@ -480,11 +482,16 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
 
     # dictionaries: event dict (owner rule: dt=abp ⇒ owner zg,
     # EventAsyncOperator.java:293-299; >100-char names truncated :120-299)
+    # EVENT_NAME_INVALID (1020013): only digits / letters / underscore /
+    # hyphen / CJK / $ allowed (ErrorMessageEnum.java EVENT_NAME_INVALID);
+    # invalid names never enter the dictionary (no auto-create)
+    name_valid = d.rlike("substring(event_name, 1, 100)", "^[0-9A-Za-z_$一-龥-]+$")
     out.append((
         "events_typed",
-        """
+        f"""
   SELECT *, CASE WHEN dt = 'abp' THEN 'zg' ELSE owner END AS owner_e,
-         substring(event_name, 1, 100) AS event_name_t
+         substring(event_name, 1, 100) AS event_name_t,
+         {name_valid} AS name_valid
   FROM resolved
   WHERE dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL""",
     ))
@@ -493,7 +500,8 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
         """
   SELECT app_id, owner_e AS owner, event_name_t AS event_name,
          MIN(seq) AS first_seq
-  FROM events_typed GROUP BY app_id, owner_e, event_name_t""",
+  FROM events_typed WHERE name_valid
+  GROUP BY app_id, owner_e, event_name_t""",
     ))
     out.append((
         "event_dict",
@@ -569,7 +577,8 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
         """
   SELECT /*+ BROADCAST(ed), BROADCAST(bl), BROADCAST(cfg) */
          et.*, ed.zg_eid,
-         CASE WHEN ed.zg_eid IS NOT NULL AND bl.bl_event_name IS NOT NULL
+         CASE WHEN NOT et.name_valid THEN 1020013
+              WHEN ed.zg_eid IS NOT NULL AND bl.bl_event_name IS NOT NULL
                 THEN 1020102
               WHEN ed.zg_eid IS NULL AND cfg.auto_disabled = 1 THEN 1020103
               WHEN ed.zg_eid IS NULL THEN 1020104

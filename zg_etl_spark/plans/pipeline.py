@@ -1432,3 +1432,21 @@ GROUP BY app_id, zg_id"""
 
 
 _register("p35_user_anonymous", _p35)
+
+
+# ---------------------------------------------------------------------------
+# P36 event↔platform sets (EventAsyncOperator.java:420-497): the
+# idempotent `event_platform(event_id, platform)` relation — INSERT
+# IGNORE on every observed pair — plus the per-event platform count.
+# A DISTINCT over two low-cardinality columns: map-side partial dedup,
+# one tiny shuffle.
+# ---------------------------------------------------------------------------
+def _p36(d: Dialect) -> str:
+    return """
+SELECT zg_eid, CAST(pl_id AS INT) AS platform,
+       COUNT(*) AS n_observations
+FROM events_dicted WHERE event_error_code = 0
+GROUP BY zg_eid, pl_id"""
+
+
+_register("p36_event_platforms", _p36)

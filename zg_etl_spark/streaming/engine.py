@@ -258,18 +258,24 @@ def start_route_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         with_dev = incremental_device_ids(dev_store, batch_df)
-        # M1 owner rule + name truncation (EventAsyncOperator.java:120-299):
-        # dt=abp forces owner 'zg'; names cap at 100 chars; only event-like
-        # sub-records enter the dictionary
-        events = with_dev.filter(
-            F.col("dt").isin("evt", "abp", "mkt") & F.col("event_name").isNotNull()
-        ).withColumns(
-            {
-                "owner": F.when(F.col("dt") == "abp", F.lit("zg")).otherwise(
-                    F.col("owner")
-                ),
-                "event_name": F.substring("event_name", 1, 100),
-            }
+        # M1 owner rule + name truncation + validity (EventAsyncOperator
+        # .java:120-299): dt=abp forces owner 'zg'; names cap at 100 chars;
+        # invalid names (EVENT_NAME_INVALID 1020013) never enter the
+        # dictionary — same gate as the batch event_first stage
+        events = (
+            with_dev.filter(
+                F.col("dt").isin("evt", "abp", "mkt")
+                & F.col("event_name").isNotNull()
+            )
+            .withColumns(
+                {
+                    "owner": F.when(F.col("dt") == "abp", F.lit("zg")).otherwise(
+                        F.col("owner")
+                    ),
+                    "event_name": F.substring("event_name", 1, 100),
+                }
+            )
+            .filter(F.col("event_name").rlike("^[0-9A-Za-z_$一-龥-]+$"))
         )
         routed = incremental_get_or_create(
             ev_store,
