@@ -32,8 +32,8 @@ _WINDOW = [
     "p33_ua_parse",
     "p34_user_duration",
     "p35_user_anonymous",
+    "p36_event_platforms",
     "p0_envelope",
-    "p1_gate_errors",
     "p4_dictionaries",
     "p5_virtual_attrs",
     "p6_virtual_events",
