@@ -209,6 +209,23 @@ SPARK = SparkDialect()
 DUCK = DuckDialect()
 
 
+def ua_real_case(d: Dialect, q: str = "") -> str:
+    """Raw User-Agent strings for the UA-parser query (p33), derived
+    deterministically from user_id at QUERY time — deliberately NOT a
+    feed/spine column: the 8 long strings would inflate the checkpointed
+    spine every pipeline query pays for, while only p33 reads them."""
+    return f"""CASE WHEN {q}user_id % 23 = 1 THEN CAST(NULL AS {d.strtype})
+              ELSE CASE {q}user_id % 8
+           WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
+           WHEN 1 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1'
+           WHEN 2 THEN 'Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36'
+           WHEN 3 THEN 'Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1'
+           WHEN 4 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/115.0'
+           WHEN 5 THEN 'Mozilla/5.0 (Linux; Android 12; HUAWEI MatePad) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 Safari/537.36 MicroMessenger/8.0.47'
+           WHEN 6 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91'
+           ELSE 'curl/8.4.0' END END"""
+
+
 def custom_attrs(d: Dialect, q: str = "") -> list[tuple[str, str, int]]:
     """The `_`-prefixed custom properties the synthetic feed carries
     (attr_name, value_expr over a feed row, prop_type 1=string 2=number).
@@ -346,17 +363,7 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
               WHEN 1 THEN CAST(-18000000 AS BIGINT)
               WHEN 2 THEN CAST(999999999999 AS BIGINT)
               ELSE CAST(0 AS BIGINT) END AS tzoff,
-         CASE WHEN user_id % 11 = 3 THEN 'zs_' || {s(app_id)} END AS zs,
-         CASE WHEN user_id % 23 = 1 THEN CAST(NULL AS {d.strtype})
-              ELSE CASE user_id % 8
-           WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36'
-           WHEN 1 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1'
-           WHEN 2 THEN 'Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36'
-           WHEN 3 THEN 'Mozilla/5.0 (iPad; CPU OS 16_6 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Mobile/15E148 Safari/604.1'
-           WHEN 4 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:109.0) Gecko/20100101 Firefox/115.0'
-           WHEN 5 THEN 'Mozilla/5.0 (Linux; Android 12; HUAWEI MatePad) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.88 Safari/537.36 MicroMessenger/8.0.47'
-           WHEN 6 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91'
-           ELSE 'curl/8.4.0' END END AS ua_real
+         CASE WHEN user_id % 11 = 3 THEN 'zs_' || {s(app_id)} END AS zs
   FROM events""",
     ))
 

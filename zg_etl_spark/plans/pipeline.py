@@ -1358,6 +1358,7 @@ _register("p32_synthesized_records", _p32)
 # ---------------------------------------------------------------------------
 def _p33(d: Dialect) -> str:
     from zg_etl_spark.functions import ua_parser as UP
+    from zg_etl_spark.operators.domain import ua_real_case
 
     return f"""
 SELECT os_family, os_version, browser, browser_major, device_type, brand,
@@ -1370,7 +1371,8 @@ FROM (
          {UP.browser_major(d, 'ua_real')} AS browser_major,
          {UP.device_type(d, 'ua_real')} AS device_type,
          {UP.brand(d, 'ua_real')} AS brand
-  FROM resolved WHERE ua_real IS NOT NULL
+  FROM (SELECT app_id, {ua_real_case(d)} AS ua_real FROM resolved) r0
+  WHERE ua_real IS NOT NULL
 ) x
 GROUP BY os_family, os_version, browser, browser_major, device_type, brand"""
 
