@@ -173,7 +173,7 @@ def test_resolve_with_real_aes(spark):
     rows = []
     for c in cases:
         rows.append((json.dumps({
-            "Ip": "1.2.3.4", "Now": 1700000000,
+            "Ip": "1.2.3.4", "Now": 1700000000, "Header": "{}",
             "Args": {"event": base64.b64encode(c["event"]).decode(),
                      "compress": c["compress"], "encrypt": c["encrypt"],
                      "type": 1, "key": "enc_key_blob"},
@@ -202,7 +202,7 @@ def test_resolve_with_real_sm4(spark):
     ct = e.update(payload + bytes([pad]) * pad) + e.finalize()
 
     wire = json.dumps({
-        "Ip": "4.3.2.1", "Now": 1700000001,
+        "Ip": "4.3.2.1", "Now": 1700000001, "Header": "{}",
         "Args": {"event": base64.b64encode(ct).decode(), "compress": 0,
                  "encrypt": 1, "type": 2, "key": "sm2_blob"},
     })
@@ -242,7 +242,7 @@ def test_tampered_ciphertext_is_error_row(spark):
     ct = _aes_encrypt(secret, iv, b'{"ak": "x"}')
     tampered = ct[:-1] + bytes([ct[-1] ^ 0xFF])
     wire = json.dumps({
-        "Ip": "1.2.3.4", "Now": 1,
+        "Ip": "1.2.3.4", "Now": 1, "Header": "{}",
         "Args": {"event": base64.b64encode(tampered).decode(), "compress": 0,
                  "encrypt": 1, "type": 1, "key": "k"},
     })

@@ -97,13 +97,33 @@ def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
             F.col("_w.Args.key"),
         ),
     )
+    # per-field failure attribution, the MsgResolver ResolveException
+    # reasons (ErrorMessageEnum): whole-message not JSON → 1020001
+    # JSON_FORMAT_ERROR; Ip missing/mistyped → 1010003 IP_NONE; Now →
+    # 1010004 NOW_NONE; Header → 1010005 HEADER_NONE; inner-event decode
+    # failure → 1020001
+    # PERMISSIVE from_json renders non-JSON as an ALL-null struct, not a
+    # null struct — whole-parse failure = every envelope field null
+    not_json = F.col("_w").isNull() | (
+        F.col("_w.Ip").isNull()
+        & F.col("_w.Now").isNull()
+        & F.col("_w.Header").isNull()
+        & F.col("_w.Args").isNull()
+    )
+    error_code = (
+        F.when(not_json, F.lit(1020001))
+        .when(F.col("_w.Ip").isNull(), F.lit(1010003))
+        .when(F.col("_w.Now").isNull(), F.lit(1010004))
+        .when(F.col("_w.Header").isNull(), F.lit(1010005))
+        .when(F.col("payload").isNull(), F.lit(1020001))
+        .otherwise(F.lit(0))
+    )
     return decoded.select(
         F.col("_w.Ip").alias("ip"),
         F.col("_w.Now").alias("server_ts"),
         "payload",
-        F.when(
-            F.col("_w").isNull() | F.col("payload").isNull(), F.lit(-1)
-        ).otherwise(F.lit(0)).alias("result"),
+        error_code.alias("error_code"),
+        F.when(error_code != 0, F.lit(-1)).otherwise(F.lit(0)).alias("result"),
     )
 
 
