@@ -1084,8 +1084,8 @@ SELECT lang, bigram, n_docs, rank FROM (
     SELECT lang, bigram, COUNT(*) AS n_docs
     FROM (
       SELECT doc_id, lang, {d.adistinct(bg_arr)} AS bgs
-      FROM (SELECT doc_id, lang, {d.split('text')} AS ws FROM documents
-            WHERE {d.alen(d.split('text'))} >= 2) w
+      FROM (SELECT doc_id, lang, {d.split('text')} AS ws FROM documents) w
+      WHERE {d.alen('ws')} >= 2
     ) a {d.explode('bgs', 'bigram')}
     GROUP BY lang, bigram
   ) c
