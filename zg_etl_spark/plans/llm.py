@@ -369,8 +369,9 @@ def _shingles_cte_fixed(d, n: int = 4, hashed: bool = False) -> str:
     # shuffle ever runs.
     key = d.h64("shingle") + " AS shingle" if hashed else "shingle"
     return f"""
-docw AS (SELECT doc_id, {d.split('text')} AS ws FROM documents
-         WHERE {d.alen(d.split('text'))} >= {n}),
+docw AS (SELECT doc_id, ws
+         FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents) w0
+         WHERE {d.alen('ws')} >= {n}),
 sharr AS (SELECT doc_id, {d.adistinct(sh_arr)} AS sh_arr FROM docw),
 shingles AS (
   SELECT doc_id, {key}
@@ -419,8 +420,8 @@ def _l4_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "l4_sharr",
         f"""SELECT doc_id, {LD.adistinct(sh_arr)} AS sh_arr
-            FROM (SELECT doc_id, {LD.split('text')} AS ws FROM documents
-                  WHERE {LD.alen(LD.split('text'))} >= {n}) w""",
+            FROM (SELECT doc_id, {LD.split('text')} AS ws FROM documents) w
+            WHERE {LD.alen('ws')} >= {n}""",
     )
     _shared_view(
         spark,
@@ -469,8 +470,8 @@ SELECT doc_id,
 FROM (
   SELECT doc_id, {m0} AS m0, {m1} AS m1 FROM (
     SELECT doc_id, {sh} AS sh FROM (
-      SELECT doc_id, {d.split('text')} AS ws FROM documents
-      WHERE {d.alen(d.split('text'))} >= {n}) a) b) c"""
+      SELECT doc_id, {d.split('text')} AS ws FROM documents) a
+      WHERE {d.alen('ws')} >= {n}) b) c"""
 
 
 _register("l5_minhash_signatures", _l5)
