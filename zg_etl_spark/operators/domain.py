@@ -115,6 +115,11 @@ class Dialect:
     def rlike(self, x: str, pattern: str) -> str:
         raise NotImplementedError
 
+    def last_ignore_nulls(self, x: str, over: str) -> str:
+        """last_value(x) with IGNORE NULLS — the engines put the clause
+        in different places."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -156,6 +161,9 @@ class SparkDialect(Dialect):
 
     def rlike(self, x, pattern):
         return f"{x} RLIKE {self.re_lit(pattern)}"
+
+    def last_ignore_nulls(self, x, over):
+        return f"last_value({x}) IGNORE NULLS OVER {over}"
 
 
 class DuckDialect(Dialect):
@@ -203,6 +211,9 @@ class DuckDialect(Dialect):
 
     def rlike(self, x, pattern):
         return f"regexp_matches({x}, {self.re_lit(pattern)})"
+
+    def last_ignore_nulls(self, x, over):
+        return f"last_value({x} IGNORE NULLS) OVER {over}"
 
 
 SPARK = SparkDialect()

@@ -1267,13 +1267,23 @@ _register("p30_search_keywords", _p30)
 # as utm_source_adv. The rule-level matchJson property predicates are
 # deployment config and not modeled.
 #
-# Scale shape: the as-of join shuffles both sides ONCE on (app_id, zg_id);
-# the rank-1 filter is a per-key window, and rules/overrides are
-# broadcast-sized VALUES tables.
+# Scale shape: the latest-touch lookup is NOT a pair join (that fans out
+# O(conversions × touches-per-user)) — touches and conversions union into
+# one (app, zgid)-partitioned stream and the touch forward-fills via
+# last_value IGNORE NULLS: ONE shuffle total, rows ∝ events. Touches at
+# the same ct sort before conversions (inclusive `touch_ct <= ct`), and
+# among equal-ct touches the highest seq wins — the exact tie-break of
+# the reference's max-ct Redis lookup. Rules/overrides broadcast.
 # ---------------------------------------------------------------------------
 def _p31(d: Dialect) -> str:
     rules = R.values_sql(R.ADS_LINK_RULES, R.ADS_LINK_COLS)
     utm = R.values_sql(R.UTM_OVERRIDES, R.UTM_OVERRIDE_COLS)
+    w = (
+        "(PARTITION BY app_id, zg_id ORDER BY ct, is_touch DESC, seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    t_lid = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN lid END", w)
+    t_ct = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN ct END", w)
     return f"""
 SELECT app_id, event_name, lid, frequency, utm_source_adv,
        COUNT(*) AS n_conversions, COUNT(DISTINCT zg_id) AS n_users
@@ -1288,19 +1298,20 @@ FROM (
     SELECT c.app_id, c.event_name, c.zg_id, c.ct, c.seq, c.lid,
            l.frequency
     FROM (
-      SELECT r.app_id, r.event_name, r.zg_id, r.ct, r.seq,
-             t.lid, t.touch_ct,
-             ROW_NUMBER() OVER (PARTITION BY r.seq
-                                ORDER BY t.touch_ct DESC, t.seq DESC) AS rn
-      FROM resolved r
-      JOIN (SELECT app_id, zg_id, ct AS touch_ct, seq, k % 5 AS lid
-            FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL) t
-        ON t.app_id = r.app_id AND t.zg_id = r.zg_id AND t.touch_ct <= r.ct
-      WHERE r.dt = 'evt'
+      SELECT app_id, zg_id, ct, seq, event_name, is_touch,
+             {t_lid} AS lid, {t_ct} AS touch_ct
+      FROM (
+        SELECT app_id, zg_id, ct, seq, event_name, 0 AS is_touch,
+               CAST(NULL AS BIGINT) AS lid
+        FROM resolved WHERE dt = 'evt'
+        UNION ALL
+        SELECT app_id, zg_id, ct, seq, CAST(NULL AS {d.strtype}), 1, k % 5
+        FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL
+      ) s
     ) c
     JOIN {rules} AS l(r_lid, conv_event, window_sec, frequency)
       ON l.r_lid = c.lid AND l.conv_event = c.event_name
-    WHERE c.rn = 1 AND c.ct - c.touch_ct <= l.window_sec * 1000
+    WHERE c.is_touch = 0 AND c.ct - c.touch_ct <= l.window_sec * 1000
   ) m
   LEFT JOIN {utm} AS u(u_event, u_source, u_medium, u_campaign)
          ON u.u_event = m.event_name
