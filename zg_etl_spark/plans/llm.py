@@ -85,6 +85,17 @@ class LD:
         return f"LATERAL VIEW explode({arr_expr}) _t AS {alias}"
 
     @staticmethod
+    def explode_ne(arr_expr: str, alias: str) -> str:
+        # OUTER explode for arrays a preceding WHERE proves non-empty:
+        # the non-outer Generate infers `size(arr)>0 AND isnotnull(arr)`,
+        # and that predicate pushes below the parallelizing repartition,
+        # re-evaluating the whole array-build chain (3×) on the source's
+        # few native partitions (BASELINE.md plan-finding 2). The OUTER
+        # form infers nothing; with non-emptiness guaranteed the rows are
+        # identical.
+        return f"LATERAL VIEW OUTER explode({arr_expr}) _t AS {alias}"
+
+    @staticmethod
     def dvec(col: str) -> str:
         return f"CAST({col} AS ARRAY<DOUBLE>)"
 
@@ -170,6 +181,10 @@ class DD:
     @staticmethod
     def explode(arr_expr: str, alias: str) -> str:
         return f", UNNEST({arr_expr}) AS _t({alias})"
+
+    # UNNEST already emits zero rows for empty/NULL lists; with the
+    # non-empty guarantee the Spark OUTER form matches it row-for-row
+    explode_ne = explode
 
     @staticmethod
     def dvec(col: str) -> str:
@@ -1087,7 +1102,7 @@ SELECT lang, bigram, n_docs, rank FROM (
       SELECT doc_id, lang, {d.adistinct(bg_arr)} AS bgs
       FROM (SELECT doc_id, lang, {d.split('text')} AS ws FROM documents) w
       WHERE {d.alen('ws')} >= 2
-    ) a {d.explode('bgs', 'bigram')}
+    ) a {d.explode_ne('bgs', 'bigram')}
     GROUP BY lang, bigram
   ) c
 ) r WHERE rank <= 10"""
