@@ -73,27 +73,53 @@ def main() -> None:
     import resource
 
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warm_suite_sec": warm_total,
-                "queries_warm": per_query_warm,
-                "duckdb_oracle_suite_sec": duck_total,
-                "spark_over_duckdb_ratio": (
-                    round(total / duck_total, 2) if duck_total else None
-                ),
-                "warm_ratio": (
-                    round(warm_total / duck_total, 2) if duck_total else None
-                ),
-                "driver_python_peak_mb": peak_mb,
-            }
-        )
+    common = {
+        "metric": "declared_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warm_suite_sec": warm_total,
+        "duckdb_oracle_suite_sec": duck_total,
+        "spark_over_duckdb_ratio": (
+            round(total / duck_total, 2) if duck_total else None
+        ),
+        "warm_ratio": (
+            round(warm_total / duck_total, 2) if duck_total else None
+        ),
+        "driver_python_peak_mb": peak_mb,
+    }
+
+    # The driver records only the LAST 2000 chars of output and parses it
+    # as JSON — a full 93-query map with long names exceeds that and the
+    # head of the line gets truncated (BENCH_r01/r02 both show
+    # parsed:null). The one emitted line therefore uses the unique short
+    # ids ("q1"/"p8"/"l21" — the driver contract's own example form) at 2
+    # decimals; the verbose per-query detail (full names, warm pass) goes
+    # to bench_detail.json next to this script.
+    short = _short_keys(per_query)
+    detail = dict(common, queries=per_query, queries_warm=per_query_warm)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+
+    line = json.dumps(
+        dict(common, queries={k: round(v, 2) for k, v in short.items()}),
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture window
+        line = json.dumps(common, separators=(",", ":"))
+    print(line)
+
+
+def _short_keys(per_query: dict[str, float]) -> dict[str, float]:
+    """Map each query to its unique id prefix (q1_pricing_summary -> q1);
+    falls back to full names if any prefix would collide."""
+    short = {name.split("_", 1)[0]: v for name, v in per_query.items()}
+    return short if len(short) == len(per_query) else per_query
 
 
 def _duckdb_oracle_suite_sec(sf_dir: str) -> float | None:
