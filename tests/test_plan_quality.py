@@ -164,6 +164,24 @@ def test_map_only_stages_have_no_shuffle(spark, sf_dir):
         )
 
 
+def test_guarded_explode_infers_no_expensive_filter(spark, sf_dir):
+    """l21 explodes a per-row bigram array built by an expensive
+    transform chain. The non-outer Generate infers size>0/isnotnull
+    predicates that push BELOW the parallelizing repartition and
+    re-evaluate the whole chain (3x) on the source's few native
+    partitions; the OUTER form (valid because WHERE size(ws)>=2 proves
+    the array non-empty) infers nothing. A Filter node evaluating the
+    transform chain means the regression is back."""
+    plan = _plan(ALL["l21_bigram_stats"](spark, sf_dir), "formatted")
+    filters = [
+        ln for ln in plan.splitlines() if ln.lstrip().startswith("Condition")
+    ]
+    for ln in filters:
+        assert "transform(" not in ln, (
+            f"Generate-inferred predicate re-evaluates the bigram chain:\n{ln}"
+        )
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """q11 has no cross-engine value oracle (HLL sketches differ by
     construction); pin its accuracy locally instead — Spark's default
