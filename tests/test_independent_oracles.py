@@ -1,0 +1,210 @@
+"""Independent re-implementations of reference semantics.
+
+The declared-query oracles are generated from the same dual-dialect
+template as the engine queries, which eliminates transcription drift but
+cannot catch a SHARED misreading of the reference. These tests rebuild
+the semantics a second time from the reference's own description —
+sequential Python simulations of the KV-store operators, and
+datetime-library recomputation of the time-bucket math — sharing no code
+(and no SQL) with the engine formulation.
+
+Reference stakes per test:
+- zgid binding      OneIdService.java:312-650 (HSETNX first-writer-wins)
+- ad attribution    AdvConvertEventFlatMapFunction.java:142-300
+                    (max-ct Redis touch lookup + window + frequency gate)
+- funnel            t_/f_ user-aggregate family (sql/1.sql:396-657)
+- time buckets      EventAttrTransfer.java:243-258 (begin_day_id /
+                    begin_date / begin_time_id / yw = YYYYww of date-1)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from datetime import datetime, timedelta, timezone
+
+from zg_etl_spark.operators.domain import spark_pipeline_df
+from zg_etl_spark.operators import registries as R
+from zg_etl_spark import plans
+
+ALL = plans.all_queries()
+
+
+def _rows(spark, sf_dir, body):
+    return spark_pipeline_df(spark, sf_dir, body).collect()
+
+
+# ---------------------------------------------------------------------------
+# I5 one-ID binding: sequential KV simulation (the reference's actual
+# execution model — per-event HGET/HSETNX against d:/u:/dz: hashes in
+# arrival order) must produce exactly the relation the engine derives
+# set-based (dense_rank + first-cuid window + two joins).
+# ---------------------------------------------------------------------------
+def test_zgid_binding_matches_sequential_kv_simulation(spark, sf_dir):
+    events = sorted(
+        _rows(spark, sf_dir, "SELECT app_id, did, cuid, seq FROM gate_ok"),
+        key=lambda r: r.seq,
+    )
+    did_ids: dict = {}      # (app, did)  -> zg_did
+    uid_ids: dict = {}      # (app, cuid) -> zg_uid
+    bound: dict = {}        # (app, did)  -> first cuid ever seen with it
+    n_did = defaultdict(int)
+    n_uid = defaultdict(int)
+    for r in events:
+        dk = (r.app_id, r.did)
+        if dk not in did_ids:                      # HSETNX d:{app}
+            n_did[r.app_id] += 1
+            did_ids[dk] = 100_000 + n_did[r.app_id]
+        if r.cuid is not None:
+            uk = (r.app_id, r.cuid)
+            if uk not in uid_ids:                  # HSETNX u:{app}
+                n_uid[r.app_id] += 1
+                uid_ids[uk] = 200_000 + n_uid[r.app_id]
+            if dk not in bound:                    # HSETNX dz:{app}
+                bound[dk] = r.cuid
+
+    expected = {
+        (app, did, zg_did,
+         bound.get((app, did)),
+         300_000 + uid_ids[(app, bound[(app, did)])]
+         if (app, did) in bound else 900_000 + zg_did)
+        for (app, did), zg_did in did_ids.items()
+    }
+    actual = {
+        tuple(r) for r in _rows(
+            spark, sf_dir,
+            "SELECT app_id, did, zg_did, bound_cuid, zg_id FROM device_zgid",
+        )
+    }
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Adv attribution: per-event simulation of the reference's latest-touch
+# Redis lookup (adtfuser max-ct), attribution window, frequency gate and
+# UTM override — checked against p31's single-shuffle forward-fill plan.
+# ---------------------------------------------------------------------------
+def test_adv_attribution_matches_touch_simulation(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_id, ct, seq, event_name, dt, k FROM resolved "
+        "WHERE dt IN ('evt', 'mkt')",
+    )
+    rules = {(lid, ev): (win, freq) for lid, ev, win, freq in R.ADS_LINK_RULES}
+    utm = {ev: src for ev, src, _m, _c in R.UTM_OVERRIDES}
+
+    per_user = defaultdict(list)
+    for r in rows:
+        if r.dt == "mkt":
+            if r.k is None:
+                continue
+            assert r.k >= 0  # % below assumes non-negative (matches SQL %)
+            per_user[(r.app_id, r.zg_id)].append(
+                (r.ct, 1, r.seq, None, r.k % 5)
+            )
+        else:
+            per_user[(r.app_id, r.zg_id)].append(
+                (r.ct, 0, r.seq, r.event_name, None)
+            )
+
+    matched = []  # (app, event_name, lid, freq, utm_src, zg_id, ct, seq)
+    for (app, zgid), evs in per_user.items():
+        evs.sort(key=lambda t: (t[0], -t[1], t[2]))  # touches first at tie
+        last_touch = None  # (lid, touch_ct)
+        for ct, is_touch, seq, name, lid in evs:
+            if is_touch:
+                last_touch = (lid, ct)
+                continue
+            if last_touch is None:
+                continue
+            rule = rules.get((last_touch[0], name))
+            if rule is None or ct - last_touch[1] > rule[0] * 1000:
+                continue
+            matched.append(
+                (app, name, last_touch[0], rule[1], utm.get(name), zgid, ct, seq)
+            )
+
+    # frequency 0 = first matching conversion per (app, event, lid, user)
+    matched.sort(key=lambda m: (m[6], m[7]))
+    seen = set()
+    agg = defaultdict(lambda: [0, set()])
+    for app, name, lid, freq, src, zgid, _ct, _seq in matched:
+        if freq == 0:
+            fk = (app, name, lid, zgid)
+            if fk in seen:
+                continue
+            seen.add(fk)
+        a = agg[(app, name, lid, freq, src)]
+        a[0] += 1
+        a[1].add(zgid)
+
+    expected = {k + (n, len(users)) for k, (n, users) in agg.items()}
+    actual = {tuple(r) for r in ALL["p31_adv_attribution"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Funnel: ordered step-matching in a plain Python loop vs p16's
+# successive min-over joins.
+# ---------------------------------------------------------------------------
+def test_funnel_matches_python_loop(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_id, event_type, ct FROM resolved "
+        "WHERE dt IN ('evt', 'abp') "
+        "AND event_type IN ('view', 'click', 'purchase')",
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[(r.app_id, r.zg_id)].append((r.ct, r.event_type))
+
+    steps = defaultdict(lambda: [0, 0, 0])
+    for (app, _), evs in per_user.items():
+        t1 = min((ct for ct, et in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        steps[app][0] += 1
+        t2 = min(
+            (ct for ct, et in evs if et == "click" and ct >= t1), default=None
+        )
+        if t2 is None:
+            continue
+        steps[app][1] += 1
+        if any(et == "purchase" and ct >= t2 for ct, et in evs):
+            steps[app][2] += 1
+
+    expected = {(app, v, c, p) for app, (v, c, p) in steps.items()}
+    actual = {tuple(r) for r in ALL["p16_funnel"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Wide-table time buckets: datetime-library recomputation. The engine
+# derives yw via year(thursday-of-week)*100 + weekofyear; isocalendar()
+# is an independent implementation of the same ISO-8601 definition.
+# ---------------------------------------------------------------------------
+def test_time_buckets_match_datetime_library(spark, sf_dir):
+    ct_by_seq = {
+        r.seq: r.ct for r in _rows(spark, sf_dir, "SELECT seq, ct FROM resolved")
+    }
+    wide = ALL["p8_wide_table"](spark, sf_dir).select(
+        "uuid", "begin_day_id", "begin_date", "begin_time_id", "yw"
+    ).collect()
+    uuid_to_ct = {
+        hashlib.md5(str(seq).encode()).hexdigest(): ct
+        for seq, ct in ct_by_seq.items()
+    }
+    assert wide, "p8 returned no rows"
+    n_checked = 0
+    for r in wide:
+        ct = uuid_to_ct.get(r.uuid)
+        if ct is None:
+            continue
+        n_checked += 1
+        dt = datetime.fromtimestamp(ct / 1000, tz=timezone.utc)
+        assert r.begin_day_id == int(dt.strftime("%Y%m%d")), r
+        assert r.begin_date == ct // 1000, r
+        assert r.begin_time_id == dt.hour, r
+        iso = (dt.date() - timedelta(days=1)).isocalendar()
+        assert r.yw == iso[0] * 100 + iso[1], r
+    assert n_checked == len(wide)
