@@ -80,16 +80,21 @@ class MappingStore:
         paths = self._state_paths()
         return None if not paths else self.spark.read.parquet(*paths)
 
-    def merge(self, assigned: DataFrame) -> None:
+    def merge(self, assigned: DataFrame) -> str:
+        """Append this batch's newly-assigned rows; returns the delta dir
+        just written (so a caller holding the pre-merge state can union
+        one small file instead of re-listing and re-reading the store)."""
         deltas = self._dirs("v")
         nxt = max(deltas) + 1 if deltas else 0
-        assigned.write.parquet(os.path.join(self.path, f"v{nxt}"))
+        delta_dir = os.path.join(self.path, f"v{nxt}")
+        assigned.write.parquet(delta_dir)
         snaps = self._dirs("s")
         base = max(snaps) if snaps else -1
         if nxt - base >= self.COMPACT_EVERY:
             # compaction bounds read() fan-in; writes a NEW dir, never
             # touching the delta files any in-flight plan still scans
             self.read().write.parquet(os.path.join(self.path, f"s{nxt}"))
+        return delta_dir
 
 
 def incremental_get_or_create(
@@ -141,12 +146,13 @@ def incremental_get_or_create(
         )
         .select("app_id", *key_cols, id_col)
     )
-    store.merge(assigned)
-    # append-only store: the next merge never rewrites the delta files this
-    # plan scans, so no materialization hazard
-    return batch.join(
-        F.broadcast(store.read()), ["app_id", *key_cols], "left"
-    )
+    delta_dir = store.merge(assigned)
+    # post-merge state = pre-merge state ∪ the one delta file just written
+    # (reading it back instead of re-executing `assigned` keeps the ids
+    # stable and avoids re-listing the whole store); append-only means the
+    # next merge never rewrites the files this plan scans
+    merged = existing.unionByName(spark.read.parquet(delta_dir))
+    return batch.join(F.broadcast(merged), ["app_id", *key_cols], "left")
 
 
 def incremental_device_ids(
