@@ -179,6 +179,77 @@ def test_funnel_matches_python_loop(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Curation (l13): pure-pandas recomputation straight off the parquet file —
+# no Spark, no DuckDB, no SQL. Catches a shared misreading of the
+# quality-gate / keep-first-duplicate rules (this area produced two latent
+# oracle-typing bugs in round 2).
+# ---------------------------------------------------------------------------
+def test_curation_matches_pandas_recompute(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source", "text"])
+
+    def score(text):
+        ws = text.split(" ")
+        n_tok = len(ws)
+        n_stop = sum(1 for w in ws if w in ("the", "a"))
+        if n_tok < 5:
+            q = 0.0
+        elif n_tok > 200:
+            q = 0.5
+        else:
+            q = 1.0 - n_stop / n_tok
+        return n_tok, q, hashlib.md5(text.encode()).hexdigest()
+
+    docs[["n_tokens", "quality", "fp"]] = docs["text"].apply(
+        lambda t: pd.Series(score(t))
+    )
+    docs = docs.sort_values("doc_id")
+    docs["rn"] = docs.groupby("fp").cumcount() + 1
+
+    agg = {}
+    for r in docs.itertuples():
+        a = agg.setdefault((r.lang, r.source), [0, 0, 0, 0, 0])
+        a[0] += 1
+        if r.rn == 1 and r.quality >= 0.5:
+            a[1] += 1
+            a[2] += int(r.n_tokens)
+        elif r.rn > 1:
+            a[3] += 1
+        else:
+            a[4] += 1
+    expected = {k + tuple(v) for k, v in agg.items()}
+    actual = {tuple(r) for r in ALL["l13_curation"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort (p15): per-user Python loop vs the activity⋈cohort SQL.
+# ---------------------------------------------------------------------------
+def test_retention_matches_python_loop(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_id, ct FROM resolved WHERE dt IN ('evt', 'abp')",
+    )
+    days = defaultdict(set)
+    for r in rows:
+        days[(r.app_id, r.zg_id)].add(r.ct // 86_400_000)
+
+    agg = defaultdict(set)
+    for (app, zgid), ds in days.items():
+        d0 = min(ds)
+        for d in ds:
+            agg[(app, d0, d - d0)].add(zgid)
+
+    expected = {(app, d0, off, len(users))
+                for (app, d0, off), users in agg.items()}
+    actual = {tuple(r)
+              for r in ALL["p15_retention_cohort"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # Wide-table time buckets: datetime-library recomputation. The engine
 # derives yw via year(thursday-of-week)*100 + weekofyear; isocalendar()
 # is an independent implementation of the same ISO-8601 definition.
