@@ -6,7 +6,7 @@ Each module contributes:
 
 Ordering matters: the driver's CORRECTNESS verify covers the FIRST 50
 entries of the merged dict (insertion order).  Rounds 1-2 verified
-q1-q19 / p0-p26 / w1-w4 (all green); l1-l23, s1-s5, g1 and p27 have
+q1-q19 / p0-p26 / w1-w4 (all green); the l/s/g queries and p27+ had
 never had a driver row.  ``_WINDOW`` therefore front-loads the
 never-verified queries plus the pipeline queries whose implementation
 changed this round; the twice-green remainder rotates behind them.
@@ -14,11 +14,13 @@ changed this round; the twice-green remainder rotates behind them.
 
 from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streaming_queries
 
-# First-50 priority: 26 llm + 5 streaming + g1 + p27..p33 (incl. the
-# round-3 additions p30-p33) = 39 never-driver-verified, then the 11
-# pipeline/writer queries whose semantics changed this round (feed gained
-# ref/device/ua fields; p5-p8/p11 reworked). The twice-green remainder
-# (p9-p26, w2-w4, q1-q19) rotates behind them.
+# First-50 priority: 27 llm + 5 streaming + g1/g2 (g2 closes the last
+# never-driver-verified component, the G2 crypto path) + p27..p36 = 44
+# never-driver-verified, then the pipeline queries whose semantics
+# changed this round (feed gained ref/device/ua fields; p5-p8 reworked).
+# p11/w1 land just past the cut: their changed forms stay locally
+# verified (test_oracle_parity at sf0.01) and their components hold
+# green r2 driver rows. The twice-green remainder rotates behind.
 _WINDOW = [
     *llm.QUERIES,
     *streaming_queries.QUERIES,

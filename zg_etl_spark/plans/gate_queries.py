@@ -74,6 +74,101 @@ def _g1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["g1_wire_roundtrip"] = _g1
+
+
+# ---------------------------------------------------------------------------
+# g2: the ENCRYPTED wire path (G2) — AES/CBC/PKCS5 (Args.type=1, the
+# RSA+AES lane of DecodeService.java:20-38 with the key-unwrap step played
+# by a fixture resolver) and SM4/ECB/PKCS5 (type=2, MsgResolver.java:
+# 109-125), plus compress+encrypt stacked (deflate, then encrypt, so the
+# decoder's decrypt→inflate order is load-bearing), plus corrupted
+# ciphertexts that must surface as PKCS5-validation error rows, never
+# exceptions. The oracle recomputes expectations directly from `events`.
+# ---------------------------------------------------------------------------
+_G2_AES_KEY = "0123456789abcdef"
+_G2_AES_IV = "fedcba9876543210"
+_G2_SM4_KEY = b"sm4fixturekey016"
+
+
+def _g2_encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    def pad(b: bytes) -> bytes:
+        n = 16 - len(b) % 16
+        return b + bytes([n]) * n
+
+    out = []
+    for eid, etype in zip(event_id, event_type):
+        eid = int(eid)
+        payload = json.dumps({"eid": eid, "etype": etype}, sort_keys=True).encode()
+        compress = eid % 3 == 0
+        if compress:
+            payload = zlib.compress(payload)
+        if eid % 2:
+            enc_type = 1
+            c = Cipher(
+                algorithms.AES(_G2_AES_KEY.encode()),
+                modes.CBC(_G2_AES_IV.encode()),
+            ).encryptor()
+        else:
+            enc_type = 2
+            c = Cipher(algorithms.SM4(_G2_SM4_KEY), modes.ECB()).encryptor()
+        blob = c.update(pad(payload)) + c.finalize()
+        if eid % 97 == 13:  # corrupt the last block → PKCS5 must reject
+            blob = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+        env = {
+            "Ip": f"10.1.{eid % 256}.1",
+            "Now": eid * 1000,
+            "Header": "{}",
+            "Args": {"event": base64.b64encode(blob).decode(),
+                     "compress": int(compress), "encrypt": 1,
+                     "type": enc_type, "key": "wrapped"},
+        }
+        out.append(json.dumps(env))
+    return pd.Series(out)
+
+
+def _g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.decode import (
+        aes_cbc_decryptor,
+        register_decryptor,
+        resolve_wire,
+        sm4_ecb_decryptor,
+    )
+    from zg_etl_spark.sources.tables import load_table
+
+    # the key resolvers play the RSA/SM2 unwrap of Args.key — deployment
+    # secrets in the reference, fixture constants here
+    register_decryptor(1, aes_cbc_decryptor(lambda _k: (_G2_AES_KEY, _G2_AES_IV)))
+    register_decryptor(2, sm4_ecb_decryptor(lambda _k: _G2_SM4_KEY))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enc = pandas_udf(_g2_encode, "string")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    raw = events.select(enc("event_id", "event_type").alias("raw"))
+    return resolve_wire(raw).select(
+        F.get_json_object("payload", "$.eid").cast("bigint").alias("event_id"),
+        F.get_json_object("payload", "$.etype").alias("event_type"),
+        "ip",
+        "server_ts",
+        "result",
+        "error_code",
+    )
+
+
+QUERIES["g2_wire_crypto"] = _g2
+ORACLE["g2_wire_crypto"] = """
+SELECT CASE WHEN event_id % 97 = 13 THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN event_id % 97 = 13 THEN NULL ELSE event_type END AS event_type,
+       '10.1.' || CAST(event_id % 256 AS VARCHAR) || '.1' AS ip,
+       event_id * 1000 AS server_ts,
+       CASE WHEN event_id % 97 = 13 THEN -1 ELSE 0 END AS result,
+       CASE WHEN event_id % 97 = 13 THEN 1020001 ELSE 0 END AS error_code
+FROM events"""
+
+
 ORACLE["g1_wire_roundtrip"] = """
 SELECT CASE WHEN event_id % 101 = 5 THEN NULL ELSE event_id END AS event_id,
        CASE WHEN event_id % 101 = 5 THEN NULL ELSE event_type END AS event_type,
