@@ -179,6 +179,44 @@ def test_funnel_matches_python_loop(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# M2 physical-column allocation: sequential simulation of the reference's
+# per-(event, owner) get-or-create with cus{n} assignment
+# (EventAttrAsyncOperator.java:406-551) — each attribute takes the next
+# free column in first-seen order (ties inside one record broken by name,
+# the engine's documented determinism choice), capped by the app's
+# attr_sum. Must equal the engine's windowed ROW_NUMBER derivation.
+# ---------------------------------------------------------------------------
+def test_attr_column_allocation_matches_sequential_simulation(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_eid, owner, attr_name, prop_type, seq "
+        "FROM attrs_melted",
+    )
+    caps = {app: cap for app, _auto, _ecap, cap in R.APP_CONFIG}
+    rows.sort(key=lambda r: (r.seq, r.attr_name))
+    alloc: dict = {}
+    for r in rows:
+        d = alloc.setdefault((r.app_id, r.zg_eid, r.owner), {})
+        if r.attr_name not in d:
+            d[r.attr_name] = (len(d) + 1, r.prop_type)
+
+    expected = {
+        (eid, owner, name, ptype, idx, eid * 10 + idx, f"cus{idx}")
+        for (app, eid, owner), attrs in alloc.items()
+        for name, (idx, ptype) in attrs.items()
+        if idx <= caps[app]
+    }
+    actual = {
+        tuple(r) for r in _rows(
+            spark, sf_dir,
+            "SELECT zg_eid, owner, attr_name, prop_type, col_idx, attr_id, "
+            "column_name FROM attr_dict",
+        )
+    }
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # Curation (l13): pure-pandas recomputation straight off the parquet file —
 # no Spark, no DuckDB, no SQL. Catches a shared misreading of the
 # quality-gate / keep-first-duplicate rules (this area produced two latent
