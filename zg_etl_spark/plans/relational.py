@@ -384,12 +384,40 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q11 approx_count_distinct — tolerance-checked, no value oracle
 # ---------------------------------------------------------------------------
-@_q("q11_approx_distinct")  # rows-only check: HLL values differ across engines
+@_q(
+    "q11_approx_distinct",
+    # HLL sketch values differ across engines by construction, so the
+    # oracle pins what IS cross-engine checkable: the exact counts and
+    # the guarantee that the sketch landed within its error bound (rsd
+    # 0.05 → 10% is generous; tests/test_plan_quality.py pins the
+    # tighter local tolerance)
+    """
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           true AS orders_within_tol,
+           true AS parts_within_tol
+    FROM lineitem
+    """,
+)
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey")
+                - F.count_distinct("l_orderkey")
+            )
+            <= 0.1 * F.count_distinct("l_orderkey")
+        ).alias("orders_within_tol"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.1 * F.count_distinct("l_partkey")
+        ).alias("parts_within_tol"),
     )
 
 
