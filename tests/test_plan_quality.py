@@ -185,8 +185,8 @@ def test_guarded_explode_infers_no_expensive_filter(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     """HLL sketch values differ across engines by construction, so q11
     reports exact counts plus in-tolerance booleans the oracle CAN hash;
-    pin the tighter local accuracy here — Spark's default rsd=0.05
-    should land well within 5% of the exact counts."""
+    re-assert the 10% bound here against a fresh sketch (rsd=0.05 is a
+    standard deviation — observed error at small SF runs past 6%)."""
     from pyspark.sql import functions as F
 
     from zg_etl_spark.sources.tables import load_table
@@ -198,8 +198,8 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_orderkey").alias("o"),
         F.approx_count_distinct("l_partkey").alias("p"),
     ).first()
-    assert abs(approx.o - row.exact_orders) <= 0.05 * row.exact_orders
-    assert abs(approx.p - row.exact_parts) <= 0.05 * row.exact_parts
+    assert abs(approx.o - row.exact_orders) <= 0.1 * row.exact_orders
+    assert abs(approx.p - row.exact_parts) <= 0.1 * row.exact_parts
 
 
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
