@@ -1475,3 +1475,26 @@ GROUP BY zg_eid, pl_id"""
 
 
 _register("p36_event_platforms", _p36)
+
+
+# ---------------------------------------------------------------------------
+# P37 per-user per-day per-event detail rollup — the t_user_detail_sum
+# column family (sql/1.sql:396-657): event counts, summed duration, and
+# the first/last event time inside each (user, day, event) cell. One
+# map-side-combined groupBy on the natural (app_id, zg_id) shuffle key;
+# day comes from the same begin_day_id bucketing as the wide table.
+# ---------------------------------------------------------------------------
+def _p37(d: Dialect) -> str:
+    day_id = f"CAST({d.fmt(d.ts('ct'), 'yyyyMMdd')} AS INT)"
+    return f"""
+SELECT app_id, zg_id, {day_id} AS day_id, event_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur
+                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS total_duration,
+       MIN(ct) AS first_ct, MAX(ct) AS last_ct
+FROM resolved
+WHERE dt IN ('evt', 'abp') AND event_name IS NOT NULL
+GROUP BY app_id, zg_id, {day_id}, event_name"""
+
+
+_register("p37_user_detail_sum", _p37)
