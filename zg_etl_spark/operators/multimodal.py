@@ -69,22 +69,23 @@ def extract_features(df: DataFrame, n_bins: int = 16, frame_size: int = 256) -> 
     mapInPandas — the exact shape a real decode+embed stage has."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # worker-side import (closure is cloudpickled)
+
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 n = len(b)
-                hist = [0] * n_bins
-                total = 0
-                for byte in b:
-                    hist[byte * n_bins // 256] += 1
-                    total += byte
+                # vectorized byte stats: a per-byte Python loop costs
+                # ~100x more than bincount over the same Arrow buffer
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                hist = np.bincount(arr * n_bins // 256, minlength=n_bins)
                 out.append(
                     {
                         "media_id": int(media_id),
                         "n_bytes": n,
-                        "byte_mean": (total / n) if n else 0.0,
-                        "byte_histogram": hist,
+                        "byte_mean": (int(arr.sum()) / n) if n else 0.0,
+                        "byte_histogram": hist.tolist(),
                         "n_frames": (n + frame_size - 1) // frame_size,
                     }
                 )
