@@ -1,0 +1,38 @@
+"""The driver records only the LAST 2000 characters of bench.py stdout
+and parses them as JSON (BENCH_r01/r02 both came back parsed:null when
+the line overflowed). Pin the emitted-line budget against the live
+query registry so adding queries can't silently re-break the capture."""
+
+from __future__ import annotations
+
+import json
+
+from zg_etl_spark import plans
+
+
+def test_bench_line_fits_driver_capture_window():
+    from bench import _short_keys
+
+    queries = plans.all_queries()
+    per = {name: 999.99 for name in queries}  # worst-case value widths
+    short = _short_keys(per)
+    assert len(short) == len(per), "short-id collision would fall back to long names"
+    line = json.dumps(
+        {
+            "metric": "declared_query_suite_wall",
+            "value": 9999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "warm_suite_sec": 9999.999,
+            "duckdb_oracle_suite_sec": 9999.999,
+            "spark_over_duckdb_ratio": 99.99,
+            "warm_ratio": 99.99,
+            "driver_python_peak_mb": 99999,
+            "queries": {k: round(v, 2) for k, v in short.items()},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1900, (
+        f"bench line {len(line)} chars would overflow the driver's "
+        f"2000-char capture window"
+    )
