@@ -1498,3 +1498,34 @@ GROUP BY app_id, zg_id, {day_id}, event_name"""
 
 
 _register("p37_user_detail_sum", _p37)
+
+
+# ---------------------------------------------------------------------------
+# P38 per-user first/last ad source — AdvLidAndUserFirstEndFlatMapFunction
+# (operator/gate/AdvLidAndUserFirstEndFlatMapFunction.java:57-61): the
+# `_首次广告来源` (first ad source) and `_末次广告来源` (latest ad source)
+# user properties it maintains from the max-ct touch store, as columns.
+# First = earliest (ct, seq) touch, last = latest; one (app_id, zg_id)
+# shuffle serves both windows and the final aggregate.
+# ---------------------------------------------------------------------------
+def _p38(d: Dialect) -> str:
+    return """
+SELECT app_id, zg_id,
+       MAX(CASE WHEN rf = 1 THEN lid END) AS first_lid,
+       MAX(CASE WHEN rl = 1 THEN lid END) AS last_lid,
+       MAX(n_touches) AS n_touches
+FROM (
+  SELECT app_id, zg_id, lid,
+         ROW_NUMBER() OVER (PARTITION BY app_id, zg_id
+                            ORDER BY ct, seq) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY app_id, zg_id
+                            ORDER BY ct DESC, seq DESC) AS rl,
+         COUNT(*) OVER (PARTITION BY app_id, zg_id) AS n_touches
+  FROM (SELECT app_id, zg_id, ct, seq, k % 5 AS lid
+        FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL) t
+) w
+WHERE rf = 1 OR rl = 1
+GROUP BY app_id, zg_id"""
+
+
+_register("p38_adv_user_sources", _p38)
