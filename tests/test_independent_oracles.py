@@ -144,6 +144,30 @@ def test_adv_attribution_matches_touch_simulation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# First/last ad source (p38, AdvLidAndUserFirstEndFlatMapFunction): the
+# per-user first/latest touch lid via a Python min/max loop.
+# ---------------------------------------------------------------------------
+def test_adv_user_sources_match_python_loop(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_id, ct, seq, k FROM resolved "
+        "WHERE dt = 'mkt' AND k IS NOT NULL",
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[(r.app_id, r.zg_id)].append((r.ct, r.seq, r.k % 5))
+    expected = set()
+    for (app, zgid), touches in per_user.items():
+        first = min(touches)[2]
+        last = max(touches)[2]
+        expected.add((app, zgid, first, last, len(touches)))
+    actual = {
+        tuple(r) for r in ALL["p38_adv_user_sources"](spark, sf_dir).collect()
+    }
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # Funnel: ordered step-matching in a plain Python loop vs p16's
 # successive min-over joins.
 # ---------------------------------------------------------------------------
