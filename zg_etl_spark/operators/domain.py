@@ -342,6 +342,7 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
              WHEN 8 THEN 'https://search.yahoo.com/search?p=kw_' || {s(k_expr)}
              WHEN 9 THEN 'https://www.google.com/search?hl=en'
              WHEN 10 THEN 'https://example.com/page'
+             WHEN 11 THEN 'https://www.baidu.com/link?url=x&eqid=' || md5({s(k_expr)})
            END
          END AS ref,
          CASE WHEN user_id % 13 = 0 THEN 'adwords' END AS utm_source,

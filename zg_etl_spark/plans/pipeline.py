@@ -1529,3 +1529,43 @@ GROUP BY app_id, zg_id"""
 
 
 _register("p38_adv_user_sources", _p38)
+
+
+# ---------------------------------------------------------------------------
+# P39 Baidu eqid extraction (service/BaiduKeywordService.java:130-159):
+# modern Baidu referrers carry an opaque `eqid` instead of the keyword —
+# host must end `.baidu.com`, param length ≥ 32; the keyword itself comes
+# from the signed Baidu API behind a 3-tier cache (deployment-external,
+# like the crypto private keys — the extraction and routing ARE the
+# engine's job). Applies to dt ∈ {evt, ss, se, abp} only
+# (KEYWORD_DT_TYPES, :42). keyword_source routes each referrer:
+# 'param' (wd/word present) / 'api_lookup_required' (eqid) / 'none'.
+# ---------------------------------------------------------------------------
+def _p39(d: Dialect) -> str:
+    term = SK.clean_keyword(d, SK.term_case(d, "ref", "search_engine"))
+    host = "regexp_extract(ref, 'https?://([^/]+)', 1)"
+    raw_eqid = "regexp_extract(ref, '[?&]eqid=([^&#]+)', 1)"
+    eqid = (
+        f"CASE WHEN {host} LIKE '%.baidu.com' AND length({raw_eqid}) >= 32 "
+        f"THEN {raw_eqid} END"
+    )
+    return f"""
+SELECT keyword_source, COUNT(*) AS n,
+       COUNT(DISTINCT eqid) AS n_eqids,
+       COUNT(DISTINCT keyword) AS n_keywords
+FROM (
+  SELECT CASE WHEN keyword IS NOT NULL THEN 'param'
+              WHEN eqid IS NOT NULL THEN 'api_lookup_required'
+              ELSE 'none' END AS keyword_source,
+         eqid, keyword
+  FROM (
+    SELECT ref, {eqid} AS eqid, {term} AS keyword
+    FROM (SELECT ref, {SK.engine_case(d, 'ref')} AS search_engine
+          FROM resolved
+          WHERE dt IN ('evt', 'ss', 'se', 'abp') AND ref IS NOT NULL) r
+  ) x
+) c
+GROUP BY keyword_source"""
+
+
+_register("p39_baidu_eqid", _p39)
