@@ -24,9 +24,11 @@ def test_bench_line_fits_driver_capture_window():
             "unit": "sec",
             "sf": 0.1,
             "warm_suite_sec": 9999.999,
+            "streaming_warm_sec": 9999.99,
             "duckdb_oracle_suite_sec": 9999.999,
             "spark_over_duckdb_ratio": 99.99,
             "warm_ratio": 99.99,
+            "warm_batch_ratio": 99.99,
             "driver_python_peak_mb": 99999,
             "queries": {k: round(v, 2) for k, v in short.items()},
         },
