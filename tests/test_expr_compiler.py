@@ -78,6 +78,17 @@ CORPUS = [
     ("from_unixtime(ct_ms, 'yyyyMMdd')", "20240801"),
     ("date_diff('2024-08-10', '2024-08-01')", 9),
     ("date_diff('2024-08-10', ct_s)", 9),
+    # date-aware ordered comparisons (compareDates :115-142): both sides
+    # parse as datetimes → chronological compare; '2024/8/2' < '2024-08-10'
+    # is TRUE chronologically but FALSE as strings ('/' > '-'), so this
+    # case fails if ordering falls back to string comparison
+    ("'2024-08-10' > '2024-08-02'", True),
+    ("'2024/8/2' < '2024-08-10'", True),
+    ("'2024-08-01 06:30:00' >= '2024-08-01'", True),
+    ("date_format(ct_s, 'yyyy-MM-dd') >= '2024-08-01'", True),
+    ("CASE WHEN '2024-08-10' > '2024-08-02' THEN 'later' ELSE 'not' END", "later"),
+    # non-date strings fall back to NUMERIC (never string ordering)
+    ("price > '1000'", True),
     # math
     ("abs(0 - price)", 1500.5),
     ("round(price / 7, 2)", 214.36),

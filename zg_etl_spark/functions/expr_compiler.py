@@ -340,6 +340,43 @@ def _sql_str(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
+_DATE_FORMATS_PY = (
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+    "%Y/%m/%d %H:%M:%S",
+    "%Y/%m/%d",
+    "%Y-%m-%dT%H:%M:%S",
+)
+
+_NUMBER_FUNCS = {"length", "abs", "round", "ceil", "floor", "date_diff"}
+
+
+def _parses_as_date(s: str) -> bool:
+    from datetime import datetime
+
+    for f in _DATE_FORMATS_PY:
+        try:
+            datetime.strptime(s.strip(), f)
+            return True
+        except ValueError:
+            pass
+    return False
+
+
+def _could_be_date(node: Node) -> bool:
+    """Compile-time conservative test: can this operand be a calendar-date
+    string at runtime? Numeric constants, arithmetic, and number-returning
+    functions cannot; string constants are decided by actually parsing
+    them; fields / CASE / string-returning functions might."""
+    if isinstance(node, Const):
+        return isinstance(node.value, str) and _parses_as_date(node.value)
+    if isinstance(node, Op):
+        return False
+    if isinstance(node, Func):
+        return node.name not in _NUMBER_FUNCS
+    return True
+
+
 class Emitter:
     """Base emitter. ``field_resolver(name, hint)`` maps an identifier to a
     SQL fragment; hint ∈ {'any','number','string','timestamp'}."""
@@ -360,6 +397,14 @@ class Emitter:
     def ts_from_any(self, frag_any: str) -> str:
         """Coerce a stringly value (epoch sec / epoch ms / datetime string)
         to a naive timestamp, with the reference's >1e10 ⇒ millis rule."""
+        raise NotImplementedError
+
+    def ts_date_str(self, frag: str) -> str:
+        """Multi-format DATE-STRING parse (VirtualAttributeExpressionEvaluator
+        parseDateTimeString formats, :588-622) — NULL for anything else,
+        including pure numbers (epoch values are NOT dates here: the
+        reference's compareDates only takes the date branch when the text
+        parses as a calendar datetime)."""
         raise NotImplementedError
 
     def ts_from_num(self, frag_num: str) -> str:
@@ -462,12 +507,32 @@ class Emitter:
                 f"round(({self.cast_num(self.emit(node.left, 'number'))} / "
                 f"{self.cast_num(self.emit(node.right, 'number'))}), 10)"
             )
-        if op in ("=", "!=", "<", "<=", ">", ">="):
+        if op in ("=", "!="):
             lh = self._operand_hint(node.right)
             rh = self._operand_hint(node.left)
             lh = lh if lh != "any" else "string"
             rh = rh if rh != "any" else "string"
             return f"({self.emit(node.left, lh)} {op} {self.emit(node.right, rh)})"
+        if op in ("<", "<=", ">", ">="):
+            # reference compareDates (:115-142): ordered comparisons are
+            # DATE-AWARE — if both sides parse as calendar datetimes the
+            # comparison is chronological, else it falls back to NUMERIC
+            # (never string ordering). Compile-time gating keeps the date
+            # branch out of definitely-numeric comparisons (numeric consts,
+            # arithmetic, number-returning functions) so `k > 50` stays a
+            # plain double compare.
+            num = (
+                f"({self.emit(node.left, 'number')} {op} "
+                f"{self.emit(node.right, 'number')})"
+            )
+            if not (_could_be_date(node.left) and _could_be_date(node.right)):
+                return num
+            a_ts = self.ts_date_str(self.emit(node.left, "string"))
+            b_ts = self.ts_date_str(self.emit(node.right, "string"))
+            return (
+                f"(CASE WHEN {a_ts} IS NOT NULL AND {b_ts} IS NOT NULL "
+                f"THEN {a_ts} {op} {b_ts} ELSE {num} END)"
+            )
         raise ExpressionError(f"unknown op {op}")
 
     def emit_func(self, node: Func) -> str:
@@ -556,6 +621,16 @@ class SparkEmitter(Emitter):
         ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
         return f"timestamp_millis(CAST({ms} AS BIGINT))"
 
+    def ts_date_str(self, frag: str) -> str:
+        # single pattern letters (M/d/H/m/s) accept 1-2 digits, covering
+        # both the padded and unpadded reference formats
+        pats = ["yyyy-M-d H:m:s", "yyyy-M-d", "yyyy/M/d H:m:s", "yyyy/M/d",
+                "yyyy-M-d'T'H:m:s"]
+        tries = ", ".join(
+            f"try_to_timestamp({frag}, {_sql_str(p)})" for p in pats
+        )
+        return f"coalesce({tries})"
+
     def fmt_ts(self, ts_frag: str, fmt: str) -> str:
         return f"date_format({ts_frag}, {_sql_str(fmt)})"
 
@@ -590,6 +665,12 @@ class DuckEmitter(Emitter):
         n = f"CAST({frag} AS DOUBLE)"
         ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
         return f"epoch_ms(CAST({ms} AS BIGINT))"
+
+    def ts_date_str(self, frag: str) -> str:
+        pats = ["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y/%m/%d %H:%M:%S",
+                "%Y/%m/%d", "%Y-%m-%dT%H:%M:%S"]
+        fmt_list = ", ".join(_sql_str(p) for p in pats)
+        return f"try_strptime({frag}, [{fmt_list}])"
 
     def fmt_ts(self, ts_frag: str, fmt: str) -> str:
         return f"strftime({ts_frag}, {_sql_str(java_fmt_to_strftime(fmt))})"
