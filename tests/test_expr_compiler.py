@@ -95,6 +95,11 @@ CORPUS = [
     ("round(price / 7)", 214.0),
     ("ceil(price / 1000)", 2),
     ("floor(price / 1000)", 1),
+    # div-by-0 → NULL in BOTH engines (reference throws per-row and routes
+    # the row to errData; NULL-and-continue is the batch rendering — and
+    # Spark 4 ANSI `/` would otherwise abort the whole job on one bad row)
+    ("price / 0", None),
+    ("price / (qty - 3)", None),
     # null handling
     ("coalesce(maybe_null, 'dflt')", "dflt"),
     ("nullif(status, 'ok')", None),

@@ -391,6 +391,10 @@ class Emitter:
     def cast_num(self, frag: str) -> str:
         raise NotImplementedError
 
+    def safe_div(self, a: str, b: str) -> str:
+        """Division yielding NULL on a zero divisor in this dialect."""
+        raise NotImplementedError
+
     def cast_str(self, frag: str) -> str:
         raise NotImplementedError
 
@@ -502,10 +506,13 @@ class Emitter:
             # Spark would otherwise divide in decimal space, where its
             # result-scale rule can settle on scale 6 — digits round(x, 10)
             # can never restore (found by the randomized conformance sweep:
-            # 255.87 / 7 → 36.552857 vs the reference's 36.5528571429)
+            # 255.87 / 7 → 36.552857 vs the reference's 36.5528571429).
+            # safe_div: NULL on /0 in BOTH engines — Spark 4 ANSI mode
+            # otherwise throws DIVIDE_BY_ZERO and one bad row aborts the
+            # whole job (the reference throws per-row and routes the row
+            # to errData; NULL-and-continue is the batch rendering of that)
             return (
-                f"round(({self.cast_num(self.emit(node.left, 'number'))} / "
-                f"{self.cast_num(self.emit(node.right, 'number'))}), 10)"
+                f"round({self.safe_div(self.cast_num(self.emit(node.left, 'number')), self.cast_num(self.emit(node.right, 'number')))}, 10)"
             )
         if op in ("=", "!="):
             lh = self._operand_hint(node.right)
@@ -605,6 +612,11 @@ class SparkEmitter(Emitter):
     def cast_num(self, frag: str) -> str:
         return f"CAST({frag} AS DOUBLE)"
 
+    def safe_div(self, a: str, b: str) -> str:
+        # ANSI-safe: Spark 4 defaults spark.sql.ansi.enabled=true, where
+        # bare `/` raises DIVIDE_BY_ZERO
+        return f"try_divide({a}, {b})"
+
     def cast_str(self, frag: str) -> str:
         return f"CAST({frag} AS STRING)"
 
@@ -649,6 +661,9 @@ class DuckEmitter(Emitter):
 
     def cast_num(self, frag: str) -> str:
         return f"CAST({frag} AS DOUBLE)"
+
+    def safe_div(self, a: str, b: str) -> str:
+        return f"({a} / {b})"  # DuckDB double division yields NULL on /0
 
     def cast_str(self, frag: str) -> str:
         return f"CAST({frag} AS VARCHAR)"
