@@ -241,6 +241,45 @@ def test_attr_column_allocation_matches_sequential_simulation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Lifetime profile (p27, the f_user_all column family): per-user Python
+# loop over seq-ordered events vs the min_by/max_by single-pass aggregate.
+# ---------------------------------------------------------------------------
+def test_user_profile_matches_python_loop(spark, sf_dir):
+    import re
+
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_id, ct, seq, sid, dur, cuid, vn, cn, "
+        "utm_source, utm_campaign, utm_content, ref, pl FROM resolved",
+    )
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[(r.app_id, r.zg_id)].append(r)
+
+    expected = set()
+    for (app, zgid), evs in per_user.items():
+        evs.sort(key=lambda r: r.seq)
+        first, last = evs[0], evs[-1]
+        cts = [r.ct for r in evs]
+        website = re.search(r"https?://([^/]+)", first.ref or "")
+        expected.add((
+            app, zgid, min(cts), max(cts), max(cts) - min(cts), len(evs),
+            len({r.sid for r in evs if r.sid is not None}),
+            sum(r.dur for r in evs if 0 <= r.dur <= 86_400_000),
+            int(any(r.cuid is not None for r in evs)),
+            first.vn or "", last.vn or "",
+            first.cn or "", last.cn or "",
+            first.utm_source or "", first.utm_campaign or "",
+            first.utm_content or "",
+            website.group(1) if website else "",
+            first.ref or "", last.ref or "",
+            first.pl, last.pl,
+        ))
+    actual = {tuple(r) for r in ALL["p27_user_profile"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # Curation (l13): pure-pandas recomputation straight off the parquet file —
 # no Spark, no DuckDB, no SQL. Catches a shared misreading of the
 # quality-gate / keep-first-duplicate rules (this area produced two latent
