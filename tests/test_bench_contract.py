@@ -10,6 +10,23 @@ import json
 from zg_etl_spark import plans
 
 
+def test_correctness_window_composition():
+    """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
+    round-3 composition: every l/s/g query, p27-p36, and the reworked
+    p0/p4-p8 must sit inside the window; registering a new query must
+    never silently displace one of these."""
+    first50 = list(plans.all_queries())[:50]
+    assert len(set(first50)) == 50
+    want_prefixes = [f"l{i}_" for i in range(1, 28)]
+    want_prefixes += [f"s{i}_" for i in range(1, 6)] + ["g1_", "g2_"]
+    want_prefixes += [f"p{i}_" for i in range(27, 37)]
+    want_prefixes += ["p0_", "p4_", "p5_", "p6_", "p7_", "p8_"]
+    for prefix in want_prefixes:
+        assert any(q.startswith(prefix) for q in first50), (
+            f"{prefix}* fell out of the driver's 50-query window"
+        )
+
+
 def test_bench_line_fits_driver_capture_window():
     from bench import _short_keys
 

@@ -21,10 +21,22 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 # p11/w1 land just past the cut: their changed forms stay locally
 # verified (test_oracle_parity at sf0.01) and their components hold
 # green r2 driver rows. The twice-green remainder rotates behind.
+#
+# EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
+# must be slotted here deliberately — unpacking whole modules let any
+# new entry silently displace the intended 50th query.
 _WINDOW = [
-    *llm.QUERIES,
-    *streaming_queries.QUERIES,
-    *gate_queries.QUERIES,
+    "l1_text_stats", "l2_lang_id", "l3_dedup_exact", "l4_ngram_jaccard",
+    "l5_minhash_signatures", "l6_lsh_candidates", "l16_dedup_groups",
+    "l7_simhash", "l8_ann_bruteforce", "l9_ann_ivf", "l11_embedding_neardup",
+    "l12_tokens_fingerprint", "l13_curation", "l14_ann_pandas",
+    "l15_multimodal_features", "l17_resize_features", "l10_multimodal_binary",
+    "l18_split_sample", "l19_tfidf_terms", "l20_chunking", "l21_bigram_stats",
+    "l22_stratified_sample", "l23_frame_sample", "l24_pii_scrub",
+    "l25_decontaminate", "l26_repetition_filter", "l27_dedup_keep_list",
+    "s1_streaming_identity", "s2_streaming_sessions", "s3_streaming_counts",
+    "s4_streaming_route", "s5_streaming_zgid",
+    "g1_wire_roundtrip", "g2_wire_crypto",
     "p27_user_profile",
     "p28_gate_business",
     "p29_event_resolution",
