@@ -376,3 +376,80 @@ QUERIES["s5_streaming_zgid"] = _s5
 ORACLE["s5_streaming_zgid"] = duck_pipeline_sql(
     "SELECT app_id, did, zg_did, bound_cuid, zg_id FROM device_zgid"
 )
+
+
+# ---------------------------------------------------------------------------
+# s6: streaming duplicate suppression — the reference relies on the Doris
+# UNIQUE KEY (…, uuid, …) to absorb Kafka re-deliveries (schema.sql:96-398,
+# $uuid minted at SessionIdProcessOperator.java:26-95). The streaming form
+# is stateful dropDuplicates on the uuid: batch 2 REPLAYS a slice of batch
+# 1's rows (cross-batch re-delivery, the case intra-batch dedup can't
+# catch), and the emitted stream must equal the batch relation exactly —
+# every replay suppressed by dedup state, none by accident of batching.
+# ---------------------------------------------------------------------------
+def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from zg_etl_spark.session import session_key
+
+    body = (
+        "SELECT app_id, did, seq, md5(CAST(seq AS STRING)) AS uuid FROM gate_ok"
+    )
+    key = (session_key(spark), sf_dir, "s6_src")
+    if key not in _SRC_MEMO:
+        import atexit
+
+        src = tempfile.mkdtemp(prefix="zg_s6_src_")
+        base = spark_pipeline_df(spark, sf_dir, body)
+        mid = base.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
+        first_half = base.filter(base.seq <= mid)
+        # batch 1 = first half; batch 2 = second half PLUS a replay of
+        # every 5th row of batch 1 (the Kafka re-delivery)
+        halves = [
+            first_half,
+            base.filter(base.seq > mid).unionByName(
+                first_half.filter(first_half.seq % 5 == 0)
+            ),
+        ]
+        for i, part in enumerate(halves):
+            stage = os.path.join(src, f"_stage{i}")
+            part.coalesce(1).write.parquet(stage)
+            f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+            shutil.rmtree(stage)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        _SRC_MEMO[key] = src
+
+    name = "s6_mem_" + _uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="zg_s6_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(
+                "app_id BIGINT, did STRING, seq BIGINT, uuid STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_SRC_MEMO[key])
+            .dropDuplicates(["uuid"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s6_streaming_dedup"] = _s6
+ORACLE["s6_streaming_dedup"] = duck_pipeline_sql(
+    "SELECT app_id, did, seq, md5(CAST(seq AS VARCHAR)) AS uuid FROM gate_ok"
+)
