@@ -1364,3 +1364,44 @@ SELECT d.source, COUNT(*) AS n_docs,
            AS n_dropped
 FROM documents d JOIN groups g ON g.doc_id = d.doc_id
 GROUP BY d.source"""
+
+
+# ---------------------------------------------------------------------------
+# L28 source-mixture weights: the token-budget allocation a training run
+# derives from corpus composition (Pile/Dolma-style): per source, token
+# counts and corpus share, then a CAPPED mixture weight — share clipped at
+# 5% and the excess renormalized over the uncapped sources (so no single
+# source dominates the batch mix). Two tiny aggregates over a one-row
+# total (broadcast cross join), no window; rounding applied identically in
+# both dialects so the doubles are bit-equal.
+# ---------------------------------------------------------------------------
+_L28_CAP = 0.05
+
+
+def _l28(d) -> str:
+    n_tok = f"CAST({d.alen(d.split('text'))} AS BIGINT)"
+    return f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM({n_tok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per_source),
+shares AS (
+  SELECT s.source, s.n_docs, s.n_tokens, s.n_tokens / tot.t AS share
+  FROM per_source s CROSS JOIN tot
+),
+caps AS (
+  SELECT SUM(CASE WHEN share > {_L28_CAP} THEN {_L28_CAP} ELSE 0 END) AS capped_mass,
+         SUM(CASE WHEN share > {_L28_CAP} THEN 0 ELSE share END) AS free_mass
+  FROM shares
+)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS corpus_share,
+       round(CASE WHEN share > {_L28_CAP} THEN {_L28_CAP}
+                  ELSE share * (1 - caps.capped_mass) / caps.free_mass
+             END, 6) AS mixture_weight
+FROM shares CROSS JOIN caps"""
+
+
+_register("l28_source_mixture", _l28)
