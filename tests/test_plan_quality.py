@@ -144,6 +144,20 @@ def test_shared_views_not_recomputed(spark, sf_dir, name):
     )
 
 
+def test_multi_reference_derivations_materialize_once(spark, sf_dir):
+    """l25 references the corpus shingle set twice (bench + hits) and l9
+    references the vector→centroid assignment twice (query + candidate
+    side); inlined CTEs recompute them per reference. Both must read a
+    materialized view: l25's plan scans documents at most once (the
+    final per-doc join), l9's plan scans the assignment from an
+    ExistingRDD instead of re-quantizing."""
+    plan = _plan(ALL["l25_decontaminate"](spark, sf_dir), "simple")
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    plan9 = _plan(ALL["l9_ann_ivf"](spark, sf_dir), "simple")
+    assert "Scan ExistingRDD" in plan9, plan9
+
+
 def test_map_only_stages_have_no_shuffle(spark, sf_dir):
     """l18 (content-addressed split) and l20 (chunking) claim to be pure
     map-side stages — their plans must contain no aggregate/join shuffle.

@@ -671,25 +671,27 @@ _register("l8_ann_bruteforce", _l8)
 # L9 IVF-style ANN: coarse-quantize to 4 seed centroids (vec_id 0-3), then
 # search only the query's bucket — the partition-pruned scale path
 # ---------------------------------------------------------------------------
-def _l9(d) -> str:
+def _l9_assign_sql(d) -> str:
     cos_assign = _cosine(d, d.dvec("v.embedding"), d.dvec("ctr.embedding"))
-    cos_pair = _cosine(d, d.dvec("q.embedding"), d.dvec("c.embedding"))
     return f"""
-WITH centroids AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < 4),
-assign AS (
   SELECT vec_id, c_id AS bucket FROM (
     SELECT v.vec_id, ctr.c_id,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY round({cos_assign}, 4) DESC, ctr.c_id) AS rn
-    FROM embeddings v CROSS JOIN centroids ctr
-  ) x WHERE rn = 1
-),
+    FROM embeddings v CROSS JOIN
+         (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id < 4) ctr
+  ) x WHERE rn = 1"""
+
+
+def _l9_inner(d, assign_src: str) -> str:
+    cos_pair = _cosine(d, d.dvec("q.embedding"), d.dvec("c.embedding"))
+    return f"""
 pairs AS (
   SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
          round({cos_pair}, 4) AS cosine
   FROM embeddings q
-  JOIN assign aq ON aq.vec_id = q.vec_id
-  JOIN assign ac ON ac.bucket = aq.bucket AND ac.vec_id != q.vec_id
+  JOIN {assign_src} aq ON aq.vec_id = q.vec_id
+  JOIN {assign_src} ac ON ac.bucket = aq.bucket AND ac.vec_id != q.vec_id
   JOIN embeddings c ON c.vec_id = ac.vec_id
   WHERE q.vec_id < 5
 )
@@ -700,7 +702,20 @@ SELECT q_id, cand_id, cosine, rank FROM (
 ) x WHERE rank <= 5"""
 
 
-_register("l9_ann_ivf", _l9)
+def _l9_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `assign` (every vector quantized against every centroid) is the
+    # expensive coarse step and is referenced TWICE (query side + candidate
+    # side); inlined CTEs recompute it per reference (15 Exchanges). The
+    # materialized view computes it once — exactly an IVF index build: on
+    # a cluster this IS the persisted index table.
+    _shared_view(spark, sf_dir, "l9_assign", _l9_assign_sql(LD))
+    return spark.sql("WITH " + _l9_inner(LD, "l9_assign"))
+
+
+QUERIES["l9_ann_ivf"] = _l9_run
+ORACLE["l9_ann_ivf"] = (
+    f"WITH assign AS ({_l9_assign_sql(DD)}), " + _l9_inner(DD, "assign")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1244,13 +1259,12 @@ _register("l24_pii_scrub", _l24)
 # DISTINCT shingle set — bucketed by shingle, never all-pairs; the
 # benchmark side is tiny and broadcasts. Same scale shape as l4/l6.
 # ---------------------------------------------------------------------------
-def _l25(d) -> str:
+def _l25_inner(d, src: str) -> str:
     return f"""
-WITH {_shingles_cte_fixed(d, n=4)},
-bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 97 = 0),
+bench AS (SELECT DISTINCT shingle FROM {src} WHERE doc_id % 97 = 0),
 hits AS (
   SELECT DISTINCT s.doc_id
-  FROM shingles s JOIN bench b ON b.shingle = s.shingle
+  FROM {src} s JOIN bench b ON b.shingle = s.shingle
   WHERE s.doc_id % 97 <> 0
 )
 SELECT dd.source,
@@ -1264,7 +1278,38 @@ WHERE dd.doc_id % 97 <> 0
 GROUP BY dd.source"""
 
 
-_register("l25_decontaminate", _l25)
+def _l25_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark inlines CTEs, so the inline `shingles` CTE (referenced by bench
+    # AND hits) re-derived the whole corpus shingle pipeline twice (3 doc
+    # scans total). Reuse l4's materialized hashed-shingle views — one
+    # materialization serves both queries; hashed keys are equality-only
+    # here, same collision argument as l4.
+    n = 4
+    starts = LD.seq("1", f"{LD.alen('ws')} - {n - 1}")
+    sh_arr = LD.lmap(starts, "i", LD.slice_join("ws", "i", n))
+    _shared_view(
+        spark,
+        sf_dir,
+        "l4_sharr",
+        f"""SELECT doc_id, {LD.adistinct(sh_arr)} AS sh_arr
+            FROM (SELECT doc_id, {LD.split('text')} AS ws FROM documents) w
+            WHERE {LD.alen('ws')} >= {n}""",
+    )
+    _shared_view(
+        spark,
+        sf_dir,
+        "l4_shingles",
+        f"""SELECT doc_id, {LD.h64('shingle')} AS shingle
+            FROM l4_sharr {LD.explode('sh_arr', 'shingle')}""",
+    )
+    return spark.sql("WITH " + _l25_inner(LD, "l4_shingles"))
+
+
+QUERIES["l25_decontaminate"] = _l25_run
+ORACLE["l25_decontaminate"] = (
+    f"WITH {_shingles_cte_fixed(DD, n=4, hashed=True)}, "
+    + _l25_inner(DD, "shingles")
+)
 
 
 # ---------------------------------------------------------------------------
