@@ -386,6 +386,13 @@ ORACLE["s5_streaming_zgid"] = duck_pipeline_sql(
 # 1's rows (cross-batch re-delivery, the case intra-batch dedup can't
 # catch), and the emitted stream must equal the batch relation exactly —
 # every replay suppressed by dedup state, none by accident of batching.
+#
+# State-size note: plain dropDuplicates keeps every uuid forever (exact
+# parity with the UNIQUE KEY, right for a bounded replay test). A
+# long-running deployment bounds it with dropDuplicatesWithinWatermark
+# on event time — the reference's ±7d validity window (G7) already
+# guarantees no legitimate delivery arrives later than that, so the
+# watermark drops only state no replay can ever match.
 # ---------------------------------------------------------------------------
 def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
