@@ -351,6 +351,72 @@ def test_retention_matches_python_loop(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Search keywords (p30, SearchKeywordParser.java:36-143): split-based
+# Python URL parsing vs the engine's SQL regex chains. The ENGINES table
+# is the shared SPEC; the extraction algorithm (string splitting, ordered
+# first-occurrence, priority fallback, edge-quote strip) is rebuilt here
+# without regexes or SQL.
+# ---------------------------------------------------------------------------
+def test_search_keywords_match_python_url_parsing(spark, sf_dir):
+    import re as _re
+
+    from zg_etl_spark.functions.search_keywords import ENGINES
+
+    def engine_of(ref):
+        for eng, pat, _ in ENGINES:
+            if _re.search(pat, ref, _re.IGNORECASE):
+                return eng
+        return None
+
+    param_table = {eng: params for eng, _, params in ENGINES}
+
+    def raw_keyword(ref, engine):
+        if "?" not in ref:
+            return None
+        pairs = []
+        for chunk in ref.split("?", 1)[1].split("&"):
+            name, _, value = chunk.partition("=")
+            pairs.append((name.lower(), value))
+        for want in param_table[engine]:
+            for name, value in pairs:  # FIRST occurrence decides
+                if name == want.lower():
+                    if value != "":
+                        return value
+                    break  # empty first occurrence skips this param
+        return None
+
+    def clean(kw):
+        # trim, then ONE quote stripped per edge: double quotes first,
+        # then single (cleanKeyword's anchored replaceAll sequence)
+        kw = kw.strip()
+        if kw.startswith('"'):
+            kw = kw[1:]
+        if kw.endswith('"'):
+            kw = kw[:-1]
+        if kw.startswith("'"):
+            kw = kw[1:]
+        if kw.endswith("'"):
+            kw = kw[:-1]
+        return kw
+
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, ref FROM resolved WHERE ref IS NOT NULL",
+    )
+    agg = defaultdict(lambda: [0, set()])
+    for r in rows:
+        eng = engine_of(r.ref)
+        kw = raw_keyword(r.ref, eng) if eng else None
+        kw = clean(kw) if kw is not None else None
+        a = agg[(eng, kw)]
+        a[0] += 1
+        a[1].add(r.app_id)
+    expected = {k + (n, len(apps)) for k, (n, apps) in agg.items()}
+    actual = {tuple(r) for r in ALL["p30_search_keywords"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # Wide-table time buckets: datetime-library recomputation. The engine
 # derives yw via year(thursday-of-week)*100 + weekofyear; isocalendar()
 # is an independent implementation of the same ISO-8601 definition.
