@@ -144,6 +144,18 @@ def test_shared_views_not_recomputed(spark, sf_dir, name):
     )
 
 
+def test_no_l_query_scans_corpus_twice(spark, sf_dir):
+    """Global CTE-reinline net: no training-data query may scan the
+    documents table more than once — Spark inlines CTEs, so a WITH body
+    referenced twice silently re-runs its whole derivation (cost scales
+    with corpus size; caught live in l25/l28/l9). Multi-reference
+    derivations must go through the materialized shared views."""
+    for name in sorted(k for k in ALL if k.startswith("l")):
+        plan = _plan(ALL[name](spark, sf_dir), "simple")
+        n = plan.count("documents.parquet")
+        assert n <= 1, f"{name} scans documents {n}x:\n{plan}"
+
+
 def test_multi_reference_derivations_materialize_once(spark, sf_dir):
     """l25 references the corpus shingle set twice (bench + hits) and l9
     references the vector→centroid assignment twice (query + candidate
