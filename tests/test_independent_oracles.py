@@ -351,6 +351,34 @@ def test_retention_matches_python_loop(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Time rollup (p25): GROUPING SETS semantics rebuilt as three plain Python
+# group-bys — per-set NULL slots and the GROUPING_ID bitmask (bit set when
+# the column is NOT in the set, first argument most significant).
+# ---------------------------------------------------------------------------
+def test_time_rollup_matches_python_groupbys(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "SELECT app_id, did, ct FROM gate_ok")
+    HOUR, DAY, WEEK = 3_600_000, 86_400_000, 7 * 86_400_000
+    sets = [  # (bucket_fn, slot index in (hour, day, week), grain_id)
+        (lambda ct: ct // HOUR, 0, 0b0011),
+        (lambda ct: ct // DAY, 1, 0b0101),
+        (lambda ct: ct // WEEK, 2, 0b0110),
+    ]
+    expected = set()
+    for bucket, slot, gid in sets:
+        agg = defaultdict(lambda: [0, set()])
+        for r in rows:
+            a = agg[(r.app_id, bucket(r.ct))]
+            a[0] += 1
+            a[1].add(r.did)
+        for (app, b), (n, dids) in agg.items():
+            slots = [None, None, None]
+            slots[slot] = b
+            expected.add((app, *slots, gid, n, len(dids)))
+    actual = {tuple(r) for r in ALL["p25_time_rollup"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # Search keywords (p30, SearchKeywordParser.java:36-143): split-based
 # Python URL parsing vs the engine's SQL regex chains. The ENGINES table
 # is the shared SPEC; the extraction algorithm (string splitting, ordered
