@@ -57,11 +57,20 @@ def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
         )
 
 
-# Each s-query streams a different projection of the same spine; the
-# seq-split source files are deterministic per (session, sf_dir, sql), so
-# write them once and reuse across queries/reruns (dirs removed at process
-# exit — a deployment's source topic persists the same way).
+# Each s-query streams a projection of the same spine; the seq-split
+# source files are deterministic per (session, sf_dir, sql), so write them
+# once and reuse across queries/reruns (dirs removed at process exit — a
+# deployment's source topic persists the same way).
 _SRC_MEMO: dict = {}
+
+# One SUPERSET source serves every per-projection s-query: `resolved` is
+# row-for-row gate_ok (inner joins against mappings built FROM gate_ok),
+# and a parquet file stream read with a SUBSET schema prunes columns at
+# the reader — so five per-query source builds collapse into one write.
+_SUPERSET_SQL = (
+    "SELECT event_id, app_id, did, cuid, dt, owner, event_name, "
+    "event_type, ct, seq, zg_did FROM resolved"
+)
 
 
 def _seq_ordered_source(spark: SparkSession, sf_dir: str, sql: str) -> str:
@@ -82,9 +91,7 @@ def _seq_ordered_source(spark: SparkSession, sf_dir: str, sql: str) -> str:
 def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zg_etl_spark.streaming.engine import start_identity_stream
 
-    src = _seq_ordered_source(
-        spark, sf_dir, "SELECT event_id, app_id, did, ct, seq FROM gate_ok"
-    )
+    src = _seq_ordered_source(spark, sf_dir, _SUPERSET_SQL)
     work = tempfile.mkdtemp(prefix="zg_stream_")
 
     # the per-batch shuffles here touch only distinct NEW devices (the
@@ -161,9 +168,7 @@ def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from zg_etl_spark.streaming.sessions import sessionize
 
-    src = _seq_ordered_source(
-        spark, sf_dir, "SELECT app_id, zg_did, ct, seq FROM resolved"
-    )
+    src = _seq_ordered_source(spark, sf_dir, _SUPERSET_SQL)
     work = tempfile.mkdtemp(prefix="zg_s2_")
 
     name = "s2_mem_" + _uuid.uuid4().hex[:8]
@@ -228,9 +233,7 @@ def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from zg_etl_spark.streaming.engine import start_event_counts_stream
 
-    src = _seq_ordered_source(
-        spark, sf_dir, "SELECT app_id, event_type, ct, seq FROM gate_ok"
-    )
+    src = _seq_ordered_source(spark, sf_dir, _SUPERSET_SQL)
     work = tempfile.mkdtemp(prefix="zg_s3_")
 
     name = "s3_mem_" + _uuid.uuid4().hex[:8]
@@ -288,11 +291,7 @@ HAVING win_start + {_S3_WINDOW_MS} <= max_ct - {_S3_DELAY_MS}""")
 def _s4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zg_etl_spark.streaming.engine import start_route_stream
 
-    src = _seq_ordered_source(
-        spark,
-        sf_dir,
-        "SELECT event_id, app_id, did, dt, owner, event_name, ct, seq FROM gate_ok",
-    )
+    src = _seq_ordered_source(spark, sf_dir, _SUPERSET_SQL)
     work = tempfile.mkdtemp(prefix="zg_s4_")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -345,9 +344,7 @@ JOIN event_dict ed ON ed.app_id = e.app_id AND ed.owner = e.owner_e
 def _s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zg_etl_spark.streaming.engine import start_zgid_stream, zgid_result
 
-    src = _seq_ordered_source(
-        spark, sf_dir, "SELECT event_id, app_id, did, cuid, seq FROM gate_ok"
-    )
+    src = _seq_ordered_source(spark, sf_dir, _SUPERSET_SQL)
     work = tempfile.mkdtemp(prefix="zg_s5_")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
