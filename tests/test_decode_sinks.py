@@ -111,6 +111,33 @@ def test_upsert_is_partition_scoped(spark, tmp_path):
     assert [os.path.getmtime(f) for f in app2_files] == app2_mtimes
 
 
+def test_upsert_null_partition_value_keeps_siblings(spark, tmp_path):
+    """A NULL partition value must still merge against its existing rows:
+    a plain == predicate evaluates to NULL for every existing row, so the
+    null partition would be dynamically overwritten with ONLY the incoming
+    rows — silently deleting the other keys that live there."""
+    path = str(tmp_path / "b_user_null")
+    t1 = spark.createDataFrame(
+        [(None, "dA", 1, 100), (None, "dB", 2, 100), (7, "dC", 3, 100)],
+        "app_id INT, device_id STRING, zg_id INT, seq INT",
+    )
+    upsert_table(
+        spark, t1, path, keys=["app_id", "device_id"], order_col="seq",
+        partition_cols=["app_id"],
+    )
+    t2 = spark.createDataFrame(
+        [(None, "dA", 99, 200)],
+        "app_id INT, device_id STRING, zg_id INT, seq INT",
+    )
+    upsert_table(
+        spark, t2, path, keys=["app_id", "device_id"], order_col="seq",
+        partition_cols=["app_id"],
+    )
+    got = {r.device_id: (r.app_id, r.zg_id) for r in spark.read.parquet(path).collect()}
+    # dA updated, dB SURVIVES in the null partition, dC untouched
+    assert got == {"dA": (None, 99), "dB": (None, 2), "dC": (7, 3)}
+
+
 def test_partitioned_write_prunes(spark, tmp_path):
     path = str(tmp_path / "events_wide")
     df = spark.createDataFrame(

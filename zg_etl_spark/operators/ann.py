@@ -28,7 +28,7 @@ def build_ivf_index(embeddings: DataFrame, k: int = 4, seed: int = 42):
     (vec_id, bucket) a deployment persists bucketed-by-bucket.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = embeddings.select(
         "vec_id",
@@ -43,7 +43,6 @@ def build_ivf_index(embeddings: DataFrame, k: int = 4, seed: int = 42):
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "bucket int, centroid array<double>",
     )
-    _ = vector_to_array  # re-exported hint; kept for symmetry with build
     return centroids, assignment
 
 

@@ -102,14 +102,13 @@ def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
     # JSON_FORMAT_ERROR; Ip missing/mistyped → 1010003 IP_NONE; Now →
     # 1010004 NOW_NONE; Header → 1010005 HEADER_NONE; inner-event decode
     # failure → 1020001
-    # PERMISSIVE from_json renders non-JSON as an ALL-null struct, not a
-    # null struct — whole-parse failure = every envelope field null
-    not_json = F.col("_w").isNull() | (
-        F.col("_w.Ip").isNull()
-        & F.col("_w.Now").isNull()
-        & F.col("_w.Header").isNull()
-        & F.col("_w.Args").isNull()
-    )
+    # PERMISSIVE from_json renders non-JSON as an all-null struct — but so
+    # is a syntactically VALID envelope that simply lacks every field
+    # (`{}`), which the reference fails on the Ip check (1010003), not as
+    # JSON_FORMAT_ERROR (MsgResolver.java:33-98 checks fields in order
+    # AFTER readTree succeeds). try_parse_json distinguishes the two
+    # JVM-side: only genuinely unparseable input is 1020001 here.
+    not_json = F.try_parse_json(F.col(raw_col)).isNull()
     error_code = (
         F.when(not_json, F.lit(1020001))
         .when(F.col("_w.Ip").isNull(), F.lit(1010003))

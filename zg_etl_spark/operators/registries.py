@@ -141,6 +141,9 @@ VIRTUAL_USER_PROP_RULES = [
     (0, "u_named", "concat('u:', cuid)", "usr.cuid"),
     # boolean rule + two-field gate (k always present, sid sometimes NULL)
     (2, "u_active", "k > 30", "k, sid"),
+    # UNGATED rule (empty table_fields): isAllProp over nothing is
+    # vacuously true — fires on every usr row
+    (0, "u_kind", "lower(event_type)", ""),
 ]
 
 # virtual-event rules (operator/id/VirtualEventOperator.java:48-339):
@@ -156,6 +159,9 @@ VIRTUAL_EVENT_RULES = [
     (0, "purchase", "whale", "wh", "_vbucket", "6", "pl", "ios"),
     # first pair matches, second never does — AND must suppress it
     (3, "click", "half_match", "hm", "_etype", "click", "_vbucket", "999"),
+    # BARE key spelling, the reference's own form: matchFilters resolves
+    # "band" via bag "_band" first (VirtualEventOperator.java:237-243)
+    (0, "view", "hi_view", "hv", "band", "hi", "", ""),
 ]
 
 

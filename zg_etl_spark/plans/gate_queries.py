@@ -31,6 +31,11 @@ def _wire_encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
         if cls == 5:  # whole message not JSON -> 1020001
             out.append("definitely not json {{{")
             continue
+        if cls == 9:  # VALID json, every envelope field missing: the
+            # reference fails the Ip check (1010003), NOT json-format —
+            # readTree succeeds first (MsgResolver.java:33-98)
+            out.append("{}")
+            continue
         payload = json.dumps({"eid": eid, "etype": etype}, sort_keys=True)
         compress = eid % 2
         if compress:
@@ -170,15 +175,15 @@ FROM events"""
 
 
 ORACLE["g1_wire_roundtrip"] = """
-SELECT CASE WHEN event_id % 101 = 5 THEN NULL ELSE event_id END AS event_id,
-       CASE WHEN event_id % 101 = 5 THEN NULL ELSE event_type END AS event_type,
-       CASE WHEN event_id % 101 IN (5, 6) THEN NULL
+SELECT CASE WHEN event_id % 101 IN (5, 9) THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN event_id % 101 IN (5, 9) THEN NULL ELSE event_type END AS event_type,
+       CASE WHEN event_id % 101 IN (5, 6, 9) THEN NULL
             ELSE '10.0.' || CAST(event_id % 256 AS VARCHAR) || '.1' END AS ip,
-       CASE WHEN event_id % 101 IN (5, 7) THEN NULL
+       CASE WHEN event_id % 101 IN (5, 7, 9) THEN NULL
             ELSE event_id * 1000 END AS server_ts,
-       CASE WHEN event_id % 101 IN (5, 6, 7, 8) THEN -1 ELSE 0 END AS result,
+       CASE WHEN event_id % 101 IN (5, 6, 7, 8, 9) THEN -1 ELSE 0 END AS result,
        CASE WHEN event_id % 101 = 5 THEN 1020001
-            WHEN event_id % 101 = 6 THEN 1010003
+            WHEN event_id % 101 IN (6, 9) THEN 1010003
             WHEN event_id % 101 = 7 THEN 1010004
             WHEN event_id % 101 = 8 THEN 1010005
             ELSE 0 END AS error_code

@@ -421,13 +421,17 @@ ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 100"""
 
 
-def _l4_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two-step build: materialize the per-doc shingle ARRAYS first, explode
-    # from the checkpoint. One-step builds push the Generate-inferred
-    # predicate (which embeds the whole transform(...) chain) below the
-    # round-robin repartition, evaluating the expensive expression on the
-    # single source partition — measured 3× slower than this split.
-    n = 4
+def _ensure_shingle_views(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    """Materialize the hashed 4-gram shingle views shared by l4 and l25.
+
+    ONE definition site: _shared_view memoizes by name, so a second,
+    textually-divergent copy would silently serve whichever ran first.
+    Two-step build: materialize the per-doc shingle ARRAYS first, explode
+    from the checkpoint. One-step builds push the Generate-inferred
+    predicate (which embeds the whole transform(...) chain) below the
+    round-robin repartition, evaluating the expensive expression on the
+    single source partition — measured 3× slower than this split.
+    Returns the name of the exploded hashed-shingle view."""
     starts = LD.seq("1", f"{LD.alen('ws')} - {n - 1}")
     sh_arr = LD.lmap(starts, "i", LD.slice_join("ws", "i", n))
     _shared_view(
@@ -445,7 +449,11 @@ def _l4_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT doc_id, {LD.h64('shingle')} AS shingle
             FROM l4_sharr {LD.explode('sh_arr', 'shingle')}""",
     )
-    return spark.sql(_l4_inner(LD, "l4_shingles"))
+    return "l4_shingles"
+
+
+def _l4_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_l4_inner(LD, _ensure_shingle_views(spark, sf_dir)))
 
 
 QUERIES["l4_ngram_jaccard"] = _l4_run
@@ -1279,30 +1287,12 @@ GROUP BY dd.source"""
 
 
 def _l25_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark inlines CTEs, so the inline `shingles` CTE (referenced by bench
+    # Spark inlines CTEs, so an inline `shingles` CTE (referenced by bench
     # AND hits) re-derived the whole corpus shingle pipeline twice (3 doc
     # scans total). Reuse l4's materialized hashed-shingle views — one
     # materialization serves both queries; hashed keys are equality-only
     # here, same collision argument as l4.
-    n = 4
-    starts = LD.seq("1", f"{LD.alen('ws')} - {n - 1}")
-    sh_arr = LD.lmap(starts, "i", LD.slice_join("ws", "i", n))
-    _shared_view(
-        spark,
-        sf_dir,
-        "l4_sharr",
-        f"""SELECT doc_id, {LD.adistinct(sh_arr)} AS sh_arr
-            FROM (SELECT doc_id, {LD.split('text')} AS ws FROM documents) w
-            WHERE {LD.alen('ws')} >= {n}""",
-    )
-    _shared_view(
-        spark,
-        sf_dir,
-        "l4_shingles",
-        f"""SELECT doc_id, {LD.h64('shingle')} AS shingle
-            FROM l4_sharr {LD.explode('sh_arr', 'shingle')}""",
-    )
-    return spark.sql("WITH " + _l25_inner(LD, "l4_shingles"))
+    return spark.sql("WITH " + _l25_inner(LD, _ensure_shingle_views(spark, sf_dir)))
 
 
 QUERIES["l25_decontaminate"] = _l25_run
@@ -1415,19 +1405,29 @@ GROUP BY d.source"""
 # L28 source-mixture weights: the token-budget allocation a training run
 # derives from corpus composition (Pile/Dolma-style): per source, token
 # counts and corpus share, then a CAPPED mixture weight — share clipped at
-# 5% and the excess renormalized over the uncapped sources (so no single
-# source dominates the batch mix). Totals come from unpartitioned window
-# sums over the (tiny) per-source aggregate, NOT cross-joined CTE
-# re-references: Spark inlines CTEs, so a `tot`/`caps` CTE would re-scan
-# and re-tokenize the whole corpus once per reference (measured: 14
-# Exchanges vs 3; at 100 TB that is 3 extra full scans). One corpus scan,
-# then windows over ~#sources rows.
+# 5% and the excess water-filled over the uncapped sources (so no single
+# source dominates the batch mix). A single-pass "cap then renormalize the
+# rest" is NOT a fixed point: with shares {0.96, 0.04} it hands the 4%
+# source 0.95 of the budget, re-violating the cap. The fixed point is
+# weight_i = min(cap, share_i * t) with t chosen so the weights sum to 1;
+# t is found closed-form by ranking shares descending and testing each
+# split "top-k capped": t_k = (1 - k*cap) / (1 - prefix_share_k), valid
+# when rank k would still cap (share_k*t_k >= cap) and rank k+1 would not
+# (share_{k+1}*t_k <= cap). Exactly one split is valid when n*cap > 1;
+# when no split is valid (n*cap <= 1 the cap is infeasible — total
+# capacity can't reach 1) fall back to the uniform 1/n mix.
+# Totals come from unpartitioned window sums over the (tiny) per-source
+# aggregate, NOT cross-joined CTE re-references: Spark inlines CTEs, so a
+# `tot`/`caps` CTE would re-scan and re-tokenize the whole corpus once per
+# reference (measured: 14 Exchanges vs 3; at 100 TB that is 3 extra full
+# scans). One corpus scan, then windows over ~#sources rows.
 # ---------------------------------------------------------------------------
 _L28_CAP = 0.05
 
 
 def _l28(d) -> str:
     n_tok = f"CAST({d.alen(d.split('text'))} AS BIGINT)"
+    cap = _L28_CAP
     return f"""
 WITH per_source AS (
   SELECT source, COUNT(*) AS n_docs,
@@ -1436,19 +1436,35 @@ WITH per_source AS (
 ),
 shares AS (
   SELECT source, n_docs, n_tokens,
-         n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share
+         n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share,
+         COUNT(*) OVER () AS n_src
   FROM per_source
-)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY share DESC, source) AS rk,
+         SUM(share) OVER (ORDER BY share DESC, source
+                          ROWS UNBOUNDED PRECEDING) AS pshare,
+         LEAD(share) OVER (ORDER BY share DESC, source) AS next_share
+  FROM shares
+),
+cands AS (
+  SELECT *,
+         CASE WHEN rk < n_src
+                   AND (1 - rk * {cap}) > 0
+                   AND share * (1 - rk * {cap}) / (1 - pshare) >= {cap}
+                   AND next_share * (1 - rk * {cap}) / (1 - pshare) <= {cap}
+              THEN (1 - rk * {cap}) / (1 - pshare)
+              WHEN rk = 1 AND share <= {cap} THEN CAST(1 AS DOUBLE)
+         END AS valid_t
+  FROM ranked
+),
+solved AS (SELECT *, MAX(valid_t) OVER () AS t FROM cands)
 SELECT source, n_docs, n_tokens,
        round(share, 6) AS corpus_share,
-       round(CASE WHEN share > {_L28_CAP} THEN {_L28_CAP}
-                  ELSE share
-                       * (1 - SUM(CASE WHEN share > {_L28_CAP}
-                                       THEN {_L28_CAP} ELSE 0 END) OVER ())
-                       / SUM(CASE WHEN share > {_L28_CAP}
-                                  THEN 0 ELSE share END) OVER ()
-             END, 6) AS mixture_weight
-FROM shares"""
+       round(CASE WHEN t IS NULL THEN 1.0 / n_src
+                  WHEN share * t > {cap} THEN {cap}
+                  ELSE share * t END, 6) AS mixture_weight
+FROM solved"""
 
 
 _register("l28_source_mixture", _l28)

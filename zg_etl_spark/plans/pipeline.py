@@ -146,8 +146,12 @@ def _va_frag(d: Dialect, rule_sql: str) -> str:
 
 
 def _is_all_prop(table_fields: str) -> str:
-    """isAllProp: every listed field (last dotted segment) present."""
+    """isAllProp: every listed field (last dotted segment) present. An
+    empty field list (the reference allows ungated rules) gates nothing —
+    emit a literal TRUE so the generated conjunction stays well-formed."""
     fields = [f.strip().split(".")[-1] for f in table_fields.split(",") if f.strip()]
+    if not fields:
+        return "1 = 1"
     return " AND ".join(f"{_va_resolver(f, 'any')} IS NOT NULL" for f in fields)
 
 
@@ -179,12 +183,18 @@ _register("p5_virtual_attrs", _p5)
 # ---------------------------------------------------------------------------
 def _pr_lookup(d: Dialect, key: str) -> str:
     """matchFilters value resolution (VirtualEventOperator.java:237-243):
-    try the "_"-prefixed bag key first, then the raw envelope key —
-    rendered over the row's own columns, string-typed like the bag."""
+    for a rule key ``x`` try the "_"-prefixed bag key ``_x`` first, then
+    the raw envelope key ``x`` — rendered over the row's own columns,
+    string-typed like the bag. The reference's rules spell keys BARE
+    (the "_" is added by the lookup), so each custom attr must match both
+    spellings; custom branches precede raw ones so the bag wins when a
+    rule key names both a bag prop and an envelope field (the CASE takes
+    the first matching WHEN)."""
     from zg_etl_spark.operators.domain import custom_attrs
 
     whens = " ".join(
-        f"WHEN '{name}' THEN {val}" for name, val, _ in custom_attrs(d, q="r.")
+        f"WHEN '{name}' THEN {val} WHEN '{name.lstrip('_')}' THEN {val}"
+        for name, val, _ in custom_attrs(d, q="r.")
     )
     raw = " ".join(
         f"WHEN '{f}' THEN {d.s('r.' + f)}" for f in ("pl", "k", "event_type", "cuid")
@@ -1446,13 +1456,14 @@ _register("p34_user_duration", _p34)
 # b_user mapping rows.
 # ---------------------------------------------------------------------------
 def _p35(d: Dialect) -> str:
+    # one groupBy, no self-join: attaching every bound_cuid row of the
+    # (app, zgid) group to every device row and then taking MAX(cuid) is
+    # exactly MAX(bound_cuid) over the group's own rows — the join only
+    # added a shuffle and a devices×bindings fan-out
     return """
-SELECT app_id, zg_id, MAX(cuid) AS user_id,
-       CASE WHEN MAX(cuid) IS NULL THEN '匿名' ELSE '实名' END AS is_anonymous
-FROM device_zgid z
-LEFT JOIN (SELECT app_id AS u_app, bound_cuid AS cuid, zg_id AS u_zgid
-           FROM device_zgid WHERE bound_cuid IS NOT NULL) u
-       ON u.u_app = z.app_id AND u.u_zgid = z.zg_id
+SELECT app_id, zg_id, MAX(bound_cuid) AS user_id,
+       CASE WHEN MAX(bound_cuid) IS NULL THEN '匿名' ELSE '实名' END AS is_anonymous
+FROM device_zgid
 GROUP BY app_id, zg_id"""
 
 

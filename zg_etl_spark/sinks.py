@@ -80,6 +80,10 @@ def upsert_table(
     incoming = df
     touched = None
     if os.path.exists(path):
+        # materialize once: the touched-partition collect below and the
+        # merge both consume df — without this the whole upstream plan
+        # (often an expensive pipeline projection) executes twice
+        df = df.localCheckpoint(eager=True)
         existing = spark.read.parquet(path)
         if partition_cols:
             # bounded collect: distinct (day, app) tuples, not data rows
@@ -88,7 +92,11 @@ def upsert_table(
             for row in touched:
                 t = None
                 for c in partition_cols:
-                    eq = F.col(c) == F.lit(row[c])
+                    # eqNullSafe: a NULL partition value must still select
+                    # its existing rows (plain == yields NULL → the null
+                    # partition would be overwritten with only the incoming
+                    # rows, silently dropping other keys there)
+                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
                     t = eq if t is None else (t & eq)
                 pred = t if pred is None else (pred | t)
             existing = existing.filter(pred) if pred is not None else existing.limit(0)
