@@ -1468,3 +1468,149 @@ FROM solved"""
 
 
 _register("l28_source_mixture", _l28)
+
+# ---------------------------------------------------------------------------
+# L29 semantic dedup (SemDeDup-style): cluster embeddings with the SAME
+# coarse quantizer that backs the IVF index (l9_assign — on a cluster this
+# is the persisted index table, built once and reused), then compare pairs
+# ONLY within a cluster and drop every vector whose cosine to a lower-id
+# cluster-mate clears the threshold. The O(n²) semantic comparison
+# collapses to per-cluster work keyed by the assignment — the partition
+# key at 100 TB; per-cluster search is embarrassingly parallel and the
+# pairs relation is sized by near-duplicates, not the corpus.
+# ---------------------------------------------------------------------------
+_L29_TAU = 0.35
+
+
+def _l29_inner(d, assign_src: str) -> str:
+    cos = _cosine(d, d.dvec("a.embedding"), d.dvec("b.embedding"))
+    return f"""
+pairs AS (
+  SELECT ab.vec_id AS dup_id, aa.vec_id AS keep_id
+  FROM {assign_src} aa
+  JOIN {assign_src} ab ON ab.bucket = aa.bucket AND ab.vec_id > aa.vec_id
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN embeddings b ON b.vec_id = ab.vec_id
+  WHERE round({cos}, 4) >= {_L29_TAU}
+)
+SELECT e.vec_id, CAST(ag.bucket AS BIGINT) AS bucket,
+       CASE WHEN MIN(p.keep_id) IS NULL THEN 1 ELSE 0 END AS keep,
+       MIN(p.keep_id) AS dup_of
+FROM embeddings e
+JOIN {assign_src} ag ON ag.vec_id = e.vec_id
+LEFT JOIN pairs p ON p.dup_id = e.vec_id
+GROUP BY e.vec_id, ag.bucket"""
+
+
+def _l29_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # assignment is referenced 3× (both pair sides + the verdict join);
+    # the shared view materializes the quantization once — and if l9 ran
+    # first in the same session, l29 pays nothing at all.
+    _shared_view(spark, sf_dir, "l9_assign", _l9_assign_sql(LD))
+    return spark.sql("WITH " + _l29_inner(LD, "l9_assign"))
+
+
+QUERIES["l29_semantic_dedup"] = _l29_run
+ORACLE["l29_semantic_dedup"] = (
+    f"WITH assign AS ({_l9_assign_sql(DD)}), " + _l29_inner(DD, "assign")
+)
+
+
+# ---------------------------------------------------------------------------
+# L30 duplicate-span coverage (ExactSubstr, deduplicating-training-data
+# style, window-hash approximation): hash every 8-token rolling window,
+# find windows appearing in >= 2 distinct docs, and report per doc the
+# fraction of token positions covered by a shared window. Window rows are
+# O(corpus tokens) — one map-side-combined groupBy on the 8-byte window
+# hash; the coverage explode is sized by SHARED windows only (the
+# duplicate tail, not the corpus). Exact-dup docs score 1.0, partial
+# overlaps score the overlapped span fraction.
+# ---------------------------------------------------------------------------
+_L30_K = 8
+
+
+def _l30(d) -> str:
+    k = _L30_K
+    starts = d.seq("1", f"{d.alen('ws')} - {k - 1}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {d.split('text')} AS ws FROM documents
+),
+docw AS (
+  -- the >= k gate BEFORE the explode: sequence(1, n-k+1) with n < k
+  -- would descend through 0 in Spark and slice() rejects start 0
+  SELECT doc_id, ws FROM toks WHERE {d.alen('ws')} >= {k}
+),
+win AS (
+  SELECT doc_id, s, {d.h64(d.slice_join('ws', 's', k))} AS h
+  FROM docw {d.explode_ne(starts, 's')}
+),
+shared AS (
+  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cover AS (
+  SELECT DISTINCT w.doc_id, pos
+  FROM win w JOIN shared sh ON sh.h = w.h
+  {d.explode_ne(d.seq('w.s', f'w.s + {k - 1}'), 'pos')}
+),
+cov_agg AS (SELECT doc_id, COUNT(*) AS covered FROM cover GROUP BY doc_id)
+SELECT t.doc_id, CAST({d.alen('t.ws')} AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS dup_tokens,
+       round(COALESCE(c.covered, 0) / CAST({d.alen('t.ws')} AS DOUBLE), 6)
+           AS dup_frac
+FROM toks t LEFT JOIN cov_agg c ON c.doc_id = t.doc_id"""
+
+
+_register("l30_dup_span_fraction", _l30)
+
+
+# ---------------------------------------------------------------------------
+# L31 candidate verification: the production fuzzy-dedup stage between LSH
+# banding (l6) and group-building (l16) — every banded candidate pair is
+# re-checked with EXACT 4-gram Jaccard, so false-positive bucket
+# collisions never merge distinct documents. The exact computation runs
+# only on the candidate pairs (shingle join keyed by doc — sized by
+# candidates, never all-pairs), which is why it stays cheap at 100 TB
+# while keeping banding recall.
+# ---------------------------------------------------------------------------
+_L31_JACCARD = 0.35
+
+
+def _l31_inner(d, sh_src: str) -> str:
+    jac = (
+        f"CAST(COALESCE(i.n_inter, 0) AS DOUBLE) "
+        f"/ CAST(na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)"
+    )
+    return f"""
+cand AS ({_l6_select(d).strip()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sh_src} GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN {sh_src} sa ON sa.doc_id = c.doc_a
+  JOIN {sh_src} sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b, c.est_sim,
+       round({jac}, 6) AS jaccard,
+       CASE WHEN {jac} >= {_L31_JACCARD} THEN 1 ELSE 0 END AS verified
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b"""
+
+
+def _l31_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both derived sets are the memoized shared views (minhash signatures
+    # for the candidate CTE, hashed shingles for the exact check): the
+    # verify stage adds joins, not rebuilds.
+    sh = _ensure_shingle_views(spark, sf_dir)
+    _shared_view(spark, sf_dir, "mh_sigs", _l5(LD))
+    return spark.sql(f"WITH {_l6_ctes(LD)}, " + _l31_inner(LD, sh))
+
+
+QUERIES["l31_candidate_verify"] = _l31_run
+ORACLE["l31_candidate_verify"] = (
+    f"WITH {_shingles_cte_fixed(DD, 4, hashed=True)}, {_l6_ctes(DD)}, "
+    + _l31_inner(DD, "shingles")
+)
