@@ -457,3 +457,122 @@ QUERIES["s6_streaming_dedup"] = _s6
 ORACLE["s6_streaming_dedup"] = duck_pipeline_sql(
     "SELECT app_id, did, seq, md5(CAST(seq AS VARCHAR)) AS uuid FROM gate_ok"
 )
+
+# ---------------------------------------------------------------------------
+# s7: watermarked STREAM-STREAM interval join — the Spark-native answer to
+# the reference's async state lookups pairing related events (the claim
+# store that AdvAsyncOperator keeps so a later conversion can find its
+# click, AdvAsyncOperator.java:60-130): both sides are unbounded streams,
+# each watermarked, joined on key + time-range. Spark bounds the join
+# state with the watermark and the range condition (clicks are dropped
+# from state once no future purchase can reach them) — exactly the piece
+# the foreachBatch store queries (s1-s5) cannot express, and the reason
+# stream-stream join belongs on the declared surface. The batch oracle is
+# the same inequality join over the full relation; split files are cut by
+# EVENT TIME so batch-2 purchases genuinely reach across the micro-batch
+# boundary into batch-1 click state.
+# ---------------------------------------------------------------------------
+def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.session import session_key
+    from zg_etl_spark.sources.tables import load_table
+
+    key = (session_key(spark), sf_dir, "s7_src")
+    if key not in _SRC_MEMO:
+        import atexit
+
+        src = tempfile.mkdtemp(prefix="zg_s7_src_")
+        # engine contract: load_table normalizes events.ts to epoch-NANOS
+        # BIGINT (sources/tables.py) — the split key and the source files
+        # carry that; the stream derives a TIMESTAMP view for watermarks
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        mid = base.selectExpr(
+            "CAST(percentile_approx(ts, 0.5) AS BIGINT) AS m"
+        ).first().m
+        for i, part in enumerate(
+            [base.filter(base.ts <= mid), base.filter(base.ts > mid)]
+        ):
+            stage = os.path.join(src, f"_stage{i}")
+            part.coalesce(1).write.parquet(stage)
+            f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+            shutil.rmtree(stage)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        _SRC_MEMO[key] = src
+
+    ev = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_SRC_MEMO[key])
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .selectExpr(
+            "event_id AS click_id",
+            "user_id",
+            "ts AS click_ns",
+            "timestamp_micros(ts DIV 1000) AS click_ts",
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter("event_type = 'purchase'")
+        .selectExpr(
+            "event_id AS purchase_id",
+            "user_id AS p_user",
+            "ts AS p_ns",
+            "timestamp_micros(ts DIV 1000) AS p_ts",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= click_ts "
+            "AND p_ts <= click_ts + INTERVAL 2 HOURS"
+        ),
+    ).selectExpr(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        "(p_ns - click_ns) DIV 1000 AS delay_us",
+    )
+
+    name = "s7_mem_" + _uuid.uuid4().hex[:8]
+    work = tempfile.mkdtemp(prefix="zg_s7_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s7_stream_stream_join"] = _s7
+ORACLE["s7_stream_stream_join"] = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""
