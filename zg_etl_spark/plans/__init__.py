@@ -27,9 +27,9 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 # new entry silently displace the intended 50th query.
 #
 # Round-4 rotation plan: once CORRECTNESS_r03 lands green, rotate in
-# the still-unverified round-3 additions (p37-p39, s6, l28) plus the
-# reworked p11/w1, and rotate the r3-verified l/s/g block behind — the
-# q-suite (three times green by then) stays in the tail.
+# the still-unverified round-3 additions (p37-p39, s6-s7, l28-l31) plus
+# the reworked p11/w1, and rotate the r3-verified l/s/g block behind —
+# the q-suite (three times green by then) stays in the tail.
 _WINDOW = [
     "l1_text_stats", "l2_lang_id", "l3_dedup_exact", "l4_ngram_jaccard",
     "l5_minhash_signatures", "l6_lsh_candidates", "l16_dedup_groups",
