@@ -42,6 +42,8 @@ def main() -> None:
     spark.range(cpus * 4, numPartitions=cpus).select(_noop("id")).count()
 
     def run_suite() -> tuple[dict[str, float], float]:
+        import gc
+
         per: dict[str, float] = {}
         t_suite = time.perf_counter()
         for name in sorted(all_queries):
@@ -52,6 +54,12 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record failure, keep suite
                 per[name] = -1.0
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            # housekeeping a long-lived service would do: drop the Python
+            # references to this query's one-shot localCheckpoint frames so
+            # the ContextCleaner can evict their blocks — without it the
+            # block manager accumulates ~200 queries' dead blocks and GC
+            # churn bleeds multi-second noise into unrelated late queries
+            gc.collect()
         return per, round(time.perf_counter() - t_suite, 3)
 
     per_query, total = run_suite()

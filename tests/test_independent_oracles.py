@@ -474,3 +474,203 @@ def test_time_buckets_match_datetime_library(spark, sf_dir):
         iso = (dt.date() - timedelta(days=1)).isocalendar()
         assert r.yw == iso[0] * 100 + iso[1], r
     assert n_checked == len(wide)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup groups (l16): the engine runs DataFrame label propagation
+# and the declared oracle runs DuckDB WITH RECURSIVE — both over edges the
+# same dual-dialect template derives. This check rebuilds EVERYTHING from
+# the documented definition (3-gram shingles, 8 md5-chunk minhashes with
+# 'a|'/'b|' seeds, 4 two-hash bands, est_sim >= 0.5) in plain Python and
+# groups with a THIRD algorithm (path-compressed union-find).
+# ---------------------------------------------------------------------------
+def _minhash_sigs_python(docs):
+    sigs = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        if len(ws) < 3:
+            continue
+        sh = [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+        m0 = [hashlib.md5(("a|" + s).encode()).hexdigest() for s in sh]
+        m1 = [hashlib.md5(("b|" + s).encode()).hexdigest() for s in sh]
+        sig = []
+        for j in range(8):
+            src = m0 if j < 4 else m1
+            off = (j % 4) * 8
+            sig.append(min(m[off : off + 8] for m in src))
+        sigs[doc_id] = sig
+    return sigs
+
+
+def test_dedup_groups_match_python_unionfind(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = _minhash_sigs_python(list(docs.itertuples(index=False)))
+
+    buckets = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        for b in range(4):
+            buckets[(b, sig[2 * b], sig[2 * b + 1])].append(doc_id)
+
+    parent = {d for ds in buckets.values() for d in ds}
+    parent = {d: d for d in parent}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ds in buckets.values():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                matches = sum(1 for j in range(8) if sigs[a][j] == sigs[b][j])
+                if matches / 8 >= 0.5:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    expected = {
+        int(d): int(find(d)) if d in parent else int(d)
+        for d in docs["doc_id"]
+    }
+    actual = {
+        int(r.doc_id): int(r.group_id)
+        for r in ALL["l16_dedup_groups"](spark, sf_dir).collect()
+    }
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture weights (l28): the engine solves the cap fixed point
+# closed-form via ranked prefix sums; this check converges the same fixed
+# point ITERATIVELY (cap, renormalize the uncapped mass, repeat) — a
+# different algorithm whose fixpoint must agree to float precision.
+# ---------------------------------------------------------------------------
+def test_source_mixture_matches_iterative_waterfill(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    toks = docs.assign(n=docs["text"].str.split(" ").str.len())
+    per = toks.groupby("source")["n"].sum()
+    shares = (per / per.sum()).to_dict()
+
+    cap, n = 0.05, len(shares)
+    if n * cap <= 1.0:
+        weights = {s: 1.0 / n for s in shares}
+    else:
+        capped: set = set()
+        t = 1.0
+        for _ in range(n + 1):
+            free_share = sum(shares[s] for s in shares if s not in capped)
+            t = (1.0 - cap * len(capped)) / free_share
+            newly = {
+                s for s in shares
+                if s not in capped and shares[s] * t > cap
+            }
+            if not newly:
+                break
+            capped |= newly
+        weights = {
+            s: cap if s in capped else shares[s] * t for s in shares
+        }
+
+    actual = {
+        r.source: r.mixture_weight
+        for r in ALL["l28_source_mixture"](spark, sf_dir).collect()
+    }
+    assert set(actual) == set(weights)
+    for s in weights:
+        assert abs(actual[s] - round(weights[s], 6)) <= 1e-6, (
+            s, actual[s], weights[s])
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage (l30): Python re-windowing with TUPLE keys —
+# no hash function at all, so it also cross-checks the engine's reliance
+# on xxhash64/duckdb-hash window keys being collision-free at this scale.
+# ---------------------------------------------------------------------------
+def test_dup_span_fraction_matches_python_rewindow(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    K = 8
+    wins: dict = defaultdict(set)
+    toks = {}
+    for r in docs.itertuples(index=False):
+        ws = r.text.split(" ")
+        toks[int(r.doc_id)] = ws
+        for i in range(len(ws) - K + 1):
+            wins[tuple(ws[i : i + K])].add(int(r.doc_id))
+    shared = {w for w, ds in wins.items() if len(ds) >= 2}
+
+    expected = {}
+    for doc_id, ws in toks.items():
+        covered: set = set()
+        for i in range(len(ws) - K + 1):
+            if tuple(ws[i : i + K]) in shared:
+                covered.update(range(i, i + K))
+        n = len(ws)
+        expected[doc_id] = (n, len(covered), round(len(covered) / n, 6))
+
+    actual = {
+        int(r.doc_id): (int(r.n_tokens), int(r.dup_tokens), r.dup_frac)
+        for r in ALL["l30_dup_span_fraction"](spark, sf_dir).collect()
+    }
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (l29): numpy recompute of the centroid assignment and the
+# within-cluster cosine verdicts — float math through numpy instead of two
+# SQL engines' aggregate() folds.
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_matches_numpy_loop(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    vecs = {
+        int(r.vec_id): np.asarray(list(r.embedding), dtype=np.float64)
+        for r in emb.itertuples(index=False)
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    centroids = {c: vecs[c] for c in sorted(vecs) if c < 4}
+    bucket = {}
+    for vid, v in vecs.items():
+        best = max(
+            sorted(centroids),
+            key=lambda c: (round(cos(v, centroids[c]), 4), -c),
+        )
+        bucket[vid] = best
+
+    expected = {}
+    for vid in sorted(vecs):
+        dup_of = None
+        for other in sorted(vecs):
+            if other >= vid or bucket[other] != bucket[vid]:
+                continue
+            if round(cos(vecs[vid], vecs[other]), 4) >= 0.35:
+                dup_of = other
+                break
+        expected[vid] = (bucket[vid], 0 if dup_of is not None else 1, dup_of)
+
+    actual = {
+        int(r.vec_id): (
+            int(r.bucket),
+            int(r.keep),
+            None if r.dup_of is None else int(r.dup_of),
+        )
+        for r in ALL["l29_semantic_dedup"](spark, sf_dir).collect()
+    }
+    assert actual == expected

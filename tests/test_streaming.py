@@ -271,3 +271,38 @@ def test_kafka_sink_builder_shape(spark, tmp_path):
         .first()
     )
     assert row.value == '{"v":5,"app":"a"}'
+
+
+def test_s7_join_reaches_across_micro_batches(spark):
+    """The s7 stream-stream join's whole point is that purchase rows in
+    micro-batch 2 still find click state from micro-batch 1 (the source
+    files are cut by event time). Assert at least one emitted pair spans
+    the cut — otherwise the test would pass with per-batch joins and the
+    watermarked-state machinery would be dead weight."""
+    from zg_etl_spark.plans.streaming_queries import QUERIES, _SRC_MEMO
+    from zg_etl_spark.session import session_key
+
+    sf_dir = "/root/testdata/sf0.001"
+    result = QUERIES["s7_stream_stream_join"](spark, sf_dir).localCheckpoint()
+    src = _SRC_MEMO[(session_key(spark), sf_dir, "s7_src")]
+    b0 = spark.read.parquet(src + "/b0.parquet")
+    cut = b0.agg(F.max("ts")).first()[0]
+
+    clicks_b0 = b0.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "ts AS c_ns"
+    )
+    spanning = (
+        result.join(clicks_b0, "click_id")
+        .join(
+            spark.read.parquet(src + "/b1.parquet")
+            .selectExpr("event_id AS purchase_id"),
+            "purchase_id",
+        )
+        .count()
+    )
+    assert spanning > 0, "no join pair crossed the micro-batch boundary"
+    # and the delays respect the declared [0, 2h] window
+    bad = result.filter(
+        (F.col("delay_us") < 0) | (F.col("delay_us") > 2 * 3600 * 1_000_000)
+    ).count()
+    assert bad == 0

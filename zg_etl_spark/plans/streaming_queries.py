@@ -491,9 +491,28 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type"
         )
-        mid = base.selectExpr(
-            "CAST(percentile_approx(ts, 0.5) AS BIGINT) AS m"
-        ).first().m
+        base.createOrReplaceTempView("s7_events")
+        # The cut must STRADDLE at least one join pair or the test proves
+        # nothing about cross-batch state (a median cut misses every pair
+        # at the driver SFs — pairs span ≤2 h of a 30-day range). Cut at
+        # the click of the qualifying pair nearest the median: that click
+        # lands in b0 (ts <= cut), its purchase in b1 (ts > cut).
+        mid = spark.sql(
+            """
+            WITH m AS (SELECT CAST(percentile_approx(ts, 0.5) AS BIGINT) AS c
+                       FROM s7_events)
+            SELECT COALESCE(
+              (SELECT c.ts
+               FROM s7_events c JOIN s7_events p
+                 ON p.user_id = c.user_id
+                AND c.event_type = 'click' AND p.event_type = 'purchase'
+                AND p.ts > c.ts
+                AND p.ts <= c.ts + 2 * 3600 * CAST(1e9 AS BIGINT)
+               CROSS JOIN m
+               ORDER BY abs(c.ts - m.c), c.ts, p.ts LIMIT 1),
+              (SELECT c FROM m)) AS cut
+            """
+        ).first().cut
         for i, part in enumerate(
             [base.filter(base.ts <= mid), base.filter(base.ts > mid)]
         ):
