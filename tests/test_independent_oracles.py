@@ -612,11 +612,13 @@ def test_dup_span_fraction_matches_python_rewindow(spark, sf_dir):
 
     expected = {}
     for doc_id, ws in toks.items():
+        n = len(ws)
+        if n < K:  # sub-window docs are not scored (cannot share a window)
+            continue
         covered: set = set()
-        for i in range(len(ws) - K + 1):
+        for i in range(n - K + 1):
             if tuple(ws[i : i + K]) in shared:
                 covered.update(range(i, i + K))
-        n = len(ws)
         expected[doc_id] = (n, len(covered), round(len(covered) / n, 6))
 
     actual = {

@@ -296,3 +296,40 @@ def test_wide_table_stays_map_side_at_width(spark, sf_dir):
         if "Exchange" in ln and "BroadcastExchange" not in ln
     ]
     assert not shuffles, f"p8 shuffles the fact at width {ZG_CUS_N}:\n{plan}"
+
+
+def test_semantic_dedup_reads_index_not_corpus(spark, sf_dir):
+    """l29 references its vector-carrying IVF index three times; the
+    query plan must read the materialized view (ExistingRDD) and touch
+    the embeddings corpus zero times — inlined, the three references
+    would each re-scan and re-quantize it."""
+    plan = _plan(ALL["l29_semantic_dedup"](spark, sf_dir), "simple")
+    assert "embeddings.parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_candidate_verify_joins_never_nested_loop(spark, sf_dir):
+    """l31's exact-Jaccard check runs per candidate PAIR via shingle
+    equi-joins — a nested-loop or cartesian node means the all-pairs
+    shape the banding exists to avoid has crept back."""
+    plan = _plan(ALL["l31_candidate_verify"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # signatures + shingles come from the memoized views, so the corpus
+    # is scanned at most once (the global l-scan test pins <= 1 too)
+    assert plan.count("documents.parquet") == 0, plan
+
+
+def test_vocab_coverage_windows_over_vocab_only(spark, sf_dir):
+    """l32's ranking window runs over the aggregated vocabulary, never
+    the corpus: the Window node must sit ABOVE the word-count aggregate,
+    and the corpus is scanned once."""
+    plan = _plan(ALL["l32_vocab_coverage"](spark, sf_dir), "simple")
+    assert plan.count("documents.parquet") == 1, plan
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1 and w < agg, (
+        f"window does not sit above the vocab aggregate:\n{plan}"
+    )

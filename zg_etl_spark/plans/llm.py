@@ -1482,37 +1482,46 @@ _register("l28_source_mixture", _l28)
 _L29_TAU = 0.35
 
 
-def _l29_inner(d, assign_src: str) -> str:
+def _l29_index_sql(assign_src: str) -> str:
+    # a real IVF index stores the vectors WITH the assignment: joining
+    # them once at index build means the dedup query below touches the
+    # embeddings corpus zero times (it references the index three times —
+    # inlined, that would have been three corpus scans)
+    return f"""
+  SELECT a.vec_id, a.bucket, e.embedding
+  FROM {assign_src} a JOIN embeddings e ON e.vec_id = a.vec_id"""
+
+
+def _l29_inner(d, idx_src: str) -> str:
     cos = _cosine(d, d.dvec("a.embedding"), d.dvec("b.embedding"))
     return f"""
 pairs AS (
-  SELECT ab.vec_id AS dup_id, aa.vec_id AS keep_id
-  FROM {assign_src} aa
-  JOIN {assign_src} ab ON ab.bucket = aa.bucket AND ab.vec_id > aa.vec_id
-  JOIN embeddings a ON a.vec_id = aa.vec_id
-  JOIN embeddings b ON b.vec_id = ab.vec_id
+  SELECT b.vec_id AS dup_id, a.vec_id AS keep_id
+  FROM {idx_src} a
+  JOIN {idx_src} b ON b.bucket = a.bucket AND b.vec_id > a.vec_id
   WHERE round({cos}, 4) >= {_L29_TAU}
 )
-SELECT e.vec_id, CAST(ag.bucket AS BIGINT) AS bucket,
+SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
        CASE WHEN MIN(p.keep_id) IS NULL THEN 1 ELSE 0 END AS keep,
        MIN(p.keep_id) AS dup_of
-FROM embeddings e
-JOIN {assign_src} ag ON ag.vec_id = e.vec_id
+FROM {idx_src} e
 LEFT JOIN pairs p ON p.dup_id = e.vec_id
-GROUP BY e.vec_id, ag.bucket"""
+GROUP BY e.vec_id, e.bucket"""
 
 
 def _l29_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # assignment is referenced 3× (both pair sides + the verdict join);
-    # the shared view materializes the quantization once — and if l9 ran
-    # first in the same session, l29 pays nothing at all.
+    # quantization shared with l9 (if l9 ran first, the coarse step is
+    # free); the vector-carrying index view is materialized once more on
+    # top and referenced three times (both pair sides + the verdict).
     _shared_view(spark, sf_dir, "l9_assign", _l9_assign_sql(LD))
-    return spark.sql("WITH " + _l29_inner(LD, "l9_assign"))
+    _shared_view(spark, sf_dir, "l29_index", _l29_index_sql("l9_assign"))
+    return spark.sql("WITH " + _l29_inner(LD, "l29_index"))
 
 
 QUERIES["l29_semantic_dedup"] = _l29_run
 ORACLE["l29_semantic_dedup"] = (
-    f"WITH assign AS ({_l9_assign_sql(DD)}), " + _l29_inner(DD, "assign")
+    f"WITH assign AS ({_l9_assign_sql(DD)}), "
+    f"idx AS ({_l29_index_sql('assign')}), " + _l29_inner(DD, "idx")
 )
 
 
@@ -1529,39 +1538,57 @@ ORACLE["l29_semantic_dedup"] = (
 _L30_K = 8
 
 
-def _l30(d) -> str:
+def _l30_win_sql(d) -> str:
+    # the >= k gate BEFORE the explode: sequence(1, n-k+1) with n < k
+    # would descend through 0 in Spark and slice() rejects start 0.
+    # Sub-window docs cannot contain a shared window and are not scored.
     k = _L30_K
     starts = d.seq("1", f"{d.alen('ws')} - {k - 1}")
     return f"""
-WITH toks AS (
-  SELECT doc_id, {d.split('text')} AS ws FROM documents
-),
-docw AS (
-  -- the >= k gate BEFORE the explode: sequence(1, n-k+1) with n < k
-  -- would descend through 0 in Spark and slice() rejects start 0
-  SELECT doc_id, ws FROM toks WHERE {d.alen('ws')} >= {k}
-),
-win AS (
   SELECT doc_id, s, {d.h64(d.slice_join('ws', 's', k))} AS h
-  FROM docw {d.explode_ne(starts, 's')}
-),
+  FROM (SELECT doc_id, ws
+        FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents) t
+        WHERE {d.alen('ws')} >= {k}) docw
+  {d.explode_ne(starts, 's')}"""
+
+
+def _l30_inner(d, win_src: str) -> str:
+    k = _L30_K
+    return f"""
 shared AS (
-  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT h FROM {win_src} GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 ),
 cover AS (
   SELECT DISTINCT w.doc_id, pos
-  FROM win w JOIN shared sh ON sh.h = w.h
+  FROM {win_src} w JOIN shared sh ON sh.h = w.h
   {d.explode_ne(d.seq('w.s', f'w.s + {k - 1}'), 'pos')}
 ),
-cov_agg AS (SELECT doc_id, COUNT(*) AS covered FROM cover GROUP BY doc_id)
-SELECT t.doc_id, CAST({d.alen('t.ws')} AS BIGINT) AS n_tokens,
+cov_agg AS (SELECT doc_id, COUNT(*) AS covered FROM cover GROUP BY doc_id),
+per_doc AS (SELECT doc_id, COUNT(*) + {k - 1} AS n_tokens
+            FROM {win_src} GROUP BY doc_id)
+SELECT p.doc_id, CAST(p.n_tokens AS BIGINT) AS n_tokens,
        CAST(COALESCE(c.covered, 0) AS BIGINT) AS dup_tokens,
-       round(COALESCE(c.covered, 0) / CAST({d.alen('t.ws')} AS DOUBLE), 6)
+       round(COALESCE(c.covered, 0) / CAST(p.n_tokens AS DOUBLE), 6)
            AS dup_frac
-FROM toks t LEFT JOIN cov_agg c ON c.doc_id = t.doc_id"""
+FROM per_doc p LEFT JOIN cov_agg c ON c.doc_id = p.doc_id"""
 
 
-_register("l30_dup_span_fraction", _l30)
+def _l30_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the window-hash relation is referenced THREE times (shared totals,
+    # coverage join, per-doc totals); inlined CTEs would re-scan and
+    # re-window the corpus per reference, so it materializes once as a
+    # shared view — per-doc totals derive from it (count + k - 1 = token
+    # count, exact because starts is 1..n-k+1), keeping the whole query
+    # at ONE corpus scan. On a cluster this view is the persisted span
+    # index a dedup sweep would build anyway.
+    _shared_view(spark, sf_dir, "l30_win", _l30_win_sql(LD))
+    return spark.sql("WITH " + _l30_inner(LD, "l30_win"))
+
+
+QUERIES["l30_dup_span_fraction"] = _l30_run
+ORACLE["l30_dup_span_fraction"] = (
+    f"WITH win AS ({_l30_win_sql(DD)}), " + _l30_inner(DD, "win")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1614,3 +1641,33 @@ ORACLE["l31_candidate_verify"] = (
     f"WITH {_shingles_cte_fixed(DD, 4, hashed=True)}, {_l6_ctes(DD)}, "
     + _l31_inner(DD, "shingles")
 )
+
+
+# ---------------------------------------------------------------------------
+# L32 vocabulary coverage curve: the tokenizer-budget planning table — the
+# corpus word-frequency ranking with cumulative token coverage (what
+# fraction of corpus tokens the top-N vocabulary entries cover). One
+# map-side-combined groupBy builds the vocab; the ranking window runs
+# over the VOCAB relation (orders of magnitude smaller than the corpus),
+# which is the standard shape at 100 TB — the corpus is never sorted.
+# ---------------------------------------------------------------------------
+def _l32(d) -> str:
+    return f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT doc_id, text FROM documents) dws {d.explode(d.split('text'), 'word')}
+  GROUP BY word
+),
+ranked AS (
+  SELECT word, c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, word) AS BIGINT) AS vocab_rank,
+         SUM(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS tot
+  FROM wc
+)
+SELECT vocab_rank, word, CAST(c AS BIGINT) AS freq,
+       round(cum / CAST(tot AS DOUBLE), 6) AS coverage
+FROM ranked WHERE vocab_rank <= 100"""
+
+
+_register("l32_vocab_coverage", _l32)
