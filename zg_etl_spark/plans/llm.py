@@ -1671,3 +1671,62 @@ FROM ranked WHERE vocab_rank <= 100"""
 
 
 _register("l32_vocab_coverage", _l32)
+
+
+# ---------------------------------------------------------------------------
+# L33 n-gram LM quality scoring (CCNet-style): score every document by its
+# average bigram negative log-likelihood under the corpus's OWN bigram
+# model (MLE P(w2|w1) = c(w1 w2)/c(w1) — no smoothing needed: every doc
+# bigram exists in the corpus it came from), then bucket head/middle/tail
+# exactly as CCNet routes perplexity tertiles. The token-level bigram
+# stream is materialized ONCE (shared view, referenced by the model
+# counts AND the scoring join); per-term log-probs quantize to integer
+# micro-nats BEFORE summation so the aggregate is an exact integer sum —
+# float SUM order across partitions would otherwise drift the last ulp
+# between engines. Counts tables are vocab-sized (broadcastable); the
+# scoring join shuffles on the word keys — rows ∝ corpus tokens, the
+# same single-pass shape at 100 TB.
+# ---------------------------------------------------------------------------
+def _l33_bg_sql(d) -> str:
+    starts = d.seq("1", f"{d.alen('ws')} - 1")
+    return f"""
+SELECT doc_id, {d.slice_join('ws', 'i', 2)} AS bigram, {d.idx('ws', 'i')} AS w1
+FROM (SELECT doc_id, ws
+      FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents) t
+      WHERE {d.alen('ws')} >= 2) docw
+{d.explode_ne(starts, 'i')}"""
+
+
+def _l33_inner(d, bg_src: str) -> str:
+    nll = "-sum_logp_micro"
+    avg = d.idiv(nll, "n_bigrams")
+    return f"""
+lm AS (SELECT bigram, COUNT(*) AS c_bg FROM {bg_src} GROUP BY bigram),
+uni AS (SELECT w1, COUNT(*) AS c_w1 FROM {bg_src} GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(CAST(round(ln(CAST(l.c_bg AS DOUBLE) / u.c_w1) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sum_logp_micro
+  FROM {bg_src} b
+  JOIN lm l ON l.bigram = b.bigram
+  JOIN uni u ON u.w1 = b.w1
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       {avg} AS avg_nll_micro,
+       CASE WHEN {avg} < 3400000 THEN 'head'
+            WHEN {avg} < 3550000 THEN 'middle'
+            ELSE 'tail' END AS quality_bucket
+FROM scored"""
+
+
+def _l33_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _shared_view(spark, sf_dir, "l33_bg", _l33_bg_sql(LD))
+    return spark.sql("WITH " + _l33_inner(LD, "l33_bg"))
+
+
+QUERIES["l33_lm_quality_score"] = _l33_run
+ORACLE["l33_lm_quality_score"] = (
+    f"WITH bg AS ({_l33_bg_sql(DD)}), " + _l33_inner(DD, "bg")
+)
