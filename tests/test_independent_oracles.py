@@ -676,3 +676,56 @@ def test_semantic_dedup_matches_numpy_loop(spark, sf_dir):
         for r in ALL["l29_semantic_dedup"](spark, sf_dir).collect()
     }
     assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# l31 short-doc candidates: a 3-word doc has a minhash signature (3-gram)
+# but NO 4-gram shingles — the candidate pair must still be REPORTED
+# (verified=0, jaccard=0), never silently dropped by the sizes join. The
+# driver fixtures have no sub-4-word docs, so this crafts its own corpus
+# and checks Spark and DuckDB agree on it.
+# ---------------------------------------------------------------------------
+def test_candidate_verify_reports_subshingle_docs(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["tiny doc here", "tiny doc here",
+                     "a completely different longer document with many words"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [13, 13, 54],
+        }
+    )
+    emb = pd.DataFrame(
+        {"doc_id": [1, 2, 3]}
+    ).rename(columns={"doc_id": "vec_id"})
+    emb["embedding"] = [[0.1] * 4] * 3
+    emb["label"] = 0
+    docs.to_parquet(tmp_path / "documents.parquet")
+    emb.to_parquet(tmp_path / "embeddings.parquet")
+
+    rows = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.verified)
+        for r in ALL["l31_candidate_verify"](spark, str(tmp_path)).collect()
+    }
+    # the identical 3-word docs band-collide (identical signatures) and
+    # MUST be reported unverified, not dropped
+    assert (1, 2) in rows, rows
+    assert rows[(1, 2)] == (0.0, 0), rows
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    oracle = {
+        (a, b): (j, v)
+        for a, b, _e, j, v in con.execute(
+            plans.all_oracles()["l31_candidate_verify"]
+        ).fetchall()
+    }
+    assert oracle == rows

@@ -286,10 +286,8 @@ def test_s7_join_reaches_across_micro_batches(spark):
     result = QUERIES["s7_stream_stream_join"](spark, sf_dir).localCheckpoint()
     src = _SRC_MEMO[(session_key(spark), sf_dir, "s7_src")]
     b0 = spark.read.parquet(src + "/b0.parquet")
-    cut = b0.agg(F.max("ts")).first()[0]
-
     clicks_b0 = b0.filter("event_type = 'click'").selectExpr(
-        "event_id AS click_id", "ts AS c_ns"
+        "event_id AS click_id"
     )
     spanning = (
         result.join(clicks_b0, "click_id")

@@ -27,7 +27,7 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 # new entry silently displace the intended 50th query.
 #
 # Round-4 rotation plan: once CORRECTNESS_r03 lands green, rotate in
-# the still-unverified round-3 additions (p37-p39, s6-s7, l28-l31) plus
+# the still-unverified round-3 additions (p37-p39, s6-s7, l28-l33) plus
 # the reworked p11/w1, and rotate the r3-verified l/s/g block behind —
 # the q-suite (three times green by then) stays in the tail.
 _WINDOW = [

@@ -1604,9 +1604,18 @@ _L31_JACCARD = 0.35
 
 
 def _l31_inner(d, sh_src: str) -> str:
+    # LEFT joins + zero-denominator guard: a 3-word doc carries a minhash
+    # signature (3-gram) and can band-collide, yet has NO 4-gram shingle
+    # rows — inner joins to `sizes` would silently DROP that candidate
+    # instead of reporting it verified=0, breaking the "every candidate
+    # re-checked" contract.
+    denom = (
+        f"COALESCE(na.n_sh, 0) + COALESCE(nb.n_sh, 0) "
+        f"- COALESCE(i.n_inter, 0)"
+    )
     jac = (
-        f"CAST(COALESCE(i.n_inter, 0) AS DOUBLE) "
-        f"/ CAST(na.n_sh + nb.n_sh - COALESCE(i.n_inter, 0) AS DOUBLE)"
+        f"CASE WHEN {denom} > 0 THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE) "
+        f"/ CAST({denom} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
     )
     return f"""
 cand AS ({_l6_select(d).strip()}),
@@ -1623,8 +1632,8 @@ SELECT c.doc_a, c.doc_b, c.est_sim,
        CASE WHEN {jac} >= {_L31_JACCARD} THEN 1 ELSE 0 END AS verified
 FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes na ON na.doc_id = c.doc_a
-JOIN sizes nb ON nb.doc_id = c.doc_b"""
+LEFT JOIN sizes na ON na.doc_id = c.doc_a
+LEFT JOIN sizes nb ON nb.doc_id = c.doc_b"""
 
 
 def _l31_run(spark: SparkSession, sf_dir: str) -> DataFrame:

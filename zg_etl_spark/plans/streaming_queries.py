@@ -28,15 +28,15 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 
 
-def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
-    """Split into two seq-ordered plain parquet files (b0 < b1 by seq),
-    with strictly increasing mtimes so the file stream source (which
-    orders by modification time) replays them in seq order."""
+def _write_split_files(parts: list[DataFrame], src_dir: str) -> None:
+    """Write each part as ONE plain parquet file ``b{i}.parquet`` with
+    strictly increasing mtimes so the file stream source (which orders
+    by modification time) replays them in part order. The single-task
+    part-writes are independent — they run as concurrent jobs instead
+    of back-to-back."""
     from concurrent.futures import ThreadPoolExecutor
 
-    mid = df.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
-
-    def write_half(i_and_df) -> None:
+    def write_one(i_and_df) -> None:
         i, part_df = i_and_df
         stage = os.path.join(src_dir, f"_stage{i}")
         part_df.coalesce(1).write.parquet(stage)
@@ -46,15 +46,23 @@ def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
         os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
         shutil.rmtree(stage)
 
-    # the two single-task half-writes are independent — run them as
-    # concurrent jobs instead of back-to-back
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        list(
-            ex.map(
-                write_half,
-                enumerate([df.filter(df.seq <= mid), df.filter(df.seq > mid)]),
-            )
-        )
+    with ThreadPoolExecutor(max_workers=max(len(parts), 1)) as ex:
+        list(ex.map(write_one, enumerate(parts)))
+
+
+def _await_done(q, timeout_s: int = 300) -> None:
+    """availableNow runs MUST finish inside the timeout: ignoring the
+    False return would read a partial result from the sink and delete
+    the checkpoint under a live query."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(f"streaming query did not finish in {timeout_s}s")
+
+
+def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
+    """Split into two seq-ordered files (b0 < b1 by seq)."""
+    mid = df.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
+    _write_split_files([df.filter(df.seq <= mid), df.filter(df.seq > mid)], src_dir)
 
 
 # Each s-query streams a projection of the same spine; the seq-split
@@ -108,7 +116,7 @@ def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_path=os.path.join(work, "out"),
             checkpoint_dir=os.path.join(work, "ckpt"),
         )
-        q.awaitTermination(300)
+        _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # the merged mapping store IS the result; localCheckpoint detaches it
@@ -193,7 +201,7 @@ def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode sink holds every progress row; the final state of each
@@ -251,7 +259,7 @@ def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
             window_duration="1 hour",
             watermark_delay="2 hours",
         )
-        q.awaitTermination(300)
+        _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = (
@@ -309,7 +317,7 @@ def _s4(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_path=os.path.join(work, "out"),
             checkpoint_dir=os.path.join(work, "ckpt"),
         )
-        q.awaitTermination(300)
+        _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = (
@@ -359,7 +367,7 @@ def _s5(spark: SparkSession, sf_dir: str) -> DataFrame:
             bind_store_path=os.path.join(work, "bind"),
             checkpoint_dir=os.path.join(work, "ckpt"),
         )
-        q.awaitTermination(300)
+        _await_done(q)
         result = zgid_result(dev_store, uid_store, bind_store).localCheckpoint(
             eager=True
         )
@@ -409,20 +417,15 @@ def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_half = base.filter(base.seq <= mid)
         # batch 1 = first half; batch 2 = second half PLUS a replay of
         # every 5th row of batch 1 (the Kafka re-delivery)
-        halves = [
-            first_half,
-            base.filter(base.seq > mid).unionByName(
-                first_half.filter(first_half.seq % 5 == 0)
-            ),
-        ]
-        for i, part in enumerate(halves):
-            stage = os.path.join(src, f"_stage{i}")
-            part.coalesce(1).write.parquet(stage)
-            f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"b{i}.parquet")
-            shutil.copy(f, dst)
-            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-            shutil.rmtree(stage)
+        _write_split_files(
+            [
+                first_half,
+                base.filter(base.seq > mid).unionByName(
+                    first_half.filter(first_half.seq % 5 == 0)
+                ),
+            ],
+            src,
+        )
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         _SRC_MEMO[key] = src
 
@@ -445,7 +448,7 @@ def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name).localCheckpoint(eager=True)
@@ -513,16 +516,9 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
               (SELECT c FROM m)) AS cut
             """
         ).first().cut
-        for i, part in enumerate(
-            [base.filter(base.ts <= mid), base.filter(base.ts > mid)]
-        ):
-            stage = os.path.join(src, f"_stage{i}")
-            part.coalesce(1).write.parquet(stage)
-            f = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"b{i}.parquet")
-            shutil.copy(f, dst)
-            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-            shutil.rmtree(stage)
+        _write_split_files(
+            [base.filter(base.ts <= mid), base.filter(base.ts > mid)], src
+        )
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         _SRC_MEMO[key] = src
 
@@ -533,12 +529,17 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_SRC_MEMO[key])
     )
+    # s7's semantics are defined at MICROsecond precision end-to-end
+    # (join bounds AND delay from the same truncated micros): the oracle
+    # runs over the parquet timestamp[us] column, so any nano-grain
+    # comparison here could admit/reject pairs the oracle can't even
+    # represent — truncate once, derive everything from it
     clicks = (
         ev.filter("event_type = 'click'")
         .selectExpr(
             "event_id AS click_id",
             "user_id",
-            "ts AS click_ns",
+            "ts DIV 1000 AS click_us",
             "timestamp_micros(ts DIV 1000) AS click_ts",
         )
         .withWatermark("click_ts", "1 hour")
@@ -548,7 +549,7 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "event_id AS purchase_id",
             "user_id AS p_user",
-            "ts AS p_ns",
+            "ts DIV 1000 AS p_us",
             "timestamp_micros(ts DIV 1000) AS p_ts",
         )
         .withWatermark("p_ts", "1 hour")
@@ -563,7 +564,7 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         "user_id",
-        "(p_ns - click_ns) DIV 1000 AS delay_us",
+        "p_us - click_us AS delay_us",
     )
 
     name = "s7_mem_" + _uuid.uuid4().hex[:8]
@@ -579,7 +580,7 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name).localCheckpoint(eager=True)
