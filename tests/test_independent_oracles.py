@@ -729,3 +729,55 @@ def test_candidate_verify_reports_subshingle_docs(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == rows
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM scoring (l33): the micro-nat quantization claims the per-doc
+# aggregate is an exact integer sum; this recomputes the whole model and
+# every doc's score in a plain Python loop (math.log, dict counts) and
+# demands EXACT integer equality — any float-order dependence in either
+# engine would break it.
+# ---------------------------------------------------------------------------
+def test_lm_quality_score_matches_python_loop(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bg_count: dict = defaultdict(int)
+    w1_count: dict = defaultdict(int)
+    doc_bgs = {}
+    for r in docs.itertuples(index=False):
+        ws = r.text.split(" ")
+        if len(ws) < 2:
+            continue
+        bgs = [(ws[i], ws[i] + " " + ws[i + 1]) for i in range(len(ws) - 1)]
+        doc_bgs[int(r.doc_id)] = bgs
+        for w1, bg in bgs:
+            bg_count[bg] += 1
+            w1_count[w1] += 1
+
+    def _round_half_up(x: float) -> int:
+        # SQL round() rounds half away from zero; Python round() is
+        # banker's — divergence only exactly at .5, but be faithful
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    expected = {}
+    for doc_id, bgs in doc_bgs.items():
+        total = sum(
+            _round_half_up(math.log(bg_count[bg] / w1_count[w1]) * 1_000_000)
+            for w1, bg in bgs
+        )
+        n = len(bgs)
+        nll = (-total) // n  # positive numerator: // == truncation == DIV
+        bucket = "head" if nll < 3_400_000 else (
+            "middle" if nll < 3_550_000 else "tail")
+        expected[doc_id] = (n, nll, bucket)
+
+    actual = {
+        int(r.doc_id): (int(r.n_bigrams), int(r.avg_nll_micro), r.quality_bucket)
+        for r in ALL["l33_lm_quality_score"](spark, sf_dir).collect()
+    }
+    assert actual == expected

@@ -1739,3 +1739,54 @@ QUERIES["l33_lm_quality_score"] = _l33_run
 ORACLE["l33_lm_quality_score"] = (
     f"WITH bg AS ({_l33_bg_sql(DD)}), " + _l33_inner(DD, "bg")
 )
+
+
+# ---------------------------------------------------------------------------
+# L34 source-overlap matrix: corpus-governance view of cross-source
+# content duplication — for every source pair, the count of shared
+# 4-gram shingles and the containment ratio (shared / smaller source's
+# shingle set). Reuses the memoized hashed-shingle views; the self-join
+# runs on SOURCE-distinct shingle sets (one row per (source, shingle) —
+# orders of magnitude below doc grain), so the pair fan-out is bounded
+# by per-shingle source counts, never doc counts. Output is
+# #sources² rows — driver-side tiny at any corpus size.
+# ---------------------------------------------------------------------------
+def _l34_src_sh_sql(sh_src: str) -> str:
+    return f"""
+  SELECT DISTINCT d.source, s.shingle
+  FROM {sh_src} s JOIN documents d ON d.doc_id = s.doc_id"""
+
+
+def _l34_inner(d, src_sh: str) -> str:
+    return f"""
+tot AS (SELECT source, COUNT(*) AS n_sh FROM {src_sh} GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_shingles
+  FROM {src_sh} a JOIN {src_sh} b
+    ON b.shingle = a.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, CAST(p.shared_shingles AS BIGINT) AS shared_shingles,
+       round(CAST(p.shared_shingles AS DOUBLE)
+             / CASE WHEN ta.n_sh < tb.n_sh THEN ta.n_sh ELSE tb.n_sh END, 6)
+           AS containment
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b"""
+
+
+def _l34_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # src_sh is referenced THREE times (totals + both self-join sides);
+    # inlined, each reference re-runs the doc→source attach over the
+    # corpus — it materializes once on top of the memoized shingle view,
+    # so the whole query pays a single documents scan at build time
+    sh = _ensure_shingle_views(spark, sf_dir)
+    _shared_view(spark, sf_dir, "l34_src_sh", _l34_src_sh_sql(sh))
+    return spark.sql(f"WITH {_l34_inner(LD, 'l34_src_sh')}")
+
+
+QUERIES["l34_source_overlap"] = _l34_run
+ORACLE["l34_source_overlap"] = (
+    f"WITH {_shingles_cte_fixed(DD, 4, hashed=True)}, "
+    f"src_sh AS ({_l34_src_sh_sql('shingles')}), " + _l34_inner(DD, "src_sh")
+)
