@@ -77,3 +77,50 @@ def test_asof_single_shuffle_plan(spark):
     )
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_randomized_vs_pandas_merge_asof(spark):
+    """Seeded random events/updates (duplicate timestamps, tie seqs,
+    unmatched keys) against pandas.merge_asof — an INDEPENDENT, widely
+    exercised as-of implementation. Our highest-seq tiebreak is applied
+    as a pre-dedup (keep max seq per (k, ts)); merge_asof then supplies
+    the inclusive backward-match semantics."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    events = [
+        (f"k{rng.randrange(6)}", rng.randrange(0, 300), i)
+        for i in range(400)
+    ]
+    updates = [
+        (f"k{rng.randrange(8)}", rng.randrange(0, 300), f"v{j}", j % 50)
+        for j in range(150)
+    ]
+
+    out = asof_join(
+        spark.createDataFrame(events, "k string, ts long, event_id long"),
+        spark.createDataFrame(updates, "k string, uts long, val string, seq long"),
+        on=["k"], left_ts="ts", right_ts="uts",
+        value_cols=["val"], right_tiebreak="seq",
+    ).collect()
+    actual = {r.event_id: r.val for r in out}
+
+    upd = pd.DataFrame(updates, columns=["k", "uts", "val", "seq"])
+    upd = (
+        upd.sort_values(["k", "uts", "seq"])
+        .groupby(["k", "uts"], as_index=False)
+        .last()  # highest seq per (k, ts) — our operator's tiebreak
+        .sort_values("uts")
+    )
+    ev = pd.DataFrame(events, columns=["k", "ts", "event_id"]).sort_values("ts")
+    merged = pd.merge_asof(
+        ev, upd.rename(columns={"uts": "ts"}), on="ts", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    expected = {
+        int(r.event_id): (None if pd.isna(r.val) else r.val)
+        for r in merged.itertuples(index=False)
+    }
+    assert actual == expected
