@@ -304,3 +304,69 @@ def test_s7_join_reaches_across_micro_batches(spark):
         (F.col("delay_us") < 0) | (F.col("delay_us") > 2 * 3600 * 1_000_000)
     ).count()
     assert bad == 0
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """s6's docstring claims dropDuplicatesWithinWatermark is the
+    bounded-state deployment path; prove BOTH halves of that claim:
+    a replay arriving while the original's dedup state is inside the
+    watermark window is suppressed, and a redelivery arriving after the
+    watermark has expired that state is re-emitted — the explicit trade
+    the ±7d validity window makes safe. Phasing notes this test also
+    pins: the watermark only advances AFTER a batch completes (so the
+    expiring jump and the redelivery must be separate batches), and a
+    replay whose event time is already below the watermark is dropped
+    as late data rather than matched against state."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # (uuid, event-time seconds); times start at 3600 so nothing sits
+        # at the initial watermark (epoch 0), where rows drop as late
+        [("a", 3600), ("b", 3660)],
+        # replay "a" while watermark (3660 - 600) still holds its state
+        [("a", 3600), ("c", 3720)],
+        # advance the watermark past a/b state (10800 - 600 >> 3660+600);
+        # the new watermark takes effect at the END of this batch, and
+        # the eviction it allows runs during the NEXT batch — hence the
+        # spacer before the redelivery
+        [("d", 10800)],
+        [("e", 10860)],
+        # redelivery of "b" with its OWN later timestamp: state expired
+        # -> re-emitted
+        [("b", 11000)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(u, t * 1_000_000) for u, t in rows], "uuid string, t_us long"
+        ).selectExpr("uuid", "timestamp_micros(t_us) AS ts")
+        stage = str(src / f"_stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"b{i}.parquet")
+        _shutil.copy(part, dst)
+        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        _shutil.rmtree(stage)
+
+    name = "wmdedup_" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.schema("uuid string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["uuid"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    emitted = [r.uuid for r in spark.table(name).collect()]
+    # in-window replay of "a" suppressed; expired replay of "b" re-emitted
+    assert sorted(emitted) == ["a", "b", "b", "c", "d", "e"], emitted
