@@ -781,3 +781,61 @@ def test_lm_quality_score_matches_python_loop(spark, sf_dir):
         for r in ALL["l33_lm_quality_score"](spark, sf_dir).collect()
     }
     assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (l32): plain-Python Counter + running total.
+# ---------------------------------------------------------------------------
+def test_vocab_coverage_matches_python_counter(spark, sf_dir):
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc = Counter()
+    for t in docs["text"]:
+        wc.update(t.split(" "))
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(wc.values())
+    expected, cum = {}, 0
+    for rk, (w, c) in enumerate(ranked[:100], start=1):
+        cum += c
+        expected[rk] = (w, c, round(cum / tot, 6))
+
+    actual = {
+        int(r.vocab_rank): (r.word, int(r.freq), r.coverage)
+        for r in ALL["l32_vocab_coverage"](spark, sf_dir).collect()
+    }
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix (l34): Python set intersections over UNHASHED
+# shingle strings — also cross-checks the engines' hashed join keys.
+# ---------------------------------------------------------------------------
+def test_source_overlap_matches_python_sets(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    per_source: dict = defaultdict(set)
+    for r in docs.itertuples(index=False):
+        ws = r.text.split(" ")
+        for i in range(len(ws) - 3):
+            per_source[r.source].add(" ".join(ws[i : i + 4]))
+
+    expected = {}
+    srcs = sorted(per_source)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(per_source[a] & per_source[b])
+            if shared:
+                cont = shared / min(len(per_source[a]), len(per_source[b]))
+                expected[(a, b)] = (shared, round(cont, 6))
+
+    actual = {
+        (r.source_a, r.source_b): (int(r.shared_shingles), r.containment)
+        for r in ALL["l34_source_overlap"](spark, sf_dir).collect()
+    }
+    assert actual == expected
