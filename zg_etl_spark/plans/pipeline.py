@@ -1580,3 +1580,42 @@ GROUP BY keyword_source"""
 
 
 _register("p39_baidu_eqid", _p39)
+
+
+# ---------------------------------------------------------------------------
+# P40 salted skew-safe counters: the gate success/error counter shapes
+# (GateProcessFunction.java:106-124) computed through the SALTED two-stage
+# aggregate from operators/skew.py — the rewrite a 1000-executor cluster
+# needs when one app produces half the events and AQE can't split a
+# hash-aggregate's hot reducer. The contract IS result equality: the
+# oracle is the plain one-stage GROUP BY, so the driver hash proves the
+# salt pre-aggregation is algebraically invisible.
+# ---------------------------------------------------------------------------
+def _p40_run(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.operators.skew import salted_agg
+
+    gate_ok = spark_pipeline_df(
+        spark, sf_dir, "SELECT app_id, event_type, dur FROM gate_ok"
+    )
+    return salted_agg(
+        gate_ok,
+        keys=["app_id", "event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_dur": F.sum(F.coalesce(F.col("dur"), F.lit(0))),
+        },
+    ).selectExpr(
+        "app_id", "event_type",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(total_dur AS BIGINT) AS total_dur",
+    )
+
+
+QUERIES["p40_salted_counters"] = _p40_run
+ORACLE["p40_salted_counters"] = duck_pipeline_sql("""
+SELECT app_id, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(COALESCE(dur, 0)) AS BIGINT) AS total_dur
+FROM gate_ok GROUP BY app_id, event_type""")
