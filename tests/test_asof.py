@@ -94,8 +94,12 @@ def test_asof_randomized_vs_pandas_merge_asof(spark):
         (f"k{rng.randrange(6)}", rng.randrange(0, 300), i)
         for i in range(400)
     ]
+    # seq = j (globally unique): a duplicate (k, uts, seq) with distinct
+    # vals would make the engine's last-over-window winner genuinely
+    # nondeterministic while pandas keeps insertion order — unique seqs
+    # keep the tiebreak well-defined on both sides by construction
     updates = [
-        (f"k{rng.randrange(8)}", rng.randrange(0, 300), f"v{j}", j % 50)
+        (f"k{rng.randrange(8)}", rng.randrange(0, 300), f"v{j}", j)
         for j in range(150)
     ]
 

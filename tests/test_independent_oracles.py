@@ -772,15 +772,26 @@ def test_lm_quality_score_matches_python_loop(spark, sf_dir):
         )
         n = len(bgs)
         nll = (-total) // n  # positive numerator: // == truncation == DIV
-        bucket = "head" if nll < 3_400_000 else (
-            "middle" if nll < 3_550_000 else "tail")
-        expected[doc_id] = (n, nll, bucket)
+        expected[doc_id] = (n, nll)
 
     actual = {
         int(r.doc_id): (int(r.n_bigrams), int(r.avg_nll_micro), r.quality_bucket)
         for r in ALL["l33_lm_quality_score"](spark, sf_dir).collect()
     }
-    assert actual == expected
+    # engine-vs-engine exactness is the PARITY suite's contract; this
+    # third implementation tolerates ±1 micro-nat per term — math.log,
+    # JVM Math.log, and DuckDB's libm can differ in the last ulp, which
+    # flips round() exactly at a .5 boundary (per-term error is bounded
+    # by 1, so the per-doc average differs by at most 1)
+    assert set(actual) == set(expected)
+    for doc_id, (n, nll) in expected.items():
+        a_n, a_nll, a_bucket = actual[doc_id]
+        assert a_n == n, (doc_id, a_n, n)
+        assert abs(a_nll - nll) <= 1, (doc_id, a_nll, nll)
+        if min(abs(nll - 3_400_000), abs(nll - 3_550_000)) > 1:
+            bucket = "head" if nll < 3_400_000 else (
+                "middle" if nll < 3_550_000 else "tail")
+            assert a_bucket == bucket, (doc_id, a_bucket, bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -806,7 +817,14 @@ def test_vocab_coverage_matches_python_counter(spark, sf_dir):
         int(r.vocab_rank): (r.word, int(r.freq), r.coverage)
         for r in ALL["l32_vocab_coverage"](spark, sf_dir).collect()
     }
-    assert actual == expected
+    # word + count exact; the ratio within 1e-6 — Python round() (exact
+    # binary, half-even) and Spark round() (shortest-decimal HALF_UP)
+    # can legitimately differ in the last kept digit
+    assert set(actual) == set(expected)
+    for rk, (w, c, cov) in expected.items():
+        a_w, a_c, a_cov = actual[rk]
+        assert (a_w, a_c) == (w, c), (rk, actual[rk], expected[rk])
+        assert abs(a_cov - cov) <= 1e-6, (rk, a_cov, cov)
 
 
 # ---------------------------------------------------------------------------
@@ -838,4 +856,10 @@ def test_source_overlap_matches_python_sets(spark, sf_dir):
         (r.source_a, r.source_b): (int(r.shared_shingles), r.containment)
         for r in ALL["l34_source_overlap"](spark, sf_dir).collect()
     }
-    assert actual == expected
+    # counts exact; containment within 1e-6 (same round() model caveat
+    # as the vocab-coverage check)
+    assert set(actual) == set(expected)
+    for pair, (shared, cont) in expected.items():
+        a_shared, a_cont = actual[pair]
+        assert a_shared == shared, (pair, a_shared, shared)
+        assert abs(a_cont - cont) <= 1e-6, (pair, a_cont, cont)

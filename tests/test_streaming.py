@@ -35,20 +35,33 @@ ROWS_B2 = [
 ]
 
 
-@pytest.fixture
-def batches(spark, tmp_path):
-    """Two plain parquet FILES (the file stream source does not recurse
-    into the directory layout df.write.parquet produces)."""
+def write_batch_files(dfs, src) -> None:
+    """N single-file parquet batches ``b{i}.parquet`` with EXPLICIT
+    increasing mtimes — the file stream source orders by modification
+    time, so implicit write-order mtimes are a flake waiting to happen
+    (and the source does not recurse into df.write.parquet's layout)."""
     import glob
+    import os
     import shutil
 
+    for i, df in enumerate(dfs):
+        stage = os.path.join(str(src), f"_stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(str(src), f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        shutil.rmtree(stage)
+
+
+@pytest.fixture
+def batches(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
-    for i, rows in enumerate([ROWS_B1, ROWS_B2]):
-        stage = tmp_path / f"stage{i}"
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(stage))
-        part = glob.glob(str(stage / "part-*.parquet"))[0]
-        shutil.copy(part, src / f"b{i}.parquet")
+    write_batch_files(
+        [spark.createDataFrame(rows, SCHEMA) for rows in (ROWS_B1, ROWS_B2)],
+        src,
+    )
     return src
 
 
@@ -191,18 +204,17 @@ def test_zgid_stream_binding_rules(spark, tmp_path):
     ]
     src = tmp_path / "src"
     os.makedirs(src)
-    for i, rows in enumerate(rows_per_batch):
-        df = spark.createDataFrame(
-            rows, "event_id BIGINT, app_id BIGINT, did STRING, cuid STRING, seq BIGINT"
-        )
-        p = str(src / f"b{i}.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"_st{i}"))
-        import glob as _glob
-        import shutil as _shutil
-
-        part = _glob.glob(str(tmp_path / f"_st{i}" / "part-*.parquet"))[0]
-        _shutil.copy(part, p)
-        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    write_batch_files(
+        [
+            spark.createDataFrame(
+                rows,
+                "event_id BIGINT, app_id BIGINT, did STRING, "
+                "cuid STRING, seq BIGINT",
+            )
+            for rows in rows_per_batch
+        ],
+        src,
+    )
 
     q, dev, uid, bind = start_zgid_stream(
         spark,
@@ -317,9 +329,6 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     expiring jump and the redelivery must be separate batches), and a
     replay whose event time is already below the watermark is dropped
     as late data rather than matched against state."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
     import uuid as _uuid
 
     src = tmp_path / "src"
@@ -340,17 +349,15 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
         # -> re-emitted
         [("b", 11000)],
     ]
-    for i, rows in enumerate(batches):
-        df = spark.createDataFrame(
-            [(u, t * 1_000_000) for u, t in rows], "uuid string, t_us long"
-        ).selectExpr("uuid", "timestamp_micros(t_us) AS ts")
-        stage = str(src / f"_stage{i}")
-        df.coalesce(1).write.parquet(stage)
-        part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-        dst = str(src / f"b{i}.parquet")
-        _shutil.copy(part, dst)
-        _os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-        _shutil.rmtree(stage)
+    write_batch_files(
+        [
+            spark.createDataFrame(
+                [(u, t * 1_000_000) for u, t in rows], "uuid string, t_us long"
+            ).selectExpr("uuid", "timestamp_micros(t_us) AS ts")
+            for rows in batches
+        ],
+        src,
+    )
 
     name = "wmdedup_" + _uuid.uuid4().hex[:8]
     q = (
