@@ -55,3 +55,25 @@ def test_bench_line_fits_driver_capture_window():
         f"bench line {len(line)} chars would overflow the driver's "
         f"2000-char capture window"
     )
+
+
+def test_driver_window_is_the_never_verified_set():
+    """The driver's CORRECTNESS file covers the FIRST 50 entries of
+    all_queries(); round 3 pins that window to the queries that have
+    never had a driver row (l*, s1-s5, g*, p27-p36, plus the reworked
+    pipeline queries). A later registry edit must not silently displace
+    them — rotation is a DELIBERATE _WINDOW change, not a side effect."""
+    from zg_etl_spark import plans
+
+    first50 = list(plans.all_queries())[:50]
+    assert first50 == plans._WINDOW[:50]
+    # every window name resolves (a typo'd name would silently shrink
+    # the verified set and promote a tail query into the window)
+    merged = plans.all_queries()
+    missing = [n for n in plans._WINDOW if n not in merged]
+    assert not missing, missing
+    # new additions land BEHIND the cut until deliberately rotated in
+    for name in ("l32_vocab_coverage", "l33_lm_quality_score",
+                 "l34_source_overlap", "p40_salted_counters",
+                 "s7_stream_stream_join"):
+        assert name in merged and name not in first50, name
