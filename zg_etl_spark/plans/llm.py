@@ -1790,3 +1790,59 @@ ORACLE["l34_source_overlap"] = (
     f"WITH {_shingles_cte_fixed(DD, 4, hashed=True)}, "
     f"src_sh AS ({_l34_src_sh_sql('shingles')}), " + _l34_inner(DD, "src_sh")
 )
+
+
+# ---------------------------------------------------------------------------
+# L35 incremental dedup admission: the shape that keeps 100 TB dedup from
+# being recomputed daily — a NEW batch (doc_id % 10 = 0 plays today's
+# arrivals) is checked against the EXISTING corpus's banded minhash index
+# (the persisted mh_sigs view), and each new doc is accepted or rejected
+# with its best existing near-duplicate. The join is new-bands × old-bands
+# on the band key: cost ∝ batch size, never corpus², and the index grows
+# append-only as accepted docs band in.
+# ---------------------------------------------------------------------------
+def _l35_inner(d) -> str:
+    matches = " + ".join(
+        f"(CASE WHEN n.h{j} = o.h{j} THEN 1 ELSE 0 END)"
+        for j in range(_N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val, "
+        f"h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs"
+        for b in range(_N_HASHES // 2)
+    )
+    return f"""
+bands AS ({band_rows}),
+new_bands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+old_bands AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+hits AS (
+  SELECT DISTINCT n.doc_id, o.doc_id AS dup_of,
+         round(CAST({matches} AS DOUBLE) / {_N_HASHES}, 6) AS est_sim
+  FROM new_bands n JOIN old_bands o
+    ON o.band_idx = n.band_idx AND o.band_val = n.band_val
+),
+best AS (
+  SELECT doc_id, dup_of, est_sim,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY est_sim DESC, dup_of) AS rn
+  FROM hits WHERE est_sim >= {_L16_SIM}
+)
+SELECT d.doc_id,
+       CASE WHEN b.dup_of IS NULL THEN 1 ELSE 0 END AS accepted,
+       b.dup_of, b.est_sim
+FROM documents d
+LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+WHERE d.doc_id % 10 = 0"""
+
+
+def _l35_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _shared_view(spark, sf_dir, "mh_sigs", _l5(LD))
+    return spark.sql(
+        f"WITH sigs AS (SELECT * FROM mh_sigs), {_l35_inner(LD)}"
+    )
+
+
+QUERIES["l35_incremental_dedup"] = _l35_run
+ORACLE["l35_incremental_dedup"] = (
+    f"WITH sigs AS ({_l5(DD).strip()}), " + _l35_inner(DD)
+)
