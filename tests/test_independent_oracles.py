@@ -863,3 +863,53 @@ def test_source_overlap_matches_python_sets(spark, sf_dir):
         a_shared, a_cont = actual[pair]
         assert a_shared == shared, (pair, a_shared, shared)
         assert abs(a_cont - cont) <= 1e-6, (pair, a_cont, cont)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup admission (l35): plain-Python band index + lookup.
+# ---------------------------------------------------------------------------
+def test_incremental_dedup_matches_python_index(spark, sf_dir):
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = _minhash_sigs_python(list(docs.itertuples(index=False)))
+
+    old_index = defaultdict(list)
+    for doc_id, sig in sigs.items():
+        if doc_id % 10 != 0:
+            for b in range(4):
+                old_index[(b, sig[2 * b], sig[2 * b + 1])].append(doc_id)
+
+    expected = {}
+    for doc_id in docs["doc_id"]:
+        doc_id = int(doc_id)
+        if doc_id % 10 != 0:
+            continue
+        best = None
+        if doc_id in sigs:
+            sig = sigs[doc_id]
+            cands = set()
+            for b in range(4):
+                cands.update(old_index.get((b, sig[2 * b], sig[2 * b + 1]), []))
+            for o in cands:
+                est = sum(1 for j in range(8) if sig[j] == sigs[o][j]) / 8
+                if est >= 0.5:
+                    key = (round(est, 6), -o)
+                    # highest est_sim wins, lower dup_of id breaks ties
+                    if best is None or key > (best[1], -best[0]):
+                        best = (o, round(est, 6))
+        expected[doc_id] = (
+            (0, best[0], best[1]) if best else (1, None, None)
+        )
+
+    actual = {
+        int(r.doc_id): (
+            int(r.accepted),
+            None if r.dup_of is None else int(r.dup_of),
+            r.est_sim,
+        )
+        for r in ALL["l35_incremental_dedup"](spark, sf_dir).collect()
+    }
+    assert actual == expected
