@@ -1538,17 +1538,24 @@ ORACLE["l29_semantic_dedup"] = (
 _L30_K = 8
 
 
+def _docw(d, k: int) -> str:
+    """doc_id + word-array subquery gated to >= k tokens. The gate runs
+    BEFORE any window explode: sequence(1, n-k+1) with n < k would
+    descend through 0 in Spark and slice() rejects start 0. Sub-window
+    docs cannot contain a k-token window and are not scored."""
+    return (
+        f"(SELECT doc_id, ws "
+        f"FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents) t "
+        f"WHERE {d.alen('ws')} >= {k}) docw"
+    )
+
+
 def _l30_win_sql(d) -> str:
-    # the >= k gate BEFORE the explode: sequence(1, n-k+1) with n < k
-    # would descend through 0 in Spark and slice() rejects start 0.
-    # Sub-window docs cannot contain a shared window and are not scored.
     k = _L30_K
     starts = d.seq("1", f"{d.alen('ws')} - {k - 1}")
     return f"""
   SELECT doc_id, s, {d.h64(d.slice_join('ws', 's', k))} AS h
-  FROM (SELECT doc_id, ws
-        FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents) t
-        WHERE {d.alen('ws')} >= {k}) docw
+  FROM {_docw(d, k)}
   {d.explode_ne(starts, 's')}"""
 
 
@@ -1700,9 +1707,7 @@ def _l33_bg_sql(d) -> str:
     starts = d.seq("1", f"{d.alen('ws')} - 1")
     return f"""
 SELECT doc_id, {d.slice_join('ws', 'i', 2)} AS bigram, {d.idx('ws', 'i')} AS w1
-FROM (SELECT doc_id, ws
-      FROM (SELECT doc_id, {d.split('text')} AS ws FROM documents) t
-      WHERE {d.alen('ws')} >= 2) docw
+FROM {_docw(d, 2)}
 {d.explode_ne(starts, 'i')}"""
 
 
@@ -1802,17 +1807,13 @@ ORACLE["l34_source_overlap"] = (
 # append-only as accepted docs band in.
 # ---------------------------------------------------------------------------
 def _l35_inner(d) -> str:
+    # sigs + bands come from _l6_ctes — the SAME banded index l6 queries,
+    # not a re-derivation
     matches = " + ".join(
         f"(CASE WHEN n.h{j} = o.h{j} THEN 1 ELSE 0 END)"
         for j in range(_N_HASHES)
     )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val, "
-        f"h0, h1, h2, h3, h4, h5, h6, h7 FROM sigs"
-        for b in range(_N_HASHES // 2)
-    )
     return f"""
-bands AS ({band_rows}),
 new_bands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
 old_bands AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
 hits AS (
@@ -1837,12 +1838,8 @@ WHERE d.doc_id % 10 = 0"""
 
 def _l35_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shared_view(spark, sf_dir, "mh_sigs", _l5(LD))
-    return spark.sql(
-        f"WITH sigs AS (SELECT * FROM mh_sigs), {_l35_inner(LD)}"
-    )
+    return spark.sql(f"WITH {_l6_ctes(LD)}, {_l35_inner(LD)}")
 
 
 QUERIES["l35_incremental_dedup"] = _l35_run
-ORACLE["l35_incremental_dedup"] = (
-    f"WITH sigs AS ({_l5(DD).strip()}), " + _l35_inner(DD)
-)
+ORACLE["l35_incremental_dedup"] = f"WITH {_l6_ctes(DD)}, " + _l35_inner(DD)
