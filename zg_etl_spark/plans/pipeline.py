@@ -1619,3 +1619,62 @@ SELECT app_id, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(COALESCE(dur, 0)) AS BIGINT) AS total_dur
 FROM gate_ok GROUP BY app_id, event_type""")
+
+
+# ---------------------------------------------------------------------------
+# W5 small-file compaction: the maintenance rewrite every long-lived
+# 100 TB table needs — streaming micro-batches and parallel writers leave
+# day partitions fragmented into many tiny files (here: 8 writer tasks ×
+# day), and scan cost degrades with file count, not bytes. Compaction
+# repartitions BY the partition column so each day's rows land in one
+# task → one right-sized file per day (at real scale: hash(day, bucket)
+# for multi-file targets), rewriting data layout without changing a row.
+# The declared result is the per-day count read back from the COMPACTED
+# table — the oracle proves row-identity; tests/test_plan_quality.py
+# asserts the file counts actually collapsed.
+# ---------------------------------------------------------------------------
+def _w5_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    days = spark_pipeline_df(
+        spark,
+        sf_dir,
+        f"SELECT app_id, did, seq, {SPARK.idiv('ct', '86400000')} AS day_id "
+        "FROM gate_ok",
+    )
+    work = tempfile.mkdtemp(prefix="zg_w5_")
+    frag, compact = os.path.join(work, "frag"), os.path.join(work, "compact")
+    try:
+        # fragmented layout: 8 writer tasks each touch every day
+        days.repartition(8).write.partitionBy("day_id").parquet(frag)
+        fragmented = spark.read.parquet(frag)
+        fragmented.repartition("day_id").write.partitionBy("day_id").parquet(
+            compact
+        )
+        n_frag = len(glob.glob(os.path.join(frag, "day_id=*/part-*")))
+        n_compact = len(glob.glob(os.path.join(compact, "day_id=*/part-*")))
+        n_days = len(glob.glob(os.path.join(compact, "day_id=*")))
+        if not (n_compact == n_days < n_frag):
+            raise AssertionError(
+                f"compaction did not collapse files: {n_frag} -> {n_compact} "
+                f"over {n_days} days"
+            )
+        out = (
+            spark.read.parquet(compact)
+            .groupBy("day_id")
+            .count()
+            .selectExpr("CAST(day_id AS BIGINT) AS day_id", "count AS n_rows")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+QUERIES["w5_compaction"] = _w5_run
+ORACLE["w5_compaction"] = duck_pipeline_sql(f"""
+SELECT {DUCK.idiv('ct', '86400000')} AS day_id, COUNT(*) AS n_rows
+FROM gate_ok GROUP BY {DUCK.idiv('ct', '86400000')}""")
