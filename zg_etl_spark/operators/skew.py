@@ -21,6 +21,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 DEFAULT_SALT = 16
 
 
+def _row_salt(df: DataFrame, salt: int) -> Column:
+    """Deterministic per-row salt derived from ROW CONTENT, never from
+    monotonically_increasing_id(): a shuffle fetch-failure retry recomputes
+    the map side, and a nondeterministic grouping key there can duplicate
+    or drop rows when already-fetched reducer output is kept (the
+    SPARK-23207 class of bug). Content-derived salts recompute identically,
+    so the salted plans are retry-safe on a multi-executor cluster."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -34,9 +44,7 @@ def salted_agg(
     shapes, GateProcessFunction.java:106-124). COUNT becomes SUM of
     partial counts; SUM re-sums.
     """
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
-    )
+    salted = df.withColumn("_salt", _row_salt(df, salt))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[a.alias(f"_p_{name}") for name, a in aggs.items()]
     )
@@ -56,8 +64,7 @@ def salted_join(
     is too big to broadcast: dim rows are replicated salt×, fact rows get
     a deterministic salt from row identity, and the join key becomes
     (keys..., salt) — one hot partition becomes `salt` even ones."""
-    salt_col = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
-    fact_s = fact.withColumn("_salt", salt_col.cast("int"))
+    fact_s = fact.withColumn("_salt", _row_salt(fact, salt).cast("int"))
     dim_s = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

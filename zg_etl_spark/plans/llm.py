@@ -1606,6 +1606,13 @@ ORACLE["l30_dup_span_fraction"] = (
 # only on the candidate pairs (shingle join keyed by doc — sized by
 # candidates, never all-pairs), which is why it stays cheap at 100 TB
 # while keeping banding recall.
+#
+# "Exact" is modulo the shared 64-bit shingle-hash space (same caveat as
+# _shingles_cte_fixed): an intra-document hash collision would shift
+# sizes/inter by 1 and each engine hashes differently (xxhash64 vs duckdb
+# hash), so parity is probabilistic with odds ~n_shingles²/2⁶⁴ per doc
+# (~1e-7 at driver SFs). The thresholded `verified` bit is additionally
+# insulated unless the true Jaccard sits within 1/n_sh of the cut.
 # ---------------------------------------------------------------------------
 _L31_JACCARD = 0.35
 

@@ -1657,7 +1657,12 @@ def _w5_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_frag = len(glob.glob(os.path.join(frag, "day_id=*/part-*")))
         n_compact = len(glob.glob(os.path.join(compact, "day_id=*/part-*")))
         n_days = len(glob.glob(os.path.join(compact, "day_id=*")))
-        if not (n_compact == n_days < n_frag):
+        # assert only what compaction GUARANTEES: one file per day. The
+        # n_frag > n_days comparison is data-dependent (single-row days at
+        # a tiny/skewed SF may never fragment) — a declared query must not
+        # crash on layouts that happened to arrive compact, so the
+        # no-actual-fragmentation case is a no-op, not a failure.
+        if n_compact != n_days:
             raise AssertionError(
                 f"compaction did not collapse files: {n_frag} -> {n_compact} "
                 f"over {n_days} days"
