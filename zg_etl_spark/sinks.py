@@ -18,11 +18,59 @@ skewed-app partitions split automatically.
 from __future__ import annotations
 
 import os
+import shutil
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 NULL_TOKEN = r"\N"  # Doris stream-load null literal (EventAttrRow.java:49)
+
+# Up to this many touched partition tuples the existing-side restriction is
+# a literal predicate (static partition pruning at the scan); beyond it a
+# broadcast semi join (10k apps × 7 days would otherwise be a 70k-term
+# OR-chain Catalyst must fold before planning even starts).
+_PREDICATE_PARTITION_LIMIT = 64
+
+
+def _delete_flag(delete_col: str):
+    """Doris delete-sign truth test (__DORIS_DELETE_SIGN__,
+    EventAttrRow.java:51-53): 1/true marks the row as a delete of its
+    UNIQUE KEY. Existing table rows never carry the column (it is dropped
+    before write), so NULL coalesces to keep."""
+    return F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+
+
+def _restrict_to_touched(
+    spark: SparkSession,
+    existing: DataFrame,
+    partition_cols: list[str],
+    touched: list,
+) -> DataFrame:
+    """Restrict the existing table to the partitions the incoming batch
+    touches. eqNullSafe in BOTH forms: a NULL partition value must still
+    select its existing rows (plain == yields NULL → the null partition
+    would be overwritten with only the incoming rows, silently dropping
+    other keys there)."""
+    if not touched:
+        return existing.limit(0)
+    if len(touched) <= _PREDICATE_PARTITION_LIMIT:
+        pred = None
+        for row in touched:
+            t = None
+            for c in partition_cols:
+                eq = F.col(c).eqNullSafe(F.lit(row[c]))
+                t = eq if t is None else (t & eq)
+            pred = t if pred is None else (pred | t)
+        return existing.filter(pred)
+    # many partitions: broadcast LEFT SEMI join — O(tuples) to plan, and
+    # the scan still prunes through dynamic partition pruning
+    tdf = spark.createDataFrame(touched, existing.select(*partition_cols).schema)
+    cond = None
+    for c in partition_cols:
+        eq = existing[c].eqNullSafe(tdf[c])
+        cond = eq if cond is None else (cond & eq)
+    return existing.join(F.broadcast(tdf), cond, "left_semi")
 
 
 def keep_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -63,6 +111,7 @@ def upsert_table(
     keys: list[str],
     order_col: str,
     partition_cols: list[str] | None = None,
+    delete_col: str | None = None,
 ) -> None:
     """Merge-on-write upsert into a parquet table: union with existing,
     keep-latest per key, write back. On Delta this is MERGE INTO; the
@@ -76,6 +125,13 @@ def upsert_table(
     must be functionally dependent on ``keys`` (begin_day_id / app_id are
     part of the UNIQUE KEY), so a key's existing row always lives in a
     partition the incoming batch touches.
+
+    ``delete_col`` names a boolean/int delete-sign column on ``df``
+    (__DORIS_DELETE_SIGN__, EventAttrRow.java:51-53): when the LATEST row
+    for a key carries the sign, the key is removed from the table — exactly
+    Doris merge-on-write delete, decided by the same keep-latest ordering
+    as updates (a later re-insert resurrects the key; an older stale update
+    never does). The sign column itself is never written.
     """
     incoming = df
     touched = None
@@ -88,26 +144,41 @@ def upsert_table(
         if partition_cols:
             # bounded collect: distinct (day, app) tuples, not data rows
             touched = df.select(*partition_cols).distinct().collect()
-            pred = None
-            for row in touched:
-                t = None
-                for c in partition_cols:
-                    # eqNullSafe: a NULL partition value must still select
-                    # its existing rows (plain == yields NULL → the null
-                    # partition would be overwritten with only the incoming
-                    # rows, silently dropping other keys there)
-                    eq = F.col(c).eqNullSafe(F.lit(row[c]))
-                    t = eq if t is None else (t & eq)
-                pred = t if pred is None else (pred | t)
-            existing = existing.filter(pred) if pred is not None else existing.limit(0)
+            existing = _restrict_to_touched(spark, existing, partition_cols, touched)
         incoming = existing.unionByName(df, allowMissingColumns=True)
-    merged = keep_latest(incoming, keys, order_col).localCheckpoint(eager=True)
+    merged = keep_latest(incoming, keys, order_col)
+    if delete_col is not None:
+        merged = merged.filter(~_delete_flag(delete_col)).drop(delete_col)
+    merged = merged.localCheckpoint(eager=True)
     if partition_cols:
         # dynamic: untouched partitions keep their files
         write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=True)
+        if delete_col is not None and touched:
+            # a delete can empty a touched partition entirely — dynamic
+            # overwrite never rewrites a partition absent from the output,
+            # so the stale files must be dropped explicitly (the compaction
+            # Doris does on merge)
+            remaining = {
+                tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+            }
+            for row in touched:
+                if tuple(row) not in remaining:
+                    sub = "/".join(
+                        f"{c}={_partition_dir_value(row[c])}" for c in partition_cols
+                    )
+                    shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
     else:
         merged.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)
+
+
+def _partition_dir_value(v) -> str:
+    """Directory token for a partition value, matching Spark's layout
+    (ExternalCatalogUtils.getPartitionPathString — NULLs use the Hive
+    default-partition token)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return urllib.parse.quote(str(v), safe="")
 
 
 def export_stream_load_csv(df: DataFrame, path: str, sep: str = "\t") -> None:
@@ -127,6 +198,7 @@ def partial_upsert_table(
     keys: list[str],
     order_col: str,
     update_cols: list[str],
+    delete_col: str | None = None,
 ) -> None:
     """Partial-column update upsert: incoming rows carry only
     ``keys + update_cols (+ order_col)``; matched rows take the incoming
@@ -135,13 +207,24 @@ def partial_upsert_table(
     (DorisSinkFactory.java:60,96,137), i.e. Delta's
     ``MERGE ... UPDATE SET <subset>``. Unmatched incoming keys insert
     with NULLs for the non-updated columns.
+
+    ``delete_col`` is the delete sign (EventAttrRow.java:51-53): a flagged
+    incoming key removes the whole existing row (all columns, not just the
+    partial set); per key the NEWEST incoming row (by ``order_col``)
+    decides between update and delete.
     """
     latest = keep_latest(df, keys, order_col).drop(order_col)
+    deletes = None
+    if delete_col is not None:
+        deletes = latest.filter(_delete_flag(delete_col)).select(*keys)
+        latest = latest.filter(~_delete_flag(delete_col)).drop(delete_col)
     if not os.path.exists(path):
         latest.write.mode("overwrite").parquet(path)
         spark.catalog.refreshByPath(path)
         return
     existing = spark.read.parquet(path)
+    if deletes is not None:
+        existing = existing.join(deletes, keys, "left_anti")
     # presence flag, not per-column coalesce: an incoming explicit NULL
     # must overwrite (the \N stream-load semantics), which coalesce would
     # silently keep as the old value
