@@ -913,3 +913,42 @@ def test_incremental_dedup_matches_python_index(spark, sf_dir):
         for r in ALL["l35_incremental_dedup"](spark, sf_dir).collect()
     }
     assert actual == expected
+
+
+# ---------------------------------------------------------------------------
+# Delete-sign upsert (EventAttrRow.java:51-53): Doris merge-on-write applies
+# rows in version order — newest write per UNIQUE KEY wins, and a winning
+# delete-sign row removes the key. Replay w6's exact three batches as a
+# sequential per-key store (dict insert/delete in seq order) and the final
+# store must equal the engine's set-based keep-latest + sign-filter result.
+# ---------------------------------------------------------------------------
+def test_delete_sign_upsert_matches_sequential_store(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        """SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+                  ct DIV 1000 AS begin_date, CAST(pl_id AS INT) AS platform, seq
+           FROM resolved""",
+    )
+    maxseq = max(r.seq for r in rows)
+    # the three w6 batches flattened to (seq, key, payload-or-None): batch
+    # boundaries are irrelevant to a version-ordered store, which is the
+    # point of merge-on-write
+    ops: list[tuple[int, tuple, tuple | None]] = []
+    for r in rows:
+        key = (r.app_id, r.device_id, r.zg_id)
+        ops.append((r.seq, key, (r.user_id, r.begin_date, r.platform)))
+        if r.zg_id % 14 == 0:  # resurrect batch, shifted past the delete
+            ops.append((r.seq + maxseq + 2, key, (r.user_id, r.begin_date, r.platform)))
+    for key in {(r.app_id, r.device_id, r.zg_id) for r in rows if r.zg_id % 7 == 0}:
+        ops.append((maxseq + 1, key, None))  # delete marker
+    store: dict = {}
+    for _, key, payload in sorted(ops, key=lambda t: t[0]):
+        if payload is None:
+            store.pop(key, None)
+        else:
+            store[key] = payload
+    got = {
+        (r.app_id, r.device_id, r.zg_id): (r.user_id, r.begin_date, r.platform)
+        for r in ALL["w6_delete_sign"](spark, sf_dir).collect()
+    }
+    assert got == store

@@ -1683,3 +1683,89 @@ QUERIES["w5_compaction"] = _w5_run
 ORACLE["w5_compaction"] = duck_pipeline_sql(f"""
 SELECT {DUCK.idiv('ct', '86400000')} AS day_id, COUNT(*) AS n_rows
 FROM gate_ok GROUP BY {DUCK.idiv('ct', '86400000')}""")
+
+
+# ---------------------------------------------------------------------------
+# W6 delete-sign upsert end-to-end: the reference's Doris rows carry
+# __DORIS_DELETE_SIGN__ (EventAttrRow.java:51-53; DorisSinkFactory.java:60
+# wires the hidden column) so a replayed compat stream can REMOVE keys, not
+# just insert/update them. Three batches against the real sink:
+#   1. first half of the b_user rows (by seq)
+#   2. second half PLUS delete markers (newest seq) for every key with
+#      zg_id % 7 = 0 — including keys whose only rows live in batch 1,
+#      proving the delete reaches EXISTING on-disk rows
+#   3. re-inserts (newer still) for the zg_id % 14 = 0 subset — a delete
+#      followed by a later write must resurrect the key
+# The read-back must equal the single-shot p10 dedup minus the deleted
+# slice plus the resurrected subset — pure relational oracle, row-identity.
+# ---------------------------------------------------------------------------
+def _w6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.sinks import upsert_table
+
+    base = spark_pipeline_df(
+        spark,
+        sf_dir,
+        f"""
+SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+       {SPARK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
+       seq
+FROM resolved""",
+    ).localCheckpoint(eager=True)  # three batches + markers reuse the spine scan
+    stats = base.selectExpr(
+        "percentile_approx(seq, 0.5) AS m", "max(seq) AS mx"
+    ).first()
+    mid, maxseq = stats.m, stats.mx
+    live = base.withColumn("_ds", F.lit(False))
+    dels = (
+        base.filter(F.col("zg_id") % 7 == 0)
+        .select("app_id", "device_id", "zg_id")
+        .distinct()
+        .selectExpr(
+            "app_id", "device_id", "zg_id",
+            "CAST(NULL AS STRING) AS user_id",
+            "CAST(NULL AS BIGINT) AS begin_date",
+            "CAST(NULL AS INT) AS platform",
+            f"CAST({maxseq} + 1 AS BIGINT) AS seq",
+            "TRUE AS _ds",
+        )
+    )
+    # resurrect: the key's ORIGINAL rows re-sent newer than the delete —
+    # +const preserves the per-key ordering, so keep-latest lands on the
+    # same winner p10 picks
+    reins = (
+        live.filter(F.col("zg_id") % 14 == 0)
+        .withColumn("seq", F.col("seq") + F.lit(maxseq + 2))
+    )
+    work = tempfile.mkdtemp(prefix="zg_w6_")
+    path = os.path.join(work, "b_user_ds")
+    try:
+        for batch in (
+            live.filter(F.col("seq") <= mid),
+            live.filter(F.col("seq") > mid).unionByName(dels),
+            reins,
+        ):
+            upsert_table(
+                spark, batch, path,
+                keys=["app_id", "device_id", "zg_id"], order_col="seq",
+                partition_cols=["app_id"], delete_col="_ds",
+            )
+        return (
+            spark.read.parquet(path)
+            .select("app_id", "device_id", "zg_id", "user_id",
+                    "begin_date", "platform")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w6_delete_sign"] = _w6_run
+ORACLE["w6_delete_sign"] = duck_pipeline_sql(
+    f"SELECT * FROM ({_p10(DUCK)}) t WHERE zg_id % 7 <> 0 OR zg_id % 14 = 0"
+)
