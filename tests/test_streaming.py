@@ -8,6 +8,8 @@ reproduces KVRocks HSETNX get-or-create semantics deterministically.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -377,3 +379,15 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     emitted = [r.uuid for r in spark.table(name).collect()]
     # in-window replay of "a" suppressed; expired replay of "b" re-emitted
     assert sorted(emitted) == ["a", "b", "b", "c", "d", "e"], emitted
+    # the state metric must stay BOUNDED: eviction ran, so the final
+    # batch's state holds only the uuids inside the watermark window —
+    # strictly fewer than the 5 distinct uuids ever seen (the unbounded
+    # dropDuplicates store would hold all of them forever)
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(x.json) for x in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state-operator progress recorded"
+    assert state_rows[-1] < 5, state_rows
+    assert max(state_rows) <= 5, state_rows

@@ -392,15 +392,23 @@ ORACLE["s5_streaming_zgid"] = duck_pipeline_sql(
 # catch), and the emitted stream must equal the batch relation exactly —
 # every replay suppressed by dedup state, none by accident of batching.
 #
-# State-size note: plain dropDuplicates keeps every uuid forever (exact
-# parity with the UNIQUE KEY, right for a bounded replay test). A
-# long-running deployment bounds it with dropDuplicatesWithinWatermark
-# on event time — the reference's ±7d validity window (G7) already
-# guarantees no legitimate delivery arrives later than that, so the
-# watermark drops only state no replay can ever match.
+# State-size note: the DECLARED path is dropDuplicatesWithinWatermark on
+# event time with the reference's ±7d validity bound — plain
+# dropDuplicates would keep every uuid forever and is the state store
+# that OOMs at 100 TB × months. The gate's G7 window
+# (dataquality/TimeValidator.java:39-56) already rejects any delivery
+# more than 7 days late, so the watermark evicts only state no
+# legitimate replay can ever match; a replay older than the watermark is
+# dropped as late data — suppressed either way, so the emitted stream
+# still equals the batch relation exactly and the oracle is unchanged.
+# tests/test_streaming.py::test_dedup_within_watermark_bounds_state pins
+# both halves (in-window suppression, post-eviction re-emit) and that
+# the state metric stays bounded.
 # ---------------------------------------------------------------------------
 def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
+
+    from pyspark.sql import functions as F
 
     from zg_etl_spark.session import session_key
 
@@ -440,7 +448,14 @@ def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .option("maxFilesPerTrigger", 1)
             .parquet(_SRC_MEMO[key])
-            .dropDuplicates(["uuid"])
+            # seq = ct_ms * 1e6 + event_id (operators/domain.py feed), so
+            # seq DIV 1e6 recovers the event time the watermark rides on
+            .withColumn(
+                "event_ts", F.timestamp_millis(F.expr("seq DIV 1000000"))
+            )
+            .withWatermark("event_ts", "7 days")
+            .dropDuplicatesWithinWatermark(["uuid"])
+            .select("app_id", "did", "seq", "uuid")
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
