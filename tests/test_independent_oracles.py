@@ -952,3 +952,60 @@ def test_delete_sign_upsert_matches_sequential_store(spark, sf_dir):
         for r in ALL["w6_delete_sign"](spark, sf_dir).collect()
     }
     assert got == store
+
+
+# ---------------------------------------------------------------------------
+# V5 virtual events: matchFilters (VirtualEventOperator.java:216-254) is a
+# runtime loop over the rule's WHOLE filter map — "_"+key bag lookup first,
+# then the raw key, every pair must compare equal as strings. Re-run that
+# loop literally in Python over the resolved rows (bag rebuilt from the
+# feed's own field definitions, not the engine's CASE rendering) and the
+# per-rule counts must equal the p6 relation.
+# ---------------------------------------------------------------------------
+def test_virtual_events_match_python_matchfilters(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        """SELECT app_id, owner, event_name, dt, event_type, pl, k, value, cuid
+           FROM resolved WHERE dt IN ('evt', 'abp') AND event_name IS NOT NULL""",
+    )
+
+    def bag(r) -> dict:
+        return {
+            "_etype": r.event_type,
+            "_k": None if r.k is None else str(r.k),
+            "_vbucket": None if r.k is None else str(r.k // 10),
+            "_plat": r.pl,
+            "_band": "hi" if (r.value is not None and r.value > 10) else "lo",
+        }
+
+    def lookup(r, b: dict, key: str):
+        if "_" + key in b:
+            return b["_" + key]
+        if key in b:
+            return b[key]
+        raw = {"pl": r.pl, "k": None if r.k is None else str(r.k),
+               "event_type": r.event_type, "cuid": r.cuid}
+        return raw.get(key)
+
+    counts = defaultdict(int)
+    for r in rows:
+        b = bag(r)
+        for rule_app, src_event, vname, alias, filters in R.VIRTUAL_EVENT_RULES:
+            if rule_app not in (0, r.app_id) or src_event != r.event_name:
+                continue
+            if all(lookup(r, b, k) == v for k, v in filters):
+                counts[(r.app_id, vname, alias, r.owner, r.event_name, r.dt)] += 1
+
+    got = {
+        (r.app_id, r.virtual_name, r.virtual_alias, r.event_owner,
+         r.event_name_src, r.event_dt_src): r.n
+        for r in ALL["p6_virtual_events"](spark, sf_dir).collect()
+    }
+    assert got == dict(counts)
+    # the arbitrary-N case genuinely fires: the 3-filter rule matched rows
+    # and can only be a subset of its 2-filter prefix (strictly smaller at
+    # sf0.01, where lo-band whale rows exist; equality is legitimate at
+    # SFs where every whale row happens to be hi-band)
+    iwh = sum(n for k, n in got.items() if k[1] == "ios_hi_whale")
+    wh = sum(n for k, n in got.items() if k[1] == "whale")
+    assert 0 < iwh <= wh

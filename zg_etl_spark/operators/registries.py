@@ -147,21 +147,29 @@ VIRTUAL_USER_PROP_RULES = [
 ]
 
 # virtual-event rules (operator/id/VirtualEventOperator.java:48-339):
-# (app_id 0 = all, source_event, virtual_name, alias, k1, v1, k2, v2) —
-# filters are an equality-AND over the property bag (matchFilters
-# :216-254: lookup "_"+key first, then the raw key; ALL pairs must
-# match); empty key = pair unused, no pairs = always-match
+# (app_id 0 = all, source_event, virtual_name, alias, filters) — filters
+# is an equality-AND over the property bag of ARBITRARY length
+# (matchFilters :216-254 iterates the rule's whole filter map: lookup
+# "_"+key first, then the raw key; ALL pairs must match; empty list =
+# always-match)
 VIRTUAL_EVENT_RULES = [
-    (0, "purchase", "vip_purchase", "vip", "", "", "", ""),
-    (2, "click", "promo_click", "promo", "_etype", "click", "", ""),
-    (1, "view", "never_match", "nm", "_etype", "purchase", "", ""),
+    (0, "purchase", "vip_purchase", "vip", []),
+    (2, "click", "promo_click", "promo", [("_etype", "click")]),
+    (1, "view", "never_match", "nm", [("_etype", "purchase")]),
     # multi-key AND: "_"-prefixed bag key + raw envelope key
-    (0, "purchase", "whale", "wh", "_vbucket", "6", "pl", "ios"),
+    (0, "purchase", "whale", "wh", [("_vbucket", "6"), ("pl", "ios")]),
     # first pair matches, second never does — AND must suppress it
-    (3, "click", "half_match", "hm", "_etype", "click", "_vbucket", "999"),
+    (3, "click", "half_match", "hm", [("_etype", "click"), ("_vbucket", "999")]),
     # BARE key spelling, the reference's own form: matchFilters resolves
     # "band" via bag "_band" first (VirtualEventOperator.java:237-243)
-    (0, "view", "hi_view", "hv", "band", "hi", "", ""),
+    (0, "view", "hi_view", "hv", [("band", "hi")]),
+    # 3-condition AND — the arbitrary-N case a fixed k1/k2 layout cannot
+    # express (the reference's filter map is unbounded)
+    (0, "purchase", "ios_hi_whale", "iwh",
+     [("_vbucket", "6"), ("pl", "ios"), ("band", "hi")]),
+    # unknown property key: lookup resolves nothing → never matches
+    # (missing bag entry compares unequal in matchFilters)
+    (0, "click", "ghost_key", "gk", [("no_such_prop", "x")]),
 ]
 
 

@@ -181,34 +181,43 @@ _register("p5_virtual_attrs", _p5)
 # P6 virtual events: rule-driven 1→N fan-out (V5) — derived rows get owner
 # zg_vtl / dt vtl with provenance (VirtualEventOperator.java:260-326)
 # ---------------------------------------------------------------------------
-def _pr_lookup(d: Dialect, key: str) -> str:
+def _pr_value(d: Dialect, key: str) -> str:
     """matchFilters value resolution (VirtualEventOperator.java:237-243):
-    for a rule key ``x`` try the "_"-prefixed bag key ``_x`` first, then
-    the raw envelope key ``x`` — rendered over the row's own columns,
-    string-typed like the bag. The reference's rules spell keys BARE
-    (the "_" is added by the lookup), so each custom attr must match both
-    spellings; custom branches precede raw ones so the bag wins when a
-    rule key names both a bag prop and an envelope field (the CASE takes
-    the first matching WHEN)."""
+    for a rule key ``x`` try the bag key ``_x`` first, then the bag key
+    spelled verbatim, then the raw envelope field — string-typed like the
+    bag. Resolved per rule at plan-build time (rules are registry
+    fixtures, like every other CASE-rendered registry in this module); an
+    unknown key yields NULL, which never equals a filter value — the
+    reference's missing-property behavior."""
     from zg_etl_spark.operators.domain import custom_attrs
 
-    whens = " ".join(
-        f"WHEN '{name}' THEN {val} WHEN '{name.lstrip('_')}' THEN {val}"
-        for name, val, _ in custom_attrs(d, q="r.")
-    )
-    raw = " ".join(
-        f"WHEN '{f}' THEN {d.s('r.' + f)}" for f in ("pl", "k", "event_type", "cuid")
-    )
-    return f"CASE {key} {whens} {raw} END"
+    bag = {name: val for name, val, _ in custom_attrs(d, q="r.")}
+    if "_" + key in bag:
+        return bag["_" + key]
+    if key in bag:
+        return bag[key]
+    if key in ("pl", "k", "event_type", "cuid"):
+        return d.s("r." + key)
+    return f"CAST(NULL AS {d.strtype})"
 
 
 def _p6(d: Dialect) -> str:
+    # filters are an equality-AND over an ARBITRARY-length pair list
+    # (VirtualEventOperator.java:216-254 iterates the rule's whole map);
+    # each rule carries its own conjunction, keyed by rule_id — the match
+    # stays a map-side predicate on the broadcast rules join, no extra
+    # shuffle at any filter count
     rules = R.values_sql(
-        R.VIRTUAL_EVENT_RULES,
-        ["rule_app", "src_event", "virtual_name", "alias", "k1", "v1", "k2", "v2"],
+        [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
+        ["rule_id", "rule_app", "src_event", "virtual_name", "alias"],
     )
-    pair1 = f"(v.k1 = '' OR {_pr_lookup(d, 'v.k1')} = v.v1)"
-    pair2 = f"(v.k2 = '' OR {_pr_lookup(d, 'v.k2')} = v.v2)"
+    per_rule = []
+    for i, (_, _, _, _, filters) in enumerate(R.VIRTUAL_EVENT_RULES):
+        conj = " AND ".join(
+            f"{_pr_value(d, k)} = '{v}'" for k, v in filters
+        ) or "1 = 1"
+        per_rule.append(f"(v.rule_id = {i} AND {conj})")
+    match_any = "\n     OR ".join(per_rule)
     return f"""
 SELECT app_id, 'zg_vtl' AS owner, 'vtl' AS dt, virtual_name,
        virtual_alias, event_owner, event_name_src, event_dt_src,
@@ -218,10 +227,10 @@ FROM (
          r.owner AS event_owner, r.event_name AS event_name_src,
          r.dt AS event_dt_src
   FROM resolved r
-  JOIN {rules} AS v(rule_app, src_event, virtual_name, alias, k1, v1, k2, v2)
+  JOIN {rules} AS v(rule_id, rule_app, src_event, virtual_name, alias)
     ON (v.rule_app = 0 OR v.rule_app = r.app_id)
    AND v.src_event = r.event_name AND r.dt IN ('evt', 'abp')
-  WHERE {pair1} AND {pair2}
+  WHERE {match_any}
 ) x
 GROUP BY app_id, virtual_name, virtual_alias, event_owner,
          event_name_src, event_dt_src"""
