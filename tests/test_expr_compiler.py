@@ -166,3 +166,24 @@ def test_parse_errors():
     for bad in ["price +", "CASE price END", "unknownfn(1)", "(price", "1 ~~ 2"]:
         with pytest.raises(ExpressionError):
             parse(bad)
+
+
+def test_va_resolver_opens_custom_bag():
+    """Virtual-attribute field space is the ENVELOPE FIELDS plus the whole
+    custom bag (VirtualAttributeExpressionEvaluator.java:38-75), not a
+    closed set: any "_"-prefixed key resolves to its bag expression,
+    string-typed, with TRY_CAST coercion in numeric contexts."""
+    import pytest
+
+    from zg_etl_spark.operators.domain import DUCK, SPARK
+    from zg_etl_spark.plans.pipeline import _va_frag, _va_resolver_for
+
+    r = _va_resolver_for(SPARK)
+    assert "CASE WHEN value > 10" in r("_band", "string")
+    assert r("_vbucket", "number").startswith("TRY_CAST")
+    assert r("k", "number") == "k"          # envelope fields stay columns
+    with pytest.raises(ValueError):
+        r("not_a_field", "any")
+    for d in (SPARK, DUCK):                  # both dialects compile bag rules
+        frag = _va_frag(d, "CASE WHEN _vbucket > 3 THEN 'deep' ELSE 'shallow' END")
+        assert "TRY_CAST" in frag and "'deep'" in frag

@@ -128,6 +128,12 @@ VIRTUAL_ATTR_RULES = [
     # boolean-rooted rule: convertValue maps the result to 1/0
     # (VirtualPropertyOperator.java:231-235)
     (0, "click", "is_big", "k > 50 AND value > 10"),
+    # custom-bag fields: any "_"-prefixed key resolves through the
+    # property bag (VirtualAttributeExpressionEvaluator.java:38-75) —
+    # string use and numeric coercion of a string-typed bag value
+    (0, "purchase", "band_tag", "concat(_band, ':', _plat)"),
+    (0, "view", "deep_bucket",
+     "CASE WHEN _vbucket > 3 THEN 'deep' ELSE 'shallow' END"),
 ]
 
 # user-scope virtual-attribute rules (VirtualPropertyOperator.java:157-203):
@@ -144,6 +150,9 @@ VIRTUAL_USER_PROP_RULES = [
     # UNGATED rule (empty table_fields): isAllProp over nothing is
     # vacuously true — fires on every usr row
     (0, "u_kind", "lower(event_type)", ""),
+    # bag-field rule gated on a bag field's presence (dotted spelling,
+    # last segment resolved through the custom map)
+    (0, "u_band", "upper(_band)", "usr._band"),
 ]
 
 # virtual-event rules (operator/id/VirtualEventOperator.java:48-339):

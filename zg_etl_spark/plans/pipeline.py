@@ -130,14 +130,36 @@ _register("p4_dictionaries", _p4)
 _VA_FIELDS = {"k", "value", "event_type", "pl", "cuid", "sid"}
 
 
-def _va_resolver(name: str, hint: str) -> str:
-    if name not in _VA_FIELDS:
+def _va_resolver_for(d: Dialect):
+    """Field resolution for virtual-attribute rules: envelope fields
+    resolve to their columns, and any "_"-prefixed key resolves through
+    the custom property bag — the reference's evaluator walks the
+    record's whole custom map, not a closed field set
+    (VirtualAttributeExpressionEvaluator.java:38-75). Bag values are
+    STRING-typed like the reference's Map<String,String>, so numeric
+    contexts coerce via TRY_CAST — NULL on an unparsable value, the
+    batch rendering of parseDouble-throws-to-errData (same convention as
+    the compiler's divide)."""
+    from zg_etl_spark.operators.domain import custom_attrs
+
+    bag = {name: val for name, val, _ in custom_attrs(d)}
+
+    def resolve(name: str, hint: str) -> str:
+        if name in _VA_FIELDS:
+            return name
+        if name in bag:
+            expr = f"({bag[name]})"
+            if hint == "number":
+                return f"TRY_CAST({expr} AS DOUBLE)"
+            return expr
         raise ValueError(f"unknown virtual-attr field {name}")
-    return name
+
+    return resolve
 
 
 def _va_frag(d: Dialect, rule_sql: str) -> str:
-    emitter = SparkEmitter(_va_resolver) if d.name == "spark" else DuckEmitter(_va_resolver)
+    resolver = _va_resolver_for(d)
+    emitter = SparkEmitter(resolver) if d.name == "spark" else DuckEmitter(resolver)
     ast = parse(rule_sql)
     frag = emitter.emit(ast)
     if returns_boolean(ast):
@@ -145,14 +167,16 @@ def _va_frag(d: Dialect, rule_sql: str) -> str:
     return frag
 
 
-def _is_all_prop(table_fields: str) -> str:
-    """isAllProp: every listed field (last dotted segment) present. An
+def _is_all_prop(d: Dialect, table_fields: str) -> str:
+    """isAllProp: every listed field (last dotted segment) present —
+    presence of a bag field = its resolved expression is non-NULL. An
     empty field list (the reference allows ungated rules) gates nothing —
     emit a literal TRUE so the generated conjunction stays well-formed."""
+    resolve = _va_resolver_for(d)
     fields = [f.strip().split(".")[-1] for f in table_fields.split(",") if f.strip()]
     if not fields:
         return "1 = 1"
-    return " AND ".join(f"{_va_resolver(f, 'any')} IS NOT NULL" for f in fields)
+    return " AND ".join(f"{resolve(f, 'any')} IS NOT NULL" for f in fields)
 
 
 def _p5(d: Dialect) -> str:
@@ -163,7 +187,7 @@ def _p5(d: Dialect) -> str:
             cond += f" AND app_id = {app_id}"
         cols.append(f"CASE WHEN {cond} THEN ({_va_frag(d, rule_sql)}) END AS {out_name}")
     for app_id, out_name, rule_sql, table_fields in R.VIRTUAL_USER_PROP_RULES:
-        cond = f"dt = 'usr' AND {_is_all_prop(table_fields)}"
+        cond = f"dt = 'usr' AND {_is_all_prop(d, table_fields)}"
         if app_id:
             cond += f" AND app_id = {app_id}"
         cols.append(f"CASE WHEN {cond} THEN ({_va_frag(d, rule_sql)}) END AS {out_name}")
