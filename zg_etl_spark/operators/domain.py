@@ -396,7 +396,6 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     out.append(("app_reg", f"SELECT * FROM {R.values_sql(R.APP_REGISTRY, [])} AS t(r_ak, r_app_id, company_id)"))
     out.append(("ip_bl", f"SELECT * FROM {R.values_sql(R.IP_BLACKLIST, [])} AS t(b_app_id, b_ip)"))
     out.append(("ua_bl", f"SELECT * FROM {R.values_sql(R.UA_BLACKLIST, [])} AS t(b_app_id, b_ua)"))
-    out.append(("ua_rules", f"SELECT * FROM {R.values_sql(R.UA_RULES, [])} AS t({', '.join(R.UA_RULE_COLS)})"))
     out.append(("ip_ranges", f"SELECT * FROM {R.values_sql(R.IP_RANGES, [])} AS t({', '.join(R.IP_RANGE_COLS)})"))
     out.append((
         "biz_wl",

@@ -41,27 +41,10 @@ BUSINESS_WHITELIST = [
     (12, "biz_x"),
 ]
 
-# closed-world UA parse table (reference uses a regex parser with a Caffeine
-# cache, UserAgentParser.java:29-280; a broadcast rules table is the
-# batch-oracle-checkable equivalent)
-UA_RULES = [
-    ("UA_0", "Android", "13", "Chrome", "120", "phone", "Xiaomi", "MI 9"),
-    ("UA_1", "iOS", "17.2", "Safari", "17", "phone", "Apple", "iPhone15"),
-    ("UA_2", "Windows", "11", "Edge", "120", "pc", "", ""),
-    ("UA_3", "macOS", "14.1", "Safari", "17", "pc", "Apple", "MacBook"),
-    ("UA_4", "Android", "12", "WebView", "119", "tablet", "Huawei", "MatePad"),
-    ("UA_5", "Linux", "6.5", "Firefox", "121", "pc", "", ""),
-]
-UA_RULE_COLS = [
-    "ua",
-    "os",
-    "os_version",
-    "browser",
-    "browser_version",
-    "device_type",
-    "brand",
-    "model",
-]
+# NB: UA enrichment has no registry table — the pipeline parses the raw
+# UA string with the ordered regex chains in functions/ua_parser.py
+# (UserAgentParser.java:29-280), exactly like the reference's in-process
+# parser. Only the per-app UA BLACKLIST above is a lookup.
 
 # ip ranges: 32 equal slices of the IPv4 space (the reference loads a
 # memory-mapped range db from HDFS, IpDatabaseLoader.java:124-230; here a

@@ -264,8 +264,13 @@ _register("p6_virtual_events", _p6)
 
 
 # ---------------------------------------------------------------------------
-# P7 enrichment: geo range join + UA rules + search keyword + UTM fallback
-# (E1-E4; fallback semantics EventAttrTransfer.java:301-338)
+# P7 enrichment: geo range join + REAL UA parse + search keyword + UTM
+# fallback (E1-E4; fallback semantics EventAttrTransfer.java:301-338).
+# UA enrichment is the p33 parser (functions/ua_parser.py CASE chains,
+# UserAgentParser.java:29-280) inlined into the projection — JVM-side
+# whole-stage codegen over the raw UA string, no rules-table join at all
+# (the reference parses arbitrary UAs in the pipeline,
+# UserAgentEnrichOperator.java:66-147). A NULL UA yields NULL fields.
 # ---------------------------------------------------------------------------
 _PRIVATE_IP = (
     "(ip_long = 0 OR (ip_long BETWEEN 167772160 AND 184549375)"
@@ -279,7 +284,11 @@ def _p7(d: Dialect) -> str:
     # full 8-engine table + per-engine param priority + cleanKeyword
     # (SearchKeywordParser.java:36-163); the multi-charset decode is the
     # Spark-side UDF in functions/search_keywords.py (not SQL-expressible)
+    from zg_etl_spark.functions import ua_parser as UP
+    from zg_etl_spark.operators.domain import ua_real_case
+
     term = SK.clean_keyword(d, SK.term_case(d, "ref", "search_engine"))
+    ua = "r.ua_real"
     return f"""
 SELECT event_id, app_id, country, province, city, os, browser, device_type,
        search_engine,
@@ -294,12 +303,15 @@ SELECT event_id, app_id, country, province, city, os, browser, device_type,
 FROM (
   SELECT r.event_id, r.app_id, r.ref, r.utm_source,
          g.country, g.province, g.city,
-         u.os, u.browser, u.device_type,
+         CASE WHEN {ua} IS NOT NULL THEN {UP.os_family(d, ua)} END AS os,
+         CASE WHEN {ua} IS NOT NULL THEN {UP.browser(d, ua)} END AS browser,
+         CASE WHEN {ua} IS NOT NULL THEN {UP.device_type(d, ua)} END
+             AS device_type,
          {SK.engine_case(d, 'r.ref')} AS search_engine
-  FROM (SELECT *, {_PRIVATE_IP} AS is_private FROM resolved) r
+  FROM (SELECT *, {_PRIVATE_IP} AS is_private,
+               {ua_real_case(d)} AS ua_real FROM resolved) r
   LEFT JOIN ip_ranges g
          ON NOT r.is_private AND r.ip_long BETWEEN g.ip_lo AND g.ip_hi
-  LEFT JOIN ua_rules u ON u.ua = r.ua
 ) x"""
 
 
@@ -312,11 +324,13 @@ _register("p7_enrichment", _p7)
 # st/se rewrite :360-365; sanitizers :497-534; pivot :162-228).
 #
 # Scale shape: the fact scans ONCE and every join is against a
-# broadcast-sized side (event_dict, attr_map, ip_ranges, ua_rules) — cus{n}
+# broadcast-sized side (event_dict, attr_map, ip_ranges) — cus{n}
 # values are derived from the row's OWN fields via the pivoted dictionary
 # (attr_map), so there is NO fact-grain groupBy(seq) + self-join (the
 # previous formulation shuffled the melted fact twice on a high-cardinality
-# key; at 100 TB those two Exchanges dominate the stage).
+# key; at 100 TB those two Exchanges dominate the stage). UA enrichment is
+# the p33 regex parser inlined as codegen CASE chains over the raw UA
+# string (UserAgentParser.java:29-280) — no rules table, no join.
 # ---------------------------------------------------------------------------
 def _cus_value(d: Dialect, name_expr: str) -> str:
     """Value of the custom attr occupying a physical column, derived from
@@ -343,11 +357,15 @@ def _cus_cols(d: Dialect) -> str:
 
 
 def _p8(d: Dialect) -> str:
+    from zg_etl_spark.functions import ua_parser as UP
+    from zg_etl_spark.operators.domain import ua_real_case
+
     ts_ct = d.ts("e.ct")
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
     th = d.iso_thursday(dref)
     private_ip = _PRIVATE_IP.replace("ip_long", "e.ip_long")
     website = "regexp_extract(e.ref, 'https?://([^/]+)', 1)"
+    ua = "e.ua_real"
     # the BROADCAST hint is a comment to DuckDB, a join-strategy pin to
     # Spark: checkpointed dict views carry no stats, so without it the
     # planner falls back to SortMergeJoin (two fact shuffles)
@@ -357,7 +375,7 @@ def _p8(d: Dialect) -> str:
         "business, event_type, k, pl, value, utm_campaign, utm_content"
     )
     return f"""
-SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
+SELECT /*+ BROADCAST(am), BROADCAST(g) */
        e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
        COALESCE(e.sid, -1) AS zg_sid,
        e.zg_eid,
@@ -371,7 +389,7 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        CAST(e.pl_id AS INT) AS platform,
        {d.net('e.net')} AS network,
        {d.int_len('e.cr')} AS mccmnc,
-       {d.clean('e.ua', 256)} AS useragent,
+       {d.clean('e.ua_real', 256)} AS useragent,
        {d.clean(website, 1088)} AS website,
        {d.clean('e.url', 1088)} AS current_url,
        {d.clean('e.ref', 1088)} AS referrer_url,
@@ -382,8 +400,12 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        CASE WHEN {private_ip} THEN NULL ELSE g.country END AS country,
        CASE WHEN {private_ip} THEN NULL ELSE g.province END AS area,
        CASE WHEN {private_ip} THEN NULL ELSE g.city END AS city,
-       u.os, u.os_version AS ov, u.browser AS bs, u.browser_version AS bv,
-       u.device_type,
+       CASE WHEN {ua} IS NOT NULL THEN {UP.os_family(d, ua)} END AS os,
+       {UP.os_version(d, ua)} AS ov,
+       CASE WHEN {ua} IS NOT NULL THEN {UP.browser(d, ua)} END AS bs,
+       {UP.browser_major(d, ua)} AS bv,
+       CASE WHEN {ua} IS NOT NULL THEN {UP.device_type(d, ua)} END
+           AS device_type,
        e.search_engine,
        CASE WHEN e.utm_source IS NOT NULL THEN 'given'
             WHEN e.search_engine IS NOT NULL THEN '搜索自然流量'
@@ -405,18 +427,19 @@ SELECT /*+ BROADCAST(am), BROADCAST(g), BROADCAST(u) */
        {_cus_cols(d)}
 FROM (
   SELECT {cols}, owner_e, event_name_t, zg_eid,
-         {SK.engine_case(d, 'ref')} AS search_engine
+         {SK.engine_case(d, 'ref')} AS search_engine,
+         {ua_real_case(d)} AS ua_real
   FROM events_dicted WHERE event_error_code = 0
   UNION ALL
   SELECT {cols}, owner AS owner_e,
          CAST(NULL AS {d.strtype}) AS event_name_t,
          CAST(CASE dt WHEN 'ss' THEN -1 ELSE -2 END AS BIGINT) AS zg_eid,
-         {SK.engine_case(d, 'ref')} AS search_engine
+         {SK.engine_case(d, 'ref')} AS search_engine,
+         {ua_real_case(d)} AS ua_real
   FROM resolved WHERE dt IN ('ss', 'se')
 ) e
 LEFT JOIN attr_map am ON am.zg_eid = e.zg_eid AND am.owner = e.owner_e
-LEFT JOIN ip_ranges g ON e.ip_long BETWEEN g.ip_lo AND g.ip_hi
-LEFT JOIN ua_rules u ON u.ua = e.ua"""
+LEFT JOIN ip_ranges g ON e.ip_long BETWEEN g.ip_lo AND g.ip_hi"""
 
 
 _register("p8_wide_table", _p8)
