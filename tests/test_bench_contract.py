@@ -12,15 +12,21 @@ from zg_etl_spark import plans
 
 def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
-    round-3 composition: every l/s/g query, p27-p36, and the reworked
-    p0/p4-p8 must sit inside the window; registering a new query must
-    never silently displace one of these."""
+    round-4 composition: the 16 queries that had never had a driver row
+    by round 3 (q11, p37-p40, s6-s7, w5, l28-l35), the new w6, every
+    query whose implementation changed in round 4 (p5-p8, w1, w4, s6),
+    and the stale-attestation r2-era band (p1-p3, p9-p26 pipeline
+    queries, w2, w3); registering a new query must never silently
+    displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = [f"l{i}_" for i in range(1, 28)]
-    want_prefixes += [f"s{i}_" for i in range(1, 6)] + ["g1_", "g2_"]
-    want_prefixes += [f"p{i}_" for i in range(27, 37)]
-    want_prefixes += ["p0_", "p4_", "p5_", "p6_", "p7_", "p8_"]
+    want_prefixes = ["q11_", "w5_", "w6_", "s6_", "s7_"]
+    want_prefixes += [f"p{i}_" for i in range(37, 41)]
+    want_prefixes += [f"l{i}_" for i in range(28, 36)]
+    want_prefixes += ["p5_", "p6_", "p7_", "p8_", "w1_", "w4_"]
+    want_prefixes += [f"p{i}_" for i in range(13, 27)]
+    want_prefixes += ["p1_", "p2_", "p3_", "p9_", "p10_", "p11_", "p12_",
+                      "w2_", "w3_"]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -57,12 +63,14 @@ def test_bench_line_fits_driver_capture_window():
     )
 
 
-def test_driver_window_is_the_never_verified_set():
+def test_driver_window_is_the_planned_rotation():
     """The driver's CORRECTNESS file covers the FIRST 50 entries of
-    all_queries(); round 3 pins that window to the queries that have
-    never had a driver row (l*, s1-s5, g*, p27-p36, plus the reworked
-    pipeline queries). A later registry edit must not silently displace
-    them — rotation is a DELIBERATE _WINDOW change, not a side effect."""
+    all_queries(); round 4 pins that window to the never-driver-verified
+    set (all 16 of them — VERDICT r3 flagged that the previous rotation
+    plan omitted q11/p40/w5/l34/l35), the round-4 reworks, and the
+    stale-attestation r2-era band. A later registry edit must not
+    silently displace them — rotation is a DELIBERATE _WINDOW change,
+    not a side effect."""
     from zg_etl_spark import plans
 
     first50 = list(plans.all_queries())[:50]
@@ -72,8 +80,19 @@ def test_driver_window_is_the_never_verified_set():
     merged = plans.all_queries()
     missing = [n for n in plans._WINDOW if n not in merged]
     assert not missing, missing
-    # new additions land BEHIND the cut until deliberately rotated in
-    for name in ("l32_vocab_coverage", "l33_lm_quality_score",
-                 "l34_source_overlap", "p40_salted_counters",
-                 "s7_stream_stream_join"):
+    # ALL 16 never-driver-verified queries are inside the cut
+    never_verified = [
+        "q11_approx_distinct", "p37_user_detail_sum", "p38_adv_user_sources",
+        "p39_baidu_eqid", "p40_salted_counters", "s6_streaming_dedup",
+        "s7_stream_stream_join", "w5_compaction",
+        "l28_source_mixture", "l29_semantic_dedup", "l30_dup_span_fraction",
+        "l31_candidate_verify", "l32_vocab_coverage", "l33_lm_quality_score",
+        "l34_source_overlap", "l35_incremental_dedup",
+    ]
+    for name in never_verified + ["w6_delete_sign"]:
+        assert name in first50, f"{name} missing from the driver window"
+    # the r3-green block rotated BEHIND the cut (still locally verified
+    # by the sf0.01 parity rehearsal)
+    for name in ("l1_text_stats", "s1_streaming_identity", "g1_wire_roundtrip",
+                 "p0_envelope", "p27_user_profile"):
         assert name in merged and name not in first50, name

@@ -14,52 +14,78 @@ changed this round; the twice-green remainder rotates behind them.
 
 from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streaming_queries
 
-# First-50 priority: 27 llm + 5 streaming + g1/g2 (g2 closes the last
-# never-driver-verified component, the G2 crypto path) + p27..p36 = 44
-# never-driver-verified, then the pipeline queries whose semantics
-# changed this round (feed gained ref/device/ua fields; p5-p8 reworked).
-# p11/w1 land just past the cut: their changed forms stay locally
-# verified (test_oracle_parity at sf0.01) and their components hold
-# green r2 driver rows. The twice-green remainder rotates behind.
+# Round-4 window: CORRECTNESS_r03 landed 50/50 green, so the l1-l27 /
+# s1-s5 / g1-g2 / p27-p36 / p0 / p4 block rotates behind. The window now
+# front-loads, in priority order:
+#   1. the 16 queries that have NEVER had a driver row across r1-r3
+#      (q11 — failed r1/r2 with no_oracle, fixed, never re-windowed —
+#      p37-p40, s6-s7, w5, l28-l35) plus the new w6 (delete-sign upsert);
+#   2. the queries whose implementation CHANGED in round 4, so their
+#      previous green rows attest a superseded formulation: s6
+#      (watermark-bounded dedup), p6 (arbitrary-N filters), p5 (custom-bag
+#      fields), p7/p8 (inlined UA parser), w1/w4/w6 (sink rework);
+#   3. the r2-era band whose spine changed in round 3 and whose rows are
+#      therefore stale attestations: p11, p13-p26, p1-p3, p9, p10, p12,
+#      w2, w3;
+#   4. four load-bearing q-suite members (q3 flagship join, q9, q17, q18)
+#      so the relational surface keeps a fresh row too.
+# The twice/thrice-green remainder (l*, s1-s5, g*, p0, p4, p27-p36, rest
+# of q*) stays in the tail, covered by the local sf0.01 parity rehearsal.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
 # new entry silently displace the intended 50th query.
-#
-# Round-4 rotation plan: once CORRECTNESS_r03 lands green, rotate in
-# the still-unverified round-3 additions (p37-p39, s6-s7, l28-l33) plus
-# the reworked p11/w1, and rotate the r3-verified l/s/g block behind —
-# the q-suite (three times green by then) stays in the tail.
 _WINDOW = [
-    "l1_text_stats", "l2_lang_id", "l3_dedup_exact", "l4_ngram_jaccard",
-    "l5_minhash_signatures", "l6_lsh_candidates", "l16_dedup_groups",
-    "l7_simhash", "l8_ann_bruteforce", "l9_ann_ivf", "l11_embedding_neardup",
-    "l12_tokens_fingerprint", "l13_curation", "l14_ann_pandas",
-    "l15_multimodal_features", "l17_resize_features", "l10_multimodal_binary",
-    "l18_split_sample", "l19_tfidf_terms", "l20_chunking", "l21_bigram_stats",
-    "l22_stratified_sample", "l23_frame_sample", "l24_pii_scrub",
-    "l25_decontaminate", "l26_repetition_filter", "l27_dedup_keep_list",
-    "s1_streaming_identity", "s2_streaming_sessions", "s3_streaming_counts",
-    "s4_streaming_route", "s5_streaming_zgid",
-    "g1_wire_roundtrip", "g2_wire_crypto",
-    "p27_user_profile",
-    "p28_gate_business",
-    "p29_event_resolution",
-    "p30_search_keywords",
-    "p31_adv_attribution",
-    "p32_synthesized_records",
-    "p33_ua_parse",
-    "p34_user_duration",
-    "p35_user_anonymous",
-    "p36_event_platforms",
-    "p0_envelope",
-    "p4_dictionaries",
+    "q11_approx_distinct",
+    "p37_user_detail_sum",
+    "p38_adv_user_sources",
+    "p39_baidu_eqid",
+    "p40_salted_counters",
+    "s6_streaming_dedup",
+    "s7_stream_stream_join",
+    "w5_compaction",
+    "w6_delete_sign",
+    "l28_source_mixture",
+    "l29_semantic_dedup",
+    "l30_dup_span_fraction",
+    "l31_candidate_verify",
+    "l32_vocab_coverage",
+    "l33_lm_quality_score",
+    "l34_source_overlap",
+    "l35_incremental_dedup",
     "p5_virtual_attrs",
     "p6_virtual_events",
     "p7_enrichment",
     "p8_wide_table",
     "p11_b_device_upsert",
     "w1_upsert_writer",
+    "w4_partition_overwrite",
+    "p13_user_visit_stats",
+    "p14_first_touch",
+    "p15_retention_cohort",
+    "p16_funnel",
+    "p17_user_prop_dict",
+    "p18_device_props",
+    "p19_event_highwater",
+    "p20_asof_props",
+    "p21_sink_counts",
+    "p22_session_attribution",
+    "p23_ad_conversion",
+    "p24_app_first_seen",
+    "p25_time_rollup",
+    "p26_error_details",
+    "p1_gate_errors",
+    "p2_identity_mappings",
+    "p3_zgid_binding",
+    "p9_user_properties",
+    "p10_b_user_upsert",
+    "p12_id_archive",
+    "w2_bucketed_join",
+    "w3_compat_csv_roundtrip",
+    "q3_revenue_by_nation",
+    "q9_top_parts",
+    "q17_supplier_revenue",
+    "q18_correlated_subquery",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational)
