@@ -145,6 +145,11 @@ ORACLE["s1_streaming_identity"] = duck_pipeline_sql(
 # s2: the custom stateful operator (applyInPandasWithState sessionization)
 # must reproduce declarative batch sessionization exactly — the oracle is
 # the classic LAG + cumulative-sum session assignment, which DuckDB runs.
+# The sink is a foreachBatch CHANGELOG STORE, not a memory sink: update
+# mode emits only the sessions a batch changed, each append is O(changed),
+# and the read is keep-latest per session key — the same store-backed
+# pattern as s1/s4/s5 and the parquet rendering of the Doris UNIQUE-KEY
+# session table the reference writes (driver memory holds nothing).
 # ---------------------------------------------------------------------------
 _SESSION_GAP_MS = 3_600_000  # 1 hour
 
@@ -170,21 +175,25 @@ FROM assigned GROUP BY app_id, zg_did, sess_idx"""
 
 
 def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
-
     from pyspark.sql import functions as F
 
+    from zg_etl_spark.sinks import keep_latest
     from zg_etl_spark.streaming.sessions import sessionize
 
     src = _seq_ordered_source(spark, sf_dir, _SUPERSET_SQL)
     work = tempfile.mkdtemp(prefix="zg_s2_")
+    store = os.path.join(work, "session_store")
 
-    name = "s2_mem_" + _uuid.uuid4().hex[:8]
     stream = (
         spark.readStream.schema("app_id BIGINT, zg_did BIGINT, ct BIGINT, seq BIGINT")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # O(changed-sessions) append per batch — never a store rewrite
+        batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(store)
+
     # the state-store partition count is frozen from shuffle.partitions at
     # query start; per-partition store commit cost dominates at this volume,
     # so the stateful query runs with a handful of state shards (a real
@@ -195,8 +204,7 @@ def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             sessionize(stream, gap_ms=_SESSION_GAP_MS)
             .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
+            .foreachBatch(_sink)
             .option("checkpointLocation", os.path.join(work, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -204,15 +212,15 @@ def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_done(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # update-mode sink holds every progress row; the final state of each
-    # session is its max (end, n) — sessions only grow
+    # final state per session = the latest batch's emission (sessions only
+    # grow, so last write wins) — UNIQUE-KEY read-time merge
     result = (
-        spark.table(name)
-        .groupBy("app_id", "zg_did", "session_start")
-        .agg(
-            F.max("session_end").alias("session_end"),
-            F.max("n_events").alias("n_events"),
+        keep_latest(
+            spark.read.parquet(store),
+            ["app_id", "zg_did", "session_start"],
+            "_b",
         )
+        .select("app_id", "zg_did", "session_start", "session_end", "n_events")
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(work, ignore_errors=True)
