@@ -1009,3 +1009,42 @@ def test_virtual_events_match_python_matchfilters(spark, sf_dir):
     iwh = sum(n for k, n in got.items() if k[1] == "ios_hi_whale")
     wh = sum(n for k, n in got.items() if k[1] == "whale")
     assert 0 < iwh <= wh
+
+
+# ---------------------------------------------------------------------------
+# V4 virtual attributes over the custom bag: re-evaluate the bag-field
+# rules (band_tag, deep_bucket, u_band) with plain Python string/number
+# semantics — the reference evaluator resolves "_"-keys from the record's
+# property map (VirtualAttributeExpressionEvaluator.java:38-75) with
+# parseDouble coercion in numeric contexts. No ExprCompiler, no SQL.
+# ---------------------------------------------------------------------------
+def test_virtual_bag_attrs_match_python_eval(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT event_id, dt, event_type, pl, k, value FROM resolved "
+        "WHERE dt IN ('evt', 'abp', 'usr')",
+    )
+
+    def band(r):
+        return "hi" if (r.value is not None and r.value > 10) else "lo"
+
+    expected = {}
+    for r in rows:
+        band_tag = deep = u_band = None
+        if r.dt in ("evt", "abp") and r.event_type == "purchase":
+            band_tag = f"{band(r)}:{r.pl}"
+        if r.dt in ("evt", "abp") and r.event_type == "view":
+            # numeric coercion of the string bag value str(k // 10)
+            vb = None if r.k is None else float(str(r.k // 10))
+            deep = "deep" if (vb is not None and vb > 3) else "shallow"
+        if r.dt == "usr":  # gated on _band presence (always non-null)
+            u_band = band(r).upper()
+        expected[r.event_id] = (band_tag, deep, u_band)
+
+    got = {
+        r.event_id: (r.band_tag, r.deep_bucket, r.u_band)
+        for r in ALL["p5_virtual_attrs"](spark, sf_dir)
+        .select("event_id", "band_tag", "deep_bucket", "u_band")
+        .collect()
+    }
+    assert got == expected
