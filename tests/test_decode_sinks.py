@@ -430,3 +430,53 @@ def test_upsert_many_partitions_bounded(spark, tmp_path):
     assert got.count() == n and got.agg(F.min("v"), F.max("v")).first() == (2, 2)
     # generous wall bound: the point is "does not blow up in the planner"
     assert elapsed < 120, f"1k-partition upsert took {elapsed:.0f}s"
+
+
+def test_drop_expired_partitions(spark, tmp_path):
+    """Retention sweep drops only partitions strictly below the keep
+    threshold, leaves surviving partition files untouched (same inodes),
+    and never expires the NULL partition by value comparison."""
+    import glob
+    import os
+
+    from zg_etl_spark.sinks import drop_expired_partitions
+
+    path = str(tmp_path / "by_day")
+    df = spark.createDataFrame(
+        [(d, "x") for d in (100, 101, 102, 103)] + [(None, "n")],
+        "day_id INT, v STRING",
+    )
+    write_partitioned(df, path, ["day_id"], dynamic=False)
+    keep_files = sorted(glob.glob(os.path.join(path, "day_id=103", "*.parquet")))
+    keep_mtimes = [os.path.getmtime(f) for f in keep_files]
+
+    dropped = drop_expired_partitions(spark, path, "day_id", 102)
+    assert sorted(dropped) == [100, 101]
+    got = spark.read.parquet(path)
+    assert sorted(
+        (r.day_id for r in got.select("day_id").distinct().collect()),
+        key=lambda x: (x is None, x),
+    ) == [102, 103, None]
+    # survivors kept their exact files
+    assert sorted(glob.glob(os.path.join(path, "day_id=103", "*.parquet"))) == keep_files
+    assert [os.path.getmtime(f) for f in keep_files] == keep_mtimes
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """A later batch may carry a NEW column: existing rows surface NULL
+    for it, the keep-latest winner decides per key, and the table's
+    schema grows — ALTER TABLE ADD COLUMN semantics without a rewrite of
+    semantics (the \\N fill the reference's stream-load applies)."""
+    path = str(tmp_path / "t_evo")
+    t1 = spark.createDataFrame(
+        [(1, "d1", 10, 100), (1, "d2", 20, 100)],
+        "app_id INT, device_id STRING, zg_id INT, seq INT",
+    )
+    upsert_table(spark, t1, path, keys=["app_id", "device_id"], order_col="seq")
+    t2 = spark.createDataFrame(
+        [(1, "d2", 21, 200, "gold"), (1, "d3", 30, 200, "silver")],
+        "app_id INT, device_id STRING, zg_id INT, seq INT, tier STRING",
+    )
+    upsert_table(spark, t2, path, keys=["app_id", "device_id"], order_col="seq")
+    rows = {r.device_id: (r.zg_id, r.tier) for r in spark.read.parquet(path).collect()}
+    assert rows == {"d1": (10, None), "d2": (21, "gold"), "d3": (30, "silver")}

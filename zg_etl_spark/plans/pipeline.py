@@ -1825,3 +1825,119 @@ QUERIES["w6_delete_sign"] = _w6_run
 ORACLE["w6_delete_sign"] = duck_pipeline_sql(
     f"SELECT * FROM ({_p10(DUCK)}) t WHERE zg_id % 7 <> 0 OR zg_id % 14 = 0"
 )
+
+
+# ---------------------------------------------------------------------------
+# W7 schema-evolution upsert: a long-lived 100 TB table outlives its schema —
+# the reference ALTERs its Doris tables to add columns and newly-loaded rows
+# carry them while old rows read back NULL (stream-load with missing columns
+# = \N fill, EventAttrRow.java:49). Batch 1 writes the base schema; batch 2
+# upserts rows that CARRY A NEW COLUMN (vip_level). unionByName with
+# allowMissingColumns is the merge: existing rows surface NULL for the new
+# column, and the keep-latest winner decides per key whether its row is
+# pre- or post-evolution. Deterministic even/odd seq split so the oracle
+# can state the winner's schema generation exactly.
+# ---------------------------------------------------------------------------
+def _w7_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.sinks import upsert_table
+
+    base = spark_pipeline_df(
+        spark,
+        sf_dir,
+        f"""
+SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+       {SPARK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
+       seq
+FROM resolved""",
+    ).localCheckpoint(eager=True)
+    b1 = base.filter(F.col("seq") % 2 == 0)
+    b2 = base.filter(F.col("seq") % 2 == 1).withColumn(
+        "vip_level", F.col("zg_id") % 5
+    )
+    work = tempfile.mkdtemp(prefix="zg_w7_")
+    path = os.path.join(work, "b_user_evo")
+    try:
+        for batch in (b1, b2):
+            upsert_table(
+                spark, batch, path,
+                keys=["app_id", "device_id", "zg_id"], order_col="seq",
+                partition_cols=["app_id"],
+            )
+        return (
+            spark.read.parquet(path)
+            .select("app_id", "device_id", "zg_id", "user_id",
+                    "begin_date", "platform", "vip_level")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w7_schema_evolution"] = _w7_run
+ORACLE["w7_schema_evolution"] = duck_pipeline_sql(f"""
+SELECT app_id, device_id, zg_id, user_id, begin_date, platform,
+       CASE WHEN seq % 2 = 1 THEN zg_id % 5 END AS vip_level
+FROM (
+  SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+         {DUCK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
+         seq,
+         ROW_NUMBER() OVER (PARTITION BY app_id, did, zg_id
+                            ORDER BY seq DESC) AS rn
+  FROM resolved
+) x WHERE rn = 1""")
+
+
+# ---------------------------------------------------------------------------
+# W8 retention sweep: Doris RANGE tables expire day partitions by policy
+# (dynamic_partition.start in schema.sql) — dropped, never scanned. The
+# query writes the day-partitioned gate relation, sweeps everything older
+# than (max day − 3), and returns the surviving per-day counts; the oracle
+# states the same retention window relationally. The sweep itself is
+# O(partitions) directory work, the shape that stays constant-cost at
+# 100 TB.
+# ---------------------------------------------------------------------------
+def _w8_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.sinks import drop_expired_partitions, write_partitioned
+
+    days = spark_pipeline_df(
+        spark,
+        sf_dir,
+        f"SELECT app_id, did, seq, {SPARK.idiv('ct', '86400000')} AS day_id "
+        "FROM gate_ok",
+    )
+    work = tempfile.mkdtemp(prefix="zg_w8_")
+    path = os.path.join(work, "events_by_day")
+    try:
+        write_partitioned(days, path, ["day_id"], dynamic=False)
+        max_day = days.agg(F.max("day_id")).first()[0]  # single-scalar collect
+        drop_expired_partitions(spark, path, "day_id", int(max_day) - 3)
+        return (
+            spark.read.parquet(path)
+            .groupBy("day_id")
+            .count()
+            .selectExpr("CAST(day_id AS BIGINT) AS day_id", "count AS n_rows")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w8_retention_sweep"] = _w8_run
+ORACLE["w8_retention_sweep"] = duck_pipeline_sql(f"""
+SELECT {DUCK.idiv('ct', '86400000')} AS day_id, COUNT(*) AS n_rows
+FROM gate_ok
+WHERE {DUCK.idiv('ct', '86400000')}
+      >= (SELECT MAX({DUCK.idiv('ct', '86400000')}) FROM gate_ok) - 3
+GROUP BY {DUCK.idiv('ct', '86400000')}""")

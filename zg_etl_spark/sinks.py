@@ -181,6 +181,37 @@ def _partition_dir_value(v) -> str:
     return urllib.parse.quote(str(v), safe="")
 
 
+def drop_expired_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    min_keep,
+) -> list:
+    """Retention sweep: drop every ``partition_col=<v>`` directory with
+    ``v < min_keep`` — the batch rendering of Doris's dynamic-partition
+    retention (schema.sql RANGE tables carry dynamic_partition.start, and
+    expired day partitions are DROPPED, not compacted). Pure metadata +
+    filesystem work, O(partitions), no data scan — at 100 TB a nightly
+    sweep touches directory entries, never rows. Returns the dropped
+    partition values."""
+    dropped = []
+    prefix = f"{partition_col}="
+    if not os.path.isdir(path):
+        return dropped
+    for entry in os.listdir(path):
+        if not entry.startswith(prefix):
+            continue
+        raw = urllib.parse.unquote(entry[len(prefix):])
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            continue  # NULL partition never expires by value comparison
+        value = type(min_keep)(raw)
+        if value < min_keep:
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            dropped.append(value)
+    spark.catalog.refreshByPath(path)
+    return dropped
+
+
 def export_stream_load_csv(df: DataFrame, path: str, sep: str = "\t") -> None:
     """Compat export in the reference's stream-load shape: flat CSV,
     nulls as \\N (transfer/EventAttrTransfer.java:32), tab-separated
