@@ -20,7 +20,8 @@ def test_correctness_window_composition():
     displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["q11_", "w5_", "w6_", "s6_", "s7_"]
+    want_prefixes = ["q11_", "w5_", "w6_", "w7_", "w8_", "s6_", "s7_",
+                     "g2_", "g3_"]
     want_prefixes += [f"p{i}_" for i in range(37, 41)]
     want_prefixes += [f"l{i}_" for i in range(28, 36)]
     want_prefixes += ["p5_", "p6_", "p7_", "p8_", "w1_", "w4_"]
@@ -89,7 +90,8 @@ def test_driver_window_is_the_planned_rotation():
         "l31_candidate_verify", "l32_vocab_coverage", "l33_lm_quality_score",
         "l34_source_overlap", "l35_incremental_dedup",
     ]
-    for name in never_verified + ["w6_delete_sign"]:
+    for name in never_verified + ["w6_delete_sign", "w7_schema_evolution",
+                                  "w8_retention_sweep", "g3_rsa_unwrap"]:
         assert name in first50, f"{name} missing from the driver window"
     # the r3-green block rotated BEHIND the cut (still locally verified
     # by the sf0.01 parity rehearsal)

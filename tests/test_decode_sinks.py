@@ -54,7 +54,7 @@ def test_resolve_with_plugged_decryptor(spark):
     ct = bytes(b ^ 0x5A for b in json.dumps(payload).encode())
     wire = json.dumps(
         {"Ip": "4.3.2.1", "Now": 1, "Header": "{}",
-         "Args": {"event": base64.b64encode(ct).decode(), "compress": 0,
+         "Args": {"event": ct.hex(), "compress": 0,
                   "encrypt": 1, "type": 1, "key": "k"}}
     )
     out = resolve_wire(spark.createDataFrame([(wire,)], "raw STRING")).collect()
@@ -201,7 +201,8 @@ def test_resolve_with_real_aes(spark):
     for c in cases:
         rows.append((json.dumps({
             "Ip": "1.2.3.4", "Now": 1700000000, "Header": "{}",
-            "Args": {"event": base64.b64encode(c["event"]).decode(),
+            # type-1 ciphertext travels HEX (DecodeService.string2ByteArr)
+            "Args": {"event": c["event"].hex().upper(),
                      "compress": c["compress"], "encrypt": c["encrypt"],
                      "type": 1, "key": "enc_key_blob"},
         }),))
@@ -270,7 +271,7 @@ def test_tampered_ciphertext_is_error_row(spark):
     tampered = ct[:-1] + bytes([ct[-1] ^ 0xFF])
     wire = json.dumps({
         "Ip": "1.2.3.4", "Now": 1, "Header": "{}",
-        "Args": {"event": base64.b64encode(tampered).decode(), "compress": 0,
+        "Args": {"event": tampered.hex(), "compress": 0,
                  "encrypt": 1, "type": 1, "key": "k"},
     })
     out = resolve_wire(spark.createDataFrame([(wire,)], "raw string")).collect()
@@ -480,3 +481,39 @@ def test_upsert_schema_evolution(spark, tmp_path):
     upsert_table(spark, t2, path, keys=["app_id", "device_id"], order_col="seq")
     rows = {r.device_id: (r.zg_id, r.tier) for r in spark.read.parquet(path).collect()}
     assert rows == {"d1": (10, None), "d2": (21, "gold"), "d3": (30, "silver")}
+
+
+def test_rsa_key_unwrapper_contract():
+    """Real RSA/PKCS1v15 unwrap of the "key,iv" plaintext from a
+    PKCS8-DER private key (DecodeService.java:20-33): round-trips a
+    wrapped key, caches by wire key, raises on a comma-less plaintext
+    (the reference's keys[1] index error) and on undecryptable input."""
+    import pytest
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import padding as apad, rsa
+
+    from zg_etl_spark.operators.decode import rsa_key_unwrapper
+
+    priv = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    der_b64 = base64.b64encode(priv.private_bytes(
+        serialization.Encoding.DER,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )).decode()
+    pub = priv.public_key()
+    wrap = lambda pt: base64.b64encode(
+        pub.encrypt(pt, apad.PKCS1v15())
+    ).decode()
+
+    resolve = rsa_key_unwrapper(der_b64)
+    wk = wrap(b"0123456789abcdef,fedcba9876543210")
+    assert resolve(wk) == ("0123456789abcdef", "fedcba9876543210")
+    assert resolve(wk) == ("0123456789abcdef", "fedcba9876543210")  # cached
+    # Java split(",") drops trailing empties: "key," has ONE part and the
+    # reference's keys[1] throws — so must the unwrapper
+    with pytest.raises(ValueError):
+        resolve(wrap(b"0123456789abcdef,"))
+    with pytest.raises(ValueError):
+        resolve(wrap(b"noivpartatall"))
+    with pytest.raises(ValueError):
+        resolve(base64.b64encode(b"\x00" * 256).decode())

@@ -27,10 +27,12 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #   3. the r2-era band whose spine changed in round 3 and whose rows are
 #      therefore stale attestations: p11, p13-p26, p1-p3, p9, p10, p12,
 #      w2, w3;
-#   4. four load-bearing q-suite members (q3 flagship join, q9, q17, q18)
-#      so the relational surface keeps a fresh row too.
-# The twice/thrice-green remainder (l*, s1-s5, g*, p0, p4, p27-p36, rest
-# of q*) stays in the tail, covered by the local sf0.01 parity rehearsal.
+#   4. g2 (wire transports now reference-faithful: hex type-1, hutool
+#      auto-detect type-2) plus the round-4 additions g3 (real RSA
+#      key-unwrap), w7 (schema evolution), w8 (retention sweep).
+# The twice/thrice-green remainder (l*, s1-s5, g1, p0, p4, p27-p36, the
+# q-suite except q11) stays in the tail, covered by the local sf0.01
+# parity rehearsal.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
@@ -82,10 +84,10 @@ _WINDOW = [
     "p12_id_archive",
     "w2_bucketed_join",
     "w3_compat_csv_roundtrip",
-    "q3_revenue_by_nation",
-    "q9_top_parts",
-    "q17_supplier_revenue",
-    "q18_correlated_subquery",
+    "g2_wire_crypto",
+    "g3_rsa_unwrap",
+    "w7_schema_evolution",
+    "w8_retention_sweep",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational)

@@ -123,11 +123,18 @@ def _g2_encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
         blob = c.update(pad(payload)) + c.finalize()
         if eid % 97 == 13:  # corrupt the last block → PKCS5 must reject
             blob = blob[:-1] + bytes([blob[-1] ^ 0xFF])
+        # transport encodings as the reference receives them: type-1
+        # ciphertext travels HEX (DecodeService.string2ByteArr), type-2 is
+        # hex or base64 (hutool auto-detects) — alternate to exercise both
+        if enc_type == 1:
+            event_str = blob.hex().upper()
+        else:
+            event_str = blob.hex() if eid % 4 == 0 else base64.b64encode(blob).decode()
         env = {
             "Ip": f"10.1.{eid % 256}.1",
             "Now": eid * 1000,
             "Header": "{}",
-            "Args": {"event": base64.b64encode(blob).decode(),
+            "Args": {"event": event_str,
                      "compress": int(compress), "encrypt": 1,
                      "type": enc_type, "key": "wrapped"},
         }
@@ -187,4 +194,132 @@ SELECT CASE WHEN event_id % 101 IN (5, 9) THEN NULL ELSE event_id END AS event_i
             WHEN event_id % 101 = 7 THEN 1010004
             WHEN event_id % 101 = 8 THEN 1010005
             ELSE 0 END AS error_code
+FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# g3: the REAL RSA key-unwrap lane (MsgResolver.java:127-134 +
+# DecodeService.java:20-33): Args.key is base64 RSA/PKCS1v15 ciphertext of
+# "<aes_key>,<iv>", the ciphertext itself travels HEX
+# (DecodeService.string2ByteArr:55-62), and decode = rsaDecrypt(key) →
+# split(",") → AES/CBC/PKCS5. The unwrap MECHANISM is fully real
+# (cryptography RSA, PKCS8-DER private key exactly as the reference loads
+# it); only the production key material is a deployment secret — the test
+# pair is minted per process. Corrupt classes: an undecryptable Args.key
+# and a comma-less unwrapped plaintext (the reference's keys[1] index
+# error) must both surface as error rows.
+# ---------------------------------------------------------------------------
+_G3_MEMO: dict = {}
+
+
+def _g3_fixture() -> dict:
+    if _G3_MEMO:
+        return _G3_MEMO
+    import hashlib
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import padding as apad, rsa
+
+    priv = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    der = priv.private_bytes(
+        serialization.Encoding.DER,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )
+    pub = priv.public_key()
+    keys, wrapped = [], []
+    for i in range(16):  # small key space → the unwrap cache stays O(keys)
+        secret = hashlib.md5(f"k{i}".encode()).hexdigest()[:16]
+        iv = hashlib.md5(f"iv{i}".encode()).hexdigest()[:16]
+        keys.append((secret, iv))
+        wrapped.append(base64.b64encode(
+            pub.encrypt(f"{secret},{iv}".encode(), apad.PKCS1v15())
+        ).decode())
+    _G3_MEMO.update(
+        der_b64=base64.b64encode(der).decode(),
+        keys=keys,
+        wrapped=wrapped,
+        bad_rsa=base64.b64encode(b"\x00" * 256).decode(),
+        no_comma=base64.b64encode(
+            pub.encrypt(b"lonekeywithoutiv", apad.PKCS1v15())
+        ).decode(),
+    )
+    return _G3_MEMO
+
+
+def _g3_make_encoder(fx: dict):
+    keys, wrapped = fx["keys"], fx["wrapped"]
+    bad_rsa, no_comma = fx["bad_rsa"], fx["no_comma"]
+
+    def encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        out = []
+        for eid, etype in zip(event_id, event_type):
+            eid = int(eid)
+            secret, iv = keys[eid % 16]
+            payload = json.dumps(
+                {"eid": eid, "etype": etype}, sort_keys=True
+            ).encode()
+            pad = 16 - len(payload) % 16
+            e = Cipher(
+                algorithms.AES(secret.encode()), modes.CBC(iv.encode())
+            ).encryptor()
+            blob = e.update(payload + bytes([pad]) * pad) + e.finalize()
+            cls = eid % 89
+            if cls == 7:
+                key_str = bad_rsa      # RSA decrypt fails → 1020001
+            elif cls == 17:
+                key_str = no_comma     # keys[1] missing → 1020001
+            else:
+                key_str = wrapped[eid % 16]
+            env = {
+                "Ip": f"10.2.{eid % 256}.1",
+                "Now": eid * 1000,
+                "Header": "{}",
+                "Args": {"event": blob.hex().upper(), "compress": 0,
+                         "encrypt": 1, "type": 1, "key": key_str},
+            }
+            out.append(json.dumps(env))
+        return pd.Series(out)
+
+    return encode
+
+
+def _g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.decode import (
+        aes_cbc_decryptor,
+        register_decryptor,
+        resolve_wire,
+        rsa_key_unwrapper,
+    )
+    from zg_etl_spark.sources.tables import load_table
+
+    fx = _g3_fixture()
+    register_decryptor(1, aes_cbc_decryptor(rsa_key_unwrapper(fx["der_b64"])))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enc = pandas_udf(_g3_make_encoder(fx), "string")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    raw = events.select(enc("event_id", "event_type").alias("raw"))
+    return resolve_wire(raw).select(
+        F.get_json_object("payload", "$.eid").cast("bigint").alias("event_id"),
+        F.get_json_object("payload", "$.etype").alias("event_type"),
+        "ip",
+        "server_ts",
+        "result",
+        "error_code",
+    )
+
+
+QUERIES["g3_rsa_unwrap"] = _g3
+ORACLE["g3_rsa_unwrap"] = """
+SELECT CASE WHEN event_id % 89 IN (7, 17) THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN event_id % 89 IN (7, 17) THEN NULL ELSE event_type END AS event_type,
+       '10.2.' || CAST(event_id % 256 AS VARCHAR) || '.1' AS ip,
+       event_id * 1000 AS server_ts,
+       CASE WHEN event_id % 89 IN (7, 17) THEN -1 ELSE 0 END AS result,
+       CASE WHEN event_id % 89 IN (7, 17) THEN 1020001 ELSE 0 END AS error_code
 FROM events"""
