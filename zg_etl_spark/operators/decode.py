@@ -26,10 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-WIRE_SCHEMA = (
-    "Ip STRING, Now BIGINT, Header STRING, "
-    "Args STRUCT<event: STRING, compress: INT, encrypt: INT, type: INT, key: STRING>"
-)
+WIRE_SCHEMA = "Ip STRING, Now BIGINT, Header STRING"
+# the real wire carries Args as a JSON-ENCODED STRING ((String) argsObj →
+# mapFromJson, MsgResolver.java:74-80); get_json_object returns the object
+# text for an inline-object Args too, so both shapes parse (lenient
+# superset of the reference, which rejects non-string Args)
+ARGS_SCHEMA = "event STRING, compress INT, encrypt INT, type INT, key STRING"
 
 _DECRYPTORS: dict[int, object] = {}
 
@@ -101,15 +103,20 @@ def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
     string), result (0 ok / -1 error — ZGMessage.result semantics,
     entity/ZGMessage.java:18-50).
     """
-    parsed = raw.withColumn("_w", F.from_json(F.col(raw_col), WIRE_SCHEMA))
+    parsed = raw.withColumn(
+        "_w", F.from_json(F.col(raw_col), WIRE_SCHEMA)
+    ).withColumn(
+        "_args",
+        F.from_json(F.get_json_object(F.col(raw_col), "$.Args"), ARGS_SCHEMA),
+    )
     decoded = parsed.withColumn(
         "payload",
         _decode_event_udf()(
-            F.col("_w.Args.event"),
-            F.coalesce(F.col("_w.Args.compress"), F.lit(0)),
-            F.coalesce(F.col("_w.Args.encrypt"), F.lit(0)),
-            F.coalesce(F.col("_w.Args.type"), F.lit(1)),
-            F.col("_w.Args.key"),
+            F.col("_args.event"),
+            F.coalesce(F.col("_args.compress"), F.lit(0)),
+            F.coalesce(F.col("_args.encrypt"), F.lit(0)),
+            F.coalesce(F.col("_args.type"), F.lit(1)),
+            F.col("_args.key"),
         ),
     )
     # per-field failure attribution, the MsgResolver ResolveException
@@ -132,9 +139,20 @@ def resolve_wire(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
         .when(F.col("payload").isNull(), F.lit(1020001))
         .otherwise(F.lit(0))
     )
+    # user-agent injection (MsgResolver.java:63-70,95): Header's
+    # `user-agent` key when present and string-typed, else "DEFAULT";
+    # NULL when the Header itself is absent/unparsed
+    ua = F.when(
+        F.col("_w.Header").isNotNull(),
+        F.coalesce(
+            F.get_json_object(F.col("_w.Header"), "$['user-agent']"),
+            F.lit("DEFAULT"),
+        ),
+    )
     return decoded.select(
         F.col("_w.Ip").alias("ip"),
         F.col("_w.Now").alias("server_ts"),
+        ua.alias("ua"),
         "payload",
         error_code.alias("error_code"),
         F.when(error_code != 0, F.lit(-1)).otherwise(F.lit(0)).alias("result"),

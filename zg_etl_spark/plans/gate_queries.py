@@ -134,9 +134,11 @@ def _g2_encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
             "Ip": f"10.1.{eid % 256}.1",
             "Now": eid * 1000,
             "Header": "{}",
-            "Args": {"event": event_str,
-                     "compress": int(compress), "encrypt": 1,
-                     "type": enc_type, "key": "wrapped"},
+            # the real wire carries Args as a JSON-encoded STRING
+            # (MsgResolver.java:74-80)
+            "Args": json.dumps({"event": event_str,
+                                "compress": int(compress), "encrypt": 1,
+                                "type": enc_type, "key": "wrapped"}),
         }
         out.append(json.dumps(env))
     return pd.Series(out)
@@ -278,9 +280,11 @@ def _g3_make_encoder(fx: dict):
             env = {
                 "Ip": f"10.2.{eid % 256}.1",
                 "Now": eid * 1000,
-                "Header": "{}",
-                "Args": {"event": blob.hex().upper(), "compress": 0,
-                         "encrypt": 1, "type": 1, "key": key_str},
+                # user-agent rides the Header map (MsgResolver.java:63-70)
+                "Header": (json.dumps({"user-agent": f"ZG-UA/{eid % 7}"})
+                           if eid % 3 == 0 else "{}"),
+                "Args": json.dumps({"event": blob.hex().upper(), "compress": 0,
+                                    "encrypt": 1, "type": 1, "key": key_str}),
             }
             out.append(json.dumps(env))
         return pd.Series(out)
@@ -309,6 +313,7 @@ def _g3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("payload", "$.etype").alias("event_type"),
         "ip",
         "server_ts",
+        "ua",
         "result",
         "error_code",
     )
@@ -320,6 +325,8 @@ SELECT CASE WHEN event_id % 89 IN (7, 17) THEN NULL ELSE event_id END AS event_i
        CASE WHEN event_id % 89 IN (7, 17) THEN NULL ELSE event_type END AS event_type,
        '10.2.' || CAST(event_id % 256 AS VARCHAR) || '.1' AS ip,
        event_id * 1000 AS server_ts,
+       CASE WHEN event_id % 3 = 0 THEN 'ZG-UA/' || CAST(event_id % 7 AS VARCHAR)
+            ELSE 'DEFAULT' END AS ua,
        CASE WHEN event_id % 89 IN (7, 17) THEN -1 ELSE 0 END AS result,
        CASE WHEN event_id % 89 IN (7, 17) THEN 1020001 ELSE 0 END AS error_code
 FROM events"""
