@@ -1048,3 +1048,40 @@ def test_virtual_bag_attrs_match_python_eval(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# L36 sequence packing: replay the concat-and-chunk cursor literally — a
+# sequential per-source token cursor in Python, docs in doc_id order —
+# and the per-doc (bin, offset, spans) assignment must equal the engine's
+# windowed-cumsum formulation.
+# ---------------------------------------------------------------------------
+def test_sequence_packing_matches_python_cursor(spark, sf_dir):
+    from zg_etl_spark.plans.llm import _L36_SEQ_LEN, _register_docs_views
+
+    _register_docs_views(spark, sf_dir)
+    docs = sorted(
+        spark.sql("SELECT doc_id, source, text FROM documents").collect(),
+        key=lambda r: r.doc_id,
+    )
+    cursors = defaultdict(int)
+    expected = {}
+    for r in docs:
+        n = len(r.text.split())
+        start = cursors[r.source]
+        cursors[r.source] = start + n
+        expected[r.doc_id] = (
+            r.source, n, start // _L36_SEQ_LEN, start % _L36_SEQ_LEN,
+            1 if (start + n - 1) // _L36_SEQ_LEN > start // _L36_SEQ_LEN else 0,
+        )
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.bin_id, r.bin_offset,
+                   r.spans_boundary)
+        for r in ALL["l36_sequence_packing"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # packing actually packs: some bin holds more than one doc, and some
+    # doc spans a cut (both guaranteed at every SF by doc-length << 2048)
+    from collections import Counter
+    per_bin = Counter((v[0], v[2]) for v in expected.values())
+    assert max(per_bin.values()) > 1

@@ -1850,3 +1850,45 @@ def _l35_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["l35_incremental_dedup"] = _l35_run
 ORACLE["l35_incremental_dedup"] = f"WITH {_l6_ctes(DD)}, " + _l35_inner(DD)
+
+
+# ---------------------------------------------------------------------------
+# L36 sequence packing: the pretraining-batch layout step — documents are
+# concatenated into a token stream per source and cut into fixed
+# SEQ_LEN-token training sequences (concat-and-chunk packing; a doc whose
+# tokens straddle a cut spans two bins, the standard packed-pretraining
+# convention). Per doc: the bin its FIRST token lands in and the offset
+# within that bin, from one windowed cumulative sum.
+#
+# Scale shape: the running cursor is inherently sequential, so the window
+# PARTITIONS BY source — each source's stream packs independently and in
+# parallel (at 100 TB: partition by (source, shard) to bound partition
+# size; sequences never cross shards, exactly how distributed packers cut
+# their input). One corpus scan, one shuffle on the partition key.
+# ---------------------------------------------------------------------------
+_L36_SEQ_LEN = 2048
+
+
+def _l36(d) -> str:
+    n_tok = f"CAST({d.alen(d.split('text'))} AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {n_tok} AS n_tokens FROM documents
+),
+cursor AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST({d.idiv(f'(cum - n_tokens)', str(_L36_SEQ_LEN))} AS BIGINT)
+           AS bin_id,
+       CAST((cum - n_tokens) % {_L36_SEQ_LEN} AS BIGINT) AS bin_offset,
+       CAST(CASE WHEN {d.idiv('(cum - 1)', str(_L36_SEQ_LEN))}
+                      > {d.idiv('(cum - n_tokens)', str(_L36_SEQ_LEN))}
+                 THEN 1 ELSE 0 END AS INT) AS spans_boundary
+FROM cursor"""
+
+
+_register("l36_sequence_packing", _l36)
