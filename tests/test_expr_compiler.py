@@ -187,3 +187,38 @@ def test_va_resolver_opens_custom_bag():
     for d in (SPARK, DUCK):                  # both dialects compile bag rules
         frag = _va_frag(d, "CASE WHEN _vbucket > 3 THEN 'deep' ELSE 'shallow' END")
         assert "TRY_CAST" in frag and "'deep'" in frag
+
+
+def test_reference_demo_expressions_parse():
+    """The reference's own embedded demo expressions
+    (VirtualAttributeManager.java:121-204) — CJK identifiers, dotted
+    table-prefix stripping (last segment wins,
+    SqlToJsonExpressionConverter.java:531-541), CJK date-format literals,
+    nested from_unixtime in CONCAT and CASE comparisons — must parse to
+    the expected shapes."""
+    from zg_etl_spark.functions.expr_compiler import Case, Field, Func, Op, parse
+
+    ast = parse("NOT b_user_event_attr_42.信用卡额度>50000")
+    assert ast.op == "not" and ast.left.op == ">"
+    assert ast.left.left == Field(name="信用卡额度")  # prefix stripped
+
+    ast = parse(
+        "DATE_FORMAT(from_unixtime(b_user_event_attr_42.分期时间),"
+        "'yyyy-MM-dd HH:mm:ss')"
+    )
+    assert ast.name == "date_format" and ast.args[0].args[0].name == "分期时间"
+
+    ast = parse("from_unixtime(event.timestamp_ms, 'yyyy年MM月dd日 HH时mm分ss秒')")
+    assert ast.args[1].value == "yyyy年MM月dd日 HH时mm分ss秒"
+
+    ast = parse(
+        "CONCAT('日期: ', from_unixtime(event.timestamp, 'yyyy-MM-dd'), "
+        "' 时间: ', from_unixtime(event.timestamp, 'HH:mm:ss'))"
+    )
+    assert isinstance(ast, Func) and len(ast.args) == 4
+
+    ast = parse(
+        "CASE WHEN from_unixtime(event.timestamp) > from_unixtime(1672531200) "
+        "THEN '新记录' ELSE '旧记录' END"
+    )
+    assert isinstance(ast, Case) and isinstance(ast.whens[0][0], Op)
