@@ -470,7 +470,9 @@ def test_time_buckets_match_datetime_library(spark, sf_dir):
         dt = datetime.fromtimestamp(ct / 1000, tz=timezone.utc)
         assert r.begin_day_id == int(dt.strftime("%Y%m%d")), r
         assert r.begin_date == ct // 1000, r
-        assert r.begin_time_id == dt.hour, r
+        # hour + "0" + %03d-millisecond composite
+        # (EventAttrTransfer.java:246,380-381) — as an int: hh*10000 + ms
+        assert r.begin_time_id == dt.hour * 10000 + ct % 1000, r
         iso = (dt.date() - timedelta(days=1)).isocalendar()
         assert r.yw == iso[0] * 100 + iso[1], r
     assert n_checked == len(wide)

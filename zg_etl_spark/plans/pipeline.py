@@ -384,7 +384,8 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
                  ELSE {d.clean('e.event_name_t', 256)} END AS event_name,
        CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT) AS begin_day_id,
        {d.idiv('e.ct', '1000')} AS begin_date,
-       CAST({d.fmt(ts_ct, 'HH')} AS INT) AS begin_time_id,
+       CAST(CAST({d.fmt(ts_ct, 'HH')} AS INT) * 10000 + e.ct % 1000 AS INT)
+           AS begin_time_id,
        CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yw,
        CAST(e.pl_id AS INT) AS platform,
        {d.net('e.net')} AS network,
