@@ -297,7 +297,7 @@ SELECT event_id, app_id, country, province, city, os, browser, device_type,
             WHEN search_engine IS NOT NULL THEN '搜索自然流量'
             WHEN ref IS NOT NULL THEN '引荐' END AS utm_medium_f,
        COALESCE(utm_source,
-                CASE WHEN search_engine IS NOT NULL
+                CASE WHEN ref IS NOT NULL
                      THEN regexp_extract(ref, 'https?://([^/]+)', 1) END)
            AS utm_source_f
 FROM (
@@ -412,7 +412,7 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
             WHEN e.search_engine IS NOT NULL THEN '搜索自然流量'
             WHEN e.ref IS NOT NULL THEN '引荐' END AS utm_medium,
        COALESCE(e.utm_source,
-                CASE WHEN e.search_engine IS NOT NULL THEN {website} END)
+                CASE WHEN e.ref IS NOT NULL THEN {website} END)
            AS utm_source_f,
        {SK.clean_keyword(d, SK.term_case(d, 'e.ref', 'e.search_engine'))}
            AS utm_term,
