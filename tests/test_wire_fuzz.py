@@ -71,3 +71,39 @@ def test_resolve_wire_zlib_bomb_truncated(spark):
     rows = resolve_wire(df).collect()
     assert [r.result for r in rows[:3]] == [-1, -1, -1]
     assert rows[3].result == 0 and rows[3].payload == '{"ok":1}'
+
+
+def test_garbage_wire_with_real_decryptor_registered(spark):
+    """Regression: with a REAL decryptor registered (as any deployment
+    has), garbage encrypted wires — None key, non-base64 key, junk
+    ciphertext — must become error rows, never executor exceptions. The
+    reference wraps the whole resolve in catch(Exception) → result=-1
+    (GateFlatMapFunction.java:105-110); the narrow except clause used to
+    let a TypeError from base64(None) abort the job when tests (or a
+    deployment) had registered the RSA unwrapper."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from zg_etl_spark.operators.decode import (
+        aes_cbc_decryptor,
+        register_decryptor,
+        resolve_wire,
+        rsa_key_unwrapper,
+    )
+
+    priv = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    der_b64 = base64.b64encode(priv.private_bytes(
+        serialization.Encoding.DER,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )).decode()
+    register_decryptor(1, aes_cbc_decryptor(rsa_key_unwrapper(der_b64)))
+    wires = [
+        _wire("00", encrypt=1, key=None),
+        _wire("zz not hex", encrypt=1, key="not-base64!!"),
+        _wire("00" * 16, encrypt=1, key="QUJD"),  # undecryptable key
+    ]
+    out = resolve_wire(
+        spark.createDataFrame([(w,) for w in wires], "raw STRING")
+    ).collect()
+    assert [r.result for r in out] == [-1, -1, -1]

@@ -19,7 +19,6 @@ ResolveException → errData path.
 from __future__ import annotations
 
 import base64
-import binascii
 import zlib
 
 import pandas as pd
@@ -84,7 +83,11 @@ def _make_decode_fn(decryptors: dict):
                     out.append(raw.decode("utf-8"))
                 else:
                     out.append(ev)
-            except (binascii.Error, zlib.error, UnicodeDecodeError, ValueError):
+            except Exception:  # noqa: BLE001 — faithful to the reference:
+                # GateFlatMapFunction wraps MsgResolver.resolve in
+                # catch(Exception) → result=-1 error row; a plugged
+                # decryptor throwing on garbage (None key, bad wrap, any
+                # cipher error) must NEVER abort the job
                 out.append(None)
         return pd.Series(out)
 
