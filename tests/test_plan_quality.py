@@ -333,3 +333,18 @@ def test_vocab_coverage_windows_over_vocab_only(spark, sf_dir):
     assert w != -1 and agg != -1 and w < agg, (
         f"window does not sit above the vocab aggregate:\n{plan}"
     )
+
+
+def test_sequence_packing_single_shuffle_partitioned_by_source(spark, sf_dir):
+    """l36's running cursor is a window PARTITIONED by source: exactly one
+    hash Exchange on `source`, so packing parallelizes across sources —
+    an unpartitioned ORDER BY would collapse the whole corpus onto one
+    task, the single-node bottleneck that kills a 100 TB packing run."""
+    plan = _plan(ALL["l36_sequence_packing"](spark, sf_dir), "simple")
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan
+    assert "source" in hash_exchanges[0], hash_exchanges
+    assert "SinglePartition" not in plan, plan

@@ -619,3 +619,112 @@ FROM events c JOIN events p
   ON p.user_id = c.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR"""
+
+
+# ---------------------------------------------------------------------------
+# s8: streaming upsert sink WITH DELETE SIGNS — the reference's dw job
+# stream-loads every micro-batch into Doris UNIQUE-KEY tables where
+# __DORIS_DELETE_SIGN__ rows remove keys (DorisSinkFactory.java:33-206,
+# EventAttrRow.java:51-53); the Spark rendering is foreachBatch →
+# sinks.upsert_table with delete_col, partition-scoped per batch. Batch 2
+# carries delete markers (newest seq) for the zg_id % 7 key slice —
+# including keys whose only rows landed in batch 1, so the delete must
+# reach rows already ON DISK from an earlier micro-batch. The final table
+# must equal the batch dedup relation minus the deleted slice.
+# ---------------------------------------------------------------------------
+def _s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.session import session_key
+    from zg_etl_spark.sinks import upsert_table
+
+    key = (session_key(spark), sf_dir, "s8_src")
+    if key not in _SRC_MEMO:
+        import atexit
+
+        src = tempfile.mkdtemp(prefix="zg_s8_src_")
+        base = spark_pipeline_df(
+            spark,
+            sf_dir,
+            """
+SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
+       ct DIV 1000 AS begin_date, CAST(pl_id AS INT) AS platform, seq
+FROM resolved""",
+        ).localCheckpoint(eager=True)
+        stats = base.selectExpr(
+            "percentile_approx(seq, 0.5) AS m", "max(seq) AS mx"
+        ).first()
+        live = base.withColumn("_ds", F.lit(False))
+        dels = (
+            base.filter(F.col("zg_id") % 7 == 0)
+            .select("app_id", "device_id", "zg_id")
+            .distinct()
+            .selectExpr(
+                "app_id", "device_id", "zg_id",
+                "CAST(NULL AS STRING) AS user_id",
+                "CAST(NULL AS BIGINT) AS begin_date",
+                "CAST(NULL AS INT) AS platform",
+                f"CAST({stats.mx} + 1 AS BIGINT) AS seq",
+                "TRUE AS _ds",
+            )
+        )
+        _write_split_files(
+            [
+                live.filter(F.col("seq") <= stats.m),
+                live.filter(F.col("seq") > stats.m).unionByName(dels),
+            ],
+            src,
+        )
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+        _SRC_MEMO[key] = src
+
+    work = tempfile.mkdtemp(prefix="zg_s8_")
+    path = os.path.join(work, "b_user_stream")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_table(
+            spark, batch_df, path,
+            keys=["app_id", "device_id", "zg_id"], order_col="seq",
+            partition_cols=["app_id"], delete_col="_ds",
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(
+                "app_id BIGINT, device_id STRING, zg_id BIGINT, "
+                "user_id STRING, begin_date BIGINT, platform INT, "
+                "seq BIGINT, _ds BOOLEAN"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_SRC_MEMO[key])
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = (
+        spark.read.parquet(path)
+        .select("app_id", "device_id", "zg_id", "user_id",
+                "begin_date", "platform")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+def _s8_oracle() -> str:
+    from zg_etl_spark.operators.domain import DUCK
+    from zg_etl_spark.plans.pipeline import _p10
+
+    return duck_pipeline_sql(
+        f"SELECT * FROM ({_p10(DUCK)}) t WHERE zg_id % 7 <> 0"
+    )
+
+
+QUERIES["s8_stream_upsert_delete"] = _s8
+ORACLE["s8_stream_upsert_delete"] = _s8_oracle()
