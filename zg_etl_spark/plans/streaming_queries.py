@@ -22,7 +22,11 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from zg_etl_spark.operators.domain import duck_pipeline_sql, spark_pipeline_df
+from zg_etl_spark.operators.domain import (
+    VALID_PAST_MS,
+    duck_pipeline_sql,
+    spark_pipeline_df,
+)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -401,14 +405,17 @@ ORACLE["s5_streaming_zgid"] = duck_pipeline_sql(
 # every replay suppressed by dedup state, none by accident of batching.
 #
 # State-size note: the DECLARED path is dropDuplicatesWithinWatermark on
-# event time with the reference's ±7d validity bound — plain
-# dropDuplicates would keep every uuid forever and is the state store
-# that OOMs at 100 TB × months. The gate's G7 window
-# (dataquality/TimeValidator.java:39-56) already rejects any delivery
-# more than 7 days late, so the watermark evicts only state no
-# legitimate replay can ever match; a replay older than the watermark is
-# dropped as late data — suppressed either way, so the emitted stream
-# still equals the batch relation exactly and the oracle is unchanged.
+# event time with the SAME validity bound the gate enforces
+# (VALID_PAST_MS = 21d, the configured TimeValidator subtime,
+# dataquality/TimeValidator.java:39-56 + config.properties:98-99) —
+# plain dropDuplicates would keep every uuid forever and is the state
+# store that OOMs at 100 TB × months. Because G7 rejects any delivery
+# older than that bound, the watermark evicts only state no legitimate
+# replay can ever match; a replay older than the watermark is dropped as
+# late data — suppressed either way, so the emitted stream still equals
+# the batch relation exactly and the oracle is unchanged. The two
+# constants MUST move together: a watermark shorter than the gate window
+# would re-emit a legitimately-late replay after its state evicted.
 # tests/test_streaming.py::test_dedup_within_watermark_bounds_state pins
 # both halves (in-window suppression, post-eviction re-emit) and that
 # the state metric stays bounded.
@@ -461,7 +468,7 @@ def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(
                 "event_ts", F.timestamp_millis(F.expr("seq DIV 1000000"))
             )
-            .withWatermark("event_ts", "7 days")
+            .withWatermark("event_ts", f"{VALID_PAST_MS // 86_400_000} days")
             .dropDuplicatesWithinWatermark(["uuid"])
             .select("app_id", "did", "seq", "uuid")
             .writeStream.outputMode("append")
