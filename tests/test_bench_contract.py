@@ -13,21 +13,20 @@ from zg_etl_spark import plans
 def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
     round-4 composition: the 16 queries that had never had a driver row
-    by round 3 (q11, p37-p40, s6-s7, w5, l28-l35), the new w6, every
-    query whose implementation changed in round 4 (p5-p8, w1, w4, s6),
-    and the stale-attestation r2-era band (p1-p3, p9-p26 pipeline
-    queries, w2, w3); registering a new query must never silently
-    displace one of these."""
+    by round 3 (q11, p37-p40, s6-s7, w5, l28-l35), every query whose
+    implementation changed or was added in round 4 (p5-p8, w1, w4,
+    w6-w8, s2, s6, s8, g2, g3, l36), and the stale-attestation r2-era
+    band (p1-p3, p9-p26 pipeline queries); registering a new query must
+    never silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
     want_prefixes = ["q11_", "w5_", "w6_", "w7_", "w8_", "s6_", "s7_",
-                     "g2_", "g3_"]
+                     "s2_", "s8_", "g2_", "g3_"]
     want_prefixes += [f"p{i}_" for i in range(37, 41)]
-    want_prefixes += [f"l{i}_" for i in range(28, 36)]
+    want_prefixes += [f"l{i}_" for i in range(28, 37)]
     want_prefixes += ["p5_", "p6_", "p7_", "p8_", "w1_", "w4_"]
     want_prefixes += [f"p{i}_" for i in range(13, 27)]
-    want_prefixes += ["p1_", "p2_", "p3_", "p9_", "p10_", "p11_", "p12_",
-                      "w2_", "w3_"]
+    want_prefixes += ["p1_", "p2_", "p3_", "p9_", "p10_", "p11_"]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -91,10 +90,13 @@ def test_driver_window_is_the_planned_rotation():
         "l34_source_overlap", "l35_incremental_dedup",
     ]
     for name in never_verified + ["w6_delete_sign", "w7_schema_evolution",
-                                  "w8_retention_sweep", "g3_rsa_unwrap"]:
+                                  "w8_retention_sweep", "g3_rsa_unwrap",
+                                  "s2_streaming_sessions",
+                                  "l36_sequence_packing",
+                                  "s8_stream_upsert_delete"]:
         assert name in first50, f"{name} missing from the driver window"
     # the r3-green block rotated BEHIND the cut (still locally verified
     # by the sf0.01 parity rehearsal)
     for name in ("l1_text_stats", "s1_streaming_identity", "g1_wire_roundtrip",
-                 "p0_envelope", "p27_user_profile"):
+                 "p0_envelope", "p27_user_profile", "w2_bucketed_join"):
         assert name in merged and name not in first50, name

@@ -25,14 +25,18 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      (watermark-bounded dedup), p6 (arbitrary-N filters), p5 (custom-bag
 #      fields), p7/p8 (inlined UA parser), w1/w4/w6 (sink rework);
 #   3. the r2-era band whose spine changed in round 3 and whose rows are
-#      therefore stale attestations: p11, p13-p26, p1-p3, p9, p10, p12,
-#      w2, w3;
-#   4. g2 (wire transports now reference-faithful: hex type-1, hutool
-#      auto-detect type-2) plus the round-4 additions g3 (real RSA
-#      key-unwrap), w7 (schema evolution), w8 (retention sweep).
-# The twice/thrice-green remainder (l*, s1-s5, g1, p0, p4, p27-p36, the
-# q-suite except q11) stays in the tail, covered by the local sf0.01
-# parity rehearsal.
+#      therefore stale attestations: p11, p13-p26, p1-p3, p9, p10;
+#   4. queries whose round-4 rework/addition displaced the remaining
+#      stale-era candidates (w2's r2 row attests its unchanged TPC-H
+#      formulation exactly, so it yields its slot): s2 (foreachBatch
+#      changelog store), l36 (sequence packing), s8 (streaming
+#      delete-sign sink), g2 (reference-faithful wire transports), g3
+#      (real RSA key-unwrap), w7 (schema evolution), w8 (retention
+#      sweep).
+# The remainder (l1-l35 minus additions, s1/s3-s5, g1, p0, p4, p12,
+# p27-p36, w2, w3, the q-suite except q11) stays in the tail, covered by
+# the local sf0.01 parity rehearsal; p12/w3's stale-era rows are the
+# first candidates for the round-5 window.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
@@ -81,9 +85,9 @@ _WINDOW = [
     "p3_zgid_binding",
     "p9_user_properties",
     "p10_b_user_upsert",
-    "p12_id_archive",
-    "w2_bucketed_join",
-    "w3_compat_csv_roundtrip",
+    "s2_streaming_sessions",
+    "l36_sequence_packing",
+    "s8_stream_upsert_delete",
     "g2_wire_crypto",
     "g3_rsa_unwrap",
     "w7_schema_evolution",
