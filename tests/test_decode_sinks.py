@@ -588,3 +588,44 @@ def test_reference_demo_vectors_decode(spark):
     dec = aes_cbc_decryptor(lambda wk: (ecb_key, ""))
     pt = json.loads(dec(bytes.fromhex(datas[1].rstrip("\\")), keys[2]))
     assert pt["ak"] == "d711e5906fff42cb9fda6005bf5bdcb5"
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_OP = st.tuples(
+    st.integers(min_value=0, max_value=4),   # key index (small → collisions)
+    st.integers(min_value=0, max_value=99),  # value
+    st.booleans(),                           # delete sign
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_OP, min_size=1, max_size=6), min_size=1, max_size=4))
+def test_upsert_delete_property(spark, tmp_path_factory, batches):
+    """Property: ANY sequence of upsert batches with delete signs lands
+    exactly where a sequential per-key store lands — version order is the
+    global seq (batch boundaries irrelevant), a winning delete removes
+    the key, a later write resurrects it. Random small keyspace forces
+    update/delete/resurrect collisions the fixed fixtures can't cover."""
+    path = str(tmp_path_factory.mktemp("prop") / "t")
+    store: dict = {}
+    seq = 0
+    for batch in batches:
+        rows = []
+        for key_i, val, ds in batch:
+            seq += 1
+            rows.append((f"k{key_i}", val, seq, ds))
+        spark_batch = spark.createDataFrame(
+            rows, "key STRING, val INT, seq INT, ds BOOLEAN"
+        )
+        upsert_table(spark, spark_batch, path, keys=["key"],
+                     order_col="seq", delete_col="ds")
+        # sequential replay of the same batch in seq order
+        for key, val, s, ds in rows:
+            if ds:
+                store.pop(key, None)
+            else:
+                store[key] = val
+    got = {r.key: r.val for r in spark.read.parquet(path).collect()}
+    assert got == store
