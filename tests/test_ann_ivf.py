@@ -73,3 +73,22 @@ def test_ivf_candidates_are_bucket_pruned(spark, sf_dir):
              .withColumnRenamed("count", "n").collect()}
     for q_id, cnt in per_q.items():
         assert cnt < 0.8 * n, (q_id, cnt, n)
+
+
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    """l37's PQ index must be INFORMATIVE: the ADC shortlist's exact
+    re-rank recovers well over half of the true cosine top-10 (measured
+    0.72 at sf0.01 with the seed-sample codebook), where a random
+    50-of-N shortlist would land ~0.1. Guards against the quantizer
+    degenerating (e.g. every vector mapping to one code, which would
+    keep the oracle green — both engines would agree on garbage — while
+    the index carries no signal)."""
+    from zg_etl_spark import plans
+
+    qs = plans.all_queries()
+    brute = {(r.q_id, r.cand_id)
+             for r in qs["l8_ann_bruteforce"](spark, sf_dir).collect()}
+    pq = {(r.q_id, r.cand_id)
+          for r in qs["l37_pq_ann"](spark, sf_dir).collect()}
+    recall = len(brute & pq) / len(brute)
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall:.2f}"

@@ -77,6 +77,10 @@ class LD:
         return f"concat_ws(' ', slice({arr}, {start_var}, {n}))"
 
     @staticmethod
+    def vslice(arr: str, start: str, n: int) -> str:
+        return f"slice({arr}, {start}, {n})"
+
+    @staticmethod
     def strpos(s: str, sub: str) -> str:
         return f"instr({s}, {sub})"
 
@@ -173,6 +177,10 @@ class DD:
     @staticmethod
     def slice_join(arr: str, start_var: str, n: int) -> str:
         return f"array_to_string({arr}[{start_var}:{start_var}+{n - 1}], ' ')"
+
+    @staticmethod
+    def vslice(arr: str, start: str, n: int) -> str:
+        return f"({arr})[{start}:({start}) + {n - 1}]"
 
     @staticmethod
     def strpos(s: str, sub: str) -> str:
@@ -1892,3 +1900,97 @@ FROM cursor"""
 
 
 _register("l36_sequence_packing", _l36)
+
+
+# ---------------------------------------------------------------------------
+# L37 product-quantization ANN (the second canonical 100 TB vector path,
+# next to l9's IVF): vectors are cut into M=4 subspaces of 16 dims; each
+# subspace gets a K=8 codeword book (here the seed-sample codebook — the
+# first K vectors sliced; a production deployment trains per-subspace
+# k-means with operators/ann.py's kmeans, exactly like l9's production
+# note). Every vector is ENCODED once as M one-byte codes (16× smaller
+# than the raw floats — the index that fits where 100 TB of vectors
+# don't), and a query scans CODES, not vectors: it builds an M×K lookup
+# table of subspace distances and the per-candidate asymmetric distance
+# is a pure LUT-sum join — no float vector math in the corpus-sized inner
+# loop. The ADC shortlist (top-50) is re-ranked with exact cosine, and
+# only those 50 raw vectors are ever fetched.
+#
+# Scale shape: encoding is one map-only corpus scan against a broadcast
+# 32-row codebook; the query side joins the codes table to a 32-row LUT
+# and aggregates M rows per candidate — shuffle carries (q, cand, 4
+# doubles), never embeddings. Deterministic end-to-end (left-fold float
+# sums are order-identical in both engines; rank ties break on cand_id),
+# so the oracle is value-exact.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_SHORTLIST = 4, 16, 8, 50
+
+
+def _pq_d2(d, a: str, b: str) -> str:
+    """Squared L2 via dot-product algebra (reuses the shared fold helpers;
+    identical left-fold order in both engines)."""
+    return (f"({d.fold_sum(d.zip_mul(a, a))} "
+            f"- 2 * {d.fold_sum(d.zip_mul(a, b))} "
+            f"+ {d.fold_sum(d.zip_mul(b, b))})")
+
+
+def _l37(d) -> str:
+    vec = d.dvec("e.embedding")
+    subs = ", ".join(
+        f"({j}, {j * _PQ_SUBDIM + 1})" for j in range(_PQ_M)
+    )
+    sl = d.vslice(vec, "s.sub_start", _PQ_SUBDIM)
+    cos = _cosine(d, d.dvec("q.embedding"), d.dvec("c.embedding"))
+    return f"""
+WITH subs(sub_j, sub_start) AS (VALUES {subs}),
+cb AS (
+  SELECT e.vec_id AS c_id, s.sub_j, {sl} AS cvec
+  FROM embeddings e CROSS JOIN subs s WHERE e.vec_id < {_PQ_K}
+),
+sliced AS (
+  SELECT e.vec_id, s.sub_j, {sl} AS svec
+  FROM embeddings e CROSS JOIN subs s
+),
+enc AS (
+  SELECT vec_id, sub_j, c_id AS code FROM (
+    SELECT v.vec_id, v.sub_j, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub_j
+                              ORDER BY {_pq_d2(d, 'v.svec', 'c.cvec')} ASC,
+                                       c.c_id) AS rn
+    FROM sliced v JOIN cb c ON c.sub_j = v.sub_j
+  ) x WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS q_id, c.sub_j, c.c_id,
+         {_pq_d2(d, 'q.svec', 'c.cvec')} AS dq
+  FROM sliced q JOIN cb c ON c.sub_j = q.sub_j WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT l.q_id, t.vec_id AS cand_id, SUM(l.dq) AS adist
+  FROM enc t JOIN lut l ON l.sub_j = t.sub_j AND l.c_id = t.code
+  WHERE t.vec_id != l.q_id
+  GROUP BY l.q_id, t.vec_id
+),
+short AS (
+  SELECT q_id, cand_id FROM (
+    SELECT q_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adist ASC, cand_id) AS rn
+    FROM adc
+  ) x WHERE rn <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT sh.q_id, sh.cand_id, round({cos}, 4) AS cosine
+  FROM short sh
+  JOIN embeddings q ON q.vec_id = sh.q_id
+  JOIN embeddings c ON c.vec_id = sh.cand_id
+)
+SELECT q_id, cand_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cosine DESC, cand_id) AS BIGINT)
+            AS rank
+  FROM rerank
+) x WHERE rank <= 10"""
+
+
+_register("l37_pq_ann", _l37)
