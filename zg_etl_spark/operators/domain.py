@@ -679,17 +679,23 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     # (UserPropertyTransfer.java:30-33) joins in at projection time
     # user-prop blacklist drops the key before dictionary registration
     # (UserPropAsyncOperator.java:112-260)
+    # zg_uid rides along for the TRANSFER gate (UserPropertyTransfer.java:
+    # 55-59 emits rows only for IDENTIFIED users); registration below
+    # stays ungated — the dictionary operator annotates the message before
+    # the transfer decides whether rows ship
     out.append((
         "usr_props_melted",
         f"""
   SELECT m.* FROM (
-  SELECT app_id, owner, zg_id, seq, '_k' AS prop_name, {d.s('k')} AS prop_value,
+  SELECT app_id, owner, zg_id, zg_uid, seq, '_k' AS prop_name,
+         {d.s('k')} AS prop_value,
          2 AS prop_type FROM resolved WHERE dt = 'usr'
   UNION ALL
-  SELECT app_id, owner, zg_id, seq, '_plname', pl, 1
+  SELECT app_id, owner, zg_id, zg_uid, seq, '_plname', pl, 1
   FROM resolved WHERE dt = 'usr'
   UNION ALL
-  SELECT app_id, owner, zg_id, seq, '_vbucket', {d.s(d.idiv('k', '10'))}, 2
+  SELECT app_id, owner, zg_id, zg_uid, seq, '_vbucket',
+         {d.s(d.idiv('k', '10'))}, 2
   FROM resolved WHERE dt = 'usr' AND k IS NOT NULL
   ) m
   LEFT JOIN uprop_bl ub ON ub.ub_app_id = m.app_id

@@ -451,6 +451,9 @@ _register("p8_wide_table", _p8)
 # (R6, UserPropertyTransfer.java:48-164)
 # ---------------------------------------------------------------------------
 def _p9(d: Dialect) -> str:
+    # transfer gate (UserPropertyTransfer.java:55-59): rows ship only for
+    # IDENTIFIED users (zg_uid present); property names lose the "_"
+    # prefix (propKey.substring(1), :126)
     return f"""
 SELECT app_id, zg_id, property_name, property_value,
        CAST(property_data_type AS INT) AS property_data_type,
@@ -459,10 +462,10 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY app_id, zg_id, property_name
                                ORDER BY seq DESC) AS rn
   FROM (
-    SELECT app_id, zg_id, seq, '_k' AS property_name,
+    SELECT app_id, zg_id, seq, 'k' AS property_name,
            {d.s('k')} AS property_value, 2 AS property_data_type,
            1 AS property_id
-    FROM resolved WHERE dt = 'usr'
+    FROM resolved WHERE dt = 'usr' AND zg_uid IS NOT NULL
     UNION ALL
     SELECT app_id, zg_id, seq, 'app_user_id', cuid, 1, -1
     FROM resolved WHERE dt = 'usr' AND cuid IS NOT NULL
@@ -693,7 +696,7 @@ def _p17(d: Dialect) -> str:
 SELECT app_id, zg_id, property_name, property_value, property_id,
        CAST(property_data_type AS INT) AS property_data_type
 FROM (
-  SELECT m.app_id, m.zg_id, m.prop_name AS property_name,
+  SELECT m.app_id, m.zg_id, substring(m.prop_name, 2) AS property_name,
          m.prop_value AS property_value, dct.prop_id AS property_id,
          dct.prop_type AS property_data_type,
          ROW_NUMBER() OVER (PARTITION BY m.app_id, m.zg_id, m.prop_name
@@ -701,6 +704,7 @@ FROM (
   FROM usr_props_melted m
   JOIN user_prop_dict dct ON dct.app_id = m.app_id AND dct.owner = m.owner
                          AND dct.prop_name = m.prop_name
+  WHERE m.zg_uid IS NOT NULL
   UNION ALL
   SELECT app_id, zg_id, 'app_user_id', cuid, -1, 1,
          ROW_NUMBER() OVER (PARTITION BY app_id, zg_id ORDER BY seq DESC)
