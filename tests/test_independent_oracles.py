@@ -925,12 +925,10 @@ def test_incremental_dedup_matches_python_index(spark, sf_dir):
 # store must equal the engine's set-based keep-latest + sign-filter result.
 # ---------------------------------------------------------------------------
 def test_delete_sign_upsert_matches_sequential_store(spark, sf_dir):
-    rows = _rows(
-        spark, sf_dir,
-        """SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-                  ct DIV 1000 AS begin_date, CAST(pl_id AS INT) AS platform, seq
-           FROM resolved""",
-    )
+    from zg_etl_spark.operators.domain import SPARK
+    from zg_etl_spark.plans.pipeline import b_user_rows_sql
+
+    rows = _rows(spark, sf_dir, b_user_rows_sql(SPARK))
     maxseq = max(r.seq for r in rows)
     # the three w6 batches flattened to (seq, key, payload-or-None): batch
     # boundaries are irrelevant to a version-ordered store, which is the

@@ -480,14 +480,28 @@ _register("p9_user_properties", _p9)
 # P10 upsert grain: b_user — UNIQUE KEY(device_id, zg_id) keep-latest
 # (schema.sql:1-24; MERGE-on-write emulated as row_number dedup)
 # ---------------------------------------------------------------------------
+def b_user_rows_sql(d: Dialect) -> str:
+    """The b_user row grain (UserTransfer.java:38-90 + schema.sql:1-24):
+    NUMERIC zg_did/zg_uid ids (the table's BIGINT device_id/user_id
+    columns — NOT the raw did/cuid strings), begin_date = ct seconds,
+    and rows whose tz is out of the ±48 h validity range are SKIPPED
+    entirely (timestampToDateString:94-96 returns \\N → transfer null).
+    Single source for p10/w1/w3/w6/w7/s8 and the independent store
+    replay."""
+    return f"""
+SELECT app_id, zg_did AS device_id, zg_id, zg_uid AS user_id,
+       {d.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
+       seq
+FROM resolved WHERE abs(tzoff) <= 172800000"""
+
+
 def _p10(d: Dialect) -> str:
     return f"""
 SELECT app_id, device_id, zg_id, user_id, begin_date, platform
 FROM (
-  SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-         {d.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
-         ROW_NUMBER() OVER (PARTITION BY app_id, did, zg_id ORDER BY seq DESC) AS rn
-  FROM resolved
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY app_id, device_id, zg_id
+                               ORDER BY seq DESC) AS rn
+  FROM ({b_user_rows_sql(d)}) r
 ) x WHERE rn = 1"""
 
 
@@ -763,15 +777,7 @@ def _w1_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from zg_etl_spark.sinks import upsert_table
 
-    rows = spark_pipeline_df(
-        spark,
-        sf_dir,
-        f"""
-SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-       {SPARK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
-       seq
-FROM resolved""",
-    )
+    rows = spark_pipeline_df(spark, sf_dir, b_user_rows_sql(SPARK))
     mid = rows.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
     work = tempfile.mkdtemp(prefix="zg_w1_")
     path = os.path.join(work, "b_user")
@@ -1109,7 +1115,7 @@ def _w3_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         export_stream_load_csv(rows, path)
         schema = (
-            "app_id BIGINT, device_id STRING, zg_id BIGINT, user_id STRING, "
+            "app_id BIGINT, device_id BIGINT, zg_id BIGINT, user_id BIGINT, "
             "begin_date BIGINT, platform INT"
         )
         return (
@@ -1770,13 +1776,7 @@ def _w6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zg_etl_spark.sinks import upsert_table
 
     base = spark_pipeline_df(
-        spark,
-        sf_dir,
-        f"""
-SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-       {SPARK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
-       seq
-FROM resolved""",
+        spark, sf_dir, b_user_rows_sql(SPARK)
     ).localCheckpoint(eager=True)  # three batches + markers reuse the spine scan
     stats = base.selectExpr(
         "percentile_approx(seq, 0.5) AS m", "max(seq) AS mx"
@@ -1789,7 +1789,7 @@ FROM resolved""",
         .distinct()
         .selectExpr(
             "app_id", "device_id", "zg_id",
-            "CAST(NULL AS STRING) AS user_id",
+            "CAST(NULL AS BIGINT) AS user_id",
             "CAST(NULL AS BIGINT) AS begin_date",
             "CAST(NULL AS INT) AS platform",
             f"CAST({maxseq} + 1 AS BIGINT) AS seq",
@@ -1853,13 +1853,7 @@ def _w7_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zg_etl_spark.sinks import upsert_table
 
     base = spark_pipeline_df(
-        spark,
-        sf_dir,
-        f"""
-SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-       {SPARK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
-       seq
-FROM resolved""",
+        spark, sf_dir, b_user_rows_sql(SPARK)
     ).localCheckpoint(eager=True)
     b1 = base.filter(F.col("seq") % 2 == 0)
     b2 = base.filter(F.col("seq") % 2 == 1).withColumn(
@@ -1889,12 +1883,9 @@ ORACLE["w7_schema_evolution"] = duck_pipeline_sql(f"""
 SELECT app_id, device_id, zg_id, user_id, begin_date, platform,
        CASE WHEN seq % 2 = 1 THEN zg_id % 5 END AS vip_level
 FROM (
-  SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-         {DUCK.idiv('ct', '1000')} AS begin_date, CAST(pl_id AS INT) AS platform,
-         seq,
-         ROW_NUMBER() OVER (PARTITION BY app_id, did, zg_id
-                            ORDER BY seq DESC) AS rn
-  FROM resolved
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY app_id, device_id, zg_id
+                               ORDER BY seq DESC) AS rn
+  FROM ({b_user_rows_sql(DUCK)}) r
 ) x WHERE rn = 1""")
 
 

@@ -649,14 +649,12 @@ def _s8(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SRC_MEMO:
         import atexit
 
+        from zg_etl_spark.operators.domain import SPARK
+        from zg_etl_spark.plans.pipeline import b_user_rows_sql
+
         src = tempfile.mkdtemp(prefix="zg_s8_src_")
         base = spark_pipeline_df(
-            spark,
-            sf_dir,
-            """
-SELECT app_id, did AS device_id, zg_id, cuid AS user_id,
-       ct DIV 1000 AS begin_date, CAST(pl_id AS INT) AS platform, seq
-FROM resolved""",
+            spark, sf_dir, b_user_rows_sql(SPARK)
         ).localCheckpoint(eager=True)
         stats = base.selectExpr(
             "percentile_approx(seq, 0.5) AS m", "max(seq) AS mx"
@@ -668,7 +666,7 @@ FROM resolved""",
             .distinct()
             .selectExpr(
                 "app_id", "device_id", "zg_id",
-                "CAST(NULL AS STRING) AS user_id",
+                "CAST(NULL AS BIGINT) AS user_id",
                 "CAST(NULL AS BIGINT) AS begin_date",
                 "CAST(NULL AS INT) AS platform",
                 f"CAST({stats.mx} + 1 AS BIGINT) AS seq",
@@ -700,8 +698,8 @@ FROM resolved""",
     try:
         q = (
             spark.readStream.schema(
-                "app_id BIGINT, device_id STRING, zg_id BIGINT, "
-                "user_id STRING, begin_date BIGINT, platform INT, "
+                "app_id BIGINT, device_id BIGINT, zg_id BIGINT, "
+                "user_id BIGINT, begin_date BIGINT, platform INT, "
                 "seq BIGINT, _ds BOOLEAN"
             )
             .option("maxFilesPerTrigger", 1)
