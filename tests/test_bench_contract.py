@@ -25,8 +25,11 @@ def test_correctness_window_composition():
     want_prefixes += [f"p{i}_" for i in range(37, 41)]
     want_prefixes += [f"l{i}_" for i in range(28, 37)]
     want_prefixes += ["p5_", "p6_", "p7_", "p8_", "w1_", "w4_"]
-    want_prefixes += [f"p{i}_" for i in range(13, 27)]
-    want_prefixes += ["p1_", "p2_", "p3_", "p9_", "p10_", "p11_"]
+    # p21 yields its slot to p12, whose archive key directions changed in
+    # round 4 (p21's formulation is the stale-era band's simplest member;
+    # it stays locally verified and is a round-5 rotation candidate)
+    want_prefixes += [f"p{i}_" for i in range(13, 27) if i != 21]
+    want_prefixes += ["p1_", "p2_", "p3_", "p9_", "p10_", "p11_", "p12_"]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"

@@ -25,7 +25,8 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      (watermark-bounded dedup), p6 (arbitrary-N filters), p5 (custom-bag
 #      fields), p7/p8 (inlined UA parser), w1/w4/w6 (sink rework);
 #   3. the r2-era band whose spine changed in round 3 and whose rows are
-#      therefore stale attestations: p11, p13-p26, p1-p3, p9, p10;
+#      therefore stale attestations: p11, p13-p26 (minus p21, which
+#      yields to the archive-fix p12), p1-p3, p9, p10, p12;
 #   4. queries whose round-4 rework/addition displaced the remaining
 #      stale-era candidates (w2's r2 row attests its unchanged TPC-H
 #      formulation exactly, so it yields its slot): s2 (foreachBatch
@@ -35,7 +36,7 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      sweep).
 # The remainder (l1-l35 minus additions, s1/s3-s5, g1, p0, p4, p12,
 # p27-p36, w2, w3, the q-suite except q11) stays in the tail, covered by
-# the local sf0.01 parity rehearsal; p12/w3's stale-era rows are the
+# the local sf0.01 parity rehearsal; p21/w3's stale-era rows are the
 # first candidates for the round-5 window.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
@@ -74,7 +75,7 @@ _WINDOW = [
     "p18_device_props",
     "p19_event_highwater",
     "p20_asof_props",
-    "p21_sink_counts",
+    "p12_id_archive",
     "p22_session_attribution",
     "p23_ad_conversion",
     "p24_app_first_seen",

@@ -570,6 +570,10 @@ _register("p11_b_device_upsert", _p11)
 # sql/id_archive_tables.sql:9-94)
 # ---------------------------------------------------------------------------
 def _p12(d: Dialect) -> str:
+    # the five mapping tables' key→value directions follow
+    # id_archive_tables.sql's 对照关系 exactly: DEVICE deviceMd5→zgDeviceId,
+    # USER cuid→zgUserId, DEVICE_ZGID zgDeviceId→zgId, USER_ZGID
+    # zgUserId→zgId, ZGID_USER zgId→zgUserId (reverse map)
     return f"""
 SELECT archive_type, app_id, map_key, map_id FROM (
   SELECT 'device' AS archive_type, app_id, did AS map_key, zg_did AS map_id
@@ -577,9 +581,9 @@ SELECT archive_type, app_id, map_key, map_id FROM (
   UNION ALL
   SELECT 'user', app_id, cuid, zg_uid FROM uid_ids
   UNION ALL
-  SELECT 'device_zgid', app_id, did, zg_id FROM device_zgid
+  SELECT 'device_zgid', app_id, {d.s('zg_did')}, zg_id FROM device_zgid
   UNION ALL
-  SELECT 'user_zgid', app_id, cuid, 300000 + zg_uid FROM uid_ids
+  SELECT 'user_zgid', app_id, {d.s('zg_uid')}, 300000 + zg_uid FROM uid_ids
   UNION ALL
   SELECT 'zgid_user', app_id, {d.s('(300000 + zg_uid)')}, zg_uid FROM uid_ids
 ) u"""
