@@ -34,8 +34,8 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      delete-sign sink), g2 (reference-faithful wire transports), g3
 #      (real RSA key-unwrap), w7 (schema evolution), w8 (retention
 #      sweep).
-# The remainder (l1-l35 minus additions, s1/s3-s5, g1, p0, p4, p12,
-# p27-p36, w2, w3, the q-suite except q11) stays in the tail, covered by
+# The remainder (l1-l27, s1/s3-s5, g1, p0, p4, p21, p27-p36, w2, w3,
+# the q-suite except q11) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; p21/w3's stale-era rows are the
 # first candidates for the round-5 window.
 #
