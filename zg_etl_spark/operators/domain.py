@@ -34,8 +34,16 @@ from __future__ import annotations
 from zg_etl_spark.operators import registries as R
 
 DAY_MS = 86_400_000
-VALID_PAST_MS = 21 * DAY_MS  # configured subtime (reference default 7d,
-VALID_FUTURE_MS = DAY_MS     # config.properties:98-99)
+VALID_PAST_MS = 21 * DAY_MS  # configured subtime (reference ships 7d,
+VALID_FUTURE_MS = DAY_MS     # config.properties:98-99; this deployment
+# fixture uses 21d so multi-week feed rows pass). The SAME (subtime,
+# addtime) pair feeds both the gate's TimeValidator and the transfer's
+# isExpiredTime (DataRouterOperator.java:87-96 passes one pair to both);
+# the transfer re-checks against day-start/day-end boundaries
+# (EventAttrTransfer.java:398-419), a window that strictly CONTAINS the
+# gate's exact-ms window — never binding after the gate, so applying the
+# filter once at the gate is exact. s6's dedup watermark derives from
+# VALID_PAST_MS too; the constants must move together.
 
 # physical cus{n}/type{n} width of the wide event table — the reference's
 # `EventAttrRow.configure(customColumns)` (AllJob.java:41-42), default 100
