@@ -512,6 +512,15 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     # hyphen / CJK / $ allowed (ErrorMessageEnum.java EVENT_NAME_INVALID);
     # invalid names never enter the dictionary (no auto-create)
     name_valid = d.rlike("substring(event_name, 1, 100)", "^[0-9A-Za-z_$一-龥-]+$")
+    # KNOWN GAP (round-5 item): the reference's virtual-event fan-out rows
+    # (dt='vtl', owner zg_vtl) ALSO flow through the event dictionary and
+    # into the wide table — VirtualEventOperator (IdJob step 7) runs
+    # BEFORE EventAsyncOperator (step 8), whose dt filter includes 'vtl'
+    # (EventAsyncOperator.java:190). Integrating them here means the
+    # synthesized rows join this union (with fresh uuids and the source
+    # row's envelope), count against the per-app creation cap, and reach
+    # p8/s4 — a spine-wide change deliberately deferred to its own
+    # verification window; p6 models the fan-out relation itself.
     out.append((
         "events_typed",
         f"""
