@@ -260,9 +260,110 @@ def custom_attrs(d: Dialect, q: str = "") -> list[tuple[str, str, int]]:
         ("_band", f"CASE WHEN {q}value > 10 THEN 'hi' ELSE 'lo' END", 1),
     ]
 
+# --- V5 virtual-event fan-out, spine form ----------------------------------
+# VirtualEventOperator (IdJob step 7, operator/id/VirtualEventOperator.java:
+# 48-339) synthesizes ONE full message per (source row, matching rule)
+# BEFORE the dictionary step; EventAsyncOperator (step 8) then includes
+# 'vtl' in its dt filter (EventAsyncOperator.java:190), so the derived rows
+# get dictionary ids, count against the per-app creation cap, register
+# their custom bag (EventAttrAsyncOperator.java:185), and land in the wide
+# table. The synthesized row inherits the source row's whole envelope and
+# bag; only owner ('zg_vtl'), dt ('vtl'), and the event name (the rule's
+# virtual_name) are replaced (createVirtualEventMessage :260-326).
+
+# resolved's exact column order: feed → enveloped (+owner, now_ref) →
+# gated (+company_id, business, error_code) → resolved (+zg_did, zg_uid,
+# zg_id). The vtl fan-out branch projects THIS list so its UNION ALL with
+# `SELECT * FROM resolved` stays positionally aligned;
+# tests/test_pipeline.py pins it against the live Spark schema.
+RESOLVED_COLS = [
+    "event_id", "user_id", "event_type", "value", "ct", "seq", "app_id",
+    "ak", "owner_raw", "pl", "pl_id", "sdk", "dt", "did", "cuid",
+    "event_name", "sid", "ip_long", "ip", "ua", "k", "dur", "debug", "ref",
+    "utm_source", "utm_campaign", "utm_content", "net", "cr", "url", "cn",
+    "vn", "business_raw", "rs", "br", "dv", "imei", "jail", "crack",
+    "lang", "tzoff", "zs",
+    "owner", "now_ref", "company_id", "business", "error_code",
+    "zg_did", "zg_uid", "zg_id",
+]
+
+
+def vtl_rule_value(d: Dialect, key: str) -> str:
+    """matchFilters value resolution (VirtualEventOperator.java:237-243):
+    for a rule key ``x`` try the bag key ``_x`` first, then the bag key
+    spelled verbatim, then the raw envelope field — string-typed like the
+    bag. Resolved per rule at plan-build time (rules are registry
+    fixtures, like every other CASE-rendered registry in this module); an
+    unknown key yields NULL, which never equals a filter value — the
+    reference's missing-property behavior."""
+    bag = {name: val for name, val, _ in custom_attrs(d, q="r.")}
+    if "_" + key in bag:
+        return bag["_" + key]
+    if key in bag:
+        return bag[key]
+    if key in ("pl", "k", "event_type", "cuid"):
+        return d.s("r." + key)
+    return f"CAST(NULL AS {d.strtype})"
+
+
+def vtl_rules_values() -> str:
+    """The virtual-event rules as an inline VALUES relation (caller adds
+    the ``AS v(rule_id, rule_app, src_event, virtual_name, alias)`` alias);
+    filters ride separately through vtl_match_any (they are per-rule SQL
+    predicates, not relation columns)."""
+    return R.values_sql(
+        [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
+        ["rule_id", "rule_app", "src_event", "virtual_name", "alias"],
+    )
+
+
+# join ON clause shared by the spine fan-out and p6's provenance query:
+# rules are looked up by (app, source event name) over error-free evt/abp
+# rows (VirtualEventOperator.java:116-157; matching is on the RAW name —
+# truncation happens later, in EventAsyncOperator)
+VTL_JOIN_ON = (
+    "(v.rule_app = 0 OR v.rule_app = r.app_id)\n"
+    "   AND v.src_event = r.event_name AND r.dt IN ('evt', 'abp')"
+)
+
+
+def vtl_match_any(d: Dialect) -> str:
+    """Equality-AND filter disjunction keyed by rule_id — each rule's
+    ARBITRARY-length conjunction (matchFilters iterates the rule's whole
+    map, VirtualEventOperator.java:216-254; empty list = always-match).
+    A map-side predicate on the broadcast rules join — no extra shuffle
+    at any filter count."""
+    per_rule = []
+    for i, (_, _, _, _, filters) in enumerate(R.VIRTUAL_EVENT_RULES):
+        conj = " AND ".join(
+            f"{vtl_rule_value(d, k)} = '{v}'" for k, v in filters
+        ) or "1 = 1"
+        per_rule.append(f"(v.rule_id = {i} AND {conj})")
+    return "\n     OR ".join(per_rule)
+
+
+def _vtl_fanout_select(d: Dialect) -> str:
+    """The synthesized rows, resolved-shaped: every envelope/bag column
+    inherited from the source row, owner/dt/event_name replaced."""
+    repl = {
+        "owner": "'zg_vtl' AS owner",
+        "dt": "'vtl' AS dt",
+        "event_name": "v.virtual_name AS event_name",
+    }
+    cols = ",\n         ".join(repl.get(c, f"r.{c}") for c in RESOLVED_COLS)
+    return f"""
+  SELECT {cols}
+  FROM resolved r
+  JOIN {vtl_rules_values()}
+       AS v(rule_id, rule_app, src_event, virtual_name, alias)
+    ON {VTL_JOIN_ON}
+  WHERE {vtl_match_any(d)}"""
+
+
 # stages whose output is shared by many queries → cached on the Spark side
-# (events_typed deliberately NOT cached: it is a cheap filter over the
-# cached `resolved`, and checkpointing it would copy half the data again)
+# (events_typed deliberately NOT cached: it is a cheap broadcast-join union
+# over the cached `resolved`, and checkpointing it would copy half the data
+# again)
 CACHE_STAGES = {
     "gated",
     "resolved",
