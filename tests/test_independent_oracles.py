@@ -1012,6 +1012,107 @@ def test_virtual_events_match_python_matchfilters(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# V5→M1 integration: the vtl fan-out rows flow through the event
+# dictionary — VirtualEventOperator (IdJob step 7) synthesizes BEFORE
+# EventAsyncOperator (step 8) registers, whose dt filter includes 'vtl'
+# (EventAsyncOperator.java:190), so virtual names get dictionary ids and
+# count against the per-app creation cap exactly like source names
+# (EventAsyncOperator.java:300-326). Sequential simulation: iterate rows
+# in seq (arrival) order, emit source event then matching virtual events
+# per row, get-or-create against plain Python dicts with the preseed /
+# auto-create / cap rules. No SQL shared with the engine.
+# ---------------------------------------------------------------------------
+def test_vtl_dictionary_integration_matches_sequential_simulation(spark, sf_dir):
+    import re
+
+    rows = sorted(
+        _rows(
+            spark, sf_dir,
+            """SELECT app_id, owner, event_name, dt, event_type, pl, k, value,
+                      cuid, seq
+               FROM resolved
+               WHERE dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL""",
+        ),
+        key=lambda r: r.seq,
+    )
+    name_ok = re.compile(r"^[0-9A-Za-z_$一-龥-]+$").fullmatch
+
+    def bag(r) -> dict:
+        return {
+            "_etype": r.event_type,
+            "_k": None if r.k is None else str(r.k),
+            "_vbucket": None if r.k is None else str(r.k // 10),
+            "_plat": r.pl,
+            "_band": "hi" if (r.value is not None and r.value > 10) else "lo",
+        }
+
+    def lookup(r, b: dict, key: str):
+        if "_" + key in b:
+            return b["_" + key]
+        if key in b:
+            return b[key]
+        raw = {"pl": r.pl, "k": None if r.k is None else str(r.k),
+               "event_type": r.event_type, "cuid": r.cuid}
+        return raw.get(key)
+
+    cfg = {app: (dis, ecap) for app, dis, ecap, _ in R.APP_CONFIG}
+    preseed = {(a, o, n): eid for a, o, n, eid in R.EVENT_PRESEED}
+    pre_n = defaultdict(int)
+    for a, _, _, _ in R.EVENT_PRESEED:
+        pre_n[a] += 1
+
+    ungated: dict = {}          # (app, owner, name) -> zg_eid
+    n_ungated = defaultdict(int)
+    created: dict = {}          # non-preseeded names that made it under cap
+    n_new = defaultdict(int)    # non-preseeded first-seen counter per app
+    for r in rows:
+        cands = [("zg" if r.dt == "abp" else r.owner, r.event_name[:100])]
+        if r.dt in ("evt", "abp"):
+            b = bag(r)
+            for rule_app, src_event, vname, _alias, filters in R.VIRTUAL_EVENT_RULES:
+                if rule_app not in (0, r.app_id) or src_event != r.event_name:
+                    continue
+                if all(lookup(r, b, k) == v for k, v in filters):
+                    cands.append(("zg_vtl", vname))
+        # equal-seq tie-break: (owner, name) — the engine's deterministic
+        # stand-in for the reference's source-then-synthesized arrival
+        # order ('zg' < 'zg_vtl' preserves it)
+        for owner, name in sorted(set(cands)):
+            if not name_ok(name):
+                continue
+            k3 = (r.app_id, owner, name)
+            if k3 not in ungated:
+                n_ungated[r.app_id] += 1
+                ungated[k3] = 1000 * r.app_id + n_ungated[r.app_id]
+            if k3 in preseed or k3 in created:
+                continue
+            auto_disabled, cap = cfg[r.app_id]
+            if auto_disabled:
+                continue
+            n_new[r.app_id] += 1
+            if pre_n[r.app_id] + n_new[r.app_id] <= cap:
+                created[k3] = 1000 * r.app_id + pre_n[r.app_id] + n_new[r.app_id]
+
+    got_ungated = {
+        (r.app_id, r.owner, r.event_name): r.zg_eid
+        for r in _rows(spark, sf_dir,
+                       "SELECT app_id, owner, event_name, zg_eid FROM event_dict")
+    }
+    got_eff = {
+        (r.app_id, r.owner, r.event_name): r.zg_eid
+        for r in _rows(spark, sf_dir,
+                       "SELECT app_id, owner, event_name, zg_eid FROM event_dict_eff")
+    }
+    assert got_ungated == ungated
+    assert got_eff == {**created, **preseed}
+    # the integration genuinely bites: virtual names hold dictionary ids,
+    # and on the capped app (1, cap 6) the cap decided membership over a
+    # MIXED source+virtual candidate stream
+    assert any(o == "zg_vtl" for _, o, _ in got_eff)
+    assert sum(1 for (a, _, _) in got_eff if a == 1) == 6
+
+
+# ---------------------------------------------------------------------------
 # V4 virtual attributes over the custom bag: re-evaluate the bag-field
 # rules (band_tag, deep_bucket, u_band) with plain Python string/number
 # semantics — the reference evaluator resolves "_"-keys from the record's

@@ -127,6 +127,29 @@ def test_wide_table_pivot_is_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan, f"p8 dim join fell off broadcast:\n{plan}"
 
 
+def test_vtl_union_reuses_cached_resolved(spark, sf_dir):
+    """events_typed is a UNION ALL of a filter over `resolved` and the
+    vtl fan-out join — BOTH branches must read the checkpointed resolved
+    RDD (never re-derive the spine from events.parquet), and the rules
+    side must broadcast (the fan-out adds zero fact shuffles; the only
+    Exchange under events_typed is the rules BroadcastExchange)."""
+    from zg_etl_spark.operators.domain import ensure_pipeline_views
+
+    ensure_pipeline_views(spark, sf_dir)
+    plan = _plan(spark.table("events_typed"), "simple")
+    assert "events.parquet" not in plan, (
+        f"events_typed re-derives the spine from the source scan:\n{plan}"
+    )
+    assert plan.count("Scan ExistingRDD") == 2, (
+        f"expected both union branches to scan checkpointed resolved:\n{plan}"
+    )
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert not shuffles, f"vtl fan-out shuffles the fact:\n{plan}"
+
+
 @pytest.mark.parametrize("name", ["l4_ngram_jaccard", "l6_lsh_candidates"])
 def test_shared_views_not_recomputed(spark, sf_dir, name):
     """Queries over a shared derived set (shingles / minhash signatures)

@@ -290,12 +290,17 @@ RESOLVED_COLS = [
 
 def vtl_rule_value(d: Dialect, key: str) -> str:
     """matchFilters value resolution (VirtualEventOperator.java:237-243):
-    for a rule key ``x`` try the bag key ``_x`` first, then the bag key
-    spelled verbatim, then the raw envelope field — string-typed like the
-    bag. Resolved per rule at plan-build time (rules are registry
-    fixtures, like every other CASE-rendered registry in this module); an
-    unknown key yields NULL, which never equals a filter value — the
-    reference's missing-property behavior."""
+    for a rule key ``x`` the reference tries the bag key ``_x`` first,
+    then the bag key spelled verbatim — nothing else. The third tier here
+    (raw envelope fields pl/k/event_type/cuid) is a DELIBERATE
+    fixture-modeling deviation: real SDK payloads carry bare-spelled bag
+    keys mirroring envelope fields, which our synthetic 5-key bag lacks,
+    so the envelope stands in for them (it is how the multi-key rules in
+    registries.VIRTUAL_EVENT_RULES exercise arbitrary-N conjunctions).
+    Resolved per rule at plan-build time (rules are registry fixtures,
+    like every other CASE-rendered registry in this module); an unknown
+    key yields NULL, which never equals a filter value — the reference's
+    missing-property behavior."""
     bag = {name: val for name, val, _ in custom_attrs(d, q="r.")}
     if "_" + key in bag:
         return bag["_" + key]
@@ -358,6 +363,38 @@ def _vtl_fanout_select(d: Dialect) -> str:
        AS v(rule_id, rule_app, src_event, virtual_name, alias)
     ON {VTL_JOIN_ON}
   WHERE {vtl_match_any(d)}"""
+
+
+def vtl_fanout_df(batch):
+    """Per-micro-batch DataFrame rendering of the same fan-out, for the
+    streaming route stage (the reference runs VirtualEventOperator as a
+    stream operator between the id and dictionary steps, IdJob step 7).
+    Identical rule table, join condition, and match predicate as the batch
+    `_vtl_fanout_select` — rendered over whatever envelope subset the
+    stream carries: every batch column is inherited, owner/dt/event_name
+    replaced (createVirtualEventMessage, VirtualEventOperator.java:
+    260-326). The rules side is broadcast — the fan-out adds no shuffle
+    to the micro-batch at any rule count."""
+    from pyspark.sql import functions as F
+
+    rules = batch.sparkSession.createDataFrame(
+        [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
+        "rule_id INT, rule_app BIGINT, src_event STRING, "
+        "virtual_name STRING, alias STRING",
+    )
+    joined = (
+        batch.alias("r")
+        .join(F.broadcast(rules.alias("v")), F.expr(VTL_JOIN_ON), "inner")
+        .where(F.expr(vtl_match_any(SPARK)))
+    )
+    repl = {
+        "owner": F.lit("zg_vtl"),
+        "dt": F.lit("vtl"),
+        "event_name": F.col("v.virtual_name"),
+    }
+    return joined.select(
+        *[repl.get(c, F.col(f"r.{c}")).alias(c) for c in batch.columns]
+    )
 
 
 # stages whose output is shared by many queries → cached on the Spark side
@@ -613,23 +650,28 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     # hyphen / CJK / $ allowed (ErrorMessageEnum.java EVENT_NAME_INVALID);
     # invalid names never enter the dictionary (no auto-create)
     name_valid = d.rlike("substring(event_name, 1, 100)", "^[0-9A-Za-z_$一-龥-]+$")
-    # KNOWN GAP (round-5 item): the reference's virtual-event fan-out rows
-    # (dt='vtl', owner zg_vtl) ALSO flow through the event dictionary and
-    # into the wide table — VirtualEventOperator (IdJob step 7) runs
-    # BEFORE EventAsyncOperator (step 8), whose dt filter includes 'vtl'
-    # (EventAsyncOperator.java:190). Integrating them here means the
-    # synthesized rows join this union (with fresh uuids and the source
-    # row's envelope), count against the per-app creation cap, and reach
-    # p8/s4 — a spine-wide change deliberately deferred to its own
-    # verification window; p6 models the fan-out relation itself.
+    # Virtual-event fan-out rows (dt='vtl', owner zg_vtl) enter the spine
+    # HERE: VirtualEventOperator (IdJob step 7) runs BEFORE
+    # EventAsyncOperator (step 8), whose dt filter includes 'vtl'
+    # (EventAsyncOperator.java:190), so the synthesized rows register in
+    # the event dictionary, count against the per-app creation cap,
+    # register their custom bag, and reach the wide table / streaming
+    # route (p4, p8, p29, p36, s4). Both UNION branches project
+    # RESOLVED_COLS by name, so the union cannot silently misalign;
+    # tests/test_pipeline.py pins RESOLVED_COLS against the live schema.
     out.append((
         "events_typed",
         f"""
   SELECT *, CASE WHEN dt = 'abp' THEN 'zg' ELSE owner END AS owner_e,
          substring(event_name, 1, 100) AS event_name_t,
          {name_valid} AS name_valid
-  FROM resolved
-  WHERE dt IN ('evt', 'abp', 'mkt') AND event_name IS NOT NULL""",
+  FROM (
+    SELECT {', '.join(RESOLVED_COLS)} FROM resolved
+    WHERE dt IN ('evt', 'abp', 'mkt')
+    UNION ALL
+    {_vtl_fanout_select(d)}
+  ) u
+  WHERE event_name IS NOT NULL""",
     ))
     out.append((
         "event_first",
@@ -639,12 +681,23 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
   FROM events_typed WHERE name_valid
   GROUP BY app_id, owner_e, event_name_t""",
     ))
+    # first_seq ties EXIST since the vtl fan-out: a synthesized row shares
+    # its source row's seq, so a first-seen source name and a first-seen
+    # virtual name can tie. The reference resolves ties by arrival order
+    # (the synthesized message is emitted after its source,
+    # VirtualEventOperator.java:260-326); the deterministic batch stand-in
+    # is (first_seq, owner, event_name) — 'zg' < 'zg_vtl' puts the source
+    # name first, matching arrival order, and it is byte-identical to the
+    # streaming get-or-create's tie-break (engine.py
+    # incremental_get_or_create orders by first_seq, *key_cols), which
+    # keeps the s4 oracle exact.
     out.append((
         "event_dict",
         """
   SELECT app_id, owner, event_name,
          CAST(1000 * app_id +
-              DENSE_RANK() OVER (PARTITION BY app_id ORDER BY first_seq)
+              DENSE_RANK() OVER (PARTITION BY app_id
+                                 ORDER BY first_seq, owner, event_name)
               AS BIGINT) AS zg_eid
   FROM event_first""",
     ))
@@ -694,7 +747,9 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
   FROM (
     SELECT ef.app_id, ef.owner, ef.event_name, c.event_cap,
            COALESCE(pc.pre_n, 0) AS pre_n,
-           DENSE_RANK() OVER (PARTITION BY ef.app_id ORDER BY ef.first_seq) AS rk
+           DENSE_RANK() OVER (PARTITION BY ef.app_id
+                              ORDER BY ef.first_seq, ef.owner, ef.event_name)
+               AS rk
     FROM event_first ef
     JOIN app_cfg c ON c.cfg_app_id = ef.app_id
     LEFT JOIN event_preseed p ON p.ps_app_id = ef.app_id

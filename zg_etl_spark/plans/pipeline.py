@@ -205,43 +205,20 @@ _register("p5_virtual_attrs", _p5)
 # P6 virtual events: rule-driven 1→N fan-out (V5) — derived rows get owner
 # zg_vtl / dt vtl with provenance (VirtualEventOperator.java:260-326)
 # ---------------------------------------------------------------------------
-def _pr_value(d: Dialect, key: str) -> str:
-    """matchFilters value resolution (VirtualEventOperator.java:237-243):
-    for a rule key ``x`` try the bag key ``_x`` first, then the bag key
-    spelled verbatim, then the raw envelope field — string-typed like the
-    bag. Resolved per rule at plan-build time (rules are registry
-    fixtures, like every other CASE-rendered registry in this module); an
-    unknown key yields NULL, which never equals a filter value — the
-    reference's missing-property behavior."""
-    from zg_etl_spark.operators.domain import custom_attrs
-
-    bag = {name: val for name, val, _ in custom_attrs(d, q="r.")}
-    if "_" + key in bag:
-        return bag["_" + key]
-    if key in bag:
-        return bag[key]
-    if key in ("pl", "k", "event_type", "cuid"):
-        return d.s("r." + key)
-    return f"CAST(NULL AS {d.strtype})"
-
-
 def _p6(d: Dialect) -> str:
-    # filters are an equality-AND over an ARBITRARY-length pair list
+    # provenance view over the SAME rule table / join / match predicate
+    # the spine fan-out uses (operators/domain.py vtl_rules_values,
+    # VTL_JOIN_ON, vtl_match_any — one definition, no drift): filters are
+    # an equality-AND over an ARBITRARY-length pair list
     # (VirtualEventOperator.java:216-254 iterates the rule's whole map);
-    # each rule carries its own conjunction, keyed by rule_id — the match
-    # stays a map-side predicate on the broadcast rules join, no extra
-    # shuffle at any filter count
-    rules = R.values_sql(
-        [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
-        ["rule_id", "rule_app", "src_event", "virtual_name", "alias"],
+    # the match stays a map-side predicate on the broadcast rules join,
+    # no extra shuffle at any filter count
+    from zg_etl_spark.operators.domain import (
+        VTL_JOIN_ON,
+        vtl_match_any,
+        vtl_rules_values,
     )
-    per_rule = []
-    for i, (_, _, _, _, filters) in enumerate(R.VIRTUAL_EVENT_RULES):
-        conj = " AND ".join(
-            f"{_pr_value(d, k)} = '{v}'" for k, v in filters
-        ) or "1 = 1"
-        per_rule.append(f"(v.rule_id = {i} AND {conj})")
-    match_any = "\n     OR ".join(per_rule)
+
     return f"""
 SELECT app_id, 'zg_vtl' AS owner, 'vtl' AS dt, virtual_name,
        virtual_alias, event_owner, event_name_src, event_dt_src,
@@ -251,10 +228,10 @@ FROM (
          r.owner AS event_owner, r.event_name AS event_name_src,
          r.dt AS event_dt_src
   FROM resolved r
-  JOIN {rules} AS v(rule_id, rule_app, src_event, virtual_name, alias)
-    ON (v.rule_app = 0 OR v.rule_app = r.app_id)
-   AND v.src_event = r.event_name AND r.dt IN ('evt', 'abp')
-  WHERE {match_any}
+  JOIN {vtl_rules_values()}
+       AS v(rule_id, rule_app, src_event, virtual_name, alias)
+    ON {VTL_JOIN_ON}
+  WHERE {vtl_match_any(d)}
 ) x
 GROUP BY app_id, virtual_name, virtual_alias, event_owner,
          event_name_src, event_dt_src"""
@@ -369,6 +346,12 @@ def _p8(d: Dialect) -> str:
     # the BROADCAST hint is a comment to DuckDB, a join-strategy pin to
     # Spark: checkpointed dict views carry no stats, so without it the
     # planner falls back to SortMergeJoin (two fact shuffles)
+    #
+    # uuid: synthesized vtl rows inherit their source row's seq, but the
+    # reference regenerates $uuid for every synthesized row
+    # (VirtualEventOperator.java:305-315 "产生的虚拟事件重新生成uuid") —
+    # the deterministic batch stand-in salts the hash with the virtual
+    # name, unique per (source row, rule) since rule names are distinct
     cols = (
         "event_id, app_id, zg_id, zg_did, zg_uid, sid, dt, seq, ct, pl_id, "
         "net, cr, ua, url, ref, cn, vn, ip_long, ip, utm_source, dur, "
@@ -379,7 +362,9 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
        e.event_id, e.app_id, e.zg_id, e.zg_did, e.zg_uid,
        COALESCE(e.sid, -1) AS zg_sid,
        e.zg_eid,
-       md5({d.s('e.seq')}) AS uuid,
+       md5({d.s('e.seq')} || CASE WHEN e.dt = 'vtl'
+                                  THEN '|' || e.event_name_t
+                                  ELSE '' END) AS uuid,
        CASE e.dt WHEN 'ss' THEN 'st' WHEN 'se' THEN 'se'
                  ELSE {d.clean('e.event_name_t', 256)} END AS event_name,
        CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT) AS begin_day_id,

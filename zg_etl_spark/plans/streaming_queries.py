@@ -79,9 +79,12 @@ _SRC_MEMO: dict = {}
 # row-for-row gate_ok (inner joins against mappings built FROM gate_ok),
 # and a parquet file stream read with a SUBSET schema prunes columns at
 # the reader — so five per-query source builds collapse into one write.
+# k/value/pl ride along for the in-stream virtual-event fan-out (the
+# rule match predicate reads the custom bag + envelope, domain.py
+# vtl_match_any)
 _SUPERSET_SQL = (
     "SELECT event_id, app_id, did, cuid, dt, owner, event_name, "
-    "event_type, ct, seq, zg_did FROM resolved"
+    "event_type, k, value, pl, ct, seq, zg_did FROM resolved"
 )
 
 
@@ -322,7 +325,8 @@ def _s4(spark: SparkSession, sf_dir: str) -> DataFrame:
             source_dir=src,
             schema=(
                 "event_id BIGINT, app_id BIGINT, did STRING, dt STRING, "
-                "owner STRING, event_name STRING, ct BIGINT, seq BIGINT"
+                "owner STRING, event_name STRING, event_type STRING, "
+                "k BIGINT, value DOUBLE, pl STRING, ct BIGINT, seq BIGINT"
             ),
             dev_store_path=os.path.join(work, "dev_store"),
             event_store_path=os.path.join(work, "ev_store"),

@@ -249,28 +249,39 @@ def start_route_stream(
     checkpoint_dir: str,
 ):
     """Streaming route stage (the Dw step of AllJob in streaming form):
-    per micro-batch, get-or-create device IDs AND event-dictionary IDs
-    (two persistent stores), then append the routed event rows.
+    per micro-batch, fan out virtual events, get-or-create device IDs AND
+    event-dictionary IDs (two persistent stores), then append the routed
+    event rows.
 
-    The event-dictionary id scheme matches the batch pipeline exactly
-    (1000*app_id base + first-seen dense rank, EventAsyncOperator.java:
+    The virtual-event fan-out runs in-stream per micro-batch, as the
+    reference runs VirtualEventOperator between the id and dictionary
+    steps (IdJob step 7 before step 8); a synthesized row lands in the
+    same batch as its source row, so first-seen ordering across batches
+    is preserved. The event-dictionary id scheme matches the batch
+    pipeline exactly (1000*app_id base + first-seen dense rank with the
+    (owner, event_name) tie-break for seq ties, EventAsyncOperator.java:
     301-402 semantics), so the streamed output equals the batch
     events_typed ⋈ did_ids ⋈ event_dict join — the oracle s4 states.
     """
+    from zg_etl_spark.operators.domain import vtl_fanout_df
+
     dev_store = MappingStore(spark, dev_store_path, key_col="did", id_col="zg_did")
     ev_store = MappingStore(
         spark, event_store_path, key_col="event_name", id_col="zg_eid"
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        with_dev = incremental_device_ids(dev_store, batch_df)
+        fanned = batch_df.unionByName(vtl_fanout_df(batch_df))
+        with_dev = incremental_device_ids(dev_store, fanned)
         # M1 owner rule + name truncation + validity (EventAsyncOperator
         # .java:120-299): dt=abp forces owner 'zg'; names cap at 100 chars;
         # invalid names (EVENT_NAME_INVALID 1020013) never enter the
         # dictionary — same gate as the batch event_first stage
+        # dt filter includes 'vtl' (EventAsyncOperator.java:190): the
+        # synthesized rows register like any source event
         events = (
             with_dev.filter(
-                F.col("dt").isin("evt", "abp", "mkt")
+                F.col("dt").isin("evt", "abp", "mkt", "vtl")
                 & F.col("event_name").isNotNull()
             )
             .withColumns(
