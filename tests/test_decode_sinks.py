@@ -629,3 +629,84 @@ def test_upsert_delete_property(spark, tmp_path_factory, batches):
                 store[key] = val
     got = {r.key: r.val for r in spark.read.parquet(path).collect()}
     assert got == store
+
+
+def test_partial_upsert_is_partition_scoped(spark, tmp_path):
+    """A partial-update batch touching only app 1 must neither READ nor
+    rewrite app 2's partition — the reference runs partial_columns mode
+    on its b_device / b_user_property sinks (DorisSinkFactory.java:
+    60,96,137), and at 100 TB the previous full-table merge was a
+    table rewrite per micro-batch. Write side: app 2's files keep their
+    names and mtimes. Read side: the existing-table scan carries a
+    partition predicate (static pruning at the scan)."""
+    import glob
+    import os
+
+    from zg_etl_spark.sinks import _restrict_to_touched, partial_upsert_table
+
+    path = str(tmp_path / "b_device_p")
+    seed = spark.createDataFrame(
+        [(1, "d1", "m1", 10, 100), (2, "d9", "m9", 20, 100)],
+        "app_id INT, device_id STRING, model STRING, score INT, seq INT",
+    )
+    partial_upsert_table(
+        spark, seed, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["model", "score"], partition_cols=["app_id"],
+    )
+    app2_files = sorted(glob.glob(os.path.join(path, "app_id=2", "*.parquet")))
+    app2_mtimes = [os.path.getmtime(f) for f in app2_files]
+
+    part = spark.createDataFrame(
+        [(1, "d1", 99, 200), (1, "d3", 12, 201)],
+        "app_id INT, device_id STRING, score INT, seq INT",
+    )
+    partial_upsert_table(
+        spark, part, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["score"], partition_cols=["app_id"],
+    )
+    rows = {r.device_id: r for r in spark.read.parquet(path).collect()}
+    assert rows["d1"].score == 99 and rows["d1"].model == "m1"
+    assert rows["d3"].score == 12 and rows["d3"].model is None
+    assert rows["d9"].score == 20 and rows["d9"].model == "m9"
+    # write side: app 2's partition kept its exact files
+    assert sorted(glob.glob(os.path.join(path, "app_id=2", "*.parquet"))) == app2_files
+    assert [os.path.getmtime(f) for f in app2_files] == app2_mtimes
+    # read side: the same restriction the writer applies prunes at the
+    # scan — PartitionFilters, not a post-scan Filter over both apps
+    existing = spark.read.parquet(path)
+    touched = part.select("app_id").distinct().collect()
+    plan = _restrict_to_touched(spark, existing, ["app_id"], touched)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "app_id" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0]
+
+
+def test_partial_upsert_delete_empties_partition(spark, tmp_path):
+    """A delete-sign batch that removes a partition's last key must drop
+    the stale partition directory (dynamic overwrite never rewrites a
+    partition absent from the output)."""
+    import os
+
+    from zg_etl_spark.sinks import partial_upsert_table
+
+    path = str(tmp_path / "b_device_del")
+    seed = spark.createDataFrame(
+        [(1, "d1", 10, 100), (2, "d9", 20, 100)],
+        "app_id INT, device_id STRING, score INT, seq INT",
+    )
+    partial_upsert_table(
+        spark, seed, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["score"], partition_cols=["app_id"],
+    )
+    dels = spark.createDataFrame(
+        [(2, "d9", None, 200, True)],
+        "app_id INT, device_id STRING, score INT, seq INT, ds BOOLEAN",
+    )
+    partial_upsert_table(
+        spark, dels, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["score"], delete_col="ds", partition_cols=["app_id"],
+    )
+    got = {r.device_id: r.score for r in spark.read.parquet(path).collect()}
+    assert got == {"d1": 10}
+    assert not os.path.exists(os.path.join(path, "app_id=2"))

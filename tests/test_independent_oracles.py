@@ -460,6 +460,15 @@ def test_time_buckets_match_datetime_library(spark, sf_dir):
         hashlib.md5(str(seq).encode()).hexdigest(): ct
         for seq, ct in ct_by_seq.items()
     }
+    # synthesized vtl rows share their source row's ct but salt the uuid
+    # with the virtual name (fresh-uuid contract, VirtualEventOperator
+    # .java:305-315); enumerate every possible (seq, rule) salt so the
+    # n_checked == len(wide) totality assertion keeps holding
+    for seq, ct in ct_by_seq.items():
+        for _, _, vname, _, _ in R.VIRTUAL_EVENT_RULES:
+            uuid_to_ct[
+                hashlib.md5(f"{seq}|{vname}".encode()).hexdigest()
+            ] = ct
     assert wide, "p8 returned no rows"
     n_checked = 0
     for r in wide:

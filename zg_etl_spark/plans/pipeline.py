@@ -1926,3 +1926,114 @@ FROM gate_ok
 WHERE {DUCK.idiv('ct', '86400000')}
       >= (SELECT MAX({DUCK.idiv('ct', '86400000')}) FROM gate_ok) - 3
 GROUP BY {DUCK.idiv('ct', '86400000')}""")
+
+
+# ---------------------------------------------------------------------------
+# W9 partial-column upsert (partition-scoped): the reference's b_device /
+# b_user_property sinks run Doris partial_columns stream-load mode
+# (DorisSinkFactory.java:60,96,137) — matched keys take the incoming
+# values for the carried column subset and KEEP every other column.
+# Three batches against an app_id-partitioned b_device slice: (1) seed
+# with the full column set (even-seq observations), (2) partial update
+# carrying ONLY language/timezone/last_update_date (odd-seq) — matched
+# devices keep their batch-1 device_model, new devices insert it NULL,
+# (3) delete-sign lane removing device_id % 5 = 0 whole rows
+# (EventAttrRow.java:51-53). The merge is partition-scoped: only the
+# touched app partitions are read and rewritten (plan-pinned in
+# tests/test_decode_sinks.py).
+# ---------------------------------------------------------------------------
+def _w9_obs_sql(d: Dialect) -> str:
+    # the b_device column subset the partial mode exercises
+    # (schema.sql:26-66 grain; values per DeviceTransfer.java:30-146)
+    return f"""
+SELECT app_id, zg_did AS device_id,
+       {d.clean('dv', 256)} AS device_model,
+       {d.clean('lang', 256)} AS language,
+       {d.clean(d.s('tzoff'), 256)} AS timezone,
+       {d.idiv('ct', '1000')} AS last_update_date,
+       seq
+FROM resolved WHERE dt = 'pl'"""
+
+
+def _w9_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.sinks import partial_upsert_table
+
+    obs = spark_pipeline_df(spark, sf_dir, _w9_obs_sql(SPARK)).localCheckpoint(
+        eager=True
+    )
+    seed = obs.filter(F.col("seq") % 2 == 0)
+    part = obs.filter(F.col("seq") % 2 == 1).drop("device_model")
+    dels = (
+        obs.filter(F.col("device_id") % 5 == 0)
+        .select("app_id", "device_id")
+        .distinct()
+        .selectExpr(
+            "app_id", "device_id",
+            "CAST(NULL AS STRING) AS language",
+            "CAST(NULL AS STRING) AS timezone",
+            "CAST(NULL AS BIGINT) AS last_update_date",
+            "CAST(9000000000000000000 AS BIGINT) AS seq",  # newer than any
+            "TRUE AS _ds",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="zg_w9_")
+    path = os.path.join(work, "b_device_partial")
+    try:
+        partial_upsert_table(
+            spark, seed, path, keys=["app_id", "device_id"], order_col="seq",
+            update_cols=["device_model", "language", "timezone",
+                         "last_update_date"],
+            partition_cols=["app_id"],
+        )
+        partial_upsert_table(
+            spark, part, path, keys=["app_id", "device_id"], order_col="seq",
+            update_cols=["language", "timezone", "last_update_date"],
+            partition_cols=["app_id"],
+        )
+        partial_upsert_table(
+            spark, dels, path, keys=["app_id", "device_id"], order_col="seq",
+            update_cols=["language", "timezone", "last_update_date"],
+            delete_col="_ds", partition_cols=["app_id"],
+        )
+        return (
+            spark.read.parquet(path)
+            .select("app_id", "device_id", "device_model", "language",
+                    "timezone", "last_update_date")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["w9_partial_upsert"] = _w9_run
+ORACLE["w9_partial_upsert"] = duck_pipeline_sql(f"""
+WITH w9_obs AS ({_w9_obs_sql(DUCK)}),
+w9_b1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY app_id, device_id
+                                 ORDER BY seq DESC) AS rn
+    FROM w9_obs WHERE seq % 2 = 0) x WHERE rn = 1),
+w9_b2 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY app_id, device_id
+                                 ORDER BY seq DESC) AS rn
+    FROM w9_obs WHERE seq % 2 = 1) x WHERE rn = 1)
+SELECT COALESCE(b1.app_id, b2.app_id) AS app_id,
+       COALESCE(b1.device_id, b2.device_id) AS device_id,
+       b1.device_model AS device_model,
+       CASE WHEN b2.device_id IS NOT NULL THEN b2.language
+            ELSE b1.language END AS language,
+       CASE WHEN b2.device_id IS NOT NULL THEN b2.timezone
+            ELSE b1.timezone END AS timezone,
+       CASE WHEN b2.device_id IS NOT NULL THEN b2.last_update_date
+            ELSE b1.last_update_date END AS last_update_date
+FROM w9_b1 b1
+FULL OUTER JOIN w9_b2 b2
+  ON b1.app_id = b2.app_id AND b1.device_id = b2.device_id
+WHERE COALESCE(b1.device_id, b2.device_id) % 5 <> 0""")
