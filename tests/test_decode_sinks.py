@@ -710,3 +710,87 @@ def test_partial_upsert_delete_empties_partition(spark, tmp_path):
     got = {r.device_id: r.score for r in spark.read.parquet(path).collect()}
     assert got == {"d1": 10}
     assert not os.path.exists(os.path.join(path, "app_id=2"))
+
+
+def test_sm3_known_answer_vectors():
+    """Both GB/T 32905-2016 appendix vectors — a transcription error in
+    the IV, T constants, permutations, or padding fails here."""
+    from zg_etl_spark.functions.sm_crypto import sm3
+
+    assert sm3(b"abc").hex() == (
+        "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0"
+    )
+    assert sm3(b"abcd" * 16).hex() == (
+        "debe9ff92275b8a138604889c18e5a4d6fdb70e5387e5765293dcba39c0c5732"
+    )
+
+
+def test_sm2_curve_constants_self_verify():
+    """The sm2p256v1 constants are machine-checked rather than trusted:
+    G must satisfy the curve equation and n·G must be the point at
+    infinity — both fail for any single-digit transcription error."""
+    from zg_etl_spark.functions import sm_crypto as sm
+
+    assert sm.on_curve(sm.G)
+    assert sm.ec_mul(sm.N, sm.G) is None
+    # d·G stays on the curve through the add/double chain
+    d, pub = sm.sm2_keypair()
+    assert sm.on_curve(pub)
+
+
+def test_sm2_roundtrip_and_rejection_classes():
+    """Encrypt/decrypt round-trip (C1C3C2, hex) plus every rejection
+    class the lane must surface as an error row: tampered C2 (C3 MAC
+    mismatch), off-curve C1, short ciphertext, non-hex input."""
+    import pytest as _pytest
+
+    from zg_etl_spark.functions.sm_crypto import (
+        sm2_decrypt_hex, sm2_encrypt_hex, sm2_keypair,
+    )
+
+    d, pub = sm2_keypair()
+    msg = b"0123456789abcdef0123456789abcdef,tag"
+    ct = sm2_encrypt_hex(pub, msg)
+    assert ct.startswith("04") and sm2_decrypt_hex(d, ct) == msg
+    raw = bytearray(bytes.fromhex(ct))
+    raw[-1] ^= 0xFF
+    with _pytest.raises(ValueError):
+        sm2_decrypt_hex(d, raw.hex())
+    with _pytest.raises(ValueError):
+        sm2_decrypt_hex(d, "04" + "11" * 96 + "22" * 16)  # not a point
+    with _pytest.raises(ValueError):
+        sm2_decrypt_hex(d, "04abcd")
+    with _pytest.raises(ValueError):
+        sm2_decrypt_hex(d, "zz" * 120)
+
+
+def test_sm2_key_unwrapper_matches_reference_quirks(spark):
+    """The unwrap lane end-to-end (MsgResolver.java:109-125): hex SM2
+    ciphertext possibly WITHOUT the 04 prefix, plaintext split(',')[0]
+    is the hex SM4 key; the unwrapped key must SM4-decrypt a blob
+    encrypted with the true key."""
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    from zg_etl_spark.functions.sm_crypto import sm2_encrypt_hex, sm2_keypair
+    from zg_etl_spark.operators.decode import (
+        sm2_key_unwrapper, sm4_ecb_decryptor,
+    )
+
+    d, pub = sm2_keypair()
+    sm4_key = bytes(range(16))
+    resolve = sm2_key_unwrapper(format(d, "x"))
+    # with prefix + comma tag
+    w1 = sm2_encrypt_hex(pub, (sm4_key.hex() + ",extra").encode())
+    assert resolve(w1) == sm4_key
+    # WITHOUT the 04 prefix and without a tag
+    w2 = sm2_encrypt_hex(pub, sm4_key.hex().encode())[2:]
+    assert resolve(w2) == sm4_key
+    # end-to-end: the resolver feeds the SM4 decryptor
+    payload = b"zg-sm2-lane-ok"
+    pad = 16 - len(payload) % 16
+    enc = Cipher(algorithms.SM4(sm4_key), modes.ECB()).encryptor()
+    blob = enc.update(payload + bytes([pad]) * pad) + enc.finalize()
+    dec = sm4_ecb_decryptor(resolve)
+    assert dec(blob, w1) == payload

@@ -248,12 +248,40 @@ def rsa_key_unwrapper(private_key_der_b64: str):
     return resolve
 
 
+def sm2_key_unwrapper(private_key_hex: str):
+    """REAL SM2 key-unwrap for the type-2 lane (MsgResolver.java:109-125):
+    ``Args.key`` is HEX ("Bcd") SM2 ciphertext — C1C3C2 order, hutool's
+    default — with a tolerated missing ``04`` uncompressed-point prefix
+    (:112-114). The decrypted UTF-8 plaintext's segment before the first
+    comma is the HEX-encoded SM4 key (``split(",")[0]``, :116-123).
+    The SM2 math is the pure-Python GB/T 32918 implementation in
+    functions/sm_crypto.py (no SM lib exists in this container); the
+    private key is the hex scalar d, as hutool's ``SmUtil.sm2(priKey,
+    null)`` consumes it. Unwraps are cached per wire key — the cost is
+    O(distinct keys), never O(rows)."""
+    cache: dict[str, bytes] = {}
+    d = int(private_key_hex, 16)
+
+    def resolve(wire_key: str) -> bytes:
+        if wire_key not in cache:
+            from zg_etl_spark.functions.sm_crypto import sm2_decrypt_hex
+
+            ct = wire_key if wire_key.startswith("04") else "04" + wire_key
+            plain = sm2_decrypt_hex(d, ct).decode("utf-8")
+            cache[wire_key] = bytes.fromhex(plain.split(",")[0])
+        return cache[wire_key]
+
+    return resolve
+
+
 def sm4_ecb_decryptor(key_resolver):
     """SM4/ECB/PKCS5Padding decryptor — the reference's type-2 cipher
     (MsgResolver.java:109-125: hutool ``SmUtil.sm4`` default mode over a
     key recovered by SM2-decrypting ``Args.key``). ``key_resolver(wire_key)
-    -> key_bytes`` plays that SM2 step (the private key is a deployment
-    secret). Register with ``register_decryptor(2, sm4_ecb_decryptor(r))``.
+    -> key_bytes`` plays that SM2 step — ``sm2_key_unwrapper`` above is
+    the REAL one (g4 exercises it end-to-end); a constant resolver works
+    for transport-focused tests (g2). Register with
+    ``register_decryptor(2, sm4_ecb_decryptor(r))``.
     """
 
     def decrypt(raw: bytes, wire_key: str) -> bytes:

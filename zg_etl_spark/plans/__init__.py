@@ -25,12 +25,14 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      dictionary, count against the cap, and reach the wide table):
 #      p4, p6 (refactored onto the shared helpers), p8, p19, p21, p29,
 #      p36, s4 — p21 and w3 also carried the last stale r2-era rows;
-#   3. the r3-era stale-attestation band, oldest first: l1-l27 (all 27),
-#      s1/s3/s5, g1, p0, p27, p28, p30-p34.
-# The remainder (p35, w2, the q-suite except q11, and the freshly-green
+#   3. g4 (real SM2 key-unwrap via the pure-Python GB/T 32918
+#      implementation — new this round, displaces p34);
+#   4. the r3-era stale-attestation band, oldest first: l1-l27 (all 27),
+#      s1/s3/s5, g1, p0, p27, p28, p30-p33.
+# The remainder (p34, p35, w2, the q-suite except q11, and the freshly-green
 # r5 window: q11, p37-p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36, p1-p3,
 # p5, p7, p9-p18, p20, p22-p26) stays in the tail, covered by the local
-# sf0.01 parity rehearsal; p35/w2/q-suite are the first candidates for
+# sf0.01 parity rehearsal; p34/p35/w2/q-suite are the first candidates for
 # the round-7 window (their green rows are r2/r3-era).
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
@@ -86,7 +88,7 @@ _WINDOW = [
     "p31_adv_attribution",
     "p32_synthesized_records",
     "p33_ua_parse",
-    "p34_user_duration",
+    "g4_sm2_unwrap",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational)

@@ -330,3 +330,128 @@ SELECT CASE WHEN event_id % 89 IN (7, 17) THEN NULL ELSE event_id END AS event_i
        CASE WHEN event_id % 89 IN (7, 17) THEN -1 ELSE 0 END AS result,
        CASE WHEN event_id % 89 IN (7, 17) THEN 1020001 ELSE 0 END AS error_code
 FROM events"""
+
+
+# ---------------------------------------------------------------------------
+# g4: the REAL SM2 key-unwrap lane (MsgResolver.java:109-125): Args.key is
+# HEX SM2 C1C3C2 ciphertext of "<sm4_key_hex>[,tag]" — the "04"
+# uncompressed-point prefix may be absent on the wire (:112-114, the
+# resolver re-adds it), split(",")[0] is the hex SM4 key, and the event
+# decrypts SM4/ECB/PKCS5. The SM2 math is the pure-Python GB/T 32918
+# implementation (functions/sm_crypto.py — no SM lib in this container);
+# the test pair is minted per process exactly like g3's RSA pair. Corrupt
+# classes: a C3-MAC-tampered Args.key and a non-point Args.key must both
+# surface as error rows (1020001, the reference's decrypt-exception
+# attribution).
+# ---------------------------------------------------------------------------
+_G4_MEMO: dict = {}
+
+
+def _g4_fixture() -> dict:
+    if _G4_MEMO:
+        return _G4_MEMO
+    import hashlib
+
+    from zg_etl_spark.functions.sm_crypto import sm2_encrypt_hex, sm2_keypair
+
+    d, pub = sm2_keypair()
+    keys, wrapped = [], []
+    for i in range(16):  # small key space → the unwrap cache stays O(keys)
+        sm4_key = hashlib.md5(f"sm4k{i}".encode()).digest()  # 16 bytes
+        keys.append(sm4_key)
+        # odd slots carry a ",tag" suffix (split(",")[0] must drop it);
+        # even slots ship WITHOUT the "04" prefix (the resolver re-adds)
+        plain = sm4_key.hex() + (f",tag{i}" if i % 2 else "")
+        ct = sm2_encrypt_hex(pub, plain.encode())
+        wrapped.append(ct if i % 2 else ct[2:])
+    good = sm2_encrypt_hex(pub, (keys[0].hex() + ",x").encode())
+    raw = bytearray(bytes.fromhex(good))
+    raw[-1] ^= 0xFF  # flip a C2 byte → C3 MAC mismatch
+    _G4_MEMO.update(
+        d_hex=format(d, "x"),
+        keys=keys,
+        wrapped=wrapped,
+        tampered=raw.hex(),
+        not_a_point="04" + "11" * 96 + "22" * 16,
+    )
+    return _G4_MEMO
+
+
+def _g4_make_encoder(fx: dict):
+    keys, wrapped = fx["keys"], fx["wrapped"]
+    tampered, not_a_point = fx["tampered"], fx["not_a_point"]
+
+    def encode(event_id: pd.Series, event_type: pd.Series) -> pd.Series:
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher, algorithms, modes,
+        )
+
+        out = []
+        for eid, etype in zip(event_id, event_type):
+            eid = int(eid)
+            sm4_key = keys[eid % 16]
+            payload = json.dumps(
+                {"eid": eid, "etype": etype}, sort_keys=True
+            ).encode()
+            pad = 16 - len(payload) % 16
+            e = Cipher(algorithms.SM4(sm4_key), modes.ECB()).encryptor()
+            blob = e.update(payload + bytes([pad]) * pad) + e.finalize()
+            cls = eid % 83
+            if cls == 11:
+                key_str = tampered     # C3 MAC mismatch → 1020001
+            elif cls == 29:
+                key_str = not_a_point  # C1 off-curve → 1020001
+            else:
+                key_str = wrapped[eid % 16]
+            env = {
+                "Ip": f"10.3.{eid % 256}.1",
+                "Now": eid * 1000,
+                "Header": "{}",
+                "Args": json.dumps({
+                    # type-2 transport: hex or base64 (hutool auto-detects)
+                    "event": (blob.hex() if eid % 4 == 0
+                              else base64.b64encode(blob).decode()),
+                    "compress": 0, "encrypt": 1, "type": 2, "key": key_str,
+                }),
+            }
+            out.append(json.dumps(env))
+        return pd.Series(out)
+
+    return encode
+
+
+def _g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.decode import (
+        register_decryptor,
+        resolve_wire,
+        sm2_key_unwrapper,
+        sm4_ecb_decryptor,
+    )
+    from zg_etl_spark.sources.tables import load_table
+
+    fx = _g4_fixture()
+    register_decryptor(2, sm4_ecb_decryptor(sm2_key_unwrapper(fx["d_hex"])))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enc = pandas_udf(_g4_make_encoder(fx), "string")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    raw = events.select(enc("event_id", "event_type").alias("raw"))
+    return resolve_wire(raw).select(
+        F.get_json_object("payload", "$.eid").cast("bigint").alias("event_id"),
+        F.get_json_object("payload", "$.etype").alias("event_type"),
+        "ip",
+        "server_ts",
+        "result",
+        "error_code",
+    )
+
+
+QUERIES["g4_sm2_unwrap"] = _g4
+ORACLE["g4_sm2_unwrap"] = """
+SELECT CASE WHEN event_id % 83 IN (11, 29) THEN NULL ELSE event_id END AS event_id,
+       CASE WHEN event_id % 83 IN (11, 29) THEN NULL ELSE event_type END AS event_type,
+       '10.3.' || CAST(event_id % 256 AS VARCHAR) || '.1' AS ip,
+       event_id * 1000 AS server_ts,
+       CASE WHEN event_id % 83 IN (11, 29) THEN -1 ELSE 0 END AS result,
+       CASE WHEN event_id % 83 IN (11, 29) THEN 1020001 ELSE 0 END AS error_code
+FROM events"""
