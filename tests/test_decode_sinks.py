@@ -794,3 +794,58 @@ def test_sm2_key_unwrapper_matches_reference_quirks(spark):
     blob = enc.update(payload + bytes([pad]) * pad) + enc.finalize()
     dec = sm4_ecb_decryptor(resolve)
     assert dec(blob, w1) == payload
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_OP, min_size=1, max_size=6), min_size=1, max_size=4))
+def test_partial_upsert_property(spark, tmp_path_factory, batches):
+    """Property: ANY sequence of PARTIAL upsert batches (update_cols =
+    [val], an untouched ghost column, partition-scoped on a derived
+    partition key) lands where a sequential per-key store lands — a
+    matched key takes the incoming val and keeps its ghost, a new key
+    inserts ghost NULL, a winning delete removes the whole row, a later
+    partial write resurrects it with ghost NULL. Batch boundaries are
+    irrelevant; within a batch the max-seq row per key decides."""
+    from zg_etl_spark.sinks import partial_upsert_table
+
+    path = str(tmp_path_factory.mktemp("pprop") / "t")
+    # seed: keys k0..k2 exist with a ghost column the partials never carry
+    seed = spark.createDataFrame(
+        [(f"k{i}", i % 2, 0, f"g{i}", -1) for i in range(3)],
+        "key STRING, part INT, val INT, ghost STRING, seq INT",
+    )
+    partial_upsert_table(
+        spark, seed, path, keys=["key", "part"], order_col="seq",
+        update_cols=["val", "ghost"], partition_cols=["part"],
+    )
+    store = {(f"k{i}", i % 2): {"val": 0, "ghost": f"g{i}"} for i in range(3)}
+    seq = 0
+    for batch in batches:
+        rows = []
+        for key_i, val, ds in batch:
+            seq += 1
+            rows.append((f"k{key_i}", key_i % 2, val, seq, ds))
+        spark_batch = spark.createDataFrame(
+            rows, "key STRING, part INT, val INT, seq INT, ds BOOLEAN"
+        )
+        partial_upsert_table(
+            spark, spark_batch, path, keys=["key", "part"], order_col="seq",
+            update_cols=["val"], delete_col="ds", partition_cols=["part"],
+        )
+        # sequential replay: last row per key in the batch decides
+        decided = {}
+        for key, part, val, s, ds in rows:
+            decided[(key, part)] = (val, ds)
+        for (key, part), (val, ds) in decided.items():
+            if ds:
+                store.pop((key, part), None)
+            elif (key, part) in store:
+                store[(key, part)]["val"] = val
+            else:
+                store[(key, part)] = {"val": val, "ghost": None}
+    got = {
+        (r.key, r.part): {"val": r.val, "ghost": r.ghost}
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == store
