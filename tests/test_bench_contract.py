@@ -16,15 +16,16 @@ def test_correctness_window_composition():
     w9 (new partition-scoped partial upsert), every query whose OUTPUT
     changed with the vtl fan-out spine integration (p4, p6, p8, p19,
     p21, p29, p36, s4 — p21/w3 also held the last stale r2-era rows),
-    g4 (real SM2 key-unwrap, new), and the r3-era stale-attestation band
-    (l1-l27, s1/s3/s5, g1, p0, p27, p28, p30-p33); registering a new
-    query must never silently displace one of these."""
+    g4 (real SM2 key-unwrap) and s9 (streaming partial-column sink) —
+    both new — and the r3-era stale-attestation band (l1-l27, s1/s3/s5,
+    g1, p0, p27, p28, p30-p32); registering a new query must never
+    silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["l37_", "w9_", "w3_", "g4_",
+    want_prefixes = ["l37_", "w9_", "w3_", "g4_", "s9_",
                      "p4_", "p6_", "p8_", "p19_", "p21_", "p29_", "p36_",
                      "s4_", "s1_", "s3_", "s5_", "g1_", "p0_",
-                     "p27_", "p28_", "p30_", "p31_", "p32_", "p33_"]
+                     "p27_", "p28_", "p30_", "p31_", "p32_"]
     want_prefixes += [f"l{i}_" for i in range(1, 28)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
@@ -83,7 +84,7 @@ def test_driver_window_is_the_planned_rotation():
     # query are inside the cut
     must_have = [
         "l37_pq_ann", "w9_partial_upsert", "w3_compat_csv_roundtrip",
-        "g4_sm2_unwrap",
+        "g4_sm2_unwrap", "s9_stream_partial_upsert",
         "p4_dictionaries", "p6_virtual_events", "p8_wide_table",
         "p19_event_highwater", "p21_sink_counts", "p29_event_resolution",
         "p36_event_platforms", "s4_streaming_route",
@@ -95,5 +96,6 @@ def test_driver_window_is_the_planned_rotation():
     for name in ("q11_approx_distinct", "p37_user_detail_sum",
                  "w5_compaction", "l28_source_mixture",
                  "s6_streaming_dedup", "w2_bucketed_join",
-                 "p34_user_duration", "p35_user_anonymous"):
+                 "p33_ua_parse", "p34_user_duration",
+                 "p35_user_anonymous"):
         assert name in merged and name not in first50, name

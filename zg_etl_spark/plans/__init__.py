@@ -26,14 +26,15 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      p4, p6 (refactored onto the shared helpers), p8, p19, p21, p29,
 #      p36, s4 — p21 and w3 also carried the last stale r2-era rows;
 #   3. g4 (real SM2 key-unwrap via the pure-Python GB/T 32918
-#      implementation — new this round, displaces p34);
+#      implementation) and s9 (streaming partial-column sink) — new this
+#      round, displacing p34/p33;
 #   4. the r3-era stale-attestation band, oldest first: l1-l27 (all 27),
-#      s1/s3/s5, g1, p0, p27, p28, p30-p33.
-# The remainder (p34, p35, w2, the q-suite except q11, and the freshly-green
+#      s1/s3/s5, g1, p0, p27, p28, p30-p32.
+# The remainder (p33, p34, p35, w2, the q-suite except q11, and the freshly-green
 # r5 window: q11, p37-p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36, p1-p3,
 # p5, p7, p9-p18, p20, p22-p26) stays in the tail, covered by the local
-# sf0.01 parity rehearsal; p34/p35/w2/q-suite are the first candidates for
-# the round-7 window (their green rows are r2/r3-era).
+# sf0.01 parity rehearsal; p33/p34/p35/w2/q-suite are the first candidates
+# for the round-7 window (their green rows are r2/r3-era).
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
@@ -87,7 +88,7 @@ _WINDOW = [
     "p30_search_keywords",
     "p31_adv_attribution",
     "p32_synthesized_records",
-    "p33_ua_parse",
+    "s9_stream_partial_upsert",
     "g4_sm2_unwrap",
 ]
 

@@ -737,3 +737,123 @@ def _s8_oracle() -> str:
 
 QUERIES["s8_stream_upsert_delete"] = _s8
 ORACLE["s8_stream_upsert_delete"] = _s8_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s9: streaming PARTIAL-COLUMN sink — the reference's b_device /
+# b_user_property lanes stream-load every micro-batch in Doris
+# partial_columns mode (DorisSinkFactory.java:60,96,137): incoming rows
+# carry only the key + a fixed column subset, matched rows keep every
+# other column, delete signs remove whole rows. Spark rendering:
+# foreachBatch → sinks.partial_upsert_table, partition-scoped per batch.
+# The table is seeded with full columns (even-seq observations, carrying
+# device_model); the stream then applies odd-seq partial updates
+# (language/timezone/last_update_date only — device_model must SURVIVE
+# on disk through every micro-batch) and a trailing delete-marker file.
+# Per-key, later micro-batches overwrite the same column subset, so the
+# final state equals w9's three-call batch composition — the oracle is
+# w9's verbatim.
+# ---------------------------------------------------------------------------
+def _s9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.operators.domain import SPARK
+    from zg_etl_spark.plans.pipeline import _w9_obs_sql
+    from zg_etl_spark.session import session_key
+    from zg_etl_spark.sinks import partial_upsert_table
+
+    key = (session_key(spark), sf_dir, "s9_src")
+    if key not in _SRC_MEMO:
+        import atexit
+
+        src = tempfile.mkdtemp(prefix="zg_s9_src_")
+        obs = spark_pipeline_df(
+            spark, sf_dir, _w9_obs_sql(SPARK)
+        ).localCheckpoint(eager=True)
+        part = (
+            obs.filter(F.col("seq") % 2 == 1)
+            .select("app_id", "device_id", "language", "timezone",
+                    "last_update_date", "seq")
+            .withColumn("_ds", F.lit(False))
+        )
+        mid = part.selectExpr("percentile_approx(seq, 0.5) AS m").first().m
+        dels = (
+            obs.filter(F.col("device_id") % 5 == 0)
+            .select("app_id", "device_id")
+            .distinct()
+            .selectExpr(
+                "app_id", "device_id",
+                "CAST(NULL AS STRING) AS language",
+                "CAST(NULL AS STRING) AS timezone",
+                "CAST(NULL AS BIGINT) AS last_update_date",
+                "CAST(9000000000000000000 AS BIGINT) AS seq",
+                "TRUE AS _ds",
+            )
+        )
+        _write_split_files(
+            [part.filter(part.seq <= mid), part.filter(part.seq > mid), dels],
+            src,
+        )
+        _SRC_MEMO[key] = (src, obs)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
+
+    src, obs = _SRC_MEMO[key]
+    work = tempfile.mkdtemp(prefix="zg_s9_")
+    path = os.path.join(work, "b_device_stream")
+    # seed: the full-column creation write (w9 batch 1)
+    partial_upsert_table(
+        spark, obs.filter(F.col("seq") % 2 == 0), path,
+        keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["device_model", "language", "timezone",
+                     "last_update_date"],
+        partition_cols=["app_id"],
+    )
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        partial_upsert_table(
+            spark, batch_df, path,
+            keys=["app_id", "device_id"], order_col="seq",
+            update_cols=["language", "timezone", "last_update_date"],
+            delete_col="_ds", partition_cols=["app_id"],
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(
+                "app_id BIGINT, device_id BIGINT, language STRING, "
+                "timezone STRING, last_update_date BIGINT, seq BIGINT, "
+                "_ds BOOLEAN"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = (
+        spark.read.parquet(path)
+        .select("app_id", "device_id", "device_model", "language",
+                "timezone", "last_update_date")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s9_stream_partial_upsert"] = _s9
+
+
+def _s9_oracle() -> str:
+    from zg_etl_spark.plans.pipeline import ORACLE as _PIPE_ORACLE
+
+    # identical final state to the three-call batch composition
+    return _PIPE_ORACLE["w9_partial_upsert"]
+
+
+ORACLE["s9_stream_partial_upsert"] = _s9_oracle()
