@@ -91,8 +91,11 @@ def test_driver_window_is_the_planned_rotation():
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
-    # the freshly-green r5 window rotated BEHIND the cut (still locally
-    # verified by the sf0.01 parity rehearsal)
+    # rotated/kept BEHIND the cut (still locally verified by the sf0.01
+    # parity rehearsal): the freshly-green r5 window (q11, p37, w5, l28,
+    # s6, ...) plus the r2/r3-era stragglers that yielded their slots to
+    # this round's new queries (p33/p34 → g4/s9, p35/w2/q-suite never
+    # fit) — the stragglers are the FIRST round-7 rotation candidates
     for name in ("q11_approx_distinct", "p37_user_detail_sum",
                  "w5_compaction", "l28_source_mixture",
                  "s6_streaming_dedup", "w2_bucketed_join",

@@ -784,9 +784,12 @@ def test_sm2_key_unwrapper_matches_reference_quirks(spark):
     # with prefix + comma tag
     w1 = sm2_encrypt_hex(pub, (sm4_key.hex() + ",extra").encode())
     assert resolve(w1) == sm4_key
-    # WITHOUT the 04 prefix and without a tag
-    w2 = sm2_encrypt_hex(pub, sm4_key.hex().encode())[2:]
-    assert resolve(w2) == sm4_key
+    # WITHOUT the 04 prefix and without a tag (re-mint while the
+    # stripped form would itself start "04" and parse as prefixed)
+    w2 = sm2_encrypt_hex(pub, sm4_key.hex().encode())
+    while w2[2:4] == "04":
+        w2 = sm2_encrypt_hex(pub, sm4_key.hex().encode())
+    assert resolve(w2[2:]) == sm4_key
     # end-to-end: the resolver feeds the SM4 decryptor
     payload = b"zg-sm2-lane-ok"
     pad = 16 - len(payload) % 16
@@ -849,3 +852,46 @@ def test_partial_upsert_property(spark, tmp_path_factory, batches):
         for r in spark.read.parquet(path).collect()
     }
     assert got == store
+
+
+def test_partial_upsert_null_key_updates_and_deletes(spark, tmp_path):
+    """A NULL key/partition value must behave as ONE logical key through
+    the partial merge: the update overwrites in place (no duplicate row
+    in the null partition) and a delete sign removes it — plain ==
+    would orphan it while _restrict_to_touched deliberately reads it."""
+    from zg_etl_spark.sinks import partial_upsert_table
+
+    path = str(tmp_path / "t_null")
+    seed = spark.createDataFrame(
+        [(None, "dA", "mA", 1, 100), (None, "dB", "mB", 2, 100),
+         (7, "dC", "mC", 3, 100)],
+        "app_id INT, device_id STRING, model STRING, score INT, seq INT",
+    )
+    partial_upsert_table(
+        spark, seed, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["model", "score"], partition_cols=["app_id"],
+    )
+    upd = spark.createDataFrame(
+        [(None, "dA", 99, 200)],
+        "app_id INT, device_id STRING, score INT, seq INT",
+    )
+    partial_upsert_table(
+        spark, upd, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["score"], partition_cols=["app_id"],
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {(r.app_id, r.device_id): (r.model, r.score) for r in rows}
+    assert len(rows) == 3, rows  # dA updated IN PLACE, not duplicated
+    assert got[(None, "dA")] == ("mA", 99)
+    assert got[(None, "dB")] == ("mB", 2)
+    assert got[(7, "dC")] == ("mC", 3)
+    dels = spark.createDataFrame(
+        [(None, "dA", None, 300, True)],
+        "app_id INT, device_id STRING, score INT, seq INT, ds BOOLEAN",
+    )
+    partial_upsert_table(
+        spark, dels, path, keys=["app_id", "device_id"], order_col="seq",
+        update_cols=["score"], delete_col="ds", partition_cols=["app_id"],
+    )
+    got = {(r.app_id, r.device_id) for r in spark.read.parquet(path).collect()}
+    assert got == {(None, "dB"), (7, "dC")}

@@ -257,9 +257,11 @@ def sm2_key_unwrapper(private_key_hex: str):
     The SM2 math is the pure-Python GB/T 32918 implementation in
     functions/sm_crypto.py (no SM lib exists in this container); the
     private key is the hex scalar d, as hutool's ``SmUtil.sm2(priKey,
-    null)`` consumes it. Unwraps are cached per wire key — the cost is
+    null)`` consumes it. Unwraps are cached per wire key — FAILURES
+    included, since the pure-Python EC math is the expensive part and a
+    bad key repeats on every row carrying it — so the cost stays
     O(distinct keys), never O(rows)."""
-    cache: dict[str, bytes] = {}
+    cache: dict = {}
     d = int(private_key_hex, 16)
 
     def resolve(wire_key: str) -> bytes:
@@ -267,9 +269,15 @@ def sm2_key_unwrapper(private_key_hex: str):
             from zg_etl_spark.functions.sm_crypto import sm2_decrypt_hex
 
             ct = wire_key if wire_key.startswith("04") else "04" + wire_key
-            plain = sm2_decrypt_hex(d, ct).decode("utf-8")
-            cache[wire_key] = bytes.fromhex(plain.split(",")[0])
-        return cache[wire_key]
+            try:
+                plain = sm2_decrypt_hex(d, ct).decode("utf-8")
+                cache[wire_key] = bytes.fromhex(plain.split(",")[0])
+            except Exception as exc:
+                cache[wire_key] = exc
+        hit = cache[wire_key]
+        if isinstance(hit, Exception):
+            raise ValueError(str(hit))
+        return hit
 
     return resolve
 

@@ -365,6 +365,13 @@ def _vtl_fanout_select(d: Dialect) -> str:
   WHERE {vtl_match_any(d)}"""
 
 
+# per-session memo for the streaming fan-out's batch-invariant pieces:
+# the broadcast rules relation and the two rendered predicate strings.
+# Rebuilding them inside foreachBatch would put driver-side
+# createDataFrame + SQL rendering on every micro-batch's hot path.
+_VTL_STREAM_MEMO: dict = {}
+
+
 def vtl_fanout_df(batch):
     """Per-micro-batch DataFrame rendering of the same fan-out, for the
     streaming route stage (the reference runs VirtualEventOperator as a
@@ -377,15 +384,21 @@ def vtl_fanout_df(batch):
     to the micro-batch at any rule count."""
     from pyspark.sql import functions as F
 
-    rules = batch.sparkSession.createDataFrame(
-        [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
-        "rule_id INT, rule_app BIGINT, src_event STRING, "
-        "virtual_name STRING, alias STRING",
-    )
+    from zg_etl_spark.session import session_key
+
+    key = session_key(batch.sparkSession)
+    if key not in _VTL_STREAM_MEMO:
+        rules = batch.sparkSession.createDataFrame(
+            [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
+            "rule_id INT, rule_app BIGINT, src_event STRING, "
+            "virtual_name STRING, alias STRING",
+        )
+        _VTL_STREAM_MEMO[key] = (rules, vtl_match_any(SPARK))
+    rules, match_any = _VTL_STREAM_MEMO[key]
     joined = (
         batch.alias("r")
         .join(F.broadcast(rules.alias("v")), F.expr(VTL_JOIN_ON), "inner")
-        .where(F.expr(vtl_match_any(SPARK)))
+        .where(F.expr(match_any))
     )
     repl = {
         "owner": F.lit("zg_vtl"),

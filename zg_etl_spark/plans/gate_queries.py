@@ -360,9 +360,14 @@ def _g4_fixture() -> dict:
         sm4_key = hashlib.md5(f"sm4k{i}".encode()).digest()  # 16 bytes
         keys.append(sm4_key)
         # odd slots carry a ",tag" suffix (split(",")[0] must drop it);
-        # even slots ship WITHOUT the "04" prefix (the resolver re-adds)
+        # even slots ship WITHOUT the "04" prefix (the resolver re-adds).
+        # A prefix-stripped wire whose x1 hex itself begins "04" would
+        # parse as already-prefixed from shifted offsets — re-mint until
+        # the stripped form is unambiguous (~1/256 per draw)
         plain = sm4_key.hex() + (f",tag{i}" if i % 2 else "")
         ct = sm2_encrypt_hex(pub, plain.encode())
+        while i % 2 == 0 and ct[2:4] == "04":
+            ct = sm2_encrypt_hex(pub, plain.encode())
         wrapped.append(ct if i % 2 else ct[2:])
     good = sm2_encrypt_hex(pub, (keys[0].hex() + ",x").encode())
     raw = bytearray(bytes.fromhex(good))

@@ -282,8 +282,20 @@ def partial_upsert_table(
     existing = spark.read.parquet(path)
     if partition_cols:
         existing = _restrict_to_touched(spark, existing, partition_cols, touched)
+    # key joins are NULL-SAFE throughout: _restrict_to_touched goes out
+    # of its way (eqNullSafe) to read a NULL partition's existing rows
+    # into the merge, and keep_latest's Window.partitionBy groups NULL
+    # keys — plain == here would instead duplicate a NULL-keyed row on
+    # update and make it undeletable
+    def _key_cond(left, right):
+        cond = None
+        for k in keys:
+            eq = left[k].eqNullSafe(right[k])
+            cond = eq if cond is None else cond & eq
+        return cond
+
     if deletes is not None:
-        existing = existing.join(deletes, keys, "left_anti")
+        existing = existing.join(deletes, _key_cond(existing, deletes), "left_anti")
     # presence flag, not per-column coalesce: an incoming explicit NULL
     # must overwrite (the \N stream-load semantics), which coalesce would
     # silently keep as the old value
@@ -291,7 +303,7 @@ def partial_upsert_table(
     i = latest.withColumn("_i_present", F.lit(True)).alias("i")
     hit = F.coalesce(F.col("_i_present"), F.lit(False))
     other_cols = [c for c in existing.columns if c not in keys and c not in update_cols]
-    merged = e.join(i, keys, "full_outer").select(
+    merged = e.join(i, _key_cond(e, i), "full_outer").select(
         *[F.coalesce(f"e.{k}", f"i.{k}").alias(k) for k in keys],
         *[
             F.when(hit, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
