@@ -895,3 +895,46 @@ def test_partial_upsert_null_key_updates_and_deletes(spark, tmp_path):
     )
     got = {(r.app_id, r.device_id) for r in spark.read.parquet(path).collect()}
     assert got == {(None, "dB"), (7, "dC")}
+
+
+def test_delete_everything_keeps_table_readable(spark, tmp_path):
+    """A delete batch that removes EVERY key empties all partitions; the
+    table must stay readable (zero rows, full schema) and a later upsert
+    must repopulate it — not fail UNABLE_TO_INFER_SCHEMA on the husk.
+    Pins both writers (found by hypothesis on partial_upsert_table; the
+    full upsert had the identical latent bug)."""
+    from zg_etl_spark.sinks import partial_upsert_table, upsert_table
+
+    for flavor in ("full", "partial"):
+        path = str(tmp_path / f"t_{flavor}")
+        seed = spark.createDataFrame(
+            [(1, "a", 10, 100), (2, "b", 20, 100)],
+            "part INT, key STRING, val INT, seq INT",
+        )
+        dels = spark.createDataFrame(
+            [(1, "a", None, 200, True), (2, "b", None, 200, True)],
+            "part INT, key STRING, val INT, seq INT, ds BOOLEAN",
+        )
+        again = spark.createDataFrame(
+            [(1, "c", 30, 300)], "part INT, key STRING, val INT, seq INT"
+        )
+        if flavor == "full":
+            def write(df):
+                upsert_table(spark, df, path, keys=["part", "key"],
+                             order_col="seq", partition_cols=["part"],
+                             delete_col="ds" if "ds" in df.columns else None)
+        else:
+            def write(df):
+                partial_upsert_table(
+                    spark, df, path, keys=["part", "key"], order_col="seq",
+                    update_cols=["val"],
+                    delete_col="ds" if "ds" in df.columns else None,
+                    partition_cols=["part"])
+        write(seed)
+        write(dels)
+        emptied = spark.read.parquet(path)   # must not raise
+        assert emptied.count() == 0
+        assert {"part", "key", "val"} <= set(emptied.columns)
+        write(again)                          # placeholder must not shadow
+        got = {(r.part, r.key): r.val for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "c"): 30}, (flavor, got)

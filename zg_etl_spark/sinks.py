@@ -152,9 +152,11 @@ def upsert_table(
     merged = merged.localCheckpoint(eager=True)
     if partition_cols:
         # dynamic: untouched partitions keep their files
+        _clear_empty_placeholder(path, partition_cols)
         write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=True)
         if delete_col is not None and touched:
             _drop_emptied_partitions(path, partition_cols, touched, merged)
+        _ensure_readable(path, partition_cols, merged)
     else:
         merged.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)
@@ -163,7 +165,9 @@ def upsert_table(
 def _drop_emptied_partitions(path, partition_cols, touched, merged) -> None:
     """A delete can empty a touched partition entirely — dynamic overwrite
     never rewrites a partition absent from the output, so the stale files
-    must be dropped explicitly (the compaction Doris does on merge)."""
+    must be dropped explicitly (the compaction Doris does on merge). If
+    the sweep empties the WHOLE table, the writers' post-write
+    _ensure_readable guard installs the zero-row placeholder."""
     remaining = {
         tuple(r) for r in merged.select(*partition_cols).distinct().collect()
     }
@@ -173,6 +177,37 @@ def _drop_emptied_partitions(path, partition_cols, touched, merged) -> None:
                 f"{c}={_partition_dir_value(row[c])}" for c in partition_cols
             )
             shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+
+
+def _has_partition_dirs(path: str, partition_cols: list[str]) -> bool:
+    prefix = f"{partition_cols[0]}="
+    return os.path.isdir(path) and any(
+        e.startswith(prefix) for e in os.listdir(path)
+    )
+
+
+def _clear_empty_placeholder(path: str, partition_cols: list[str]) -> None:
+    """Before a partitioned write into an existing directory: if the
+    table is the zero-row placeholder (root part files, no partition
+    dirs — see _ensure_readable), remove it so stale root-level files
+    can't shadow the partitioned layout being written."""
+    if os.path.isdir(path) and not _has_partition_dirs(path, partition_cols):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _ensure_readable(path: str, partition_cols: list[str], schema_df: DataFrame) -> None:
+    """An emptied Doris table still has its schema; an emptied partitioned
+    parquet directory does NOT — a delete sweep that drops the last
+    partition (or an empty batch over an already-empty table) leaves a
+    husk the next read fails on with UNABLE_TO_INFER_SCHEMA. Install a
+    zero-row NON-partitioned placeholder carrying the full schema
+    (partition columns as ordinary columns); the next upsert's
+    existing-side read and union consume it transparently, and
+    _clear_empty_placeholder removes it before the next real write."""
+    if _has_partition_dirs(path, partition_cols):
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    schema_df.limit(0).write.mode("overwrite").parquet(path)
 
 
 def _partition_dir_value(v) -> str:
@@ -275,6 +310,7 @@ def partial_upsert_table(
     if not table_exists:
         if partition_cols:
             write_partitioned(latest, path, partition_cols, dynamic=False)
+            _ensure_readable(path, partition_cols, latest)
         else:
             latest.write.mode("overwrite").parquet(path)
         spark.catalog.refreshByPath(path)
@@ -313,9 +349,11 @@ def partial_upsert_table(
     ).localCheckpoint(eager=True)
     if partition_cols:
         # dynamic: untouched partitions keep their files, byte-identical
+        _clear_empty_placeholder(path, partition_cols)
         write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=True)
         if delete_col is not None and touched:
             _drop_emptied_partitions(path, partition_cols, touched, merged)
+        _ensure_readable(path, partition_cols, merged)
     else:
         merged.write.mode("overwrite").parquet(path)
     spark.catalog.refreshByPath(path)
