@@ -371,3 +371,14 @@ def test_sequence_packing_single_shuffle_partitioned_by_source(spark, sf_dir):
     assert len(hash_exchanges) == 1, plan
     assert "source" in hash_exchanges[0], hash_exchanges
     assert "SinglePartition" not in plan, plan
+
+
+def test_gapfill_spine_derives_from_checkpointed_agg(spark, sf_dir):
+    """q20's dense spine (bounds, distinct types, sequence explode), the
+    left join, and the LOCF window must all run over the localCheckpoint'ed
+    hourly aggregate — exactly ONE scan of events.parquet in the plan. A
+    second scan means the spine fell back to the fact table (3 redundant
+    100 TB scans at scale: bounds + types + join probe)."""
+    plan = _plan(ALL["q20_gapfill_locf"](spark, sf_dir), "simple")
+    n = plan.count("events.parquet")
+    assert n <= 1, f"q20 scans events {n}x:\n{plan}"

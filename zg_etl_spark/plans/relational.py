@@ -682,3 +682,73 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("q19_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q19_orders")
     return spark.sql(_Q19_BODY.format(cust="q19_customer", orders="q19_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Q20 time-bucket gap-fill + LOCF (the hypertable `time_bucket_gapfill` /
+# `locf` shape — the dense-spine complement of p25's sparse GROUPING SETS
+# rollup): hourly (event_type, bucket) counts and exact-decimal value sums,
+# densified onto the full [min,max] hour spine per type, missing hours
+# carrying count 0 / NULL sum, and `filled_value` = last-observation-
+# carried-forward over the gaps.
+#
+# Scale shape: ONE fact scan feeds the hourly aggregate (partial map-side
+# agg, one shuffle on (event_type, bucket)); the aggregate is tiny
+# (types × hours), so the spine bounds, the distinct-type list, the
+# dense-spine sequence()/explode, the left join, and the LOCF window all
+# run over the aggregate, never the fact — it is localCheckpoint'ed once
+# so those four consumers don't re-scan 100 TB (at scale this checkpoint
+# IS the continuous-aggregate table you'd materialize anyway). The LOCF
+# window partitions by event_type over ≤ spine-cardinality rows.
+# ---------------------------------------------------------------------------
+_Q20_ORACLE = """
+WITH agg AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+         COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(12,2))) AS sv
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(hr) AS lo, max(hr) AS hi FROM agg
+), spine AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM agg) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM bounds) g
+)
+SELECT s.event_type, s.hr * 3600000 AS bucket_ms,
+       COALESCE(a.cnt, 0) AS n_events,
+       CAST(a.sv AS DOUBLE) AS sum_value,
+       CAST(last_value(a.sv IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS filled_value
+FROM spine s
+LEFT JOIN agg a ON a.event_type = s.event_type AND a.hr = s.hr"""
+
+
+@_q("q20_gapfill_locf", _Q20_ORACLE)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is epoch-NANOS BIGINT (sources/tables.py contract); the
+    # hour bucket is pure integer division — no timestamp/TZ machinery on
+    # either engine (the oracle divides epoch_ms by 3.6e6 to the same hr).
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.expr("ts DIV 3600000000000").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(money("value")).alias("sv"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = agg.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    spine = agg.select("event_type").distinct().crossJoin(hours)
+    locf = W.partitionBy("event_type").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return spine.join(agg, ["event_type", "hr"], "left").select(
+        "event_type",
+        (F.col("hr") * 3600000).alias("bucket_ms"),
+        F.coalesce("cnt", F.lit(0)).alias("n_events"),
+        F.col("sv").cast("double").alias("sum_value"),
+        F.last("sv", ignorenulls=True).over(locf).cast("double")
+            .alias("filled_value"),
+    )
