@@ -72,3 +72,55 @@ def test_vtl_rows_reach_dictionary_and_wide_table(spark, sf_dir):
     # at least one virtual event survives dictionary gating into the wide
     # table (cap/blacklist may drop some, never all, on the fixtures)
     assert vtl_names & wide_names
+
+
+def test_geo_garbled_predicate_both_dialects(spark):
+    """isValidGeoResult semantics (IpEnrichOperator.java:236-258) on both
+    dialects: control chars (except tab/newline/CR) and U+FFFD reject the
+    triple; clean CJK, whitespace, and NULL fields pass."""
+    import duckdb
+
+    from zg_etl_spark.operators.domain import DUCK, SPARK, geo_garbled
+
+    cases = [
+        # (country, province, city expressions) -> expect garbled
+        (("'北京'", "'河北'", "'石家庄'"), False),
+        (("'ok'", "concat('x', chr(1))", "'ok'"), True),   # control char
+        (("'ok'", "'ok'", "'CT_31�'"), True),         # U+FFFD
+        (("concat('a', chr(9), 'b')", "'c'", "'d'"), False),  # tab allowed
+        (("concat('a', chr(10), chr(13))", "'c'", "'d'"), False),  # NL/CR
+        (("NULL", "'ok'", "'ok'"), False),                 # NULL skipped
+    ]
+    con = duckdb.connect()
+    for exprs, want in cases:
+        s = spark.sql(f"SELECT {geo_garbled(SPARK, *exprs)}").collect()[0][0]
+        k = con.execute(f"SELECT {geo_garbled(DUCK, *exprs)}").fetchone()[0]
+        assert bool(s) is want, f"spark {exprs} -> {s}, want {want}"
+        assert bool(k) is want, f"duckdb {exprs} -> {k}, want {want}"
+
+
+def test_garbled_geo_range_nulls_whole_triple(spark, sf_dir):
+    """ips landing in the U+FFFD-garbled fixture range (registries.
+    IP_RANGES[31]) must surface NULL for ALL THREE geo fields in p7,
+    while clean public-range rows keep theirs — the all-or-nothing
+    acceptance the reference applies to each lookup result."""
+    from zg_etl_spark import plans
+
+    df = plans.all_queries()["p7_enrichment"](spark, sf_dir)
+    ensure_pipeline_views(spark, sf_dir)
+    ids = [
+        r[0]
+        for r in spark.table("resolved")
+        .where("ip_long >= 4160749568")
+        .select("event_id")
+        .limit(5)
+        .collect()
+    ]
+    assert ids, "fixture data no longer reaches ip range 31"
+    bad = df.where(F.col("event_id").isin(ids))
+    for r in bad.collect():
+        assert r["country"] is None and r["province"] is None and r["city"] is None
+    clean = df.where(
+        "country IS NOT NULL OR province IS NOT NULL OR city IS NOT NULL"
+    )
+    assert clean.count() > 0, "guard nulled every row — over-broad"

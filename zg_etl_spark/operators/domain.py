@@ -245,6 +245,23 @@ def ua_real_case(d: Dialect, q: str = "") -> str:
            ELSE 'curl/8.4.0' END END"""
 
 
+# isValidGeoResult (IpEnrichOperator.java:236-258): a geo lookup result
+# is discarded WHOLE — all three fields to NULL — if ANY field carries a
+# control character other than \t \n \r, or U+FFFD (the mojibake marker
+# a bad charset decode of the mmap'd db leaves behind). The char class
+# below is exactly the reference's reject set; \x{FFFD} spells the
+# replacement char in both Java regex (Spark) and RE2 (DuckDB).
+GARBLED_GEO_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]"
+
+
+def geo_garbled(d: Dialect, *cols: str) -> str:
+    """TRUE when any geo field of the lookup result is garbled — the
+    all-or-nothing validity check the reference applies to the whole
+    [country, province, city] triple before accepting it."""
+    checks = " OR ".join(d.rlike(c, GARBLED_GEO_RE) for c in cols)
+    return f"({checks})"
+
+
 def custom_attrs(d: Dialect, q: str = "") -> list[tuple[str, str, int]]:
     """The `_`-prefixed custom properties the synthetic feed carries
     (attr_name, value_expr over a feed row, prop_type 1=string 2=number).

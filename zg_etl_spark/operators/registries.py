@@ -55,7 +55,12 @@ IP_RANGES = [
         (i + 1) * (1 << 27) - 1,
         f"C_{i % 8}",
         f"P_{i % 16}",
-        f"CT_{i}",
+        # range 31 carries a U+FFFD-garbled city — the mojibake a bad
+        # charset decode of the range db leaves behind. isValidGeoResult
+        # (IpEnrichOperator.java:236-258) must reject the WHOLE triple
+        # for ips landing here (domain.geo_garbled); keeps the garbage
+        # path observable in p7/p8 and their oracles, not just unit tests.
+        f"CT_{i}" if i != 31 else "CT_31�",
     )
     for i in range(32)
 ]

@@ -262,10 +262,11 @@ def _p7(d: Dialect) -> str:
     # (SearchKeywordParser.java:36-163); the multi-charset decode is the
     # Spark-side UDF in functions/search_keywords.py (not SQL-expressible)
     from zg_etl_spark.functions import ua_parser as UP
-    from zg_etl_spark.operators.domain import ua_real_case
+    from zg_etl_spark.operators.domain import geo_garbled, ua_real_case
 
     term = SK.clean_keyword(d, SK.term_case(d, "ref", "search_engine"))
     ua = "r.ua_real"
+    gg = geo_garbled(d, "g.country", "g.province", "g.city")
     return f"""
 SELECT event_id, app_id, country, province, city, os, browser, device_type,
        search_engine,
@@ -279,7 +280,9 @@ SELECT event_id, app_id, country, province, city, os, browser, device_type,
            AS utm_source_f
 FROM (
   SELECT r.event_id, r.app_id, r.ref, r.utm_source,
-         g.country, g.province, g.city,
+         CASE WHEN {gg} THEN NULL ELSE g.country END AS country,
+         CASE WHEN {gg} THEN NULL ELSE g.province END AS province,
+         CASE WHEN {gg} THEN NULL ELSE g.city END AS city,
          CASE WHEN {ua} IS NOT NULL THEN {UP.os_family(d, ua)} END AS os,
          CASE WHEN {ua} IS NOT NULL THEN {UP.browser(d, ua)} END AS browser,
          CASE WHEN {ua} IS NOT NULL THEN {UP.device_type(d, ua)} END
@@ -335,12 +338,13 @@ def _cus_cols(d: Dialect) -> str:
 
 def _p8(d: Dialect) -> str:
     from zg_etl_spark.functions import ua_parser as UP
-    from zg_etl_spark.operators.domain import ua_real_case
+    from zg_etl_spark.operators.domain import geo_garbled, ua_real_case
 
     ts_ct = d.ts("e.ct")
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
     th = d.iso_thursday(dref)
     private_ip = _PRIVATE_IP.replace("ip_long", "e.ip_long")
+    gg = geo_garbled(d, "g.country", "g.province", "g.city")
     website = "regexp_extract(e.ref, 'https?://([^/]+)', 1)"
     ua = "e.ua_real"
     # the BROADCAST hint is a comment to DuckDB, a join-strategy pin to
@@ -383,9 +387,9 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
        {d.clean('e.vn', 256)} AS app_version,
        e.ip_long,
        {d.clean('e.ip', 256)} AS ip_str,
-       CASE WHEN {private_ip} THEN NULL ELSE g.country END AS country,
-       CASE WHEN {private_ip} THEN NULL ELSE g.province END AS area,
-       CASE WHEN {private_ip} THEN NULL ELSE g.city END AS city,
+       CASE WHEN {private_ip} OR {gg} THEN NULL ELSE g.country END AS country,
+       CASE WHEN {private_ip} OR {gg} THEN NULL ELSE g.province END AS area,
+       CASE WHEN {private_ip} OR {gg} THEN NULL ELSE g.city END AS city,
        CASE WHEN {ua} IS NOT NULL THEN {UP.os_family(d, ua)} END AS os,
        {UP.os_version(d, ua)} AS ov,
        CASE WHEN {ua} IS NOT NULL THEN {UP.browser(d, ua)} END AS bs,
