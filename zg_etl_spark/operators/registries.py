@@ -197,6 +197,30 @@ ADS_LINK_RULES = [
 ]
 ADS_LINK_COLS = ["r_lid", "conv_event", "window_sec", "frequency"]
 
+# advertising-enabled apps (the `advertisingMap` ak whitelist gating the
+# whole lid/channel annotation chain,
+# AdvLidAndUserFirstEndFlatMapFunction.java:402,711); app 3 stays outside
+# so the gate is observable
+ADVERTISING_APPS = [1, 2]
+
+# ad channel-type id → display name
+# (AdvLidAndUserFirstEndFlatMapFunction.java:585-605 getchannelTypeNameStr
+# — verbatim rule table; unknown ids map to '' there)
+CHANNEL_TYPE_NAMES = [
+    ("1", "百度信息流"),
+    ("2", "巨量引擎"),
+    ("3", "腾讯广告"),
+    ("4", "百度搜索"),
+    ("5", "苹果ASA"),
+    ("9", "知乎营销"),
+    ("10", "快手广告"),
+    ("11", "微博-超级粉丝通"),
+    ("12", "华为广告"),
+    ("13", "小米营销"),
+    ("14", "VIVO营销平台"),
+    ("15", "OPPO营销平台"),
+]
+
 # per-event UTM override store (AdvAddUtmFlatMapFunction.java:108-155:
 # Redis `utm:{zg_eid}` JSON applied to evt/abp records as $utm_* props)
 UTM_OVERRIDES = [

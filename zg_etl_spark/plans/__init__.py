@@ -28,11 +28,12 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #   3. g4 (real SM2 key-unwrap via the pure-Python GB/T 32918
 #      implementation) and s9 (streaming partial-column sink) — new this
 #      round, displacing p34/p33;
-#   4. q20 (time-bucket gap-fill + LOCF — new this round, displacing
-#      p31's r3-green row) and p7 (geo garbled-result guard changed its
-#      formulation this round — displacing p27's r3-green row);
+#   4. q20 (time-bucket gap-fill + LOCF), p41 (ad channel-metadata
+#      annotation) — new this round, displacing p31/p30's r3-green rows —
+#      and p7 (geo garbled-result guard changed its formulation this
+#      round, displacing p27's r3-green row);
 #   5. the r3-era stale-attestation band, oldest first: l1-l27 (all 27),
-#      s1/s3/s5, g1, p0, p28, p30, p32.
+#      s1/s3/s5, g1, p0, p28, p32.
 # The remainder (p33, p34, p35, w2, the q-suite except q11, and the freshly-green
 # r5 window: q11, p37-p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36, p1-p3,
 # p5, p7, p9-p18, p20, p22-p26) stays in the tail, covered by the local
@@ -88,7 +89,7 @@ _WINDOW = [
     "p0_envelope",
     "p7_enrichment",
     "p28_gate_business",
-    "p30_search_keywords",
+    "p41_adv_channel_props",
     "q20_gapfill_locf",
     "p32_synthesized_records",
     "s9_stream_partial_upsert",

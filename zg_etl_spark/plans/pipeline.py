@@ -1603,6 +1603,82 @@ _register("p38_adv_user_sources", _p38)
 
 
 # ---------------------------------------------------------------------------
+# P41 ad channel-metadata annotation (AdvLidAndUserFirstEndFlatMapFunction
+# .java:387-470 addUserProAndEventPro): for advertising-whitelisted apps
+# (registries.ADVERTISING_APPS ~ the `advertisingMap` ak gate, :402), every
+# evt row with a prior ad touch gains the touch's channel props — the lid
+# (`_广告分析链接ID`), the channel-type id + display name
+# (`_广告渠道ID`/`_广告渠道名称`, name table :585-605), and `type$id`
+# composite strings for account/campaign/adgroup (`props.put(CHANNEL_…,
+# channelType + "$" + id)`, :452-470) — each behind the reference's
+# zero/empty gate (an id of 0 adds no prop). Touch payloads derive
+# deterministically from the touch's k (the p31 fixture convention).
+#
+# Scale shape: same forward-fill spine as p31 — touches and conversions
+# union into ONE (app_id, zg_id)-partitioned window pass (no pair join,
+# rows ∝ events); the name mapping is a codegen CASE, no join at all.
+# ---------------------------------------------------------------------------
+def _p41(d: Dialect) -> str:
+    apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    names = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in R.CHANNEL_TYPE_NAMES
+    )
+    w = (
+        "(PARTITION BY app_id, zg_id ORDER BY ct, is_touch DESC, seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    tk = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN k END", w)
+    ctype = (
+        "CASE touch_k % 12 "
+        + " ".join(
+            f"WHEN {i} THEN '{k}'"
+            for i, (k, _) in enumerate(R.CHANNEL_TYPE_NAMES)
+        )
+        + " END"
+    )
+
+    def comp(modulus: int) -> str:
+        return (
+            f"CASE WHEN touch_k % {modulus} <> 0 THEN "
+            f"concat({ctype}, '$', CAST(touch_k % {modulus} AS {d.strtype}))"
+            " END"
+        )
+
+    return f"""
+SELECT channel_type, channel_name, lid,
+       COUNT(*) AS n_conversions,
+       COUNT(DISTINCT zg_id) AS n_users,
+       COUNT(DISTINCT account_prop) AS n_accounts,
+       COUNT(campaign_prop) AS n_campaign_annotated,
+       COUNT(adgroup_prop) AS n_adgroup_annotated,
+       MAX(account_prop) AS sample_account_prop
+FROM (
+  SELECT zg_id, touch_k % 5 AS lid,
+         {ctype} AS channel_type,
+         CASE {ctype} {names} ELSE '' END AS channel_name,
+         {comp(11)} AS account_prop,
+         {comp(13)} AS campaign_prop,
+         {comp(17)} AS adgroup_prop
+  FROM (
+    SELECT app_id, zg_id, ct, seq, is_touch, {tk} AS touch_k
+    FROM (
+      SELECT app_id, zg_id, ct, seq, 0 AS is_touch, CAST(NULL AS BIGINT) AS k
+      FROM resolved WHERE dt = 'evt' AND app_id IN ({apps})
+      UNION ALL
+      SELECT app_id, zg_id, ct, seq, 1, k
+      FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL
+        AND app_id IN ({apps})
+    ) s
+  ) f
+  WHERE is_touch = 0 AND touch_k IS NOT NULL
+) a
+GROUP BY channel_type, channel_name, lid"""
+
+
+_register("p41_adv_channel_props", _p41)
+
+
+# ---------------------------------------------------------------------------
 # P39 Baidu eqid extraction (service/BaiduKeywordService.java:130-159):
 # modern Baidu referrers carry an opaque `eqid` instead of the keyword —
 # host must end `.baidu.com`, param length ≥ 32; the keyword itself comes
