@@ -124,3 +124,37 @@ def test_garbled_geo_range_nulls_whole_triple(spark, sf_dir):
         "country IS NOT NULL OR province IS NOT NULL OR city IS NOT NULL"
     )
     assert clean.count() > 0, "guard nulled every row — over-broad"
+
+
+def test_adv_click_match_ipver_tier(spark):
+    """The iOS ip+version fallback tier (setAppIpUaKeys:1292-1297) is
+    unreachable at fixture scale — a user's own clicks always share the
+    full UA, so tier 2 fires first. Constructed rows prove the cascade:
+    an iPhone session start matching an iPad-UA click (name differs,
+    version matches) lands in 'ipver'; the same rows on a non-iOS
+    platform land in 'none'."""
+    from zg_etl_spark.operators.domain import SPARK
+    from zg_etl_spark.plans.pipeline import _p42
+
+    rows = [
+        # (app_id, dt, did, ip, k, ct, seq, zg_id, pl, user_id)
+        # click: user 11 -> iPad/16.6 UA; k=4 (k%3!=0: no exact key)
+        (1, "mkt", "did_click", "9.9.9.9", 4, 1000, 1, 501, "ios", 11),
+        # session start: user 9 -> iPhone/16.6 UA; same ip
+        (1, "ss", "did_ss", "9.9.9.9", None, 2000, 2, 601, "ios", 9),
+        # same shape, non-iOS platform: the tier-3 gate must refuse it
+        (1, "ss", "did_ss2", "9.9.9.9", None, 2000, 3, 602, "and", 9),
+    ]
+    spark.createDataFrame(
+        rows,
+        "app_id long, dt string, did string, ip string, k long, ct long, "
+        "seq long, zg_id long, pl string, user_id long",
+    ).createOrReplaceTempView("p42_resolved")
+    sql = _p42(SPARK).replace("FROM resolved r", "FROM p42_resolved r")
+    got = {
+        r["match_tier"]: (r["lid"], r["n_sessions"])
+        for r in spark.sql(sql).collect()
+    }
+    assert got["ipver"] == (4, 1), got
+    assert got["none"] == (None, 1), got
+    assert "ipua" not in got and "exact" not in got, got

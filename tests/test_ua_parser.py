@@ -48,3 +48,48 @@ def test_ua_parser_cases(spark):
     got = {r.ua: (r.fam, r.ver, r.br, r.bv, r.dev, r.brand) for r in out}
     for ua, expect in CASES:
         assert got[ua] == expect, f"{ua}: {got[ua]} != {expect}"
+
+
+def test_ua_analysis_conformance_both_dialects(spark):
+    """ToolUtil.uaAnalysis (ToolUtil.java:145-179) re-expressed as SQL:
+    both dialects must agree with an independent pure-Python port of the
+    Java — Android branch (case-SENSITIVE contains, case-insensitive
+    regex), iPhone/iPad capture with original casing, '_'→'.' version
+    cleanup, the version-less Opera alternative, and the no-match ''."""
+    import re
+
+    import duckdb
+
+    from zg_etl_spark.operators.domain import DUCK
+
+    def ref(ua):
+        if ua is None:
+            return ":"
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(
+                r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)", ua, re.I
+            )
+        name, ver = "", ""
+        if m:
+            name = m.group(1)
+            if m.lastindex and m.lastindex > 1 and m.group(2):
+                ver = re.sub(r"[^a-zA-Z0-9 ]", ".", m.group(2))
+        return f"{name}:{ver}"
+
+    cases = [ua for ua, _ in CASES] + ["iPhone; Opera Mini", "curl/8.4.0"]
+    con = duckdb.connect()
+    for ua in cases:
+        lit = "'" + ua.replace("'", "''") + "'"
+        s = spark.sql(
+            f"SELECT {UP.ua_analysis_name(SPARK, lit)}, "
+            f"{UP.ua_analysis_version(SPARK, lit)}"
+        ).collect()[0]
+        k = con.execute(
+            f"SELECT {UP.ua_analysis_name(DUCK, lit)}, "
+            f"{UP.ua_analysis_version(DUCK, lit)}"
+        ).fetchone()
+        want = ref(ua)
+        assert f"{s[0]}:{s[1]}" == want, f"spark {ua!r}: {s} != {want}"
+        assert f"{k[0]}:{k[1]}" == want, f"duckdb {ua!r}: {k} != {want}"

@@ -98,3 +98,37 @@ def brand(d, ua: str) -> str:
         f"WHEN {d.rlike(ua, pat)} THEN '{b}'" for b, pat in BRAND_RULES
     )
     return f"CASE {whens} END"
+
+
+# --- ToolUtil.uaAnalysis (etl-flink-common ToolUtil.java:145-179) --------
+# The adv click-matching key parser — a DIFFERENT, cruder parse than the
+# enrichment rules above: Android UAs go through one regex, everything
+# else through the iOS regex (iPhone/iPad/iPod + version, or the bare
+# Opera alternative which captures no version); the version's
+# non-[a-zA-Z0-9 ] characters are each replaced with '.' ("16_6"→"16.6").
+# The branch test is ua.contains("Android") — CASE-SENSITIVE — while the
+# regexes themselves run case-insensitively, exactly as the Java does.
+UA_ANALYSIS_ANDROID = r"linux;.*(android).([\w.,/\-]+)"
+UA_ANALYSIS_IOS = r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)"
+
+
+def _ua_analysis_group(d, ua: str, group: int) -> str:
+    return (
+        f"CASE WHEN {ua} LIKE '%Android%' "
+        f"THEN regexp_extract({ua}, {d.re_lit('(?i)' + UA_ANALYSIS_ANDROID)}, {group}) "
+        f"ELSE regexp_extract({ua}, {d.re_lit('(?i)' + UA_ANALYSIS_IOS)}, {group}) END"
+    )
+
+
+def ua_analysis_name(d, ua: str) -> str:
+    """matcher.group(1) — the platform token with the UA's original
+    casing ('Android', 'iPhone', 'iPad'); '' when nothing matches."""
+    return f"COALESCE({_ua_analysis_group(d, ua, 1)}, '')"
+
+
+def ua_analysis_version(d, ua: str) -> str:
+    """matcher.group(2) with the cleanup replace; '' when absent."""
+    cleaned = d.re_replace_all(
+        f"COALESCE({_ua_analysis_group(d, ua, 2)}, '')", "[^a-zA-Z0-9 ]", "."
+    )
+    return cleaned

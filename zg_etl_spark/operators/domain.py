@@ -123,6 +123,11 @@ class Dialect:
     def rlike(self, x: str, pattern: str) -> str:
         raise NotImplementedError
 
+    def re_replace_all(self, x: str, pattern: str, repl: str) -> str:
+        """Replace EVERY match of pattern — Spark's regexp_replace is
+        global by default, DuckDB's needs the 'g' option."""
+        raise NotImplementedError
+
     def last_ignore_nulls(self, x: str, over: str) -> str:
         """last_value(x) with IGNORE NULLS — the engines put the clause
         in different places."""
@@ -169,6 +174,9 @@ class SparkDialect(Dialect):
 
     def rlike(self, x, pattern):
         return f"{x} RLIKE {self.re_lit(pattern)}"
+
+    def re_replace_all(self, x, pattern, repl):
+        return f"regexp_replace({x}, {self.re_lit(pattern)}, '{repl}')"
 
     def last_ignore_nulls(self, x, over):
         return f"last_value({x}) IGNORE NULLS OVER {over}"
@@ -219,6 +227,9 @@ class DuckDialect(Dialect):
 
     def rlike(self, x, pattern):
         return f"regexp_matches({x}, {self.re_lit(pattern)})"
+
+    def re_replace_all(self, x, pattern, repl):
+        return f"regexp_replace({x}, {self.re_lit(pattern)}, '{repl}', 'g')"
 
     def last_ignore_nulls(self, x, over):
         return f"last_value({x} IGNORE NULLS) OVER {over}"

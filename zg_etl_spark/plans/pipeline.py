@@ -1679,6 +1679,94 @@ _register("p41_adv_channel_props", _p41)
 
 
 # ---------------------------------------------------------------------------
+# P42 ad click → device matching cascade (AdvLidAndUserFirstEndFlatMap
+# Function.java:1247-1357 setAppIpUaKeys + processDeviceId): app session
+# starts (dt='ss') probe the click store through THREE key tiers, first
+# hit wins — (1) exact device id, normalized per processDeviceId
+# (32-char ids pass through as already-md5'd, everything else is md5'd,
+# :1352-1356); (2) fuzzy ip + ToolUtil.uaAnalysis(ua) name:version
+# (:1288-1290); (3) iOS only, ip + version alone (:1292-1297, the
+# reference reads $os — modeled here via the envelope pl, our bags carry
+# no $os). Clicks are the batch's own mkt rows (p31's touch convention);
+# a click carries an exact key only when k % 3 = 0, so every tier is
+# populated. The store keeps the LATEST click per key (max ct, seq
+# tie-break) — the redis max-ct overwrite semantics.
+#
+# Scale shape: the three stores are per-key ROW_NUMBER aggregates of the
+# click stream (rows ∝ clicks ≪ events — at 100 TB they'd be the
+# materialized click tables, built once); the probe side is three
+# broadcast-able equi-joins, no inequality join, no fan-out (stores are
+# 1 row per key). uaAnalysis is codegen regexp_extract, no UDF.
+# ---------------------------------------------------------------------------
+def _p42(d: Dialect) -> str:
+    from zg_etl_spark.functions import ua_parser as UP
+    from zg_etl_spark.operators.domain import ua_real_case
+
+    apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    norm_id = (
+        "CASE WHEN length(did) = 32 THEN did ELSE md5(did) END"
+    )
+    store = (
+        "SELECT app_id, {keys}, lid FROM (\n"
+        "    SELECT app_id, {keys}, lid,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY app_id, {keys}\n"
+        "                              ORDER BY ct DESC, seq DESC) AS rn\n"
+        "    FROM clicks{where}) t WHERE rn = 1"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT app_id, dt, did, ip, k, ct, seq, zg_id, pl,
+         {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
+         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver
+  FROM (
+    SELECT r.app_id, r.dt, r.did, r.ip, r.k, r.ct, r.seq, r.zg_id, r.pl,
+           {ua_real_case(d, 'r.')} AS ua_real
+    FROM resolved r WHERE r.app_id IN ({apps})
+  ) s
+), clicks AS (
+  SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
+         CASE WHEN k % 3 = 0 AND did IS NOT NULL AND did <> ''
+              THEN {norm_id} END AS exact_key
+  FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL
+), exact_store AS (
+  {store.format(keys="exact_key", where=" WHERE exact_key IS NOT NULL")}
+), ipua_store AS (
+  {store.format(keys="ip, ua_name, ua_ver", where="")}
+), ipver_store AS (
+  {store.format(keys="ip, ua_ver", where="")}
+), ss AS (
+  SELECT app_id, zg_id, ip, ua_name, ua_ver,
+         CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
+         CASE WHEN did IS NOT NULL AND did <> '' THEN {norm_id} END
+             AS probe_key
+  FROM keyed WHERE dt = 'ss'
+)
+SELECT match_tier, lid,
+       COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
+FROM (
+  SELECT s.zg_id,
+         COALESCE(e.lid, u.lid,
+                  CASE WHEN s.is_ios = 1 THEN v.lid END) AS lid,
+         CASE WHEN e.lid IS NOT NULL THEN 'exact'
+              WHEN u.lid IS NOT NULL THEN 'ipua'
+              WHEN s.is_ios = 1 AND v.lid IS NOT NULL THEN 'ipver'
+              ELSE 'none' END AS match_tier
+  FROM ss s
+  LEFT JOIN exact_store e
+         ON e.app_id = s.app_id AND e.exact_key = s.probe_key
+  LEFT JOIN ipua_store u
+         ON u.app_id = s.app_id AND u.ip = s.ip
+        AND u.ua_name = s.ua_name AND u.ua_ver = s.ua_ver
+  LEFT JOIN ipver_store v
+         ON v.app_id = s.app_id AND v.ip = s.ip AND v.ua_ver = s.ua_ver
+) x
+GROUP BY match_tier, lid"""
+
+
+_register("p42_adv_click_match", _p42)
+
+
+# ---------------------------------------------------------------------------
 # P39 Baidu eqid extraction (service/BaiduKeywordService.java:130-159):
 # modern Baidu referrers carry an opaque `eqid` instead of the keyword —
 # host must end `.baidu.com`, param length ≥ 32; the keyword itself comes
