@@ -1,0 +1,159 @@
+"""match_json predicate compiler conformance (functions/match_json.py).
+
+Independent oracle: a direct Python port of OperatorUtil.compareValue
+(pipeline util/OperatorUtil.java:133-308) written from the Java — no
+shared code with the compiler — evaluated over a value × rule grid and
+compared against the compiled SQL on BOTH dialects."""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+
+import duckdb
+import pytest
+
+from zg_etl_spark.functions.match_json import match_predicate
+from zg_etl_spark.operators.domain import DUCK, SPARK
+
+NOW_MS = 1706000000000  # deterministic "now" for relative date rules
+_CST = timezone(timedelta(hours=8))
+
+
+def _nullish(v: str) -> bool:
+    return v == "" or v.lower() == "null"
+
+
+def _ref_string(v, t, op):
+    if op == "equal":
+        return v == t
+    if op == "not equal":
+        return v != t
+    if op == "regexp":
+        return re.search(t, v) is not None  # usePatternMatch=true: find()
+    if op == "not regexp":
+        return re.search(t, v) is None
+    if op == "contains":
+        return t in v
+    if op == "not contains":
+        return t not in v
+    if op == "begin with":
+        return v.startswith(t)
+    if op == "not begin with":
+        return not v.startswith(t)
+    if op == "end with":
+        return v.endswith(t)
+    if op == "not end with":
+        return not v.endswith(t)
+    if op == "is not null":
+        return True
+    return False
+
+
+def _ref_num(v, t, op):
+    if _nullish(v) or _nullish(t):
+        return False
+    try:
+        a, b = int(v), int(t)  # Long.parseLong: no floats, no junk
+    except ValueError:
+        return False
+    return {
+        "gt": a > b, "lt": a < b, "ge": a >= b, "le": a <= b,
+        "equal": a == b, "not equal": a != b,
+    }.get(op, False)
+
+
+def _ref_date(v, values, op):
+    if _nullish(v):
+        return False
+    try:
+        ts = int(v) * 1000
+    except ValueError:
+        return False
+    if op == "relative":
+        return ts >= NOW_MS - int(values[0]) * 86_400_000
+    if op == "absolute":
+        lo = datetime.strptime(values[0], "%Y-%m-%d").replace(tzinfo=_CST)
+        hi = datetime.strptime(values[1], "%Y-%m-%d").replace(tzinfo=_CST)
+        return lo.timestamp() * 1000 <= ts <= hi.timestamp() * 1000
+    return False
+
+
+def ref_compare(v: str, mj: dict) -> bool:
+    values = [str(x) for x in mj.get("values", [])]
+    op = mj.get("operator", "")
+    t = mj.get("type", 1)
+    if v != "" and values:
+        if t == 1:
+            return _ref_string(v, values[0], op)
+        if t == 2:
+            return _ref_num(v, values[0], op)
+        if t == 3:
+            return _ref_date(v, values, op)
+        return False
+    if op == "is null":
+        return _nullish(v)
+    if op == "is not null":
+        return not _nullish(v)
+    return False
+
+
+RULES = [
+    {"type": 1, "operator": "equal", "values": ["hi"]},
+    {"type": 1, "operator": "not equal", "values": ["hi"]},
+    {"type": 1, "operator": "regexp", "values": ["ick$"]},
+    {"type": 1, "operator": "not regexp", "values": ["^cl"]},
+    {"type": 1, "operator": "contains", "values": ["l"]},
+    {"type": 1, "operator": "not contains", "values": ["l"]},
+    {"type": 1, "operator": "begin with", "values": ["cl"]},
+    {"type": 1, "operator": "not begin with", "values": ["cl"]},
+    {"type": 1, "operator": "end with", "values": ["ck"]},
+    {"type": 1, "operator": "not end with", "values": ["ck"]},
+    {"type": 1, "operator": "is not null", "values": ["x"]},
+    {"type": 1, "operator": "is null", "values": ["x"]},
+    {"type": 1, "operator": "bogus", "values": ["x"]},
+    {"type": 2, "operator": "gt", "values": ["5"]},
+    {"type": 2, "operator": "lt", "values": ["5"]},
+    {"type": 2, "operator": "ge", "values": ["5"]},
+    {"type": 2, "operator": "le", "values": ["5"]},
+    {"type": 2, "operator": "equal", "values": ["5"]},
+    {"type": 2, "operator": "not equal", "values": ["5"]},
+    {"type": 2, "operator": "gt", "values": ["junk"]},
+    {"type": 2, "operator": "is null", "values": ["5"]},
+    {"type": 3, "operator": "relative", "values": ["30"]},
+    {"type": 3, "operator": "absolute",
+     "values": ["2024-01-01", "2024-01-20"]},
+    {"type": 1, "operator": "is null", "values": []},
+    {"type": 1, "operator": "is not null", "values": []},
+    {"type": 1, "operator": "equal", "values": []},
+]
+
+VALUES = [
+    "", "null", "NULL", "hi", "lo", "click", "purchase", "5", "05",
+    "-3", "500", "3.5", "abc", "+7", "1704070000", "1700000000",
+]
+
+
+@pytest.mark.parametrize("dialect,runner", [("spark", None), ("duck", None)])
+def test_match_json_conformance(spark, dialect, runner):
+    d = SPARK if dialect == "spark" else DUCK
+    con = duckdb.connect() if dialect == "duck" else None
+    for v in VALUES:
+        lit = "'" + v.replace("'", "''") + "'"
+        exprs = [
+            match_predicate(d, mj, lit, now_ms=str(NOW_MS)) for mj in RULES
+        ]
+        sql = "SELECT " + ", ".join(
+            f"{e} AS c{i}" for i, e in enumerate(exprs)
+        )
+        row = (
+            spark.sql(sql).collect()[0]
+            if dialect == "spark"
+            else con.execute(sql).fetchone()
+        )
+        for i, mj in enumerate(RULES):
+            want = ref_compare(v, mj)
+            got = bool(row[i]) if row[i] is not None else False
+            assert got is want, (
+                f"{dialect}: value {v!r} rule {mj} -> {got}, want {want}"
+            )

@@ -221,6 +221,28 @@ CHANNEL_TYPE_NAMES = [
     ("15", "OPPO营销平台"),
 ]
 
+# ads_link_event match_json docs (AdvConvertEventFlatMapFunction.java:
+# 228-236; evaluated by OperatorUtil.compareProValue, eventProp
+# category): per-rule property predicates over the conversion row's bag.
+# Labels resolve `_label` first (our bag is all `_`-customs,
+# operators/domain.custom_attrs); 'missing' is deliberately absent from
+# the bag so the handleNullValue branch is observable.
+ADS_MATCH_RULES = [
+    (0, "band", {"type": 1, "operator": "equal", "values": ["hi"]}),
+    (1, "etype", {"type": 1, "operator": "not equal", "values": ["click"]}),
+    (2, "etype", {"type": 1, "operator": "begin with", "values": ["p"]}),
+    (3, "etype", {"type": 1, "operator": "regexp", "values": ["ick$"]}),
+    (4, "plat", {"type": 1, "operator": "contains", "values": ["o"]}),
+    (5, "vbucket", {"type": 2, "operator": "le", "values": ["5"]}),
+    (6, "k", {"type": 2, "operator": "gt", "values": ["50"]}),
+    (7, "missing", {"type": 1, "operator": "is null", "values": ["x"]}),
+    # a NULL k is the *string* 'null' (String.valueOf) — non-empty, so
+    # the string-branch 'is not null' is TRUE even for null entries,
+    # exactly the reference's quirk (OperatorUtil.java:211-213)
+    (8, "k", {"type": 1, "operator": "is not null", "values": ["x"]}),
+]
+ADS_MATCH_COLS = ["m_rule", "m_label", "m_operator"]
+
 # per-event UTM override store (AdvAddUtmFlatMapFunction.java:108-155:
 # Redis `utm:{zg_eid}` JSON applied to evt/abp records as $utm_* props)
 UTM_OVERRIDES = [

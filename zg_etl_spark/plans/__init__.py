@@ -29,12 +29,13 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      implementation) and s9 (streaming partial-column sink) — new this
 #      round, displacing p34/p33;
 #   4. q20 (time-bucket gap-fill + LOCF), p41 (ad channel-metadata
-#      annotation), p42 (ad click→device matching cascade) — new this
-#      round, displacing p31/p30/p32's r3-green rows — and p7 (geo
-#      garbled-result guard changed its formulation this round,
-#      displacing p27's r3-green row);
+#      annotation), p42 (ad click→device matching cascade), p43
+#      (match_json conversion gates) — new this round, displacing
+#      p31/p30/p32/p28's r3-green rows — and p7 (geo garbled-result
+#      guard changed its formulation this round, displacing p27's
+#      r3-green row);
 #   5. the r3-era stale-attestation band, oldest first: l1-l27 (all 27),
-#      s1/s3/s5, g1, p0, p28.
+#      s1/s3/s5, g1, p0.
 # The remainder (p33, p34, p35, w2, the q-suite except q11, and the freshly-green
 # r5 window: q11, p37-p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36, p1-p3,
 # p5, p7, p9-p18, p20, p22-p26) stays in the tail, covered by the local
@@ -89,7 +90,7 @@ _WINDOW = [
     "g1_wire_roundtrip",
     "p0_envelope",
     "p7_enrichment",
-    "p28_gate_business",
+    "p43_adv_match_json",
     "p41_adv_channel_props",
     "q20_gapfill_locf",
     "p42_adv_click_match",

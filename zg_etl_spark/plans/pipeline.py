@@ -1767,6 +1767,44 @@ _register("p42_adv_click_match", _p42)
 
 
 # ---------------------------------------------------------------------------
+# P43 match_json conversion gates (AdvConvertEventFlatMapFunction.java:
+# 228-236 + OperatorUtil.compareProValue/compareValue,
+# util/OperatorUtil.java:22-308): the per-rule property predicate that
+# gates ad-conversion send-back, compiled engine-side by
+# functions/match_json.py. p31 models the window/frequency machinery;
+# this query isolates the predicate DSL itself — per rule, how many evt
+# rows pass, against the label-resolved bag value (`_label` lookup,
+# String.valueOf shaping: absent key '', null entry the string 'null').
+#
+# Scale shape: ONE scan of the evt rows; every rule's predicate is a
+# codegen CASE over the row's own columns (conditional SUMs — no join,
+# no per-row interpreter, no shuffle beyond the final 9-group agg).
+# ---------------------------------------------------------------------------
+def _p43(d: Dialect) -> str:
+    from zg_etl_spark.functions.match_json import match_predicate, value_str
+    from zg_etl_spark.operators.domain import custom_attrs
+
+    bag = {name: val for name, val, _ in custom_attrs(d, q="")}
+    agg_cols = []
+    for rule_id, label, mj in R.ADS_MATCH_RULES:
+        raw = bag.get("_" + label)
+        v = value_str(d, raw) if raw is not None else "''"  # absent key
+        pred = match_predicate(d, mj, v, now_ms="now_ref")
+        agg_cols.append(
+            f"CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS match_{rule_id}"
+        )
+    cols = ",\n       ".join(agg_cols)
+    return f"""
+SELECT COUNT(*) AS n_evaluated,
+       {cols}
+FROM resolved WHERE dt = 'evt'"""
+
+
+_register("p43_adv_match_json", _p43)
+
+
+# ---------------------------------------------------------------------------
 # P39 Baidu eqid extraction (service/BaiduKeywordService.java:130-159):
 # modern Baidu referrers carry an opaque `eqid` instead of the keyword —
 # host must end `.baidu.com`, param length ≥ 32; the keyword itself comes
