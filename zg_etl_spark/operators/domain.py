@@ -128,6 +128,11 @@ class Dialect:
         global by default, DuckDB's needs the 'g' option."""
         raise NotImplementedError
 
+    def json_str_key(self, col: str, key: str) -> str:
+        """JSON string value for a key that needs quoting in the path
+        (dashes etc.) — the engines quote path segments differently."""
+        raise NotImplementedError
+
     def last_ignore_nulls(self, x: str, over: str) -> str:
         """last_value(x) with IGNORE NULLS — the engines put the clause
         in different places."""
@@ -177,6 +182,11 @@ class SparkDialect(Dialect):
 
     def re_replace_all(self, x, pattern, repl):
         return f"regexp_replace({x}, {self.re_lit(pattern)}, '{repl}')"
+
+    def json_str_key(self, col, key):
+        # Spark path: $['key'] — rendered inside a "…" literal so the
+        # path's own single quotes need no escaping
+        return f'get_json_object({col}, "$[\'{key}\']")'
 
     def last_ignore_nulls(self, x, over):
         return f"last_value({x}) IGNORE NULLS OVER {over}"
@@ -230,6 +240,11 @@ class DuckDialect(Dialect):
 
     def re_replace_all(self, x, pattern, repl):
         return f"regexp_replace({x}, {self.re_lit(pattern)}, '{repl}', 'g')"
+
+    def json_str_key(self, col, key):
+        # DuckDB path: $."key" (double quotes are fine inside a '…'
+        # literal; they'd be identifiers only outside one)
+        return f'json_extract_string({col}, \'$."{key}"\')'
 
     def last_ignore_nulls(self, x, over):
         return f"last_value({x} IGNORE NULLS) OVER {over}"

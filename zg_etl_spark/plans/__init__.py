@@ -30,11 +30,11 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      round, displacing p34/p33;
 #   4. q20 (time-bucket gap-fill + LOCF), p41 (ad channel-metadata
 #      annotation), p42 (ad click→device matching cascade), p43
-#      (match_json conversion gates) — new this round, displacing
-#      p31/p30/p32/p28's r3-green rows — and p7 (geo garbled-result
-#      guard changed its formulation this round, displacing p27's
-#      r3-green row);
-#   5. the r3-era stale-attestation band, oldest first: l1-l27 (all 27),
+#      (match_json conversion gates), p44 (Apple ASA normalization) —
+#      new this round, displacing p31/p30/p32/p28/l1's r3-green rows —
+#      and p7 (geo garbled-result guard changed its formulation this
+#      round, displacing p27's r3-green row);
+#   5. the r3-era stale-attestation band, oldest first: l2-l27,
 #      s1/s3/s5, g1, p0.
 # The remainder (p33, p34, p35, w2, the q-suite except q11, and the freshly-green
 # r5 window: q11, p37-p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36, p1-p3,
@@ -57,7 +57,7 @@ _WINDOW = [
     "p29_event_resolution",
     "p36_event_platforms",
     "s4_streaming_route",
-    "l1_text_stats",
+    "p44_apple_asa",
     "l2_lang_id",
     "l3_dedup_exact",
     "l4_ngram_jaccard",

@@ -1805,6 +1805,102 @@ _register("p43_adv_match_json", _p43)
 
 
 # ---------------------------------------------------------------------------
+# P44 Apple Search Ads attribution normalization (AdvLidAndUserFirstEnd
+# FlatMapFunction.java:959-1044 appleAdDataTransfer + :929-954
+# appleASAFeildsMap): the `$apple_ad` payload arrives in TWO wire
+# formats — legacy `iad-org-id=123;iad-campaign-id=456;…` key=value
+# (quotes stripped, each value trimmed, Long.parseLong failures leave
+# the field unset → 0 downstream) and JSON with the same `iad-*` keys —
+# dispatched on contains('='). appleASAFeildsMap then adds the fixed
+# identity (lname 苹果ASA, lid -2, channel_type 5) and falls back
+# adId→creativeSetId when adId is 0 (creativeSetId is never produced by
+# appleAdDataTransfer itself, so the fallback yields 0 here — kept
+# faithful). Payloads are synthesized per ss row (fixture convention):
+# format 0 legacy k=v with adId 0, format 1 JSON, format 2 k=v with
+# quoted + malformed-numeric values, format 3 empty.
+#
+# Scale shape: map-only scan of the ss rows (regexp_extract /
+# get_json_object inside codegen, no UDF, no join), one 3-group agg.
+# ---------------------------------------------------------------------------
+def _p44(d: Dialect) -> str:
+    long_re = "^[+-]?[0-9]+$"
+
+    def long0(v: str) -> str:
+        # Long.parseLong-gated; absent/garbage → getLongValue's 0
+        return (
+            f"COALESCE(CASE WHEN {d.rlike(f'({v})', long_re)} "
+            f"THEN TRY_CAST({v} AS BIGINT) END, 0)"
+        )
+
+    def kv(key: str) -> str:
+        # segment whose key CONTAINS `key` (the Java key.contains), value
+        # up to ';', quotes removed, trimmed — :966-984
+        pat = f"[^;=]*{key}[^;=]*=([^;]*)"
+        return f"trim(replace(regexp_extract(payload, {d.re_lit(pat)}, 1), '\"', ''))"
+
+    def js(key: str) -> str:
+        return d.json_str_key("payload", key)
+
+    def field(key: str) -> str:
+        return (
+            f"CASE fmt WHEN 'kv' THEN {long0(kv(key))} "
+            f"WHEN 'json' THEN {long0(js(key))} ELSE 0 END"
+        )
+
+    s = d.s
+    payload = f"""CASE user_id % 4
+    WHEN 0 THEN concat('iad-org-id=10', {s('(user_id % 10)')},
+        ';iad-campaign-id=2', {s('(user_id % 7)')},
+        ';iad-adgroup-id=3;iad-ad-id=0;iad-keyword-id=77',
+        ';iad-click-date=2024-01-0', {s('(1 + user_id % 9)')})
+    WHEN 1 THEN concat('{{"iad-org-id": 5', {s('(user_id % 10)')},
+        ', "iad-campaign-id": ', {s('(user_id % 13)')},
+        ', "iad-adgroup-id": 8, "iad-ad-id": ', {s('(user_id % 3)')},
+        ', "iad-keyword-id": 9, "iad-click-date": "2024-01-1',
+        {s('(user_id % 9)')}, '"}}')
+    WHEN 2 THEN concat('iad-org-id="9', {s('(user_id % 5)')},
+        '" ;iad-campaign-id=abc;iad-ad-id=4', {s('(user_id % 3)')})
+    ELSE '' END"""
+    ad_id = field("iad-ad-id")
+    creative = "0"  # appleAdDataTransfer never emits creativeSetId
+    return f"""
+SELECT fmt, MAX(lname) AS lname, MAX(lid) AS lid,
+       MAX(channel_type) AS channel_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(org_id) AS BIGINT) AS sum_org,
+       CAST(SUM(campaign_id) AS BIGINT) AS sum_campaign,
+       CAST(SUM(adgroup_id) AS BIGINT) AS sum_adgroup,
+       CAST(SUM(keyword_id) AS BIGINT) AS sum_keyword,
+       CAST(SUM(channel_ad_id) AS BIGINT) AS sum_channel_ad,
+       CAST(SUM(CASE WHEN channel_ad_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_adid_zero,
+       COUNT(DISTINCT click_date) AS n_click_dates
+FROM (
+  SELECT fmt,
+         '苹果ASA' AS lname, '-2' AS lid, '5' AS channel_type,
+         {field("iad-org-id")} AS org_id,
+         {field("iad-campaign-id")} AS campaign_id,
+         {field("iad-adgroup-id")} AS adgroup_id,
+         {field("iad-keyword-id")} AS keyword_id,
+         CASE WHEN {ad_id} = 0 THEN {creative} ELSE {ad_id} END
+             AS channel_ad_id,
+         CASE fmt WHEN 'kv' THEN {kv("iad-click-date")}
+              WHEN 'json' THEN {js("iad-click-date")} END AS click_date
+  FROM (
+    SELECT CASE WHEN payload IS NULL OR trim(payload) = '' THEN 'empty'
+                WHEN instr(payload, '=') > 0 THEN 'kv'
+                ELSE 'json' END AS fmt,
+           payload
+    FROM (SELECT {payload} AS payload FROM resolved WHERE dt = 'ss') r
+  ) f
+) x
+GROUP BY fmt"""
+
+
+_register("p44_apple_asa", _p44)
+
+
+# ---------------------------------------------------------------------------
 # P39 Baidu eqid extraction (service/BaiduKeywordService.java:130-159):
 # modern Baidu referrers carry an opaque `eqid` instead of the keyword —
 # host must end `.baidu.com`, param length ≥ 32; the keyword itself comes
