@@ -18,19 +18,20 @@ def test_correctness_window_composition():
     p21, p29, p36, s4 — p21/w3 also held the last stale r2-era rows),
     g4 (real SM2 key-unwrap), s9 (streaming partial-column sink) and
     q20 (gap-fill + LOCF), p41 (ad channel props), p42 (ad click match
-    cascade), p43 (match_json gates), p44 (Apple ASA normalization) —
-    all new — p7 (garbled-geo guard changed its formulation), and the
-    r3-era stale-attestation band (l2-l27, s1/s3/s5, g1, p0 —
-    p31/p30/p32/p28/l1/p27's r3-green rows were displaced by
-    q20/p41/p42/p43/p44/p7); registering a new query must never
-    silently displace one of these."""
+    cascade), p43 (match_json gates), p44 (Apple ASA normalization),
+    p45 (DevicePropertyParser classification), p46 (Dims.java dim
+    mappings) — all new — p7 (garbled-geo guard changed its
+    formulation), and the r3-era stale-attestation band (l4-l27,
+    s1/s3/s5, g1, p0 — p31/p30/p32/p28/l1/l2/l3/p27's r3-green rows
+    were displaced by q20/p41/p42/p43/p44/p45/p46/p7); registering a
+    new query must never silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
     want_prefixes = ["l37_", "w9_", "w3_", "g4_", "s9_", "q20_", "p7_",
-                     "p41_", "p42_", "p43_", "p44_",
+                     "p41_", "p42_", "p43_", "p44_", "p45_", "p46_",
                      "p4_", "p6_", "p8_", "p19_", "p21_", "p29_", "p36_",
                      "s4_", "s1_", "s3_", "s5_", "g1_", "p0_"]
-    want_prefixes += [f"l{i}_" for i in range(2, 28)]
+    want_prefixes += [f"l{i}_" for i in range(4, 28)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"

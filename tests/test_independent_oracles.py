@@ -1195,3 +1195,197 @@ def test_sequence_packing_matches_python_cursor(spark, sf_dir):
     from collections import Counter
     per_bin = Counter((v[0], v[2]) for v in expected.values())
     assert max(per_bin.values()) > 1
+
+
+# ---------------------------------------------------------------------------
+# P45 device classification: a direct Python transcription of
+# DevicePropertyParser.java:88-330 (parse → standardizeBrand →
+# standardizeModel → determineCategory → determinePriceRange →
+# is5GSupported/isFoldableDevice on the RAW model → extractReleaseYear),
+# sharing no SQL with the engine formulation. The contains-scan applies
+# the repo's documented deterministic tiebreak (longest key first).
+# ---------------------------------------------------------------------------
+def test_device_classify_matches_python_parser(spark, sf_dir):
+    import re
+
+    BRANDS = {
+        "huawei": "Huawei", "honor": "Honor", "荣耀": "Honor",
+        "xiaomi": "Xiaomi", "mi": "Xiaomi", "redmi": "Redmi",
+        "红米": "Redmi", "oppo": "OPPO", "realme": "Realme",
+        "oneplus": "OnePlus", "vivo": "Vivo", "iqoo": "iQOO",
+        "apple": "Apple", "iphone": "Apple", "samsung": "Samsung",
+        "meizu": "Meizu", "魅族": "Meizu", "lenovo": "Lenovo",
+        "联想": "Lenovo", "zte": "ZTE", "中兴": "ZTE",
+        "nubia": "Nubia", "努比亚": "Nubia", "黑鲨": "BlackShark",
+        "黑莓": "BlackBerry",
+    }
+    FLAGSHIP = ["PRO", "ULTRA", "MAX", "PLUS", "MATE", "FIND", "X",
+                "PRO+", "GT", "ACE", "旗舰", "折叠"]
+    FOLDABLE = ["FOLD", "FLIP", "MIX FOLD", "MATE X", "折叠"]
+
+    def std_brand(brand):
+        lower = brand.lower().strip()
+        if lower in BRANDS:
+            return BRANDS[lower]
+        for k in sorted(BRANDS, key=lambda k: (-len(k), k)):
+            if k in lower:
+                return BRANDS[k]
+        return brand[:1].upper() + brand[1:].lower()
+
+    def std_model(model):
+        if not model:
+            return ""
+        cleaned = re.sub(r"\s+", " ", model.strip())
+        return re.sub(r"[^a-zA-Z0-9\s+\-]", "", cleaned)
+
+    def category(brand, model):
+        if not model:
+            return "UNKNOWN"
+        u = model.upper()
+        if any(k.upper() in u for k in FOLDABLE):
+            return "Foldable"
+        if any(k.upper() in u for k in FLAGSHIP):
+            return "Flagship"
+        if brand == "Apple":
+            if "PRO" in u or "MAX" in u:
+                return "Flagship"
+            if "SE" in u:
+                return "Entry-level"
+            return "Mid-range"
+        if brand == "Redmi":
+            return "Mid-range" if ("K" in u or "NOTE" in u) else "Entry-level"
+        return "Mid-range"
+
+    def price(brand, cat):
+        if cat in ("Foldable", "Flagship"):
+            return "Premium"
+        if cat == "Entry-level":
+            return "Budget"
+        if brand == "Apple":
+            return "Premium"
+        if brand in ("Redmi", "Realme"):
+            return "Budget"
+        return "Mid"
+
+    def parse(brand, model):
+        if brand is None or not brand.strip():
+            return ("UNKNOWN", "", "UNKNOWN", "UNKNOWN", 0, 0, None)
+        sb = std_brand(brand)
+        sm = std_model(model)
+        cat = category(sb, sm)
+        pr = price(sb, cat)
+        is5g = int(bool(model and re.search(r"5G|5g|全网通", model, re.I)))
+        fold = int(bool(model and any(
+            k.upper() in model.upper() for k in FOLDABLE)))
+        m = re.search(r"(20[12]\d)", sm) if re.match(r".*20[12]\d.*", sm) else None
+        year = m.group(1) if m else ""
+        return (sb, sm, cat, pr, is5g, fold, year)
+
+    rows = ALL["p45_device_classify"](spark, sf_dir).collect()
+    assert len(rows) == 18
+    for r in rows:
+        exp = parse(r.brand, r.model)
+        got = (r.std_brand, r.std_model, r.category, r.price_range,
+               r.is_5g, r.is_foldable, r.release_year)
+        assert got == exp, f"cid={r.cid}: {got} != {exp}"
+
+
+# ---------------------------------------------------------------------------
+# P46 dimension mappings: a direct Python transcription of Dims.java
+# (getDimId over resources/dim.json, net/netIOS/MNet.getNetworkClass,
+# carrier, phone, sdkv validity/compare/value, newSessionId, timestamp,
+# birthday) — no SQL shared with the engine formulation.
+# ---------------------------------------------------------------------------
+def test_dims_mapping_matches_python_transcription(spark, sf_dir):
+    import re
+
+    GENDER = {"n": 0, "none": 0, "未知": 0,
+              "m": 1, "male": 1, "男": 1,
+              "f": 2, "female": 2, "女": 2}
+    SDK = {"none": 0, "and": 1, "ios": 2, "js": 3, "wxa": 4,
+           "server": 5, "harmonyos": 6}
+    MNET_2G, MNET_3G = {1, 2, 4, 7, 11}, {3, 5, 6, 8, 9, 10, 12, 14, 15}
+
+    def network_class(mnet):
+        if mnet in MNET_2G:
+            return 1
+        if mnet in MNET_3G:
+            return 2
+        return 3 if mnet == 13 else 0
+
+    def net_android(net, mnet):
+        if net == 1:
+            return 4
+        return network_class(mnet) if net == 0 else 0
+
+    def net_ios(net, radio):
+        if net == 1:
+            m = (radio or "").strip().upper()
+            if m in ("", "GPRS", "CDMA1X", "EDGE"):
+                return 1
+            if m in ("HSDPA", "HSUPA", "WCDMA", "EHRPD") or m.startswith("CDMAEVDO"):
+                return 2
+            return 3 if m == "LTE" else 1
+        return 4 if net == 4 else 0
+
+    def net(sdk_id, n, mnet, radio):
+        if sdk_id == 1:
+            return net_android(n, mnet)
+        return net_ios(n, radio) if sdk_id == 3 else 0
+
+    def carrier(s):
+        return int(s) if s is not None and re.fullmatch(r"\d{6}", s) else 0
+
+    def phone(s):
+        if s is None:
+            return None
+        if len(s) > 11:
+            s = s[-11:]
+        return s if re.fullmatch(r"\d+", s) else None
+
+    def sdkv_valid(v):
+        return int(v is not None and bool(re.match(r"^v(\d+\.)*\d+$", v)))
+
+    def compare_version(v1, v2):
+        a = v1.replace("v", "").split(".")
+        b = v2.replace("v", "").split(".")
+        for i, p in enumerate(a):
+            if len(b) < i + 1:
+                return 1
+            if int(p) != int(b[i]):
+                return 1 if int(p) > int(b[i]) else -1
+        return 0
+
+    def sdkv_num(v):
+        if v is None or len(v) == 1:
+            return 0.0
+        try:
+            return float(v[1:])
+        except ValueError:
+            return 0.0
+
+    rows = ALL["p46_dims_mapping"](spark, sf_dir).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r.sdk_id == SDK.get(r.sdk_code.lower(), 0), r
+        assert r.net_class == net(r.sdk_id, r.net_in, r.mnet_in, r.radio_in), r
+        assert r.carrier == carrier(r.cr_in), r
+        assert r.phone == phone(r.phone_in), r
+        assert r.gender_id == GENDER.get((r.gender_in or "~").lower(), 0), r
+        exp_flag = {"1": 1, "0": 2}.get(r.flag_in or "~", 0)
+        assert r.jail_id == exp_flag and r.pirate_id == exp_flag, r
+        assert r.sdkv_valid == sdkv_valid(r.sdkv_in), r
+        exp_cmp = (compare_version(r.sdkv_in, "v1.6.0")
+                   if r.sdkv_valid else None)
+        assert r.sdkv_cmp == exp_cmp, r
+        assert r.sdkv_num == sdkv_num(r.sdkv_in), r
+        assert r.session_id == f"sess{r.cid}-" + str(
+            (2000000123 + r.cid if r.cid % 3 == 0 else r.cid * 97 + 5)
+            % 1000000000).zfill(9), r
+        exp_ts = (1700000000000 + r.cid if r.sdk_id == 3
+                  else 1700000100000 + r.cid)
+        assert r.ts_used == exp_ts, r
+        if r.cid % 2 == 0:
+            assert r.bday == f"199{r.cid % 10}0506", r
+        else:
+            assert r.bday is None, r

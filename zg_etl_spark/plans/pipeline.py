@@ -2339,3 +2339,325 @@ FROM w9_b1 b1
 FULL OUTER JOIN w9_b2 b2
   ON b1.app_id = b2.app_id AND b1.device_id = b2.device_id
 WHERE COALESCE(b1.device_id, b2.device_id) % 5 <> 0""")
+
+
+# ---------------------------------------------------------------------------
+# P45 device classification (util/DevicePropertyParser.java:1-331): the
+# reference's standalone device-property parser — brand normalization
+# (exact map then contains-scan then capitalize, :140-160), model
+# standardization (trim, collapse whitespace, strip non-[a-zA-Z0-9 +-],
+# :165-176), category (foldable > flagship keywords > Apple PRO/MAX/SE >
+# Redmi K/NOTE > Mid-range, :181-219; note the keyword "X" makes ANY
+# model containing an X a Flagship, and the Chinese keywords can never
+# fire on the already-stripped standard model), price range (:224-248),
+# 5G regex on the RAW model (:253-259), foldable scan on the RAW model
+# (:264-276 — so a 折叠 model is foldable=true yet classified from the
+# stripped model), release-year 20[12]\d extraction (:281-297), and the
+# null/blank-brand defaults path (:88-92, :316-330) where is5G/foldable
+# stay false and release_year stays null.
+#
+# DELIBERATE DEVIATION: the reference's contains-scan iterates a
+# java.util.HashMap, so an input matching two keys (e.g. "genuine redmi
+# device" matches both "redmi" and "mi") resolves nondeterministically;
+# we scan longest-key-first (ties: lexicographic) so the intuitive
+# longest match wins deterministically.
+# ---------------------------------------------------------------------------
+_BRAND_MAP = [
+    ("huawei", "Huawei"), ("honor", "Honor"), ("荣耀", "Honor"),
+    ("xiaomi", "Xiaomi"), ("mi", "Xiaomi"), ("redmi", "Redmi"),
+    ("红米", "Redmi"), ("oppo", "OPPO"), ("realme", "Realme"),
+    ("oneplus", "OnePlus"), ("vivo", "Vivo"), ("iqoo", "iQOO"),
+    ("apple", "Apple"), ("iphone", "Apple"), ("samsung", "Samsung"),
+    ("meizu", "Meizu"), ("魅族", "Meizu"), ("lenovo", "Lenovo"),
+    ("联想", "Lenovo"), ("zte", "ZTE"), ("中兴", "ZTE"),
+    ("nubia", "Nubia"), ("努比亚", "Nubia"), ("黑鲨", "BlackShark"),
+    ("黑莓", "BlackBerry"),
+]
+
+_FLAGSHIP_KW = ["PRO", "ULTRA", "MAX", "PLUS", "MATE", "FIND", "X",
+                "PRO+", "GT", "ACE", "旗舰", "折叠"]
+_FOLDABLE_KW = ["FOLD", "FLIP", "MIX FOLD", "MATE X", "折叠"]
+
+# The 18 (brand, model) fixtures: every parser path — exact/fuzzy/
+# capitalize brand, each category branch, the raw-vs-standard model
+# split (5G + foldable on raw), the year extraction, and both default
+# paths (null brand, blank brand). SQL NULL spelled as None.
+_P45_CASES = [
+    ("huawei", "HUAWEI Mate 40 Pro 5G"),
+    ("荣耀", "Magic Vs 折叠"),
+    ("REDMI ", "Note 11"),
+    ("Redmi", "K50 Pro+"),
+    ("my-xiaomi-phone", "Mi Mix Fold 2021"),
+    ("iphone", "SE 2022"),
+    ("apple", "iPhone 13 mini"),
+    ("Sony", "Xperia 1 III"),
+    (None, "Galaxy S23"),
+    ("   ", "P40 Pro"),
+    ("unknown brand", "5g全网通 2019"),
+    ("genuine redmi device", "K40"),
+    ("vivo", "iQOO Neo5"),
+    ("oneplus", "Ace 2V"),
+    ("samsung", "Galaxy Z Flip4"),
+    ("中兴", "Axon 30 Ultra"),
+    ("黑鲨", "4S Pro"),
+    ("apple", None),
+]
+
+
+def _sql_str(v, d: Dialect = None) -> str:
+    if v is None:
+        return f"CAST(NULL AS {d.strtype})"
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _p45(d: Dialect) -> str:
+    n = len(_P45_CASES)
+    spine = "(VALUES " + ", ".join(f"({i})" for i in range(n)) + ")"
+    brand = "CASE cid " + " ".join(
+        f"WHEN {i} THEN {_sql_str(b, d)}" for i, (b, _) in enumerate(_P45_CASES)
+    ) + " END"
+    model = "CASE cid " + " ".join(
+        f"WHEN {i} THEN {_sql_str(m, d)}" for i, (_, m) in enumerate(_P45_CASES)
+    ) + " END"
+
+    bl = "lower(trim(brand))"
+    exact = "CASE " + bl + " " + " ".join(
+        f"WHEN {_sql_str(k)} THEN {_sql_str(v)}" for k, v in _BRAND_MAP
+    ) + " END"
+    fuzzy = "CASE " + " ".join(
+        f"WHEN instr({bl}, {_sql_str(k)}) > 0 THEN {_sql_str(v)}"
+        for k, v in sorted(_BRAND_MAP, key=lambda kv: (-len(kv[0]), kv[0]))
+    ) + " END"
+    capitalized = ("upper(substr(brand, 1, 1)) || lower(substr(brand, 2))")
+    std_brand = f"COALESCE({exact}, {fuzzy}, {capitalized})"
+
+    collapsed = d.re_replace_all("trim(model)", r"\s+", " ")
+    std_model = d.re_replace_all(collapsed, r"[^a-zA-Z0-9\s+\-]", "")
+    std_model = f"CASE WHEN model IS NULL THEN '' ELSE {std_model} END"
+
+    um = "upper(std_model)"
+    foldable_std = " OR ".join(
+        f"instr({um}, {_sql_str(k)}) > 0" for k in _FOLDABLE_KW)
+    flagship = " OR ".join(
+        f"instr({um}, {_sql_str(k)}) > 0" for k in _FLAGSHIP_KW)
+    category = f"""CASE
+      WHEN std_model = '' THEN 'UNKNOWN'
+      WHEN {foldable_std} THEN 'Foldable'
+      WHEN {flagship} THEN 'Flagship'
+      WHEN std_brand = 'Apple' THEN
+        CASE WHEN instr({um}, 'PRO') > 0 OR instr({um}, 'MAX') > 0
+                THEN 'Flagship'
+             WHEN instr({um}, 'SE') > 0 THEN 'Entry-level'
+             ELSE 'Mid-range' END
+      WHEN std_brand = 'Redmi' THEN
+        CASE WHEN instr({um}, 'K') > 0 OR instr({um}, 'NOTE') > 0
+                THEN 'Mid-range' ELSE 'Entry-level' END
+      ELSE 'Mid-range' END"""
+    price = """CASE
+      WHEN category IN ('Foldable', 'Flagship') THEN 'Premium'
+      WHEN category = 'Entry-level' THEN 'Budget'
+      WHEN std_brand = 'Apple' THEN 'Premium'
+      WHEN std_brand IN ('Redmi', 'Realme') THEN 'Budget'
+      ELSE 'Mid' END"""
+
+    is5g = ("CASE WHEN model IS NOT NULL AND "
+            + d.rlike("model", "(?i)(5G|全网通)") + " THEN 1 ELSE 0 END")
+    raw_um = "upper(model)"
+    fold_raw = " OR ".join(
+        f"instr({raw_um}, {_sql_str(k)}) > 0" for k in _FOLDABLE_KW)
+    is_fold = f"CASE WHEN model IS NOT NULL AND ({fold_raw}) THEN 1 ELSE 0 END"
+    year = ("CASE WHEN " + d.rlike("std_model", r"20[12][0-9]")
+            + " THEN regexp_extract(std_model, '(20[12][0-9])', 1) "
+              "ELSE '' END")
+
+    blank = "brand IS NULL OR trim(brand) = ''"
+    return f"""
+SELECT cid, brand, model,
+       CASE WHEN {blank} THEN 'UNKNOWN' ELSE std_brand END AS std_brand,
+       CASE WHEN {blank} THEN '' ELSE std_model END AS std_model,
+       CASE WHEN {blank} THEN 'UNKNOWN' ELSE category END AS category,
+       CASE WHEN {blank} THEN 'UNKNOWN' ELSE {price} END AS price_range,
+       CASE WHEN {blank} THEN 0 ELSE is_5g END AS is_5g,
+       CASE WHEN {blank} THEN 0 ELSE is_foldable END AS is_foldable,
+       CASE WHEN {blank} THEN CAST(NULL AS {d.strtype}) ELSE {year} END
+           AS release_year,
+       n_events
+FROM (
+  SELECT cid, brand, model, std_brand, std_model, {category} AS category,
+         {is5g} AS is_5g, {is_fold} AS is_foldable, n_events
+  FROM (
+    SELECT cid, brand, model, {std_brand} AS std_brand,
+           {std_model} AS std_model, n_events
+    FROM (
+      SELECT t.cid, {brand} AS brand, {model} AS model,
+             COALESCE(c.n_events, 0) AS n_events
+      FROM {spine} AS t(cid)
+      LEFT JOIN (SELECT CAST(user_id % {n} AS INT) AS ccid,
+                        COUNT(*) AS n_events
+                 FROM events GROUP BY user_id % {n}) c ON c.ccid = t.cid
+    ) i
+  ) s
+) t"""
+
+
+_register("p45_device_classify", _p45)
+
+
+# ---------------------------------------------------------------------------
+# P46 dimension mappings (util/Dims.java:1-256 = util/DimUtils.java —
+# byte-identical twins in the reference; resources/dim.json holds the key
+# tables): the dim-id lookups the jobs don't already exercise via pl_id —
+# gender/jail/pirate (dim.json:29-44, case-insensitive, miss → 0),
+# network-class derivation Dims.net(sdk,net,mnet,radio) (:151-199) with
+# the reference's QUIRK that sdk==3 (js per dim.json:11) routes through
+# the iOS radio rules while sdk==2 (ios) falls to 0, the Android
+# net/mnet table (MNet.getNetworkClass :225-250: 1/2/4/7/11→2G,
+# 3/5/6/8/9/10/12/14/15→3G, 13→4G, else 0; wifi→4), carrier (6-digit
+# gate, :57-62), phone (keep last 11 chars, all-digits gate else null,
+# :76-87), sdkv validity ^v(\d+\.)*\d+ (:94-99), compareVersion vs
+# v1.6.0 (:101-115 — iterates ONLY sdkv1's parts, so v1.6 vs v1.6.0
+# compares equal), getSdkV (:117-123; strip leading v, non-numeric → 0 —
+# FormatUtil.toDouble modeled as TRY_CAST), newSessionId (:141-147 —
+# NumberFormat with max/min 9 integer digits = low-order 9 digits of did,
+# zero-padded), timestamp source select (:131-138: js uses server ts),
+# and birthday yyyy/MM/dd → yyyyMMdd (:68-70; strict-format contract).
+# ---------------------------------------------------------------------------
+def _p46(d: Dialect) -> str:
+    n = 24
+    spine = "(VALUES " + ", ".join(f"({i})" for i in range(n)) + ")"
+    null_s = f"CAST(NULL AS {d.strtype})"
+
+    # --- synthesized inputs, one combination per cid ---
+    sdk_code = """CASE cid % 8 WHEN 0 THEN 'and' WHEN 1 THEN 'ios'
+        WHEN 2 THEN 'js' WHEN 3 THEN 'WXA' WHEN 4 THEN 'server'
+        WHEN 5 THEN 'harmonyos' WHEN 6 THEN 'none' ELSE 'martian' END"""
+    net_in = "CASE cid % 5 WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 4 WHEN 3 THEN 9 ELSE -1 END"
+    mnet_in = "cid % 17"
+    radio_in = """CASE cid % 9 WHEN 0 THEN '' WHEN 1 THEN 'gprs'
+        WHEN 2 THEN 'CDMA1X' WHEN 3 THEN 'EDGE' WHEN 4 THEN 'HSDPA'
+        WHEN 5 THEN 'WCDMA' WHEN 6 THEN 'CDMAEVDO-REVA' WHEN 7 THEN 'LTE'
+        ELSE 'NR' END"""
+    cr_in = f"""CASE cid % 5 WHEN 0 THEN '4600' || {d.s('(cid % 10)')} || '1'
+        WHEN 1 THEN 'mnc?' WHEN 2 THEN {null_s}
+        WHEN 3 THEN '46000011' ELSE '46001' END"""
+    phone_in = f"""CASE cid % 5 WHEN 0 THEN '13812345678'
+        WHEN 1 THEN '+8613812345678' WHEN 2 THEN 'abc'
+        WHEN 3 THEN '1381234' ELSE {null_s} END"""
+    gender_in = f"""CASE cid % 7 WHEN 0 THEN 'M' WHEN 1 THEN 'female'
+        WHEN 2 THEN '男' WHEN 3 THEN '女' WHEN 4 THEN 'x'
+        WHEN 5 THEN '' ELSE {null_s} END"""
+    flag_in = f"""CASE cid % 4 WHEN 0 THEN '1' WHEN 1 THEN '0'
+        WHEN 2 THEN '' ELSE {null_s} END"""
+    sdkv_in = f"""CASE cid % 8 WHEN 0 THEN 'v1.6.2' WHEN 1 THEN 'v2.0'
+        WHEN 2 THEN 'v1.6' WHEN 3 THEN '1.6.0' WHEN 4 THEN 'v'
+        WHEN 5 THEN 'vx.1' WHEN 6 THEN 'v1.6.0.4' ELSE {null_s} END"""
+    did_in = "CASE WHEN cid % 3 = 0 THEN CAST(cid AS BIGINT) + 2000000123 ELSE CAST(cid AS BIGINT) * 97 + 5 END"
+
+    # --- Dims semantics ---
+    sdk_id = """CASE lower(sdk_code) WHEN 'and' THEN 1 WHEN 'ios' THEN 2
+        WHEN 'js' THEN 3 WHEN 'wxa' THEN 4 WHEN 'server' THEN 5
+        WHEN 'harmonyos' THEN 6 ELSE 0 END"""
+    # MNet.getNetworkClass over mnet_in
+    android_mobile = """CASE WHEN mnet_in IN (1, 2, 4, 7, 11) THEN 1
+        WHEN mnet_in IN (3, 5, 6, 8, 9, 10, 12, 14, 15) THEN 2
+        WHEN mnet_in = 13 THEN 3 ELSE 0 END"""
+    android = f"""CASE WHEN net_in = 1 THEN 4
+        WHEN net_in = 0 THEN {android_mobile} ELSE 0 END"""
+    radio_u = "upper(trim(COALESCE(radio_in, '')))"
+    ios = f"""CASE WHEN net_in = 1 THEN
+          CASE WHEN {radio_u} IN ('', 'GPRS', 'CDMA1X', 'EDGE') THEN 1
+               WHEN {radio_u} IN ('HSDPA', 'HSUPA', 'WCDMA', 'EHRPD')
+                    OR {radio_u} LIKE 'CDMAEVDO%' THEN 2
+               WHEN {radio_u} = 'LTE' THEN 3
+               ELSE 1 END
+        WHEN net_in = 4 THEN 4 ELSE 0 END"""
+    net_class = f"""CASE WHEN sdk_id = 1 THEN {android}
+        WHEN sdk_id = 3 THEN {ios} ELSE 0 END"""
+    carrier = f"""CASE WHEN cr_in IS NOT NULL AND {d.rlike('cr_in', '^[0-9]{6}$')}
+        THEN CAST(cr_in AS INT) ELSE 0 END"""
+    last11 = ("CASE WHEN length(phone_in) > 11 "
+              "THEN substr(phone_in, length(phone_in) - 10) "
+              "ELSE phone_in END")
+    phone = f"""CASE WHEN phone_in IS NULL THEN {null_s}
+        WHEN {d.rlike(f'({last11})', '^[0-9]+$')} THEN {last11}
+        ELSE {null_s} END"""
+    gender_id = """CASE lower(COALESCE(gender_in, '~'))
+        WHEN 'n' THEN 0 WHEN 'none' THEN 0 WHEN '未知' THEN 0
+        WHEN 'm' THEN 1 WHEN 'male' THEN 1 WHEN '男' THEN 1
+        WHEN 'f' THEN 2 WHEN 'female' THEN 2 WHEN '女' THEN 2
+        ELSE 0 END"""
+    flag_id = ("CASE COALESCE(flag_in, '~') WHEN '1' THEN 1 "
+               "WHEN '0' THEN 2 ELSE 0 END")
+    sdkv_valid = (f"CASE WHEN sdkv_in IS NOT NULL AND "
+                  + d.rlike("sdkv_in", r"^v([0-9]+\.)*[0-9]+$")
+                  + " THEN 1 ELSE 0 END")
+    # compareVersion(sdkv_in, 'v1.6.0') for valid inputs: compare part 1,
+    # then part 2, then part 3 — ONLY over sdkv_in's own parts (a missing
+    # trailing part means "stop equal", the reference's asymmetric loop)
+    p1 = "TRY_CAST(regexp_extract(sdkv_num_body, '^([0-9]+)', 1) AS INT)"
+    p2 = r"regexp_extract(sdkv_num_body, '^[0-9]+\.([0-9]+)', 1)"
+    p3 = r"regexp_extract(sdkv_num_body, '^[0-9]+\.[0-9]+\.([0-9]+)', 1)"
+    p4 = r"regexp_extract(sdkv_num_body, '^[0-9]+\.[0-9]+\.[0-9]+\.([0-9]+)', 1)"
+    sdkv_cmp = f"""CASE WHEN sdkv_valid = 0 THEN CAST(NULL AS INT)
+        WHEN {p1} <> 1 THEN CASE WHEN {p1} > 1 THEN 1 ELSE -1 END
+        WHEN {p2} = '' THEN 0
+        WHEN TRY_CAST({p2} AS INT) <> 6
+            THEN CASE WHEN TRY_CAST({p2} AS INT) > 6 THEN 1 ELSE -1 END
+        WHEN {p3} = '' THEN 0
+        WHEN TRY_CAST({p3} AS INT) <> 0
+            THEN CASE WHEN TRY_CAST({p3} AS INT) > 0 THEN 1 ELSE -1 END
+        WHEN {p4} <> '' THEN 1
+        ELSE 0 END"""
+    sdkv_num = """CASE WHEN sdkv_in IS NULL OR length(sdkv_in) = 1 THEN 0.0
+        ELSE COALESCE(TRY_CAST(sdkv_num_body AS DOUBLE), 0.0) END"""
+    session_id = ("sid_in || lpad(CAST(did_in % 1000000000 AS "
+                  + d.strtype + "), 9, '0')")
+    ts_used = "CASE WHEN sdk_id = 3 THEN sts_in ELSE ts_in END"
+    bday = f"""CASE WHEN {d.rlike('bday_in', '^[0-9]{4}/[0-9]{2}/[0-9]{2}$')}
+        THEN replace(bday_in, '/', '') ELSE {null_s} END"""
+
+    return f"""
+SELECT x.cid, sdk_code, sdk_id, net_in, mnet_in, radio_in, net_class,
+       cr_in, carrier, phone_in, phone, gender_in, gender_id,
+       flag_in, jail_id, pirate_id, sdkv_in, sdkv_valid, sdkv_cmp,
+       CAST(sdkv_num AS DOUBLE) AS sdkv_num, session_id, ts_used, bday,
+       COALESCE(ev.n_events, 0) AS n_events
+FROM (
+  SELECT cid, sdk_code, sdk_id, net_in, mnet_in, radio_in,
+         {net_class} AS net_class,
+         cr_in, {carrier} AS carrier,
+         phone_in, {phone} AS phone,
+         gender_in, {gender_id} AS gender_id,
+         flag_in, {flag_id} AS jail_id, {flag_id} AS pirate_id,
+         sdkv_in, sdkv_valid, {sdkv_cmp} AS sdkv_cmp,
+         {sdkv_num} AS sdkv_num,
+         {session_id} AS session_id,
+         {ts_used} AS ts_used,
+         {bday} AS bday
+  FROM (
+    SELECT cid, sdk_code, {sdk_id} AS sdk_id, net_in, mnet_in, radio_in,
+           cr_in, phone_in, gender_in, flag_in, sdkv_in,
+           {sdkv_valid} AS sdkv_valid,
+           CASE WHEN sdkv_in IS NULL THEN '' ELSE substr(sdkv_in, 2) END
+               AS sdkv_num_body,
+           did_in, sid_in, sts_in, ts_in, bday_in
+    FROM (
+      SELECT cid, {sdk_code} AS sdk_code, {net_in} AS net_in,
+             {mnet_in} AS mnet_in, {radio_in} AS radio_in,
+             {cr_in} AS cr_in, {phone_in} AS phone_in,
+             {gender_in} AS gender_in, {flag_in} AS flag_in,
+             {sdkv_in} AS sdkv_in, {did_in} AS did_in,
+             'sess' || {d.s('cid')} || '-' AS sid_in,
+             CAST(1700000000000 AS BIGINT) + cid AS sts_in,
+             CAST(1700000100000 AS BIGINT) + cid AS ts_in,
+             CASE WHEN cid % 2 = 0 THEN '199' || {d.s('(cid % 10)')} || '/05/06'
+                  ELSE 'garbage' END AS bday_in
+      FROM {spine} AS t(cid)
+    ) i
+  ) s
+) x
+LEFT JOIN (SELECT CAST(user_id % {n} AS INT) AS ecid, COUNT(*) AS n_events
+           FROM events GROUP BY user_id % {n}) ev ON ev.ecid = x.cid"""
+
+
+_register("p46_dims_mapping", _p46)
