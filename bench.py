@@ -127,8 +127,10 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
+    # one decimal keeps 129 per-query entries inside the driver's
+    # 2000-char capture window; full precision lives in bench_detail.json
     line = json.dumps(
-        dict(common, queries={k: round(v, 2) for k, v in short.items()}),
+        dict(common, queries={k: round(v, 1) for k, v in short.items()}),
         separators=(",", ":"),
     )
     if len(line) > 1900:  # belt-and-braces: never exceed the capture window

@@ -20,18 +20,21 @@ def test_correctness_window_composition():
     q20 (gap-fill + LOCF), p41 (ad channel props), p42 (ad click match
     cascade), p43 (match_json gates), p44 (Apple ASA normalization),
     p45 (DevicePropertyParser classification), p46 (Dims.java dim
-    mappings) — all new — p7 (garbled-geo guard changed its
-    formulation), and the r3-era stale-attestation band (l4-l27,
-    s1/s3/s5, g1, p0 — p31/p30/p32/p28/l1/l2/l3/p27's r3-green rows
-    were displaced by q20/p41/p42/p43/p44/p45/p46/p7); registering a
-    new query must never silently displace one of these."""
+    mappings), p47 (adv CDC click routing), p48 (click-store key
+    build), p49 (deep-conversion multi-event gate), p50 (match_json
+    userProp gates) — all new — p7 (garbled-geo guard changed its
+    formulation), and the r3-era stale-attestation band (l8-l27,
+    s1/s3/s5, g1, p0 — p31/p30/p32/p28/l1-l7/p27's r3-green rows were
+    displaced by q20/p41-p50/p7); registering a new query must never
+    silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
     want_prefixes = ["l37_", "w9_", "w3_", "g4_", "s9_", "q20_", "p7_",
                      "p41_", "p42_", "p43_", "p44_", "p45_", "p46_",
+                     "p47_", "p48_", "p49_", "p50_",
                      "p4_", "p6_", "p8_", "p19_", "p21_", "p29_", "p36_",
                      "s4_", "s1_", "s3_", "s5_", "g1_", "p0_"]
-    want_prefixes += [f"l{i}_" for i in range(4, 28)]
+    want_prefixes += [f"l{i}_" for i in range(8, 28)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -42,7 +45,7 @@ def test_bench_line_fits_driver_capture_window():
     from bench import _short_keys
 
     queries = plans.all_queries()
-    per = {name: 999.99 for name in queries}  # worst-case value widths
+    per = {name: 999.9 for name in queries}  # worst-case 1-decimal widths
     short = _short_keys(per)
     assert len(short) == len(per), "short-id collision would fall back to long names"
     line = json.dumps(
@@ -58,7 +61,7 @@ def test_bench_line_fits_driver_capture_window():
             "warm_ratio": 99.99,
             "warm_batch_ratio": 99.99,
             "driver_python_peak_mb": 99999,
-            "queries": {k: round(v, 2) for k, v in short.items()},
+            "queries": {k: round(v, 1) for k, v in short.items()},
         },
         separators=(",", ":"),
     )

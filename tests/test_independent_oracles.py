@@ -1389,3 +1389,422 @@ def test_dims_mapping_matches_python_transcription(spark, sf_dir):
             assert r.bday == f"199{r.cid % 10}0506", r
         else:
             assert r.bday is None, r
+
+
+# ---------------------------------------------------------------------------
+# P47 adv CDC click routing: a direct Python transcription of
+# AdvProcessFunction.java:34-215 (jsonToToufangConvertEventRow +
+# jsonToAdClickRowData with the two key-shape branches and the corrected
+# muid-key priority chain), applied to the same 12 wire payloads the
+# query synthesizes — no SQL shared with the engine formulation.
+# ---------------------------------------------------------------------------
+def test_adv_cdc_route_matches_python_router(spark, sf_dir):
+    import json
+
+    def java_split_colon(s):
+        # Java String.split drops trailing empty segments
+        parts = s.split(":")
+        while parts and parts[-1] == "":
+            parts.pop()
+        return parts if parts else [""]
+
+    def blank(v):
+        return " " if (v is None or v == "") else v
+
+    def route(payload):
+        obj = json.loads(payload)
+        tbl = obj.get("tableName")
+        data = obj.get("data", {})
+        if tbl == "toufang_convert_event":
+            return {"lane": "convert",
+                    "conv_event_name": data.get("event_name"),
+                    "conv_zg_eid": data.get("zg_eid"),
+                    "conv_frequency": data.get("frequency"),
+                    "conv_utm_source": data.get("utm_source")}
+        if tbl != "toufang_ad_click":
+            return {"lane": "dropped"}
+        if "value_ad_data" in data:
+            split = java_split_colon(data.get("key_ad_data", ""))
+            return {"lane": "appid_zgid",
+                    "zg_appid_s": split[1] if len(split) > 1 else " ",
+                    "zgid_s": split[2] if len(split) > 2 else " ",
+                    "click_time_s": split[3] if len(split) > 3 else " ",
+                    "key_ip_data": " ", "key_muid_data": " ",
+                    "key_ad_data": blank(data.get("key_ad_data")),
+                    "other_key": blank(data.get("other_key")),
+                    "is_delete": " ",
+                    "key_ad_time": blank(data.get("key_ad_time")),
+                    "value_ad_time": blank(data.get("value_ad_time")),
+                    "key_ad_lid": blank(data.get("key_ad_lid")),
+                    "value_ad_lid": blank(data.get("value_ad_lid")),
+                    "lid": blank(data["value_ad_data"].get("lid")),
+                    "has_ad_data": 0}
+        if "ip_ua_key" in data:
+            ct = blank(data.get("click_time"))
+            muid = " "
+            for k in ("channel_click_id_key", "muid_key", "idfa_key",
+                      "imei_key", "android_id_key", "oaid_key"):
+                if data.get(k):
+                    muid = data[k]
+                    break
+            return {"lane": "appid_muid_or_ip",
+                    "zg_appid_s": blank(data.get("zg_appid")),
+                    "zgid_s": " ",
+                    "click_time_s": ct,
+                    "key_ip_data": blank(data.get("ip_ua_key")) + ":" + ct,
+                    "key_muid_data": muid + ":" + ct,
+                    "key_ad_data": " ",
+                    "other_key": blank(data.get("other_key")),
+                    "is_delete": blank(data.get("is_delete")),
+                    "key_ad_time": " ", "value_ad_time": " ",
+                    "key_ad_lid": " ", "value_ad_lid": " ",
+                    "lid": blank(data.get("lid")),
+                    "has_ad_data": 1}
+        return {"lane": "dropped"}
+
+    # The same 12 payload shapes the query builds (cid 0's zg_appid varies
+    # per row but is not an output column; any representative works).
+    payloads = {
+        0: ('{"tableName":"toufang_convert_event","data":{"zg_appid":100,'
+            '"zg_id":9001,"lid":7,"channel_id":3,"zg_eid":55,'
+            '"event_time":1700000001000,"channel_adgroup_id":"ag1",'
+            '"channel_adgroup_name":"n1","click_time":1699999000000,'
+            '"event_name":"buy","channel_event":"purchase",'
+            '"match_json":"","frequency":1,"utm_campaign":"c",'
+            '"utm_source":"s","utm_medium":"m","utm_term":"t",'
+            '"utm_content":"cc"}}'),
+        1: ('{"tableName":"toufang_ad_click","data":{"key_ad_data":'
+            '"adtfdata:101:9001:1699990000000","key_ad_time":"1699990000000",'
+            '"value_ad_time":"1699990011111","value_ad_data":{"lid":"42"},'
+            '"key_ad_lid":"42","value_ad_lid":"43","other_key":"ok1"}}'),
+        2: ('{"tableName":"toufang_ad_click","data":{"key_ad_data":'
+            '"adtfdata:202","value_ad_data":{"lid":""}}}'),
+        3: ('{"tableName":"toufang_ad_click","data":{"key_ad_data":"",'
+            '"value_ad_data":{"lid":"5"},"key_ad_lid":"","other_key":"ok3"}}'),
+        4: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":'
+            '"1.2.3.4|chrome:99","click_time":"1699991111111",'
+            '"channel_click_id_key":"adtfad:101:cck9","muid_key":'
+            '"adtfad:101:m4","zg_appid":"101","lid":"7","is_delete":"0",'
+            '"other_key":"okB"}}'),
+        5: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":'
+            '"5.6.7.8|safari:17","click_time":"1699992222222",'
+            '"channel_click_id_key":"","muid_key":"adtfad:102:m5",'
+            '"zg_appid":"102","lid":"8"}}'),
+        6: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":'
+            '"9.9.9.9|edge:120","click_time":"1699993333333",'
+            '"idfa_key":"adtfad:103:idfa6","zg_appid":"103"}}'),
+        7: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":'
+            '"8.8.8.8|firefox:121","click_time":"1699994444444",'
+            '"imei_key":"adtfad:104:imei7","zg_appid":"104",'
+            '"is_delete":"1"}}'),
+        8: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":'
+            '"7.7.7.7|opera:105","click_time":"1699995555555",'
+            '"android_id_key":"adtfad:105:aid8","zg_appid":"105"}}'),
+        9: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":'
+            '"6.6.6.6|uc:13","click_time":"1699996666666",'
+            '"oaid_key":"adtfad:106:oaid9","zg_appid":"106","lid":"9"}}'),
+        10: ('{"tableName":"toufang_ad_click","data":{"ip_ua_key":"",'
+             '"click_time":"","zg_appid":""}}'),
+        11: ('{"tableName":"toufang_ad_click","data":{"other_key":'
+             '"neither"}}'),
+    }
+
+    rows = {r.cid: r for r in ALL["p47_adv_cdc_route"](spark, sf_dir).collect()}
+    assert rows, "no p47 rows"
+    for cid, r in rows.items():
+        exp = route(payloads[cid])
+        assert r.lane == exp["lane"], (cid, r.lane, exp["lane"])
+        for field, want in exp.items():
+            if field == "lane":
+                continue
+            assert getattr(r, field) == want, (cid, field, getattr(r, field), want)
+
+
+# ---------------------------------------------------------------------------
+# P48 adv click-store key build: a direct Python transcription of
+# AdvSaveAppAdDataFlatMapFunction.java:199-444 (setIpUaMaps envelope +
+# setMuidProcess normalization + the Baidu-iPhone ua downgrade +
+# ToolUtil.uaAnalysis) — hashlib.md5 and Python re, no SQL shared with
+# the engine formulation.
+# ---------------------------------------------------------------------------
+def test_adv_click_keys_match_python_builder(spark, sf_dir):
+    import hashlib
+    import re
+
+    ORIGIN_EX = {"", "0", "NULL", "null", "(null)"}
+    MD5_EX = {"cfcd208495d565ef66e7dff9f98764da",
+              "6c3e226b4d4795d518ab341b0824ec29",
+              "37a6259cc0c1dae299a7866489dff0bd",
+              "d41d8cd98f00b204e9800998ecf8427e",
+              "a4d2f177eb466a7d08f8f2b340b77129"}
+
+    def ua_analysis(ua):
+        clean = r"[^a-zA-Z0-9 ]"
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)",
+                          ua, re.I)
+        name, version = "", ""
+        if m:
+            name = m.group(1)
+            if m.group(2) is not None:
+                version = re.sub(clean, ".", m.group(2))
+        return name + ":" + version
+
+    def norm(v):
+        if v in ORIGIN_EX or v in MD5_EX:
+            return ""
+        out = v if len(v) == 32 else hashlib.md5(v.encode()).hexdigest()
+        return out.lower()
+
+    UA_AND = "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36"
+    UA_IPH = ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) "
+              "AppleWebKit/605.1.15")
+    CASES = {  # cid: (channel, push, cck, muid, aid, oaid, idfa, imei, ip, ua)
+        0: ("2", "10", "", "device0", "aid0", "oaid0", "IDFA0", "imei0",
+            "1.2.3.4", UA_AND),
+        1: ("3", "20", "cck-abc", "m1", "", "", "", "", "2.3.4.5", UA_AND),
+        2: ("3", "10", "cck-xyz", "ABCDEF0123456789ABCDEF0123456789", "",
+            "", "", "", "3.4.5.6", UA_AND),
+        3: ("3", "20", "", "", "", "oa3", "", "", "4.5.6.7", UA_AND),
+        4: ("1", "10", "", "m4", "", "", "0", "", "5.6.7.8", UA_IPH),
+        5: ("4", "10", "", "", "", "", "", "IM5", "", UA_IPH),
+        6: ("1", "10", "", "m6", "NULL", "(null)", "", "", "6.7.8.9", UA_AND),
+        7: ("2", "10", "", "0", "null", "NULL", "", "", "7.8.9.1", UA_AND),
+        8: None,  # lid == 0 -> nothing
+        9: ("2", "10", "", "", "", "", "",
+            "CFCD208495D565EF66E7DFF9F98764DA", "1.1.1.1", UA_AND),
+        10: ("4", "10", "", "m10", "", "", "", "", "9.9.9.9", "iPhone weird"),
+        11: ("2", "10", "", "m11", "", "", "", "", "2.2.2.2", UA_AND),
+        12: ("3", "20", "cck-12", "", "", "", "", "", "", UA_AND),
+        13: ("2", "10", "", "", "",
+             "0123456789abcdef0123456789abcdef",
+             "d41d8cd98f00b204e9800998ecf8427e", "", "3.3.3.3", UA_AND),
+        14: ("1", "10", "", "", "", "", "ID14", "im14", "4.4.4.4", UA_AND),
+        15: ("2", "10", "", "", "", "", "", "", "5.5.5.5", UA_AND),
+    }
+
+    def build(cid):
+        if CASES[cid] is None:
+            return {"lane": "skipped_lid0", "cck_key": None, "muid_key": None,
+                    "idfa_key": None, "imei_key": None,
+                    "android_id_key": None, "oaid_key": None,
+                    "ip_ua_key": None}
+        ch, push, cck, muid, aid, oaid, idfa, imei, ip, ua = CASES[cid]
+        app = str(100 + cid % 3)
+        ua_proc = ua_analysis(ua)
+        if ch in ("1", "4") and "iPhone" in ua:
+            arr = [p for p in ua_proc.split(":")]
+            while arr and arr[-1] == "":  # Java trailing-empty drop
+                arr.pop()
+            if len(arr) > 0:
+                ua_proc = ":" + arr[1]
+        out = {"cck_key": None, "muid_key": None, "idfa_key": None,
+               "imei_key": None, "android_id_key": None, "oaid_key": None}
+        if ch == "3" and push == "20" and cck:
+            out["lane"] = "tencent_web"
+            out["cck_key"] = f"adtfad:{app}:{cck}"
+        else:
+            out["lane"] = "multi"
+            for field, raw in (("muid_key", muid), ("android_id_key", aid),
+                               ("oaid_key", oaid), ("idfa_key", idfa),
+                               ("imei_key", imei)):
+                nv = norm(raw)
+                if nv:
+                    out[field] = f"adtfad:{app}:{nv}"
+        out["ip_ua_key"] = f"adtfad:{app}:{ip}{ua_proc}" if ip else None
+        return out
+
+    rows = {r.cid: r for r in
+            ALL["p48_adv_click_keys"](spark, sf_dir).collect()}
+    assert len(rows) == 16
+    for cid, r in rows.items():
+        exp = build(cid)
+        for field, want in exp.items():
+            assert getattr(r, field) == want, (cid, field,
+                                               getattr(r, field), want)
+        if CASES[cid] is None:
+            assert r.store_max_ct is None
+        else:
+            assert r.store_max_ct is not None and r.n_clicks > 0
+
+
+# ---------------------------------------------------------------------------
+# P49 deep-conversion multi-event gate: a sequential simulation of the
+# reference's actual execution model — per-(app, zgid) latest-touch Redis
+# lookup, then the GLOBAL (per app-scoped eid:lid) TTL'd status keys of
+# AdvConvertEventFlatMapFunction.java:247-275, where each qualifying
+# event refreshes its own key BEFORE the all-members-alive check — with
+# no SQL shared with the engine's forward-fill formulation.
+# ---------------------------------------------------------------------------
+def test_deep_convert_matches_sequential_simulation(spark, sf_dir):
+    RULES = {  # (lid, event): (window_sec, channel_event)
+        (1, "purchase"): (86400, "ch_purchase"),
+        (1, "click"): (43200, "ch_click"),
+        (3, "purchase"): (14400, "chd_purchase"),
+        (3, "click"): (28800, "chd_click"),
+        (2, "click"): (86400, "ch_click_solo"),
+    }
+    GROUP = {1: ("purchase", "click"), 3: ("purchase", "click"),
+             2: ("click",)}
+    APPS = set(R.ADVERTISING_APPS)
+
+    rows = _rows(spark, sf_dir, """
+        SELECT app_id, zg_id, ct, seq, event_name, dt, k
+        FROM resolved
+        WHERE (dt = 'evt' OR (dt = 'mkt' AND k IS NOT NULL))""")
+    # Kafka arrival order ≈ global ct order (the status keys are shared
+    # across zgids, so the timeline must NOT be zgid-major); touches
+    # sort before events at the same ct, as in the attribution window.
+    stream = sorted((r for r in rows if r.app_id in APPS),
+                    key=lambda r: (r.app_id, r.ct,
+                                   -(r.dt == "mkt"), r.seq))
+
+    latest_touch = {}   # (app, zgid) -> (ct, k)
+    key_expiry = {}     # (app, event, lid) -> alive-until ms
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0, []])
+    # [cand, sent, blocked, sum_ados, n_muid, n_cb, action_times]
+
+    for r in stream:
+        if r.dt == "mkt":
+            cur = latest_touch.get((r.app_id, r.zg_id))
+            if cur is None or r.ct >= cur[0]:
+                latest_touch[(r.app_id, r.zg_id)] = (r.ct, r.k)
+            continue
+        touch = latest_touch.get((r.app_id, r.zg_id))
+        if touch is None:
+            continue
+        t_ct, t_k = touch
+        lid = t_k % 5
+        rule = RULES.get((lid, r.event_name))
+        if rule is None:
+            continue
+        window, channel_event = rule
+        if r.ct - t_ct > window * 1000:
+            continue
+        a = agg[(r.app_id, lid, r.event_name, channel_event)]
+        a[0] += 1
+        members = GROUP[lid]
+        if len(members) > 1:
+            # own key set (TTL = own rule's window) BEFORE the check
+            key_expiry[(r.app_id, r.event_name, lid)] = (
+                r.ct + window * 1000)
+            sent = all(
+                key_expiry.get((r.app_id, m, lid), -1) >= r.ct
+                for m in members)
+        else:
+            sent = True
+        if not sent:
+            a[2] += 1
+            continue
+        a[1] += 1
+        a[3] += t_k % 3
+        if t_k % 2 == 0:
+            a[4] += 1
+        if t_k % 3 == 0:
+            a[5] += 1
+        a[6].append(str(r.ct))
+
+    got = {(r.app_id, r.lid, r.event_name, r.event_type): r
+           for r in ALL["p49_adv_deep_convert"](spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    assert any(v[1] > 0 for v in agg.values())   # some sends
+    assert any(v[2] > 0 for v in agg.values())   # some blocks
+    for key, a in agg.items():
+        r = got[key]
+        assert (r.n_candidates, r.n_sent, r.n_blocked) == (
+            a[0], a[1], a[2]), (key, r, a)
+        assert r.sum_ados == (a[3] if a[1] else None), key
+        assert (r.n_muid_set, r.n_cb_url_set) == (a[4], a[5]), key
+        if a[6]:
+            assert r.min_action_time == min(a[6]), key
+            assert r.max_action_time == max(a[6]), key
+
+
+# ---------------------------------------------------------------------------
+# P50 userProp match_json gates: a Python port of OperatorUtil.java's
+# compareProValue userProp category — per-user state rebuilt row-by-row
+# from the resolved relation (visit counts, duration sums, cuid-derived
+# 实名/匿名, latest-write property values) and the typed compares
+# re-implemented without the SQL compiler.
+# ---------------------------------------------------------------------------
+def test_userprop_gates_match_python_port(spark, sf_dir):
+    APPS = set(R.ADVERTISING_APPS)
+
+    evt = [r for r in _rows(spark, sf_dir,
+                            "SELECT app_id, zg_id, cuid, dur FROM resolved "
+                            "WHERE dt = 'evt'") if r.app_id in APPS]
+    props = [r for r in _rows(spark, sf_dir,
+                              "SELECT app_id, zg_id, seq, prop_name, "
+                              "prop_value FROM usr_props_melted")
+             if r.app_id in APPS]
+
+    state = {}
+    for r in evt:
+        s = state.setdefault((r.app_id, r.zg_id),
+                             {"visits": 0, "dur": 0, "named": False})
+        s["visits"] += 1
+        s["dur"] += r.dur or 0
+        if r.cuid is not None:
+            s["named"] = True
+    latest = {}
+    for r in props:
+        key = (r.app_id, r.zg_id, r.prop_name)
+        if key not in latest or r.seq >= latest[key][0]:
+            latest[key] = (r.seq, r.prop_value)
+
+    def lookup(app, zgid, rule):
+        if rule == "plname":
+            hit = latest.get((app, zgid, "_plname"))
+            return hit[1] if hit else None
+        if rule == "noprop":
+            hit = latest.get((app, zgid, "_nosuch"))
+            return hit[1] if hit else None
+        s = state[(app, zgid)]
+        if rule == "visits":
+            return str(s["visits"])
+        if rule == "dur":
+            return str(s["dur"])
+        return "实名" if s["named"] else "匿名"
+
+    def gate(value, op, target, numeric):
+        # compareProValue: empty lookup -> false before any compare
+        if value is None or value == "":
+            return False
+        if op == "is null":
+            return False  # non-empty value is never null here
+        if numeric:
+            try:
+                a, b = int(value), int(target)
+            except ValueError:
+                return False
+            return {"gt": a > b, "le": a <= b}[op]
+        if op == "equal":
+            return value == target
+        if op == "contains":
+            return target in value
+        raise AssertionError(op)
+
+    RULES = [
+        ("plname_eq_ios", "plname", "equal", "ios", False),
+        ("plname_contains_o", "plname", "contains", "o", False),
+        ("visits_gt_20", "visits", "gt", "20", True),
+        ("duration_le_1g", "dur", "le", "1000000000", True),
+        ("anon_eq_realname", "anon", "equal", "实名", False),
+        ("missing_prop_isnull", "noprop", "is null", "", False),
+    ]
+    exp = {f"u_{rid}": 0 for rid, *_ in RULES}
+    exp.update({f"e_{rid}": 0 for rid, *_ in RULES})
+    for (app, zgid), s in state.items():
+        for rid, src, op, target, numeric in RULES:
+            if gate(lookup(app, zgid, src), op, target, numeric):
+                exp[f"u_{rid}"] += 1
+                exp[f"e_{rid}"] += s["visits"]
+
+    r = ALL["p50_match_json_userprop"](spark, sf_dir).collect()[0]
+    assert r.n_users == len(state)
+    assert r.n_events == sum(s["visits"] for s in state.values())
+    for k, want in exp.items():
+        assert getattr(r, k) == want, (k, getattr(r, k), want)
+    assert 0 < r.u_anon_eq_realname < r.n_users  # both states present

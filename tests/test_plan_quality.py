@@ -382,3 +382,27 @@ def test_gapfill_spine_derives_from_checkpointed_agg(spark, sf_dir):
     plan = _plan(ALL["q20_gapfill_locf"](spark, sf_dir), "simple")
     n = plan.count("events.parquet")
     assert n <= 1, f"q20 scans events {n}x:\n{plan}"
+
+
+def test_deep_convert_has_no_pair_join(spark, sf_dir):
+    """p49's multi-event status-key gate must stay a forward fill, never
+    a conversion×evidence pair join: every join is a broadcast of the
+    VALUES rule table, and the only shuffles are the two window
+    partitionings (attribution by (app, zgid), key timeline by
+    (app, lid)) plus the final aggregation."""
+    plan = _plan(ALL["p49_adv_deep_convert"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_adv_cdc_and_click_keys_stay_map_side(spark, sf_dir):
+    """p47/p48 are map-only JSON/md5 normalization over the event scan:
+    a single shuffle for the case-grain aggregation, no joins, no
+    Python UDFs."""
+    for name in ("p47_adv_cdc_route", "p48_adv_click_keys"):
+        plan = _plan(ALL[name](spark, sf_dir), "simple")
+        assert "Join" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert plan.count("Exchange") <= 2, (name, plan)  # partial+final agg

@@ -2661,3 +2661,570 @@ LEFT JOIN (SELECT CAST(user_id % {n} AS INT) AS ecid, COUNT(*) AS n_events
 
 
 _register("p46_dims_mapping", _p46)
+
+
+# ---------------------------------------------------------------------------
+# P47 adv CDC click routing (operator/adv/AdvProcessFunction.java:34-215,
+# the AdvJob main's only operator): each wire message routes on
+# `tableName` — `toufang_convert_event` rows map field-for-field into
+# ToufangConvertEventRow (:61-90), `toufang_ad_click` rows build a
+# ToufangAdClickRow via jsonToAdClickRowData (:92-174) with TWO key
+# shapes, dispatched on which key the payload carries:
+#   (a) `value_ad_data` (zgid-matched ad info): key_ad_data
+#       "adtfdata:{appId}:{zgid}:{ct}" is split on ':' with Java's
+#       trailing-empty-segment drop — appId/zgid/click_time fall back to
+#       " " when the split is short (:132-136) — lid comes from INSIDE
+#       the nested value_ad_data object (:153), key_type "appid_zgid";
+#   (b) `ip_ua_key` (ip/ua- or muid-keyed click): key_ip_data =
+#       "{ip_ua_key}:{click_time}", key_muid_data = "{muid_key}:
+#       {click_time}" where muid_key takes the FIRST non-empty of
+#       channel_click_id_key > muid_key > idfa_key > imei_key >
+#       android_id_key > oaid_key else " " (:181-208, the corrected
+#       priority chain), ad_data = the whole data JSON, key_type
+#       "appid_muid_or_ip";
+#   neither key → the row is dropped (:170-173); unknown tableName rows
+#   produce nothing. Every empty-or-missing string field lands as a
+#   single space, the reference's isEmpty → " " padding. update_time is
+#   System.currentTimeMillis() (:135,:168) and is not modeled (the only
+#   nondeterministic field). ad_data's raw JSON text is reported as a
+#   presence flag, not compared byte-wise (fastjson2 vs our builders
+#   would differ only in key order/whitespace).
+#
+# Scale shape: map-only JSON extraction over the event stream (codegen
+# get_json_object, no UDF, no join beyond the 12-group agg) — the wire
+# payload is synthesized per events row (p44's fixture convention),
+# cid = user_id % 12 picks one routing case per row.
+# ---------------------------------------------------------------------------
+def _p47(d: Dialect) -> str:
+    null_s = f"CAST(NULL AS {d.strtype})"
+
+    def j(path: str) -> str:
+        return d.json_str("payload", f"$.data.{path}")
+
+    def blank(v: str) -> str:
+        # StringUtils.isEmpty(v) ? " " : v  (missing key extracts NULL)
+        return f"CASE WHEN {v} IS NULL OR {v} = '' THEN ' ' ELSE {v} END"
+
+    # Java split(":") drops trailing empty segments; segment i exists
+    # iff the rtrimmed string still has >= i colons.
+    kd = "regexp_replace(COALESCE(" + j("key_ad_data") + ", ''), ':+$', '')"
+    ncol = f"length({kd}) - length(replace({kd}, ':', ''))"
+    seg1 = f"regexp_extract({kd}, '^[^:]*:([^:]*)', 1)"
+    seg2 = f"regexp_extract({kd}, '^[^:]*:[^:]*:([^:]*)', 1)"
+    seg3 = f"regexp_extract({kd}, '^[^:]*:[^:]*:[^:]*:([^:]*)', 1)"
+    a_app = f"CASE WHEN {ncol} >= 1 THEN {seg1} ELSE ' ' END"
+    a_zgid = f"CASE WHEN {ncol} >= 2 THEN {seg2} ELSE ' ' END"
+    a_ct = f"CASE WHEN {ncol} >= 3 THEN {seg3} ELSE ' ' END"
+
+    muid_key = ("COALESCE(" + ", ".join(
+        f"NULLIF({j(k)}, '')"
+        for k in ("channel_click_id_key", "muid_key", "idfa_key",
+                  "imei_key", "android_id_key", "oaid_key")) + ", ' ')")
+    b_ct = blank(j("click_time"))
+    b_ipua = blank(j("ip_ua_key"))
+
+    s = d.s
+    payload = f"""CASE cid
+    WHEN 0 THEN concat('{{"tableName":"toufang_convert_event","data":{{',
+        '"zg_appid":10', {s('(user_id % 2)')},
+        ',"zg_id":9001,"lid":7,"channel_id":3,"zg_eid":55,',
+        '"event_time":1700000001000,"channel_adgroup_id":"ag1",',
+        '"channel_adgroup_name":"n1","click_time":1699999000000,',
+        '"event_name":"buy","channel_event":"purchase",',
+        '"match_json":"","frequency":1,"utm_campaign":"c",',
+        '"utm_source":"s","utm_medium":"m","utm_term":"t",',
+        '"utm_content":"cc"}}}}')
+    WHEN 1 THEN '{{"tableName":"toufang_ad_click","data":{{"key_ad_data":"adtfdata:101:9001:1699990000000","key_ad_time":"1699990000000","value_ad_time":"1699990011111","value_ad_data":{{"lid":"42"}},"key_ad_lid":"42","value_ad_lid":"43","other_key":"ok1"}}}}'
+    WHEN 2 THEN '{{"tableName":"toufang_ad_click","data":{{"key_ad_data":"adtfdata:202","value_ad_data":{{"lid":""}}}}}}'
+    WHEN 3 THEN '{{"tableName":"toufang_ad_click","data":{{"key_ad_data":"","value_ad_data":{{"lid":"5"}},"key_ad_lid":"","other_key":"ok3"}}}}'
+    WHEN 4 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"1.2.3.4|chrome:99","click_time":"1699991111111","channel_click_id_key":"adtfad:101:cck9","muid_key":"adtfad:101:m4","zg_appid":"101","lid":"7","is_delete":"0","other_key":"okB"}}}}'
+    WHEN 5 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"5.6.7.8|safari:17","click_time":"1699992222222","channel_click_id_key":"","muid_key":"adtfad:102:m5","zg_appid":"102","lid":"8"}}}}'
+    WHEN 6 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"9.9.9.9|edge:120","click_time":"1699993333333","idfa_key":"adtfad:103:idfa6","zg_appid":"103"}}}}'
+    WHEN 7 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"8.8.8.8|firefox:121","click_time":"1699994444444","imei_key":"adtfad:104:imei7","zg_appid":"104","is_delete":"1"}}}}'
+    WHEN 8 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"7.7.7.7|opera:105","click_time":"1699995555555","android_id_key":"adtfad:105:aid8","zg_appid":"105"}}}}'
+    WHEN 9 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"6.6.6.6|uc:13","click_time":"1699996666666","oaid_key":"adtfad:106:oaid9","zg_appid":"106","lid":"9"}}}}'
+    WHEN 10 THEN '{{"tableName":"toufang_ad_click","data":{{"ip_ua_key":"","click_time":"","zg_appid":""}}}}'
+    ELSE '{{"tableName":"toufang_ad_click","data":{{"other_key":"neither"}}}}'
+    END"""
+
+    return f"""
+SELECT cid, lane, COUNT(*) AS n_rows,
+       MAX(zg_appid_s) AS zg_appid_s, MAX(zgid_s) AS zgid_s,
+       MAX(click_time_s) AS click_time_s,
+       MAX(key_ip_data) AS key_ip_data, MAX(key_muid_data) AS key_muid_data,
+       MAX(key_ad_data) AS key_ad_data, MAX(other_key) AS other_key,
+       MAX(is_delete) AS is_delete, MAX(key_ad_time) AS key_ad_time,
+       MAX(value_ad_time) AS value_ad_time,
+       MAX(key_ad_lid) AS key_ad_lid, MAX(value_ad_lid) AS value_ad_lid,
+       MAX(lid) AS lid, MAX(has_ad_data) AS has_ad_data,
+       MAX(conv_event_name) AS conv_event_name,
+       CAST(MAX(conv_zg_eid) AS BIGINT) AS conv_zg_eid,
+       CAST(MAX(conv_frequency) AS BIGINT) AS conv_frequency,
+       MAX(conv_utm_source) AS conv_utm_source
+FROM (
+  SELECT cid,
+         CASE WHEN tbl = 'toufang_convert_event' THEN 'convert'
+              WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN 'appid_zgid'
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN 'appid_muid_or_ip'
+              ELSE 'dropped' END AS lane,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN {a_app}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN {blank(j("zg_appid"))} END AS zg_appid_s,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN {a_zgid}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN ' ' END AS zgid_s,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN {a_ct}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN {b_ct} END AS click_time_s,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN ' '
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN {b_ipua} || ':' || {b_ct} END AS key_ip_data,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN ' '
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN {muid_key} || ':' || {b_ct} END AS key_muid_data,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN {blank(j("key_ad_data"))}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN ' ' END AS key_ad_data,
+         CASE WHEN tbl = 'toufang_ad_click' AND (has_vad = 1 OR has_ipua = 1)
+                   THEN {blank(j("other_key"))} END AS other_key,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN ' '
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN {blank(j("is_delete"))} END AS is_delete,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN {blank(j("key_ad_time"))}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN ' ' END AS key_ad_time,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN {blank(j("value_ad_time"))}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN ' ' END AS value_ad_time,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN {blank(j("key_ad_lid"))}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN ' ' END AS key_ad_lid,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN {blank(j("value_ad_lid"))}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN ' ' END AS value_ad_lid,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1
+                   THEN {blank(j("value_ad_data.lid"))}
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN {blank(j("lid"))} END AS lid,
+         CASE WHEN tbl = 'toufang_ad_click' AND has_vad = 1 THEN 0
+              WHEN tbl = 'toufang_ad_click' AND has_ipua = 1
+                   THEN 1 END AS has_ad_data,
+         CASE WHEN tbl = 'toufang_convert_event'
+                   THEN {j("event_name")} END AS conv_event_name,
+         CASE WHEN tbl = 'toufang_convert_event'
+                   THEN CAST({j("zg_eid")} AS INT) END AS conv_zg_eid,
+         CASE WHEN tbl = 'toufang_convert_event'
+                   THEN CAST({j("frequency")} AS INT) END AS conv_frequency,
+         CASE WHEN tbl = 'toufang_convert_event'
+                   THEN {j("utm_source")} END AS conv_utm_source
+  FROM (
+    SELECT cid, payload,
+           {d.json_str("payload", "$.tableName")} AS tbl,
+           CASE WHEN {d.json_str("payload", "$.data.value_ad_data")}
+                     IS NOT NULL THEN 1 ELSE 0 END AS has_vad,
+           CASE WHEN {d.json_str("payload", "$.data.ip_ua_key")}
+                     IS NOT NULL THEN 1 ELSE 0 END AS has_ipua
+    FROM (
+      SELECT CAST(user_id % 12 AS INT) AS cid, user_id, {payload} AS payload
+      FROM events
+    ) r
+  ) f
+) x
+GROUP BY cid, lane"""
+
+
+_register("p47_adv_cdc_route", _p47)
+
+
+# ---------------------------------------------------------------------------
+# P48 adv click-store key build (AdvSaveAppAdDataFlatMapFunction.java:
+# 199-444, the click-INGEST side of the store p42 probes): each `adtf`
+# click record from an advertising app (sdk "zg_adtoufang", lid != 0,
+# :219-246) derives
+#   * a FUZZY key "adtfad:{appId}:{ip}{uaProcess}" when ip is non-empty
+#     (:269-273), where uaProcess = ToolUtil.uaAnalysis(ua) and Baidu
+#     channels 1/4 downgrade iPhone UAs to ":{version}" (ip+version
+#     match, :260-268 — iPads parse as iPhone so the name is dropped);
+#   * EXACT keys via setMuidProcess (:332-444): each of muid /
+#     android_id / oaid / idfa / imei is blanked when the RAW value sits
+#     in the origin excludes {"","0","NULL","null","(null)"} or the five
+#     pinned lowercase excluded md5s, else passes through when already
+#     32 chars or is md5'd, then lowercased (:342-398) — note an
+#     UPPERCASE excluded md5 survives the case-sensitive exclude check
+#     and lowercases INTO the excluded value, kept faithful; Tencent-web
+#     clicks (channel_type 3, push_type 20, non-empty channel_click_id)
+#     write ONLY "adtfad:{appId}:{channel_click_id}" (:400-407), every
+#     other click one key per non-empty normalized id (:408-443).
+# putAd / the ip-ua branch keep the LATEST ct per key (>= overwrite,
+# :287-296,:315-330), with 10-digit click_time strings scaled s→ms
+# (:251-254) — modeled as MAX(ct_ms) per key. The reference would throw
+# on a Baidu-iPhone UA whose uaAnalysis yields an empty version
+# (arr[1] on a 1-element split, :263-266); fixtures avoid that input,
+# and a no-match uaProcess ":" splits to a 0-length array and is kept
+# as-is (:264 guard). lid == 0 rows produce nothing (:245).
+#
+# Scale shape: map-only normalization over the click stream (md5 /
+# regexp inside codegen, no UDF) + one 16-group agg standing in for the
+# per-key latest-click reduce — at 100 TB the same shape partial-
+# aggregates map-side before one shuffle on the store key.
+# ---------------------------------------------------------------------------
+def _p48(d: Dialect) -> str:
+    from zg_etl_spark.functions import ua_parser as UP
+
+    null_s = f"CAST(NULL AS {d.strtype})"
+    ORIGIN_EX = "('', '0', 'NULL', 'null', '(null)')"
+    MD5_EX = ("('cfcd208495d565ef66e7dff9f98764da', "
+              "'6c3e226b4d4795d518ab341b0824ec29', "
+              "'37a6259cc0c1dae299a7866489dff0bd', "
+              "'d41d8cd98f00b204e9800998ecf8427e', "
+              "'a4d2f177eb466a7d08f8f2b340b77129')")
+
+    def norm(v: str) -> str:
+        return (f"CASE WHEN {v} IN {ORIGIN_EX} OR {v} IN {MD5_EX} THEN '' "
+                f"WHEN length({v}) = 32 THEN lower({v}) "
+                f"ELSE lower(md5({v})) END")
+
+    def key_of(nv: str) -> str:
+        return (f"CASE WHEN lane = 'multi' AND {nv} <> '' "
+                f"THEN 'adtfad:' || app_id_s || ':' || {nv} END")
+
+    ua_android = ("Mozilla/5.0 (Linux; Android 13; Pixel 7) "
+                  "AppleWebKit/537.36")
+    ua_iphone = ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) "
+                 "AppleWebKit/605.1.15")
+
+    def pick(name: str, vals: list) -> str:
+        return ("CASE cid " + " ".join(
+            f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals)
+        ) + f" END AS {name}")
+
+    n = 16
+    spine = ", ".join([
+        pick("channel_type", ["2", "3", "3", "3", "1", "4", "1", "2",
+                              "2", "2", "4", "2", "3", "2", "1", "2"]),
+        pick("push_type", ["10", "20", "10", "20", "10", "10", "10", "10",
+                           "10", "10", "10", "10", "20", "10", "10", "10"]),
+        pick("cck", ["", "cck-abc", "cck-xyz", "", "", "", "", "",
+                     "", "", "", "", "cck-12", "", "", ""]),
+        pick("muid", ["device0", "m1", "ABCDEF0123456789ABCDEF0123456789",
+                      "", "m4", "", "m6", "0", "", "", "m10", "m11", "",
+                      "", "", ""]),
+        pick("android_id", ["aid0", "", "", "", "", "", "NULL", "null",
+                            "", "", "", "", "", "", "", ""]),
+        pick("oaid", ["oaid0", "", "", "oa3", "", "", "(null)", "NULL",
+                      "", "", "", "", "", "0123456789abcdef0123456789abcdef",
+                      "", ""]),
+        pick("idfa", ["IDFA0", "", "", "", "0", "", "", "", "", "", "",
+                      "", "", "d41d8cd98f00b204e9800998ecf8427e",
+                      "ID14", ""]),
+        pick("imei", ["imei0", "", "", "", "", "IM5", "", "",
+                      "cfcd208495d565ef66e7dff9f98764da",
+                      "CFCD208495D565EF66E7DFF9F98764DA", "", "", "",
+                      "", "im14", ""]),
+        pick("ip", ["1.2.3.4", "2.3.4.5", "3.4.5.6", "4.5.6.7", "5.6.7.8",
+                    "", "6.7.8.9", "7.8.9.1", "8.9.1.2", "1.1.1.1",
+                    "9.9.9.9", "2.2.2.2", "", "3.3.3.3", "4.4.4.4",
+                    "5.5.5.5"]),
+        pick("ua", [ua_android, ua_android, ua_android, ua_android,
+                    ua_iphone, ua_iphone, ua_android, ua_android,
+                    ua_android, ua_android, "iPhone weird", ua_android,
+                    ua_android, ua_android, ua_android, ua_android]),
+    ])
+    lid = "CASE WHEN cid = 8 THEN 0 ELSE 1 + cid END"
+    # ms-scale everywhere except cids 11/14, which exercise the 10-digit
+    # seconds heuristic; both vary within a cid so MAX() is a real reduce
+    ct_str = (f"CASE WHEN cid IN (11, 14) "
+              f"THEN '17000' || lpad({d.s('(user_id % 100000)')}, 5, '0') "
+              f"ELSE '17000000' || lpad({d.s('(user_id % 100000)')}, 5, '0')"
+              f" END")
+
+    ua_name = UP.ua_analysis_name(d, "ua")
+    ua_ver = UP.ua_analysis_version(d, "ua")
+    ua_proc = (
+        f"CASE WHEN channel_type IN ('1', '4') AND instr(ua, 'iPhone') > 0 "
+        f"AND {ua_name} <> '' AND {ua_ver} <> '' "
+        f"THEN ':' || {ua_ver} "
+        f"ELSE {ua_name} || ':' || {ua_ver} END"
+    )
+
+    return f"""
+SELECT cid, lane,
+       MAX(cck_key) AS cck_key, MAX(muid_key) AS muid_key,
+       MAX(idfa_key) AS idfa_key, MAX(imei_key) AS imei_key,
+       MAX(android_id_key) AS android_id_key, MAX(oaid_key) AS oaid_key,
+       MAX(ip_ua_key) AS ip_ua_key,
+       COUNT(*) AS n_clicks, MAX(ct_ms) AS store_max_ct
+FROM (
+  SELECT cid, lane,
+         CASE WHEN lane = 'tencent_web'
+              THEN 'adtfad:' || app_id_s || ':' || cck END AS cck_key,
+         {key_of("muid_n")} AS muid_key,
+         {key_of("idfa_n")} AS idfa_key,
+         {key_of("imei_n")} AS imei_key,
+         {key_of("aid_n")} AS android_id_key,
+         {key_of("oaid_n")} AS oaid_key,
+         CASE WHEN lane <> 'skipped_lid0' AND ip <> ''
+              THEN 'adtfad:' || app_id_s || ':' || ip || ua_proc
+         END AS ip_ua_key,
+         CASE WHEN lane = 'skipped_lid0' THEN CAST(NULL AS BIGINT)
+              ELSE ct_ms END AS ct_ms
+  FROM (
+    SELECT cid, ip, cck,
+           CASE WHEN lid = 0 THEN 'skipped_lid0'
+                WHEN channel_type = '3' AND push_type = '20'
+                     AND cck <> '' THEN 'tencent_web'
+                ELSE 'multi' END AS lane,
+           {d.s("(100 + cid % 3)")} AS app_id_s,
+           {norm("muid")} AS muid_n, {norm("android_id")} AS aid_n,
+           {norm("oaid")} AS oaid_n, {norm("idfa")} AS idfa_n,
+           {norm("imei")} AS imei_n,
+           {ua_proc} AS ua_proc,
+           CASE WHEN length(ct_str) = 10
+                THEN CAST(ct_str AS BIGINT) * 1000
+                ELSE CAST(ct_str AS BIGINT) END AS ct_ms
+    FROM (
+      SELECT cid, {spine}, {lid} AS lid, {ct_str} AS ct_str
+      FROM (SELECT CAST(user_id % {n} AS INT) AS cid, user_id
+            FROM events) e
+    ) i
+  ) s
+) x
+GROUP BY cid, lane"""
+
+
+_register("p48_adv_click_keys", _p48)
+
+
+# ---------------------------------------------------------------------------
+# P49 deep-conversion multi-event gate + callback envelope
+# (AdvConvertEventFlatMapFunction.java:142-380, the 深度回传 lane p31's
+# simple lane sits in front of): a dt='evt' row of an advertising app
+# converts for deep rule (zg_eid, lid) only if
+#   1. it attributes to a latest prior ad touch and sits inside the
+#      rule's window (ct >= maxCt, ct - maxCt <= window*1000, :211 —
+#      p31's gate);
+#   2. every member of the rule's comma-split eventIds has a LIVE
+#      status key `ad:convert:status:{eid}:{lid}` (:247-275). The key is
+#      GLOBAL — no zgid, no app — set with TTL = the member's own
+#      windowTime whenever a member event passes gate 1, and the
+#      processing event sets its own key BEFORE the check (:251-253), so
+#      it always counts itself. Single-member rules send immediately
+#      (:274-275).
+# On send the row emits the toufang_convert_event record AND a
+# ConvertMessageV2 callback envelope to toufang_ad_user (:221,:360-374):
+# event_type = the rule's channelEvent, action_time = String(ct),
+# callback_url with the null/"null" → "" repair (:283-286), and
+# setFields(adMessageJson) pulling callback / ados / muid / click_time
+# off the stored ad payload with ""-defaults (ConvertMessageV2.java:
+# 116-137). Deep rules here use frequency=every and empty matchJson —
+# the first-send gate and the property gate are p31's and p43's modeled
+# surfaces; the ad payload fields are synthesized from the touch's k
+# (fixture convention; lid = k % 5 as in p31).
+#
+# Scale shape: NO conversion×evidence pair join — the status-key
+# timeline is global per (lid, member-event), so aliveness is a
+# last_value-IGNORE-NULLS forward fill over the lid-partitioned
+# qualifying stream (one filled column per group member), mirroring how
+# p31 replaced the touch pair join. Two shuffles total: (app, zgid) for
+# touch attribution, lid for the key timeline; rules broadcast.
+# ---------------------------------------------------------------------------
+def _p49(d: Dialect) -> str:
+    # (lid, conv_event, window_sec, channel_event, group members)
+    deep_rules = R.values_sql(
+        [(1, "purchase", 86400, "ch_purchase"),
+         (1, "click", 43200, "ch_click"),
+         (3, "purchase", 14400, "chd_purchase"),
+         (3, "click", 28800, "chd_click"),
+         (2, "click", 86400, "ch_click_solo")],
+        ["dr_lid", "dr_event", "dr_window", "dr_channel_event"])
+    # eventIds CSV expansion: lids 1/3 require {purchase, click}, lid 2
+    # is single-member
+    multi = "r.dr_lid IN (1, 3)"
+
+    w_attr = (
+        "(PARTITION BY app_id, zg_id ORDER BY ct, is_touch DESC, seq "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    t_lid = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN lid END", w_attr)
+    t_ct = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN ct END", w_attr)
+    t_k = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN k END", w_attr)
+
+    # The Redis key is {zgEid}:{lid}; zg_eids are per-app dictionary ids,
+    # so keys never collide across apps — the timeline partitions on
+    # (app_id, lid) with event_name standing in for the app-scoped eid.
+    w_key = ("(PARTITION BY app_id, lid ORDER BY ct, seq "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    last_p = d.last_ignore_nulls(
+        "CASE WHEN event_name = 'purchase' THEN ct END", w_key)
+    last_c = d.last_ignore_nulls(
+        "CASE WHEN event_name = 'click' THEN ct END", w_key)
+
+    s = d.s
+    apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    return f"""
+SELECT app_id, lid, event_name, event_type,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(sent) AS BIGINT) AS n_sent,
+       CAST(SUM(1 - sent) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN sent = 1 THEN ados END) AS BIGINT) AS sum_ados,
+       CAST(SUM(CASE WHEN sent = 1 AND muid <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_muid_set,
+       CAST(SUM(CASE WHEN sent = 1 AND callback_url <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cb_url_set,
+       MIN(CASE WHEN sent = 1 THEN action_time END) AS min_action_time,
+       MAX(CASE WHEN sent = 1 THEN action_time END) AS max_action_time,
+       CAST(SUM(CASE WHEN sent = 1 THEN click_time END) AS BIGINT)
+           AS sum_click_time
+FROM (
+  SELECT app_id, lid, event_name, event_type,
+         CASE WHEN NOT is_multi THEN 1
+              WHEN last_purchase_ct IS NOT NULL
+                   AND ct - last_purchase_ct <= purchase_window * 1000
+                   AND last_click_ct IS NOT NULL
+                   AND ct - last_click_ct <= click_window * 1000
+              THEN 1 ELSE 0 END AS sent,
+         CAST(touch_k % 3 AS INT) AS ados,
+         CASE WHEN touch_k % 2 = 0 THEN 'mu' || {s("touch_k")}
+              ELSE '' END AS muid,
+         CASE WHEN touch_k % 3 = 0 THEN 'http://cb/' || {s("touch_k")}
+              ELSE '' END AS callback_url,
+         {s("ct")} AS action_time,
+         touch_ct AS click_time
+  FROM (
+    SELECT q.*,
+           {last_p} AS last_purchase_ct,
+           {last_c} AS last_click_ct
+    FROM (
+      SELECT c.app_id, c.zg_id, c.ct, c.seq, c.event_name, c.lid,
+             c.touch_ct, c.touch_k,
+             r.dr_channel_event AS event_type,
+             {multi} AS is_multi,
+             pw.dr_window AS purchase_window,
+             cw.dr_window AS click_window
+      FROM (
+        SELECT app_id, zg_id, ct, seq, event_name,
+               {t_lid} AS lid, {t_ct} AS touch_ct, {t_k} AS touch_k
+        FROM (
+          SELECT app_id, zg_id, ct, seq, event_name, 0 AS is_touch,
+                 CAST(NULL AS BIGINT) AS lid, CAST(NULL AS BIGINT) AS k
+          FROM resolved WHERE dt = 'evt' AND app_id IN ({apps})
+          UNION ALL
+          SELECT app_id, zg_id, ct, seq, CAST(NULL AS {d.strtype}), 1,
+                 k % 5, k
+          FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL
+            AND app_id IN ({apps})
+        ) u
+      ) c
+      JOIN {deep_rules}
+           AS r(dr_lid, dr_event, dr_window, dr_channel_event)
+        ON r.dr_lid = c.lid AND r.dr_event = c.event_name
+      LEFT JOIN {deep_rules}
+           AS pw(dr_lid, dr_event, dr_window, dr_channel_event)
+        ON pw.dr_lid = c.lid AND pw.dr_event = 'purchase'
+      LEFT JOIN {deep_rules}
+           AS cw(dr_lid, dr_event, dr_window, dr_channel_event)
+        ON cw.dr_lid = c.lid AND cw.dr_event = 'click'
+      WHERE c.ct - c.touch_ct <= r.dr_window * 1000
+    ) q
+  ) f
+) g
+GROUP BY app_id, lid, event_name, event_type"""
+
+
+_register("p49_adv_deep_convert", _p49)
+
+
+# ---------------------------------------------------------------------------
+# P50 match_json userProp gates (OperatorUtil.compareProValue,
+# pipeline util/OperatorUtil.java:22-98 — the USER-property category p43's
+# eventProp coverage leaves out): rules with propCategory "userProp"
+# resolve their tested value from user state, not the event bag —
+#   * attrId > 0 → the user's property value from b_user_property
+#     (:71-78), here the LATEST write per (app, zgid, property) of the
+#     user-prop EAV (b_user_property is merge-on-write);
+#   * attrId = 0 + dimensionSub visit_times/duration → the
+#     f_user_detail_sum aggregates (:34-43);
+#   * attrId = 0 + dimensionSub is_anonymous → 实名 iff b_user holds a
+#     user_id for the (device, zgid) binding, else 匿名 (:44-58) — here
+#     a user with any cuid-bearing row;
+#   * any other column → f_user_detail (:59-67), same lookup shape.
+# An EMPTY lookup falls through to `return false` (:78,:96) — it never
+# reaches handleNullValue, unlike the eventProp path; `is null` on a
+# missing user property is still FALSE. The 3-arg compareValue overload
+# with the 业务 label special case (:100-131) has no caller in the
+# reference and is not modeled. Typed compares reuse the p43 compiler
+# (functions/match_json.py). The deep-conversion gate evaluates per
+# conversion EVENT but the value depends only on (app, zgid), so
+# n_events_pass = SUM(visit_times) over passing users — no second scan.
+#
+# Scale shape: one evt-grain aggregation to user state, one user-prop
+# pivot (FILTERed max_by — single pass over the EAV), one broadcast-size
+# single-row reduce. No per-row interpreter; every rule is codegen CASE.
+# ---------------------------------------------------------------------------
+def _p50(d: Dialect) -> str:
+    from zg_etl_spark.functions.match_json import match_predicate
+
+    apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    # (rule_id, value_expr, matchJson) — values are ResultSet strings
+    rules = [
+        ("plname_eq_ios", "plname",
+         {"type": 1, "operator": "equal", "values": ["ios"]}),
+        ("plname_contains_o", "plname",
+         {"type": 1, "operator": "contains", "values": ["o"]}),
+        ("visits_gt_20", d.s("visit_times"),
+         {"type": 2, "operator": "gt", "values": ["20"]}),
+        ("duration_le_1g", d.s("duration"),
+         {"type": 2, "operator": "le", "values": ["1000000000"]}),
+        ("anon_eq_realname", "anon_state",
+         {"type": 1, "operator": "equal", "values": ["实名"]}),
+        ("missing_prop_isnull", "noprop",
+         {"type": 1, "operator": "is null", "values": []}),
+    ]
+    cols = []
+    for rule_id, v, mj in rules:
+        pred = match_predicate(d, mj, v)
+        # compareProValue: empty lookup -> false BEFORE compareValue
+        gated = f"({v} IS NOT NULL AND {v} <> '' AND {pred})"
+        cols.append(
+            f"CAST(SUM(CASE WHEN {gated} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS u_{rule_id},\n       "
+            f"CAST(SUM(CASE WHEN {gated} THEN visit_times ELSE 0 END)"
+            f" AS BIGINT) AS e_{rule_id}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH ustate AS (
+  SELECT app_id, zg_id,
+         COUNT(*) AS visit_times,
+         SUM(COALESCE(dur, 0)) AS duration,
+         CASE WHEN MAX(CASE WHEN cuid IS NOT NULL THEN 1 ELSE 0 END) = 1
+              THEN '实名' ELSE '匿名' END AS anon_state
+  FROM resolved
+  WHERE dt = 'evt' AND app_id IN ({apps})
+  GROUP BY app_id, zg_id
+),
+uprop AS (
+  SELECT app_id, zg_id,
+         max_by(prop_value, seq) FILTER (WHERE prop_name = '_plname')
+             AS plname,
+         max_by(prop_value, seq) FILTER (WHERE prop_name = '_nosuch')
+             AS noprop
+  FROM usr_props_melted
+  WHERE app_id IN ({apps})
+  GROUP BY app_id, zg_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(visit_times) AS BIGINT) AS n_events,
+       {sel}
+FROM ustate u
+LEFT JOIN uprop p ON p.app_id = u.app_id AND p.zg_id = u.zg_id"""
+
+
+_register("p50_match_json_userprop", _p50)
