@@ -1808,3 +1808,102 @@ def test_userprop_gates_match_python_port(spark, sf_dir):
     for k, want in exp.items():
         assert getattr(r, k) == want, (k, getattr(r, k), want)
     assert 0 < r.u_anon_eq_realname < r.n_users  # both states present
+
+
+# ---------------------------------------------------------------------------
+# P51 web landing-URL ad lane: a Python port of processWebAndAppleASA
+# (AdvLidAndUserFirstEndFlatMapFunction.java:755-925) with REAL
+# URLDecoder semantics (urllib.parse.unquote_plus) + Java split
+# behavior, and datetime-library dateUsStrToTimestamp — validating the
+# SQL's closed-alphabet percent-decode against full decoding on the
+# same fixtures.
+# ---------------------------------------------------------------------------
+def test_web_ad_lane_matches_python_port(spark, sf_dir):
+    from datetime import datetime, timezone
+    from urllib.parse import unquote_plus
+
+    def url_parse_to_map(url):
+        decoded = unquote_plus(url)
+        fields = [f for f in decoded.split("?")]
+        if len(fields) < 2 or "?" not in decoded:
+            return {}
+        out = {}
+        for pair in fields[1].split("&"):
+            if "=" not in pair:
+                continue
+            arr = [p for p in pair.split("=")]
+            while arr and arr[-1] == "":
+                arr.pop()  # Java split trailing-empty drop
+            key = arr[0] if arr else pair.rstrip("=")
+            val = arr[1] if len(arr) > 1 else ""
+            out[key] = val
+        return out
+
+    def date_us(s):
+        if not s or not s.strip():
+            return 0
+        try:
+            fmt = ("%Y-%m-%dT%H:%M:%SZ" if len(s) > 17 else "%Y-%m-%dT%H:%MZ")
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            return 0
+
+    WEB = {
+        0: "https://x.cn/l?lid=11&lname=bdsearch&channel_type=4&baidu_token=tokX&utm_source=bd",
+        1: "https://x.cn/l?lid=12&lname=a%26b&channel_type=1",
+        2: "https://x.cn/l?lid=13&lname=&channel_type=2",
+        3: "https://x.cn/l?valid=1&channel_type=2",
+        4: "https://x.cn/l?lid=15&channel_type=3&qz_gdt=QZ15&gdt_vid=GV15",
+        5: "https://x.cn/l?lid=16&channel_type=3&gdt_vid=GV16",
+    }
+    APPLE = {
+        6: {"adId": 0, "creativeSetId": 55, "clickDate": "2023-01-04T08:11:23Z"},
+        7: {"adId": 77, "clickDate": "2023-01-04T08:11Z"},
+        8: {"adId": 9, "clickDate": "not-a-date"},
+    }
+
+    def port(cid):
+        if cid in APPLE:
+            j = APPLE[cid]
+            ad_id = j["adId"] if j["adId"] else j.get("creativeSetId", 0)
+            override = date_us(j["clickDate"]) > 0
+            return ("touch", "-2", "苹果ASA", "", str(ad_id), None, override)
+        web = WEB.get(cid, "")
+        if "lid" not in web:
+            return ("no_ad", None, None, None, None, None, False)
+        admap = url_parse_to_map(web)
+        if not admap:
+            return ("no_ad", None, None, None, None, None, False)
+        ch = int(admap["channel_type"])
+        if ch == 3:
+            probe = admap.get("qz_gdt", admap.get("gdt_vid"))
+            if probe is not None:
+                return ("tencent_probe", None, None, None, None, probe, False)
+            return ("no_ad", None, None, None, None, None, False)
+        if "lid" not in admap:
+            return ("parsed_no_lid", None, None, None, None, None, False)
+        return ("touch", admap["lid"], admap.get("lname"),
+                admap.get("baidu_token", ""), None, None, False)
+
+    rows = {r.cid: r for r in
+            ALL["p51_web_ad_lane"](spark, sf_dir).collect()}
+    assert len(rows) == 10
+    for cid, r in rows.items():
+        lane, lid, lname, token, ad_id, probe, override = port(cid)
+        assert r.lane == lane, (cid, r.lane, lane)
+        assert r.lid == lid, (cid, r.lid, lid)
+        assert r.lname == lname, (cid, r.lname, lname)
+        if cid == 0:
+            assert r.token and r.token.startswith("tok")  # varies per row
+        else:
+            assert r.token == token, (cid, r.token, token)
+        assert r.channel_ad_id == ad_id, (cid, r.channel_ad_id, ad_id)
+        if probe is not None:
+            assert r.probe_key.endswith(":" + probe), (cid, r.probe_key)
+        else:
+            assert r.probe_key is None, cid
+        assert bool(r.ct_overridden) == override, cid
+        if cid in APPLE and override:
+            exp_ct = date_us(APPLE[cid]["clickDate"])
+            assert r.store_max_ct == exp_ct, (cid, r.store_max_ct, exp_ct)

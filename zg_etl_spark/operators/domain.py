@@ -138,6 +138,13 @@ class Dialect:
         in different places."""
         raise NotImplementedError
 
+    def utc_str_ms(self, x: str, seconds: bool) -> str:
+        """ToolUtil.dateUsStrToTimestamp's strict UTC parse
+        (ToolUtil.java:45-70): "yyyy-MM-dd'T'HH:mm[:ss]'Z'" → epoch ms,
+        NULL on parse failure (the caller maps failure to 0). The
+        session TZ is pinned UTC, so a naive parse IS the UTC instant."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -190,6 +197,11 @@ class SparkDialect(Dialect):
 
     def last_ignore_nulls(self, x, over):
         return f"last_value({x}) IGNORE NULLS OVER {over}"
+
+    def utc_str_ms(self, x, seconds):
+        fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'" if seconds else "yyyy-MM-dd'T'HH:mm'Z'"
+        return (f"CAST(to_unix_timestamp(try_to_timestamp({x}, "
+                f'"{fmt}")) AS BIGINT) * 1000')
 
 
 class DuckDialect(Dialect):
@@ -248,6 +260,10 @@ class DuckDialect(Dialect):
 
     def last_ignore_nulls(self, x, over):
         return f"last_value({x} IGNORE NULLS) OVER {over}"
+
+    def utc_str_ms(self, x, seconds):
+        fmt = "%Y-%m-%dT%H:%M:%SZ" if seconds else "%Y-%m-%dT%H:%MZ"
+        return f"epoch_ms(try_strptime({x}, '{fmt}'))"
 
 
 SPARK = SparkDialect()

@@ -3228,3 +3228,145 @@ LEFT JOIN uprop p ON p.app_id = u.app_id AND p.zg_id = u.zg_id"""
 
 
 _register("p50_match_json_userprop", _p50)
+
+
+# ---------------------------------------------------------------------------
+# P51 web landing-URL ad lane (AdvLidAndUserFirstEndFlatMapFunction.java:
+# 755-925 processWebAndAppleASA + ToolUtil.urlParseToMap :101-135 +
+# dateUsStrToTimestamp :45-70): web-side ad touches arrive as a
+# $landing_url whose QUERY params identify the click —
+#   * the gate is webAd.contains("lid") — a SUBSTRING test, so a URL
+#     with only `valid=1` still parses (:785-787);
+#   * urlParseToMap URL-DECODES FIRST, then splits on '?', '&', '=' —
+#     so a %26 inside a value splits into a bogus pair (the classic
+#     decode-before-split defect, kept faithful), a '=' -less pair is
+#     skipped entirely, and `k=` keeps key with value '' (Java split
+#     trailing-empty drop);
+#   * channel_type 3 (Tencent web) probes the click store by qz_gdt
+#     (priority) else gdt_vid (:819-827) — the store is Redis state;
+#     modeled against the empty store, so the probe key is derived and
+#     the row yields NO touch (the unmatched lane :884-889);
+#   * every other channel with a `lid` key becomes the (app, zgid)
+#     latest-ct ad touch: AdvMessage.setFieldsWithout ''-defaults,
+#     callback_url = the RAW landing url for non-Tencent (:906-908),
+#     token = baidu_token when present (:911-913);
+#   * Apple ASA ($channel_type 5) maps through appleASAFeildsMap (p44's
+#     surface; the modern JSON wire here, the legacy iad-kv one in p44)
+#     and OVERRIDES ct with clickDate via dateUsStrToTimestamp — strict
+#     "yyyy-MM-dd'T'HH:mm[:ss]'Z'" UTC by length>17, unparseable → 0 →
+#     no override (:806-811).
+# The SQL percent-decode covers the closed fixture alphabet (%26, '+');
+# the independent oracle runs Python's full unquote_plus on the same
+# fixtures to pin equivalence on this domain.
+#
+# Scale shape: map-only regexp/JSON extraction over the evt scan + one
+# 10-group agg standing in for the per-(app, zgid) max-ct reduce.
+# ---------------------------------------------------------------------------
+def _p51(d: Dialect) -> str:
+    null_s = f"CAST(NULL AS {d.strtype})"
+
+    def qval(key: str) -> str:
+        return f"regexp_extract(query, {d.re_lit(f'(^|&){key}=([^&]*)')}, 2)"
+
+    def qhas(key: str) -> str:
+        return d.rlike("query", f"(^|&){key}=")
+
+    s = d.s
+    web_ad = f"""CASE cid
+    WHEN 0 THEN 'https://x.cn/l?lid=11&lname=bdsearch&channel_type=4&baidu_token=tok' || {s('(user_id % 7)')} || '&utm_source=bd'
+    WHEN 1 THEN 'https://x.cn/l?lid=12&lname=a%26b&channel_type=1'
+    WHEN 2 THEN 'https://x.cn/l?lid=13&lname=&channel_type=2'
+    WHEN 3 THEN 'https://x.cn/l?valid=1&channel_type=2'
+    WHEN 4 THEN 'https://x.cn/l?lid=15&channel_type=3&qz_gdt=QZ15&gdt_vid=GV15'
+    WHEN 5 THEN 'https://x.cn/l?lid=16&channel_type=3&gdt_vid=GV16'
+    ELSE '' END"""
+    apple_ad = """CASE cid
+    WHEN 6 THEN '{"orgId":9,"campaignId":8,"adGroupId":7,"adId":0,"creativeSetId":55,"keywordId":3,"clickDate":"2023-01-04T08:11:23Z"}'
+    WHEN 7 THEN '{"orgId":4,"campaignId":2,"adGroupId":1,"adId":77,"keywordId":5,"clickDate":"2023-01-04T08:11Z"}'
+    WHEN 8 THEN '{"orgId":6,"campaignId":3,"adGroupId":2,"adId":9,"keywordId":1,"clickDate":"not-a-date"}'
+    ELSE '{}' END"""
+    apple_channel = "CASE WHEN cid IN (6, 7, 8) THEN 5 ELSE -1 END"
+
+    # URLDecoder.decode over the closed fixture escape alphabet
+    decoded = "replace(replace(web_ad, '+', ' '), '%26', '&')"
+    q_pat = r"^[^?]*\?([^?]*)"
+    query = f"regexp_extract({decoded}, {d.re_lit(q_pat)}, 1)"
+
+    def aj(key: str) -> str:
+        return f"COALESCE(CAST({d.json_str('apple_ad', '$.' + key)} AS BIGINT), 0)"
+
+    click_raw = d.json_str("apple_ad", "$.clickDate")
+    click_ms = (f"CASE WHEN length({click_raw}) > 17 "
+                f"THEN {d.utc_str_ms(click_raw, True)} "
+                f"ELSE {d.utc_str_ms(click_raw, False)} END")
+
+    return f"""
+SELECT cid, lane,
+       MAX(lid) AS lid, MAX(lname) AS lname, MAX(token) AS token,
+       MAX(cb_is_url) AS cb_is_url, MAX(probe_key) AS probe_key,
+       MAX(channel_ad_id) AS channel_ad_id,
+       COUNT(*) AS n_rows, MAX(ct_eff) AS store_max_ct,
+       CAST(MAX(ct_overridden) AS BIGINT) AS ct_overridden
+FROM (
+  SELECT cid,
+         CASE WHEN is_apple THEN 'touch'
+              WHEN NOT has_admap THEN 'no_ad'
+              WHEN channel_type = 3 AND probe_raw IS NOT NULL
+                   THEN 'tencent_probe'
+              WHEN channel_type = 3 THEN 'no_ad'
+              WHEN NOT has_lid THEN 'parsed_no_lid'
+              ELSE 'touch' END AS lane,
+         CASE WHEN is_apple THEN '-2'
+              WHEN has_admap AND channel_type <> 3 AND has_lid
+                   THEN web_lid END AS lid,
+         CASE WHEN is_apple THEN '苹果ASA'
+              WHEN has_admap AND channel_type <> 3 AND has_lid
+                   THEN web_lname END AS lname,
+         CASE WHEN is_apple THEN ''
+              WHEN has_admap AND channel_type <> 3 AND has_lid
+                   THEN COALESCE(web_token, '') END AS token,
+         CASE WHEN is_apple THEN 0
+              WHEN has_admap AND channel_type <> 3 AND has_lid
+                   THEN 1 END AS cb_is_url,
+         CASE WHEN NOT is_apple AND channel_type = 3
+                   AND probe_raw IS NOT NULL
+              THEN 'adtfad:' || {s('app_id')} || ':' || probe_raw
+         END AS probe_key,
+         CASE WHEN is_apple THEN apple_ad_id END AS channel_ad_id,
+         CASE WHEN is_apple AND click_ms IS NOT NULL AND click_ms > 0
+              THEN click_ms ELSE ct END AS ct_eff,
+         CASE WHEN is_apple AND click_ms IS NOT NULL AND click_ms > 0
+              THEN 1 ELSE 0 END AS ct_overridden
+  FROM (
+    SELECT cid, app_id, ct,
+           apple_channel = 5 AS is_apple,
+           instr(web_ad, 'lid') > 0 AND query <> '' AS has_admap,
+           TRY_CAST({qval("channel_type")} AS INT) AS channel_type,
+           CASE WHEN {qhas("lid")} THEN TRUE ELSE FALSE END AS has_lid,
+           {qval("lid")} AS web_lid,
+           {qval("lname")} AS web_lname,
+           CASE WHEN {qhas("baidu_token")} THEN {qval("baidu_token")}
+           END AS web_token,
+           CASE WHEN {qhas("qz_gdt")} THEN {qval("qz_gdt")}
+                WHEN {qhas("gdt_vid")} THEN {qval("gdt_vid")}
+           END AS probe_raw,
+           CASE WHEN {aj("adId")} = 0 THEN {s(aj("creativeSetId"))}
+                ELSE {s(aj("adId"))} END AS apple_ad_id,
+           {click_ms} AS click_ms,
+           apple_ad
+    FROM (
+      SELECT cid, app_id, ct, user_id, web_ad, apple_ad,
+             {apple_channel} AS apple_channel,
+             {query} AS query
+      FROM (
+        SELECT CAST(user_id % 10 AS INT) AS cid, app_id, ct, user_id,
+               {web_ad} AS web_ad, {apple_ad} AS apple_ad
+        FROM resolved WHERE dt = 'evt' AND app_id IN (1, 2)
+      ) r
+    ) x
+  ) y
+) z
+GROUP BY cid, lane"""
+
+
+_register("p51_web_ad_lane", _p51)
