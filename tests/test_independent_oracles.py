@@ -1907,3 +1907,101 @@ def test_web_ad_lane_matches_python_port(spark, sf_dir):
         if cid in APPLE and override:
             exp_ct = date_us(APPLE[cid]["clickDate"])
             assert r.store_max_ct == exp_ct, (cid, r.store_max_ct, exp_ct)
+
+
+# ---------------------------------------------------------------------------
+# P52 app-ss probe priority: a Python transcription of processAppSS
+# (AdvLidAndUserFirstEndFlatMapFunction.java:1044-1245) — per-OS exact
+# priority with the presence short-circuit, fuzzy fallback, the iOS
+# newer-of-two-fuzzy max — recomputing every tier from the same resolved
+# rows via hashlib/regex, no SQL shared.
+# ---------------------------------------------------------------------------
+def test_ss_priority_matches_python_port(spark, sf_dir):
+    import hashlib
+    import re
+
+    from zg_etl_spark.operators.domain import SPARK, ua_real_case
+
+    APPS = set(R.ADVERTISING_APPS)
+    rows = [r for r in _rows(spark, sf_dir, f"""
+        SELECT app_id, dt, user_id, ip, k, ct, seq, zg_id, pl, ua_real
+        FROM (SELECT r.*, {ua_real_case(SPARK, 'r.')} AS ua_real
+              FROM resolved r) t
+        WHERE dt IN ('mkt', 'ss')""") if r.app_id in APPS]
+
+    def ua_analysis(ua):
+        if ua is None:
+            return "", ""
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)",
+                          ua, re.I)
+        if not m:
+            return "", ""
+        ver = m.group(2) or ""
+        return m.group(1), re.sub(r"[^a-zA-Z0-9 ]", ".", ver)
+
+    def kid(prefix, src, mod):
+        return hashlib.md5(f"{prefix}_{src % mod}".encode()).hexdigest()
+
+    stores = {name: {} for name in
+              ("idfa", "oaid", "aid", "imei", "ipua", "ipver")}
+
+    def put(store, app, key, lid, ct, seq):
+        cur = stores[store].get((app, key))
+        if cur is None or (ct, seq) > (cur[1], cur[2]):
+            stores[store][(app, key)] = (lid, ct, seq)
+
+    probes = []
+    for r in rows:
+        name, ver = ua_analysis(r.ua_real)
+        if r.dt == "mkt" and r.k is not None:
+            lid = r.k % 5
+            if r.k % 3 == 0:
+                put("idfa", r.app_id, kid("idfa", r.k, 23), lid, r.ct, r.seq)
+            if r.k % 4 == 0:
+                put("oaid", r.app_id, kid("oaid", r.k, 19), lid, r.ct, r.seq)
+            if r.k % 5 == 0:
+                put("aid", r.app_id, kid("aid", r.k, 17), lid, r.ct, r.seq)
+            if r.k % 2 == 0:
+                put("imei", r.app_id, kid("imei", r.k, 13), lid, r.ct, r.seq)
+            put("ipua", r.app_id, (r.ip, name, ver), lid, r.ct, r.seq)
+            put("ipver", r.app_id, (r.ip, ver), lid, r.ct, r.seq)
+        elif r.dt == "ss":
+            probes.append((r, name, ver))
+
+    from collections import Counter
+    exp = Counter()
+    for r, name, ver in probes:
+        is_ios = r.pl == "ios"
+        tier, lid = "none", None
+        if is_ios:
+            if r.user_id % 3 != 1:
+                hit = stores["idfa"].get((r.app_id, kid("idfa", r.user_id, 29)))
+                if hit:
+                    tier, lid = "exact_idfa", hit[0]
+        else:
+            for st, mod, gate, field in (("oaid", 23, 4, "exact_oaid"),
+                                         ("aid", 21, 5, "exact_aid"),
+                                         ("imei", 15, 2, "exact_imei")):
+                if r.user_id % gate == 1:
+                    continue
+                hit = stores[st].get((r.app_id, kid(st, r.user_id, mod)))
+                if hit:
+                    tier, lid = field, hit[0]
+                    break
+        if tier == "none":
+            u = stores["ipua"].get((r.app_id, (r.ip, name, ver)))
+            v = stores["ipver"].get((r.app_id, (r.ip, ver))) if is_ios else None
+            if v and (u is None or v[1] > u[1]):
+                tier, lid = "ipver", v[0]
+            elif u:
+                tier, lid = "ipua", u[0]
+        exp[(tier, lid)] += 1
+
+    got = {(r.match_tier, r.lid): r.n_sessions
+           for r in ALL["p52_adv_ss_priority"](spark, sf_dir).collect()}
+    assert got == dict(exp), (got, dict(exp))
+    assert any(t.startswith("exact_") for t, _ in exp)
+    assert sum(n for (t, _), n in exp.items() if t == "ipua") >= 1

@@ -3370,3 +3370,137 @@ GROUP BY cid, lane"""
 
 
 _register("p51_web_ad_lane", _p51)
+
+
+# ---------------------------------------------------------------------------
+# P52 app-ss probe priority (AdvLidAndUserFirstEndFlatMapFunction.java:
+# 1044-1245 processAppSS — the per-OS refinement of p42's 3-tier
+# cascade): a session-start row probes the click stores with
+#   * iOS: ONE exact key — idfa (:1086-1097);
+#   * Android: oaid > android_id > imei with a PRESENCE short-circuit
+#     (:1099-1137, `hasAndroidDevice`) — an oaid store hit wins even
+#     when the android_id store holds a NEWER click;
+#   * fuzzy only when no exact hit: ip+uaAnalysis, and on iOS the
+#     ip+version store is ALSO probed with the NEWER click winning
+#     (strict >, :1140-1166) — not a tier, a max — the refinement p42's
+#     first-hit tiers deliberately flatten;
+#   * every id goes through processDeviceId (32-char pass-through else
+#     md5, :1341-1358) on BOTH sides.
+# The reference also CONSUMES a matched click via the del-key set
+# (:1178-1210) — a batch-sequential first-prober-wins matching whose
+# CDC delete lane p47 models (`is_delete`); the store here is
+# unconsumed, each ss sees the full store (documented deviation: the
+# set-based form of consumption is a greedy time-ordered bipartite
+# matching, inherently sequential).
+#
+# Scale shape: identical to p42 — per-key ROW_NUMBER click stores
+# (rows ∝ clicks), 6 broadcastable equi-joins on the probe side, no
+# inequality join; the priority/newer-of logic is all codegen CASE.
+#
+# Data note: at the test SFs the envelope-derived ips rarely collide
+# between clicks and sessions, so the ipver-strictly-newer branch never
+# fires in data (ipua does); it is guarded by the single dual-rendered
+# template (both engines run the same CASE) and the independent Python
+# port recomputing every tier from the same rows.
+# ---------------------------------------------------------------------------
+def _p52(d: Dialect) -> str:
+    from zg_etl_spark.functions import ua_parser as UP
+    from zg_etl_spark.operators.domain import ua_real_case
+
+    apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    s = d.s
+    store = (
+        "SELECT app_id, {keys}, lid, ct FROM (\n"
+        "    SELECT app_id, {keys}, lid, ct,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY app_id, {keys}\n"
+        "                              ORDER BY ct DESC, seq DESC) AS rn\n"
+        "    FROM clicks{where}) t WHERE rn = 1"
+    )
+
+    def kid(prefix: str, src: str, mod: int) -> str:
+        return f"md5('{prefix}_' || {s(f'({src} % {mod})')})"
+
+    return f"""
+WITH keyed AS (
+  SELECT app_id, dt, user_id, ip, k, ct, seq, zg_id, pl,
+         {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
+         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver
+  FROM (
+    SELECT r.app_id, r.dt, r.user_id, r.ip, r.k, r.ct, r.seq, r.zg_id,
+           r.pl, {ua_real_case(d, 'r.')} AS ua_real
+    FROM resolved r WHERE r.app_id IN ({apps})
+  ) s
+), clicks AS (
+  SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
+         CASE WHEN k % 3 = 0 THEN {kid("idfa", "k", 23)} END AS idfa_key,
+         CASE WHEN k % 4 = 0 THEN {kid("oaid", "k", 19)} END AS oaid_key,
+         CASE WHEN k % 5 = 0 THEN {kid("aid", "k", 17)} END AS aid_key,
+         CASE WHEN k % 2 = 0 THEN {kid("imei", "k", 13)} END AS imei_key
+  FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL
+), idfa_store AS (
+  {store.format(keys="idfa_key", where=" WHERE idfa_key IS NOT NULL")}
+), oaid_store AS (
+  {store.format(keys="oaid_key", where=" WHERE oaid_key IS NOT NULL")}
+), aid_store AS (
+  {store.format(keys="aid_key", where=" WHERE aid_key IS NOT NULL")}
+), imei_store AS (
+  {store.format(keys="imei_key", where=" WHERE imei_key IS NOT NULL")}
+), ipua_store AS (
+  {store.format(keys="ip, ua_name, ua_ver", where="")}
+), ipver_store AS (
+  {store.format(keys="ip, ua_ver", where="")}
+), ss AS (
+  SELECT app_id, zg_id, ip, ua_name, ua_ver,
+         CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
+         CASE WHEN user_id % 3 <> 1 THEN {kid("idfa", "user_id", 29)} END
+             AS p_idfa,
+         CASE WHEN user_id % 4 <> 1 THEN {kid("oaid", "user_id", 23)} END
+             AS p_oaid,
+         CASE WHEN user_id % 5 <> 1 THEN {kid("aid", "user_id", 21)} END
+             AS p_aid,
+         CASE WHEN user_id % 2 <> 1 THEN {kid("imei", "user_id", 15)} END
+             AS p_imei
+  FROM keyed WHERE dt = 'ss'
+)
+SELECT match_tier, lid,
+       COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
+FROM (
+  SELECT s.zg_id,
+         CASE
+           WHEN s.is_ios = 1 AND i.lid IS NOT NULL THEN 'exact_idfa'
+           WHEN s.is_ios = 0 AND o.lid IS NOT NULL THEN 'exact_oaid'
+           WHEN s.is_ios = 0 AND a.lid IS NOT NULL THEN 'exact_aid'
+           WHEN s.is_ios = 0 AND m.lid IS NOT NULL THEN 'exact_imei'
+           WHEN s.is_ios = 1 AND v.lid IS NOT NULL
+                AND (u.lid IS NULL OR v.ct > u.ct) THEN 'ipver'
+           WHEN u.lid IS NOT NULL THEN 'ipua'
+           ELSE 'none' END AS match_tier,
+         CASE
+           WHEN s.is_ios = 1 AND i.lid IS NOT NULL THEN i.lid
+           WHEN s.is_ios = 0 AND o.lid IS NOT NULL THEN o.lid
+           WHEN s.is_ios = 0 AND a.lid IS NOT NULL THEN a.lid
+           WHEN s.is_ios = 0 AND m.lid IS NOT NULL THEN m.lid
+           WHEN s.is_ios = 1 AND v.lid IS NOT NULL
+                AND (u.lid IS NULL OR v.ct > u.ct) THEN v.lid
+           WHEN u.lid IS NOT NULL THEN u.lid
+         END AS lid
+  FROM ss s
+  LEFT JOIN idfa_store i
+         ON s.is_ios = 1 AND i.app_id = s.app_id AND i.idfa_key = s.p_idfa
+  LEFT JOIN oaid_store o
+         ON s.is_ios = 0 AND o.app_id = s.app_id AND o.oaid_key = s.p_oaid
+  LEFT JOIN aid_store a
+         ON s.is_ios = 0 AND a.app_id = s.app_id AND a.aid_key = s.p_aid
+  LEFT JOIN imei_store m
+         ON s.is_ios = 0 AND m.app_id = s.app_id AND m.imei_key = s.p_imei
+  LEFT JOIN ipua_store u
+         ON u.app_id = s.app_id AND u.ip = s.ip
+        AND u.ua_name = s.ua_name AND u.ua_ver = s.ua_ver
+  LEFT JOIN ipver_store v
+         ON s.is_ios = 1 AND v.app_id = s.app_id
+        AND v.ip = s.ip AND v.ua_ver = s.ua_ver
+) x
+GROUP BY match_tier, lid"""
+
+
+_register("p52_adv_ss_priority", _p52)
