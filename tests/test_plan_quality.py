@@ -406,3 +406,22 @@ def test_adv_cdc_and_click_keys_stay_map_side(spark, sf_dir):
         assert "Join" not in plan, (name, plan)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
         assert plan.count("Exchange") <= 2, (name, plan)  # partial+final agg
+
+
+def test_web_ad_lane_stays_map_side(spark, sf_dir):
+    """p51 is map-only regexp/JSON extraction over the evt scan plus the
+    case-grain aggregation — no joins, no Python UDFs."""
+    plan = _plan(ALL["p51_web_ad_lane"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_ss_priority_stores_broadcast(spark, sf_dir):
+    """p52's six click stores are per-key aggregates of the click stream
+    (rows ∝ clicks) — every probe join must broadcast; never a
+    nested-loop product or a fact-fact sort-merge."""
+    plan = _plan(ALL["p52_adv_ss_priority"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -3465,7 +3465,7 @@ WITH keyed AS (
 SELECT match_tier, lid,
        COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
 FROM (
-  SELECT s.zg_id,
+  SELECT /*+ BROADCAST(i, o, a, m, u, v) */ s.zg_id,
          CASE
            WHEN s.is_ios = 1 AND i.lid IS NOT NULL THEN 'exact_idfa'
            WHEN s.is_ios = 0 AND o.lid IS NOT NULL THEN 'exact_oaid'
