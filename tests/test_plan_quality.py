@@ -425,3 +425,12 @@ def test_ss_priority_stores_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_click_match_stores_broadcast(spark, sf_dir):
+    """p42's three click stores are per-key aggregates (rows ∝ clicks);
+    without the hint Spark's missing window-output stats silently fell
+    back to sort-merge on all three probe joins."""
+    plan = _plan(ALL["p42_adv_click_match"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -1744,7 +1744,7 @@ WITH keyed AS (
 SELECT match_tier, lid,
        COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
 FROM (
-  SELECT s.zg_id,
+  SELECT /*+ BROADCAST(e, u, v) */ s.zg_id,
          COALESCE(e.lid, u.lid,
                   CASE WHEN s.is_ios = 1 THEN v.lid END) AS lid,
          CASE WHEN e.lid IS NOT NULL THEN 'exact'
