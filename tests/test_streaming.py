@@ -391,3 +391,22 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     assert state_rows, "no state-operator progress recorded"
     assert state_rows[-1] < 5, state_rows
     assert max(state_rows) <= 5, state_rows
+
+
+def test_deep_convert_stream_equals_batch_gate(spark, sf_dir):
+    """s10's sequential TTL'd-key state machine must land on exactly the
+    batch forward-fill's aggregates (p49) — same rows, same values. The
+    batch side is itself pinned by the sequential simulation in
+    test_independent_oracles.py, so agreement here chains the streaming
+    operator to the reference's per-event Redis semantics."""
+    from zg_etl_spark import plans
+
+    qs = plans.all_queries()
+    key = ["app_id", "lid", "event_name", "event_type"]
+    stream = {tuple(r[k] for k in key): r.asDict()
+              for r in qs["s10_streaming_deep_convert"](spark, sf_dir).collect()}
+    batch = {tuple(r[k] for k in key): r.asDict()
+             for r in qs["p49_adv_deep_convert"](spark, sf_dir).collect()}
+    assert stream == batch
+    assert any(v["n_blocked"] > 0 for v in stream.values())
+    assert any(v["n_sent"] > 0 for v in stream.values())

@@ -3035,19 +3035,27 @@ _register("p48_adv_click_keys", _p48)
 # p31 replaced the touch pair join. Two shuffles total: (app, zgid) for
 # touch attribution, lid for the key timeline; rules broadcast.
 # ---------------------------------------------------------------------------
-def _p49(d: Dialect) -> str:
-    # (lid, conv_event, window_sec, channel_event, group members)
-    deep_rules = R.values_sql(
-        [(1, "purchase", 86400, "ch_purchase"),
-         (1, "click", 43200, "ch_click"),
-         (3, "purchase", 14400, "chd_purchase"),
-         (3, "click", 28800, "chd_click"),
-         (2, "click", 86400, "ch_click_solo")],
-        ["dr_lid", "dr_event", "dr_window", "dr_channel_event"])
-    # eventIds CSV expansion: lids 1/3 require {purchase, click}, lid 2
-    # is single-member
-    multi = "r.dr_lid IN (1, 3)"
+# (lid, conv_event, window_sec, channel_event); lids 1/3 require
+# {purchase, click} (the eventIds CSV), lid 2 is single-member
+P49_DEEP_RULES = [
+    (1, "purchase", 86400, "ch_purchase"),
+    (1, "click", 43200, "ch_click"),
+    (3, "purchase", 14400, "chd_purchase"),
+    (3, "click", 28800, "chd_click"),
+    (2, "click", 86400, "ch_click_solo"),
+]
+P49_MULTI_LIDS = (1, 3)
 
+
+def p49_candidates_sql(d: Dialect) -> str:
+    """The deep-lane candidate relation `q`: advertising-app evt rows
+    attributed to their latest prior touch, rule-joined and window-gated
+    — shared by p49's batch gate and s10's streaming gate so the two
+    formulations cannot drift."""
+    deep_rules = R.values_sql(
+        P49_DEEP_RULES,
+        ["dr_lid", "dr_event", "dr_window", "dr_channel_event"])
+    multi = "r.dr_lid IN (" + ", ".join(str(x) for x in P49_MULTI_LIDS) + ")"
     w_attr = (
         "(PARTITION BY app_id, zg_id ORDER BY ct, is_touch DESC, seq "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
@@ -3055,53 +3063,8 @@ def _p49(d: Dialect) -> str:
     t_lid = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN lid END", w_attr)
     t_ct = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN ct END", w_attr)
     t_k = d.last_ignore_nulls("CASE WHEN is_touch = 1 THEN k END", w_attr)
-
-    # The Redis key is {zgEid}:{lid}; zg_eids are per-app dictionary ids,
-    # so keys never collide across apps — the timeline partitions on
-    # (app_id, lid) with event_name standing in for the app-scoped eid.
-    w_key = ("(PARTITION BY app_id, lid ORDER BY ct, seq "
-             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
-    last_p = d.last_ignore_nulls(
-        "CASE WHEN event_name = 'purchase' THEN ct END", w_key)
-    last_c = d.last_ignore_nulls(
-        "CASE WHEN event_name = 'click' THEN ct END", w_key)
-
-    s = d.s
     apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
     return f"""
-SELECT app_id, lid, event_name, event_type,
-       COUNT(*) AS n_candidates,
-       CAST(SUM(sent) AS BIGINT) AS n_sent,
-       CAST(SUM(1 - sent) AS BIGINT) AS n_blocked,
-       CAST(SUM(CASE WHEN sent = 1 THEN ados END) AS BIGINT) AS sum_ados,
-       CAST(SUM(CASE WHEN sent = 1 AND muid <> '' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_muid_set,
-       CAST(SUM(CASE WHEN sent = 1 AND callback_url <> '' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_cb_url_set,
-       MIN(CASE WHEN sent = 1 THEN action_time END) AS min_action_time,
-       MAX(CASE WHEN sent = 1 THEN action_time END) AS max_action_time,
-       CAST(SUM(CASE WHEN sent = 1 THEN click_time END) AS BIGINT)
-           AS sum_click_time
-FROM (
-  SELECT app_id, lid, event_name, event_type,
-         CASE WHEN NOT is_multi THEN 1
-              WHEN last_purchase_ct IS NOT NULL
-                   AND ct - last_purchase_ct <= purchase_window * 1000
-                   AND last_click_ct IS NOT NULL
-                   AND ct - last_click_ct <= click_window * 1000
-              THEN 1 ELSE 0 END AS sent,
-         CAST(touch_k % 3 AS INT) AS ados,
-         CASE WHEN touch_k % 2 = 0 THEN 'mu' || {s("touch_k")}
-              ELSE '' END AS muid,
-         CASE WHEN touch_k % 3 = 0 THEN 'http://cb/' || {s("touch_k")}
-              ELSE '' END AS callback_url,
-         {s("ct")} AS action_time,
-         touch_ct AS click_time
-  FROM (
-    SELECT q.*,
-           {last_p} AS last_purchase_ct,
-           {last_c} AS last_click_ct
-    FROM (
       SELECT c.app_id, c.zg_id, c.ct, c.seq, c.event_name, c.lid,
              c.touch_ct, c.touch_k,
              r.dr_channel_event AS event_type,
@@ -3131,11 +3094,66 @@ FROM (
       LEFT JOIN {deep_rules}
            AS cw(dr_lid, dr_event, dr_window, dr_channel_event)
         ON cw.dr_lid = c.lid AND cw.dr_event = 'click'
-      WHERE c.ct - c.touch_ct <= r.dr_window * 1000
-    ) q
-  ) f
+      WHERE c.ct - c.touch_ct <= r.dr_window * 1000"""
+
+
+def p49_final_sql(d: Dialect, gated: str) -> str:
+    """ConvertMessageV2 envelope projection + the per-rule aggregate over
+    `gated` — any relation carrying the candidate columns plus `sent`."""
+    s = d.s
+    return f"""
+SELECT app_id, lid, event_name, event_type,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(sent) AS BIGINT) AS n_sent,
+       CAST(SUM(1 - sent) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN sent = 1 THEN ados END) AS BIGINT) AS sum_ados,
+       CAST(SUM(CASE WHEN sent = 1 AND muid <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_muid_set,
+       CAST(SUM(CASE WHEN sent = 1 AND callback_url <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cb_url_set,
+       MIN(CASE WHEN sent = 1 THEN action_time END) AS min_action_time,
+       MAX(CASE WHEN sent = 1 THEN action_time END) AS max_action_time,
+       CAST(SUM(CASE WHEN sent = 1 THEN click_time END) AS BIGINT)
+           AS sum_click_time
+FROM (
+  SELECT app_id, lid, event_name, event_type, sent,
+         CAST(touch_k % 3 AS INT) AS ados,
+         CASE WHEN touch_k % 2 = 0 THEN 'mu' || {s("touch_k")}
+              ELSE '' END AS muid,
+         CASE WHEN touch_k % 3 = 0 THEN 'http://cb/' || {s("touch_k")}
+              ELSE '' END AS callback_url,
+         {s("ct")} AS action_time,
+         touch_ct AS click_time
+  FROM ({gated}) i
 ) g
 GROUP BY app_id, lid, event_name, event_type"""
+
+
+def _p49(d: Dialect) -> str:
+    # The Redis key is {zgEid}:{lid}; zg_eids are per-app dictionary ids,
+    # so keys never collide across apps — the timeline partitions on
+    # (app_id, lid) with event_name standing in for the app-scoped eid.
+    w_key = ("(PARTITION BY app_id, lid ORDER BY ct, seq "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    last_p = d.last_ignore_nulls(
+        "CASE WHEN event_name = 'purchase' THEN ct END", w_key)
+    last_c = d.last_ignore_nulls(
+        "CASE WHEN event_name = 'click' THEN ct END", w_key)
+    gated = f"""
+  SELECT f.*,
+         CASE WHEN NOT is_multi THEN 1
+              WHEN last_purchase_ct IS NOT NULL
+                   AND ct - last_purchase_ct <= purchase_window * 1000
+                   AND last_click_ct IS NOT NULL
+                   AND ct - last_click_ct <= click_window * 1000
+              THEN 1 ELSE 0 END AS sent
+  FROM (
+    SELECT q.*,
+           {last_p} AS last_purchase_ct,
+           {last_c} AS last_click_ct
+    FROM ({p49_candidates_sql(d)}) q
+  ) f"""
+    return p49_final_sql(d, gated)
 
 
 _register("p49_adv_deep_convert", _p49)

@@ -857,3 +857,83 @@ def _s9_oracle() -> str:
 
 
 ORACLE["s9_stream_partial_upsert"] = _s9_oracle()
+
+
+# ---------------------------------------------------------------------------
+# s10: the deep-conversion status-key gate as it ACTUALLY runs in the
+# reference — per-(eid, lid) TTL'd keys updated event-by-event
+# (AdvConvertEventFlatMapFunction.java:247-275) — as a custom stateful
+# operator (streaming/deep_convert.py, applyInPandasWithState keyed by
+# (app_id, lid), event-time TTL, own key refreshed before the check).
+# The candidate stream is p49's shared candidate relation
+# (plans/pipeline.py p49_candidates_sql) replayed in seq order (seq is
+# ct-monotone, so arrival order = event-time order, the Kafka contract);
+# the final per-rule aggregate is p49's shared envelope/aggregate SQL
+# over the emitted decisions. Oracle: p49's batch forward-fill verbatim —
+# the sequential state machine and the set-based window formulation must
+# land on identical aggregates.
+# ---------------------------------------------------------------------------
+def _s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.operators.domain import SPARK
+    from zg_etl_spark.plans.pipeline import p49_candidates_sql, p49_final_sql
+    from zg_etl_spark.streaming.deep_convert import deep_convert_gate
+
+    src = _seq_ordered_source(
+        spark, sf_dir,
+        "SELECT app_id, lid, event_name, event_type, is_multi, "
+        "CAST(purchase_window AS BIGINT) AS purchase_window, "
+        "CAST(click_window AS BIGINT) AS click_window, "
+        "ct, seq, touch_ct, touch_k "
+        f"FROM ({p49_candidates_sql(SPARK)}) q",
+    )
+    work = tempfile.mkdtemp(prefix="zg_s10_")
+    store = os.path.join(work, "decisions")
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(store)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(
+                "app_id BIGINT, lid BIGINT, event_name STRING, "
+                "event_type STRING, is_multi BOOLEAN, "
+                "purchase_window BIGINT, click_window BIGINT, "
+                "ct BIGINT, seq BIGINT, touch_ct BIGINT, touch_k BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            deep_convert_gate(q)
+            .writeStream.outputMode("append")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_done(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    spark.read.parquet(store).createOrReplaceTempView("s10_decisions")
+    result = spark.sql(
+        p49_final_sql(SPARK, "SELECT * FROM s10_decisions")
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView("s10_decisions")
+    shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+QUERIES["s10_streaming_deep_convert"] = _s10
+
+
+def _s10_oracle() -> str:
+    from zg_etl_spark.plans.pipeline import ORACLE as _PIPE_ORACLE
+
+    # identical aggregate to the batch forward-fill gate
+    return _PIPE_ORACLE["p49_adv_deep_convert"]
+
+
+ORACLE["s10_streaming_deep_convert"] = _s10_oracle()
