@@ -50,11 +50,24 @@ def _ref_string(v, t, op):
     return False
 
 
+def _java_long(s: str) -> int:
+    """Long.parseLong's grammar exactly: optional sign + ASCII digits,
+    no whitespace, no underscores (Python's int() accepts both), and a
+    64-bit range check (Java overflows to NumberFormatException where
+    Python ints are unbounded)."""
+    if not re.fullmatch(r"[+-]?[0-9]+", s):
+        raise ValueError(s)
+    n = int(s)
+    if not -(2**63) <= n <= 2**63 - 1:
+        raise ValueError(s)
+    return n
+
+
 def _ref_num(v, t, op):
     if _nullish(v) or _nullish(t):
         return False
     try:
-        a, b = int(v), int(t)  # Long.parseLong: no floats, no junk
+        a, b = _java_long(v), _java_long(t)
     except ValueError:
         return False
     return {
@@ -67,9 +80,15 @@ def _ref_date(v, values, op):
     if _nullish(v):
         return False
     try:
-        ts = int(v) * 1000
+        sec = _java_long(v)
     except ValueError:
         return False
+    if not -9223372036854775 <= sec <= 9223372036854775:
+        # Java wraps here (Long.parseLong(v) * 1000 overflows silently);
+        # the compiled SQL gates to the wrap-free range and treats the
+        # garbage as out-of-window — see _date_pred's deviation note
+        return False
+    ts = sec * 1000
     if op == "relative":
         return ts >= NOW_MS - int(values[0]) * 86_400_000
     if op == "absolute":
@@ -131,6 +150,11 @@ RULES = [
 VALUES = [
     "", "null", "NULL", "hi", "lo", "click", "purchase", "5", "05",
     "-3", "500", "3.5", "abc", "+7", "1704070000", "1700000000",
+    # Long.parseLong grammar edges: whitespace, underscores, and 64-bit
+    # overflow all reject in Java (and in the compiled TRY_CAST gate)
+    # where a naive Python int() would accept
+    " 5", "1_0", "99999999999999999999", "-99999999999999999999",
+    "9223372036854775807", "9223372036854775808",
 ]
 
 
@@ -157,3 +181,60 @@ def test_match_json_conformance(spark, dialect, runner):
             assert got is want, (
                 f"{dialect}: value {v!r} rule {mj} -> {got}, want {want}"
             )
+
+
+def test_match_json_fuzz_corpus():
+    """Seeded randomized corpus over the full operator/type space —
+    values with whitespace, signs, underscores, unicode, overflow-scale
+    numerics, regex metacharacters (targets escaped for the regexp ops:
+    an invalid pattern throws in Java AND in both engines, so arbitrary
+    patterns are outside the modeled domain) — batched into one SELECT
+    per dialect and compared against the Java-faithful port."""
+    import random
+
+    rng = random.Random(20260815)
+    atoms = ["", "null", "NULL", "Null", "0", "5", "05", "-5", "+5",
+             " 5", "5 ", "1_0", "3.5", "-0", "00", "abc", "hi",
+             "äöü", "中文", "a'b", "a%b", "a_b", "a.b*", "[x]", "(y)",
+             "9223372036854775807", "9223372036854775808",
+             "-9223372036854775808", "-9223372036854775809",
+             "99999999999999999999", "1704070000", "-1704070000",
+             "9223372036854776", "9223372036854775"]
+    str_ops = ["equal", "not equal", "contains", "not contains",
+               "begin with", "not begin with", "end with", "not end with",
+               "regexp", "not regexp", "is null", "is not null", "bogus"]
+    num_ops = ["gt", "lt", "ge", "le", "equal", "not equal", "is null"]
+
+    cases = []
+    for _ in range(240):
+        v = rng.choice(atoms)
+        t = rng.choice([1, 1, 2, 2, 3])
+        if t == 1:
+            op = rng.choice(str_ops)
+            target = rng.choice(atoms)
+            if "regexp" in op:
+                target = re.escape(target) or "^$"
+            mj = {"type": 1, "operator": op, "values": [target]}
+        elif t == 2:
+            mj = {"type": 2, "operator": rng.choice(num_ops),
+                  "values": [rng.choice(atoms)]}
+        else:
+            op = rng.choice(["relative", "absolute"])
+            mj = {"type": 3, "operator": op,
+                  "values": (["30"] if op == "relative"
+                             else ["2024-01-01", "2024-01-20"])}
+        if rng.random() < 0.08:
+            mj["values"] = []
+        cases.append((v, mj))
+
+    exprs, wants = [], []
+    for v, mj in cases:
+        lit = "'" + v.replace("'", "''") + "'"
+        exprs.append(match_predicate(DUCK, mj, lit, now_ms=str(NOW_MS)))
+        wants.append(ref_compare(v, mj))
+    con = duckdb.connect()
+    sql = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    row = con.execute(sql).fetchone()
+    for i, ((v, mj), want) in enumerate(zip(cases, wants)):
+        got = bool(row[i]) if row[i] is not None else False
+        assert got is want, (i, v, mj, got, want)

@@ -31,6 +31,7 @@ Semantics mirrored from `OperatorUtil.java`:
 
 from __future__ import annotations
 
+import re
 from datetime import datetime, timedelta, timezone
 
 _LONG_RE = r"^[+-]?[0-9]+$"  # exactly what Long.parseLong accepts
@@ -87,10 +88,14 @@ def _numeric_pred(d, v: str, op: str, t: str) -> str:
     sym = _NUM_OPS.get(op)
     if sym is None:
         return "FALSE"
-    try:
-        target = int(t)
-    except ValueError:
-        return "FALSE"  # Long.parseLong(target) would throw → false
+    # Long.parseLong's grammar for the compile-time target: optional
+    # sign + ASCII digits only — Python's int() also accepts whitespace
+    # and underscores, which Java throws on → false
+    if not re.fullmatch(r"[+-]?[0-9]+", t):
+        return "FALSE"
+    target = int(t)
+    if not -(2**63) <= target <= 2**63 - 1:
+        return "FALSE"  # Long.parseLong overflow → NumberFormatException
     digits = d.rlike(v, _LONG_RE)
     nv = f"CASE WHEN {digits} THEN TRY_CAST({v} AS BIGINT) END"
     # the digits gate also rejects '' and 'null' — exactly
@@ -99,8 +104,19 @@ def _numeric_pred(d, v: str, op: str, t: str) -> str:
 
 
 def _date_pred(d, v: str, op: str, values: list[str], now_ms: str) -> str:
+    # The reference's `Long.parseLong(v) * 1000` WRAPS silently when the
+    # seconds value exceeds Long.MAX/1000 (~year 292M); SQL engines
+    # instead raise on BIGINT overflow, so the multiply is gated to the
+    # wrap-free range and out-of-range garbage compares FALSE. That
+    # matches the Java outcome for positive overflow (wraps negative →
+    # below any window); a negative seconds value whose wrap lands
+    # INSIDE the window is the one contrived input where the reference
+    # would say true and we say false — documented deviation.
     digits = d.rlike(v, _LONG_RE)
-    ts = f"(CASE WHEN {digits} THEN TRY_CAST({v} AS BIGINT) END * 1000)"
+    sec = f"TRY_CAST({v} AS BIGINT)"
+    in_range = (f"{digits} AND {sec} BETWEEN -9223372036854775 "
+                f"AND 9223372036854775")
+    ts = f"(CASE WHEN {in_range} THEN {sec} END * 1000)"
     if op == "relative":
         try:
             day = int(values[0])
