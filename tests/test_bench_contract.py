@@ -23,21 +23,22 @@ def test_correctness_window_composition():
     mappings), p47 (adv CDC click routing), p48 (click-store key
     build), p49 (deep-conversion multi-event gate), p50 (match_json
     userProp gates), p51 (web landing-URL ad lane), p52 (app-ss probe
-    priority), s10 (streaming deep-conversion gate) — all new — p7
+    priority), s10 (streaming deep-conversion gate) — all new — p38
+    (follow-collapse semantics changed its formulation), p7
     (garbled-geo guard changed its formulation), and the r3-era
-    stale-attestation band (l11-l27, s1/s3/s5, g1, p0 —
-    p31/p30/p32/p28/l1-l10/p27's r3-green rows were displaced by
-    q20/p41-p52/s10/p7); registering a new query must never silently
-    displace one of these."""
+    stale-attestation band (l12-l27, s1/s3/s5, g1, p0 —
+    p31/p30/p32/p28/l1-l11/p27's r3-green rows were displaced by
+    q20/p41-p52/s10/p38/p7); registering a new query must never
+    silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
     want_prefixes = ["l37_", "w9_", "w3_", "g4_", "s9_", "q20_", "p7_",
                      "p41_", "p42_", "p43_", "p44_", "p45_", "p46_",
                      "p47_", "p48_", "p49_", "p50_", "p51_", "p52_",
-                     "s10_",
+                     "s10_", "p38_",
                      "p4_", "p6_", "p8_", "p19_", "p21_", "p29_", "p36_",
                      "s4_", "s1_", "s3_", "s5_", "g1_", "p0_"]
-    want_prefixes += [f"l{i}_" for i in range(11, 28)]
+    want_prefixes += [f"l{i}_" for i in range(12, 28)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"

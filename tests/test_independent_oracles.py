@@ -144,8 +144,11 @@ def test_adv_attribution_matches_touch_simulation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# First/last ad source (p38, AdvLidAndUserFirstEndFlatMapFunction): the
-# per-user first/latest touch lid via a Python min/max loop.
+# First/follow ad source (p38, AdvLidAndUserFirstEndFlatMapFunction): a
+# sequential replay of the "first::latest" store encoding (:296-304) —
+# first sticky from the first write, the follow slot rewritten on every
+# newer touch and DROPPED when the latest equals the first — against
+# p38's window formulation.
 # ---------------------------------------------------------------------------
 def test_adv_user_sources_match_python_loop(spark, sf_dir):
     rows = _rows(
@@ -158,9 +161,19 @@ def test_adv_user_sources_match_python_loop(spark, sf_dir):
         per_user[(r.app_id, r.zg_id)].append((r.ct, r.seq, r.k % 5))
     expected = set()
     for (app, zgid), touches in per_user.items():
-        first = min(touches)[2]
+        stored = ""  # the lidLnameKey value, replayed write-by-write
+        for _, _, lid in sorted(touches):
+            this = str(lid)
+            if stored:
+                first = stored.split("::")[0]
+                if first != this:
+                    this = first + "::" + this
+            stored = this
+        parts = stored.split("::")
+        first = int(parts[0])
+        fol = int(parts[1]) if len(parts) > 1 else None
         last = max(touches)[2]
-        expected.add((app, zgid, first, last, len(touches)))
+        expected.add((app, zgid, first, last, fol, len(touches)))
     actual = {
         tuple(r) for r in ALL["p38_adv_user_sources"](spark, sf_dir).collect()
     }

@@ -37,16 +37,19 @@ from zg_etl_spark.plans import gate_queries, llm, pipeline, relational, streamin
 #      gate + callback envelope), p50 (match_json userProp gates), p51
 #      (web landing-URL ad lane), p52 (app-ss probe priority), s10
 #      (streaming deep-conversion TTL'd status-key gate) — new this
-#      round, displacing p31/p30/p32/p28/l1-l10's r3-green rows — and
-#      p7 (geo garbled-result guard changed its formulation this round,
-#      displacing p27's r3-green row);
-#   5. the r3-era stale-attestation band, oldest first: l11-l27,
+#      round — and p38 (gained the first::latest follow-collapse
+#      semantics, so its r5 row attests the OLD formulation) and p7
+#      (geo garbled-result guard changed its formulation this round,
+#      displacing p27's r3-green row); together displacing
+#      p31/p30/p32/p28/l1-l11's r3-green rows;
+#   5. the r3-era stale-attestation band, oldest first: l12-l27,
 #      s1/s3/s5, g1, p0.
-# The remainder (p33, p34, p35, w2, l1-l10, the q-suite except q11, and the freshly-green
-# r5 window: q11, p37-p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36, p1-p3,
-# p5, p7, p9-p18, p20, p22-p26) stays in the tail, covered by the local
-# sf0.01 parity rehearsal; p33/p34/p35/w2/l1-l10/q-suite are the first
-# candidates for the round-7 window (their green rows are r2/r3-era).
+# The remainder (p33, p34, p35, w2, l1-l11, the q-suite except q11, and the freshly-green
+# r5 window: q11, p37/p39/p40, s2, s6-s8, w1, w4-w8, g2-g3, l28-l36,
+# p1-p3, p5, p9-p18, p20, p22-p26) stays in the tail, covered by the
+# local sf0.01 parity rehearsal; p33/p34/p35/w2/l1-l11/q-suite are the
+# first candidates for the round-7 window (their green rows are
+# r2/r3-era).
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
@@ -73,7 +76,7 @@ _WINDOW = [
     "p51_web_ad_lane",
     "p52_adv_ss_priority",
     "s10_streaming_deep_convert",
-    "l11_embedding_neardup",
+    "p38_adv_user_sources",
     "l12_tokens_fingerprint",
     "l13_curation",
     "l14_ann_pandas",

@@ -1572,31 +1572,46 @@ _register("p37_user_detail_sum", _p37)
 
 
 # ---------------------------------------------------------------------------
-# P38 per-user first/last ad source — AdvLidAndUserFirstEndFlatMapFunction
+# P38 per-user first/follow ad source — AdvLidAndUserFirstEndFlatMapFunction
 # (operator/gate/AdvLidAndUserFirstEndFlatMapFunction.java:57-61): the
-# `_首次广告来源` (first ad source) and `_末次广告来源` (latest ad source)
-# user properties it maintains from the max-ct touch store, as columns.
-# First = earliest (ct, seq) touch, last = latest; one (app_id, zg_id)
-# shuffle serves both windows and the final aggregate.
+# `_首次广告来源` (first ad source) and `_后续投放链接` (follow link)
+# user properties it maintains from the max-ct touch store. The stored
+# encoding is "first::latest" (:296-304): `first` is STICKY — the
+# lid,lname of the user's first-ever touch, carried forward as
+# split("::")[0] on every update — and the follow slot holds the LATEST
+# touch but only when it DIFFERS from the first
+# (`!lastLidLname.equals(thisLidLname)` — a latest touch equal to the
+# first collapses the value back to just "first", erasing any
+# intermediate different touches; the usr property is only written when
+# folLname is non-empty, :503-508). fol_lid is therefore
+# latest-if-different-else-NULL, not a plain "last". Our lname is a
+# function of lid, so the lid,lname string equality reduces to lid
+# equality. One (app_id, zg_id) shuffle serves both windows and the
+# final aggregate.
 # ---------------------------------------------------------------------------
 def _p38(d: Dialect) -> str:
     return """
-SELECT app_id, zg_id,
-       MAX(CASE WHEN rf = 1 THEN lid END) AS first_lid,
-       MAX(CASE WHEN rl = 1 THEN lid END) AS last_lid,
-       MAX(n_touches) AS n_touches
+SELECT app_id, zg_id, first_lid, last_lid,
+       CASE WHEN last_lid <> first_lid THEN last_lid END AS fol_lid,
+       n_touches
 FROM (
-  SELECT app_id, zg_id, lid,
-         ROW_NUMBER() OVER (PARTITION BY app_id, zg_id
-                            ORDER BY ct, seq) AS rf,
-         ROW_NUMBER() OVER (PARTITION BY app_id, zg_id
-                            ORDER BY ct DESC, seq DESC) AS rl,
-         COUNT(*) OVER (PARTITION BY app_id, zg_id) AS n_touches
-  FROM (SELECT app_id, zg_id, ct, seq, k % 5 AS lid
-        FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL) t
-) w
-WHERE rf = 1 OR rl = 1
-GROUP BY app_id, zg_id"""
+  SELECT app_id, zg_id,
+         MAX(CASE WHEN rf = 1 THEN lid END) AS first_lid,
+         MAX(CASE WHEN rl = 1 THEN lid END) AS last_lid,
+         MAX(n_touches) AS n_touches
+  FROM (
+    SELECT app_id, zg_id, lid,
+           ROW_NUMBER() OVER (PARTITION BY app_id, zg_id
+                              ORDER BY ct, seq) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY app_id, zg_id
+                              ORDER BY ct DESC, seq DESC) AS rl,
+           COUNT(*) OVER (PARTITION BY app_id, zg_id) AS n_touches
+    FROM (SELECT app_id, zg_id, ct, seq, k % 5 AS lid
+          FROM resolved WHERE dt = 'mkt' AND k IS NOT NULL) t
+  ) w
+  WHERE rf = 1 OR rl = 1
+  GROUP BY app_id, zg_id
+) g"""
 
 
 _register("p38_adv_user_sources", _p38)
