@@ -90,7 +90,13 @@ def _ref_date(v, values, op):
         return False
     ts = sec * 1000
     if op == "relative":
-        return ts >= NOW_MS - int(values[0]) * 86_400_000
+        # Integer.parseInt grammar + 32-bit bound for the day count
+        if not re.fullmatch(r"[+-]?[0-9]+", values[0]):
+            return False
+        day = int(values[0])
+        if not -(2**31) <= day <= 2**31 - 1:
+            return False
+        return ts >= NOW_MS - day * 86_400_000
     if op == "absolute":
         lo = datetime.strptime(values[0], "%Y-%m-%d").replace(tzinfo=_CST)
         hi = datetime.strptime(values[1], "%Y-%m-%d").replace(tzinfo=_CST)
@@ -221,8 +227,11 @@ def test_match_json_fuzz_corpus():
         else:
             op = rng.choice(["relative", "absolute"])
             mj = {"type": 3, "operator": op,
-                  "values": (["30"] if op == "relative"
-                             else ["2024-01-01", "2024-01-20"])}
+                  "values": (
+                      [rng.choice(["30", " 30", "30 ", "1_0", "-5",
+                                   "2147483647", "2147483648", "junk"])]
+                      if op == "relative"
+                      else ["2024-01-01", "2024-01-20"])}
         if rng.random() < 0.08:
             mj["values"] = []
         cases.append((v, mj))

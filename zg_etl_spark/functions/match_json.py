@@ -118,9 +118,15 @@ def _date_pred(d, v: str, op: str, values: list[str], now_ms: str) -> str:
                 f"AND 9223372036854775")
     ts = f"(CASE WHEN {in_range} THEN {sec} END * 1000)"
     if op == "relative":
-        try:
-            day = int(values[0])
-        except (ValueError, IndexError):
+        # Integer.parseInt's grammar for the day count — whitespace,
+        # underscores, and 32-bit overflow all throw in Java → false.
+        # (For day > ~89M the reference's `day * 24` wraps in int space
+        # before promoting to long; we compute the window exactly —
+        # deviation only on absurd configs.)
+        if not values or not re.fullmatch(r"[+-]?[0-9]+", values[0]):
+            return "FALSE"
+        day = int(values[0])
+        if not -(2**31) <= day <= 2**31 - 1:
             return "FALSE"
         return f"COALESCE({ts} >= {now_ms} - {day * 86_400_000}, FALSE)"
     if op == "absolute":
