@@ -2018,3 +2018,182 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
     assert got == dict(exp), (got, dict(exp))
     assert any(t.startswith("exact_") for t, _ in exp)
     assert sum(n for (t, _), n in exp.items() if t == "ipua") >= 1
+
+
+# ---------------------------------------------------------------------------
+# P42 click→device matching cascade: a Python transcription of
+# setAppIpUaKeys/processDeviceId (AdvLidAndUserFirstEndFlatMapFunction
+# .java:1247-1358) — exact-key store then ip+ua then iOS ip+version,
+# first hit wins — recomputing every tier from the same resolved rows
+# (hashlib md5, Python re), no SQL shared with the engine formulation.
+# ---------------------------------------------------------------------------
+def test_click_match_cascade_matches_python_port(spark, sf_dir):
+    import hashlib
+    import re
+
+    from zg_etl_spark.operators.domain import SPARK, ua_real_case
+
+    APPS = set(R.ADVERTISING_APPS)
+    rows = [r for r in _rows(spark, sf_dir, f"""
+        SELECT app_id, dt, did, ip, k, ct, seq, zg_id, pl, ua_real
+        FROM (SELECT r.*, {ua_real_case(SPARK, 'r.')} AS ua_real
+              FROM resolved r) t
+        WHERE dt IN ('mkt', 'ss')""") if r.app_id in APPS]
+
+    def ua_analysis(ua):
+        if ua is None:
+            return "", ""
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)",
+                          ua, re.I)
+        if not m:
+            return "", ""
+        ver = m.group(2) or ""
+        return m.group(1), re.sub(r"[^a-zA-Z0-9 ]", ".", ver)
+
+    def norm(did):
+        return did if len(did) == 32 else hashlib.md5(did.encode()).hexdigest()
+
+    stores = {"exact": {}, "ipua": {}, "ipver": {}}
+
+    def put(store, key, lid, ct, seq):
+        cur = stores[store].get(key)
+        if cur is None or (ct, seq) > (cur[1], cur[2]):
+            stores[store][key] = (lid, ct, seq)
+
+    probes = []
+    for r in rows:
+        name, ver = ua_analysis(r.ua_real)
+        if r.dt == "mkt" and r.k is not None:
+            lid = r.k % 5
+            if r.k % 3 == 0 and r.did:
+                put("exact", (r.app_id, norm(r.did)), lid, r.ct, r.seq)
+            put("ipua", (r.app_id, r.ip, name, ver), lid, r.ct, r.seq)
+            put("ipver", (r.app_id, r.ip, ver), lid, r.ct, r.seq)
+        elif r.dt == "ss":
+            probes.append((r, name, ver))
+
+    from collections import Counter
+    exp = Counter()
+    for r, name, ver in probes:
+        hit = stores["exact"].get((r.app_id, norm(r.did))) if r.did else None
+        if hit:
+            exp[("exact", hit[0])] += 1
+            continue
+        hit = stores["ipua"].get((r.app_id, r.ip, name, ver))
+        if hit:
+            exp[("ipua", hit[0])] += 1
+            continue
+        if r.pl == "ios":
+            hit = stores["ipver"].get((r.app_id, r.ip, ver))
+            if hit:
+                exp[("ipver", hit[0])] += 1
+                continue
+        exp[("none", None)] += 1
+
+    got = {(r.match_tier, r.lid): r.n_sessions
+           for r in ALL["p42_adv_click_match"](spark, sf_dir).collect()}
+    assert got == dict(exp), (got, dict(exp))
+    assert sum(n for (t, _), n in exp.items() if t == "exact") >= 1
+
+
+# ---------------------------------------------------------------------------
+# P44 Apple ASA normalization: a Python transcription of
+# appleAdDataTransfer (:959-1044, the iad-kv wire with quote stripping
+# and per-field Long.parseLong gating) + appleASAFeildsMap (:929-954,
+# fixed identity + creativeSetId fallback), applied to the same
+# user_id-derived payloads the query synthesizes — json/re/int parsing
+# only, no SQL shared.
+# ---------------------------------------------------------------------------
+def test_apple_asa_matches_python_port(spark, sf_dir):
+    import json
+    import re
+
+    def payload(uid):
+        m = uid % 4
+        if m == 0:
+            return ("iad-org-id=10" + str(uid % 10)
+                    + ";iad-campaign-id=2" + str(uid % 7)
+                    + ";iad-adgroup-id=3;iad-ad-id=0;iad-keyword-id=77"
+                    + ";iad-click-date=2024-01-0" + str(1 + uid % 9))
+        if m == 1:
+            return ('{"iad-org-id": 5' + str(uid % 10)
+                    + ', "iad-campaign-id": ' + str(uid % 13)
+                    + ', "iad-adgroup-id": 8, "iad-ad-id": ' + str(uid % 3)
+                    + ', "iad-keyword-id": 9, "iad-click-date": "2024-01-1'
+                    + str(uid % 9) + '"}')
+        if m == 2:
+            return ('iad-org-id="9' + str(uid % 5)
+                    + '" ;iad-campaign-id=abc;iad-ad-id=4' + str(uid % 3))
+        return ""
+
+    def long0(s):
+        if s is None:
+            return 0
+        s = str(s)
+        if not re.fullmatch(r"[+-]?[0-9]+", s):
+            return 0
+        n = int(s)
+        return n if -(2**63) <= n <= 2**63 - 1 else 0
+
+    def parse(p):
+        # fmt dispatch exactly as the query: empty / contains '=' / json
+        if not p or not p.strip():
+            return "empty", {}
+        if "=" in p:
+            out = {}
+            for seg in p.split(";"):
+                if not seg.strip() or "=" not in seg:
+                    continue
+                key, _, val = seg.partition("=")
+                val = val.strip().replace('"', "").strip()
+                for field in ("iad-org-id", "iad-campaign-id",
+                              "iad-adgroup-id", "iad-ad-id",
+                              "iad-keyword-id", "iad-click-date"):
+                    if field in key:
+                        out[field] = val
+            return "kv", out
+        return "json", json.loads(p)
+
+    uids = [r.user_id for r in _rows(
+        spark, sf_dir, "SELECT user_id FROM resolved WHERE dt = 'ss'")]
+    agg = {}
+    for uid in uids:
+        fmt, doc = parse(payload(uid))
+        a = agg.setdefault(fmt, {"n": 0, "org": 0, "camp": 0, "adg": 0,
+                                 "kw": 0, "ad": 0, "zero": 0, "dates": set()})
+        a["n"] += 1
+        org = long0(doc.get("iad-org-id")) if fmt != "empty" else 0
+        camp = long0(doc.get("iad-campaign-id")) if fmt != "empty" else 0
+        adg = long0(doc.get("iad-adgroup-id")) if fmt != "empty" else 0
+        kw = long0(doc.get("iad-keyword-id")) if fmt != "empty" else 0
+        ad = long0(doc.get("iad-ad-id")) if fmt != "empty" else 0
+        # creativeSetId is never produced by the transfer -> fallback is 0
+        a["org"] += org
+        a["camp"] += camp
+        a["adg"] += adg
+        a["kw"] += kw
+        a["ad"] += ad
+        if ad == 0:
+            a["zero"] += 1
+        if fmt == "kv":
+            # regexp_extract yields '' (not NULL) when the field is
+            # absent, and '' IS a distinct value to COUNT(DISTINCT)
+            a["dates"].add(str(doc.get("iad-click-date", "")))
+        elif fmt == "json":
+            d = doc.get("iad-click-date")  # get_json_object: absent -> NULL
+            if d is not None:
+                a["dates"].add(str(d))
+
+    rows = {r.fmt: r for r in ALL["p44_apple_asa"](spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for fmt, a in agg.items():
+        r = rows[fmt]
+        assert (r.n_rows, r.sum_org, r.sum_campaign, r.sum_adgroup,
+                r.sum_keyword, r.sum_channel_ad, r.n_adid_zero) == (
+            a["n"], a["org"], a["camp"], a["adg"], a["kw"], a["ad"],
+            a["zero"]), (fmt, r, a)
+        assert r.n_click_dates == len(a["dates"]), (fmt, a["dates"])
+        assert (r.lname, r.lid, r.channel_type) == ("苹果ASA", "-2", "5")
