@@ -2197,3 +2197,52 @@ def test_apple_asa_matches_python_port(spark, sf_dir):
             a["zero"]), (fmt, r, a)
         assert r.n_click_dates == len(a["dates"]), (fmt, a["dates"])
         assert (r.lname, r.lid, r.channel_type) == ("苹果ASA", "-2", "5")
+
+
+# ---------------------------------------------------------------------------
+# Q20 gap-fill + LOCF: a pure-pandas recomputation off the parquet file —
+# Decimal(12,2) hourly sums, dense spine, carry-forward — sharing neither
+# engine's SQL (the q20 Spark build and its DuckDB oracle are independent
+# formulations already; this is the third derivation).
+# ---------------------------------------------------------------------------
+def test_gapfill_locf_matches_pandas(spark, sf_dir):
+    import os
+    from decimal import Decimal
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["ts", "event_type", "value"])
+    # parquet's timestamp logical type loads as DatetimeArray (pandas 2
+    # may keep it at [us] resolution); the engine contract reads the raw
+    # epoch-nanos int64
+    pdf["hr"] = (pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+                 // 3_600_000_000_000)
+    agg = {}
+    for et, hr, val in zip(pdf["event_type"], pdf["hr"], pdf["value"]):
+        cnt, sv = agg.get((et, hr), (0, Decimal(0)))
+        agg[(et, hr)] = (cnt + 1,
+                         sv + Decimal(str(val)).quantize(Decimal("0.01")))
+    lo = min(hr for _, hr in agg)
+    hi = max(hr for _, hr in agg)
+    types = sorted({et for et, _ in agg})
+
+    expected = {}
+    for et in types:
+        carry = None
+        for hr in range(lo, hi + 1):
+            cnt, sv = agg.get((et, hr), (0, None))
+            if sv is not None:
+                carry = sv
+            expected[(et, hr * 3_600_000)] = (
+                cnt,
+                float(sv) if sv is not None else None,
+                float(carry) if carry is not None else None,
+            )
+
+    rows = ALL["q20_gapfill_locf"](spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        want = expected[(r.event_type, r.bucket_ms)]
+        got = (r.n_events, r.sum_value, r.filled_value)
+        assert got == want, (r.event_type, r.bucket_ms, got, want)
