@@ -2246,3 +2246,67 @@ def test_gapfill_locf_matches_pandas(spark, sf_dir):
         want = expected[(r.event_type, r.bucket_ms)]
         got = (r.n_events, r.sum_value, r.filled_value)
         assert got == want, (r.event_type, r.bucket_ms, got, want)
+
+
+# ---------------------------------------------------------------------------
+# P41 channel-metadata annotation: a sequential Python replay — per
+# (app, zgid) latest-touch state in arrival order, the channel-type name
+# table transcribed from getchannelTypeNameStr (:585-605), the zero-gated
+# type$id composites — aggregated the same way, no SQL shared.
+# ---------------------------------------------------------------------------
+def test_adv_channel_props_match_python_replay(spark, sf_dir):
+    APPS = set(R.ADVERTISING_APPS)
+    NAME = dict(R.CHANNEL_TYPE_NAMES)
+    TYPES = [k for k, _ in R.CHANNEL_TYPE_NAMES]
+
+    rows = [r for r in _rows(spark, sf_dir, """
+        SELECT app_id, zg_id, ct, seq, event_name, dt, k FROM resolved
+        WHERE dt = 'evt' OR (dt = 'mkt' AND k IS NOT NULL)
+    """) if r.app_id in APPS]
+    stream = sorted(rows, key=lambda r: (r.app_id, r.zg_id, r.ct,
+                                         -(r.dt == "mkt"), r.seq))
+
+    latest = {}
+    per_group = defaultdict(lambda: {
+        "n": 0, "users": set(), "accounts": set(),
+        "n_campaign": 0, "n_adgroup": 0, "max_account": None})
+    for r in stream:
+        if r.dt == "mkt":
+            cur = latest.get((r.app_id, r.zg_id))
+            if cur is None or r.ct >= cur[0]:
+                latest[(r.app_id, r.zg_id)] = (r.ct, r.k)
+            continue
+        touch = latest.get((r.app_id, r.zg_id))
+        if touch is None:
+            continue
+        k = touch[1]
+        ctype = TYPES[k % 12]
+        cname = NAME.get(ctype, "")
+        lid = k % 5
+
+        def comp(mod):
+            return (f"{ctype}${k % mod}") if k % mod != 0 else None
+
+        g = per_group[(ctype, cname, lid)]
+        g["n"] += 1
+        g["users"].add(r.zg_id)
+        acc = comp(11)
+        if acc is not None:
+            g["accounts"].add(acc)
+            if g["max_account"] is None or acc > g["max_account"]:
+                g["max_account"] = acc
+        if comp(13) is not None:
+            g["n_campaign"] += 1
+        if comp(17) is not None:
+            g["n_adgroup"] += 1
+
+    got = {(r.channel_type, r.channel_name, r.lid): r
+           for r in ALL["p41_adv_channel_props"](spark, sf_dir).collect()}
+    assert set(got) == set(per_group)
+    for key, g in per_group.items():
+        r = got[key]
+        assert (g["n"], len(g["users"]), len(g["accounts"]),
+                g["n_campaign"], g["n_adgroup"], g["max_account"]) == (
+            r.n_conversions, r.n_users, r.n_accounts,
+            r.n_campaign_annotated, r.n_adgroup_annotated,
+            r.sample_account_prop), (key, r, g)
