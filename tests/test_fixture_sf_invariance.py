@@ -1,0 +1,58 @@
+"""Guard against SF-dependent fixture spines.
+
+The p4x family synthesizes its case matrix from `user_id % N` residues.
+When the residues come FROM the data (events / resolved), case coverage
+silently depends on which residues a scale factor happens to contain —
+at sf0.001 p48 lost cid 15, p51 covered 5 of 10 lanes, and p52 had zero
+fuzzy ip+ua collisions, while the dual-rendered DuckDB oracle (same
+spine) stayed green: the engine and its oracle failed together.  Every
+fixture-spine query now UNIONs a constant seed relation under the
+data-derived volume rows, making the case set a compile-time constant.
+
+This test pins that property permanently: each fixture-spine query must
+return the IDENTICAL case-key set at sf0.001 and sf0.01.  A new
+`user_id % N` spine added without a seed fails here on the spot.
+"""
+from __future__ import annotations
+
+import pytest
+
+from zg_etl_spark import plans
+
+ALL = plans.all_queries()
+
+SF_A = "/root/testdata/sf0.001"
+SF_B = "/root/testdata/sf0.01"
+
+# query -> (case-key column, expected case count); the expected count is
+# the compile-time size of the seed relation, so a missing case fails
+# even if BOTH SFs drop it identically.
+SPINE_QUERIES = {
+    "p45_device_classify": ("cid", 18),
+    "p46_dims_mapping": ("cid", 24),
+    "p47_adv_cdc_route": ("cid", 12),
+    "p48_adv_click_keys": ("cid", 16),
+    "p51_web_ad_lane": ("cid", 10),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPINE_QUERIES))
+def test_case_set_is_sf_invariant(spark, name):
+    col, expected = SPINE_QUERIES[name]
+    sets = {sf: {getattr(r, col) for r in ALL[name](spark, sf).collect()}
+            for sf in (SF_A, SF_B)}
+    assert sets[SF_A] == sets[SF_B], (name, sets)
+    if expected is not None:
+        assert len(sets[SF_A]) == expected, (name, sorted(sets[SF_A]))
+
+
+def test_p52_required_tiers_at_every_sf(spark):
+    # p52 groups by (match_tier, lid) so its row count legitimately
+    # varies with data; the invariant is that the fixture-guaranteed
+    # tiers are present at every SF.
+    for sf in (SF_A, SF_B):
+        tiers = {r.match_tier for r in
+                 ALL["p52_adv_ss_priority"](spark, sf).collect()}
+        assert "ipua" in tiers, (sf, tiers)
+        assert "ipver" in tiers, (sf, tiers)
+        assert any(t.startswith("exact_") for t in tiers), (sf, tiers)

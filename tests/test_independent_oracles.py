@@ -1935,12 +1935,21 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
 
     from zg_etl_spark.operators.domain import SPARK, ua_real_case
 
+    from types import SimpleNamespace
+
+    from zg_etl_spark.plans.pipeline import P52_FIXTURES
+
     APPS = set(R.ADVERTISING_APPS)
     rows = [r for r in _rows(spark, sf_dir, f"""
         SELECT app_id, dt, user_id, ip, k, ct, seq, zg_id, pl, ua_real
         FROM (SELECT r.*, {ua_real_case(SPARK, 'r.')} AS ua_real
               FROM resolved r) t
         WHERE dt IN ('mkt', 'ss')""") if r.app_id in APPS]
+    # the constant fixture stream the engine UNIONs into `keyed` — same
+    # input rows, replayed through this port's own tier logic
+    rows += [SimpleNamespace(app_id=a, dt=dt, user_id=u, ip=ip, k=k, ct=ct,
+                             seq=seq, zg_id=z, pl=pl, ua_real=ua)
+             for (a, dt, u, ip, k, ct, seq, z, pl, ua) in P52_FIXTURES]
 
     def ua_analysis(ua):
         if ua is None:
@@ -2016,8 +2025,11 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
     got = {(r.match_tier, r.lid): r.n_sessions
            for r in ALL["p52_adv_ss_priority"](spark, sf_dir).collect()}
     assert got == dict(exp), (got, dict(exp))
-    assert any(t.startswith("exact_") for t, _ in exp)
+    # the fixture stream guarantees each of these tiers at EVERY SF
+    assert sum(n for (t, _), n in exp.items()
+               if t.startswith("exact_")) >= 1
     assert sum(n for (t, _), n in exp.items() if t == "ipua") >= 1
+    assert sum(n for (t, _), n in exp.items() if t == "ipver") >= 1
 
 
 # ---------------------------------------------------------------------------

@@ -2708,7 +2708,9 @@ _register("p46_dims_mapping", _p46)
 # Scale shape: map-only JSON extraction over the event stream (codegen
 # get_json_object, no UDF, no join beyond the 12-group agg) — the wire
 # payload is synthesized per events row (p44's fixture convention),
-# cid = user_id % 12 picks one routing case per row.
+# cid = user_id % 12 picks one routing case per row; a constant seed row
+# per cid keeps all 12 cases present at every SF regardless of the
+# corpus's user_id residue coverage.
 # ---------------------------------------------------------------------------
 def _p47(d: Dialect) -> str:
     null_s = f"CAST(NULL AS {d.strtype})"
@@ -2847,8 +2849,13 @@ FROM (
            CASE WHEN {d.json_str("payload", "$.data.ip_ua_key")}
                      IS NOT NULL THEN 1 ELSE 0 END AS has_ipua
     FROM (
-      SELECT CAST(user_id % 12 AS INT) AS cid, user_id, {payload} AS payload
-      FROM events
+      SELECT cid, user_id, {payload} AS payload
+      FROM (SELECT CAST(user_id % 12 AS INT) AS cid, user_id FROM events
+            UNION ALL
+            SELECT CAST(t.cid AS INT) AS cid,
+                   CAST(t.cid AS BIGINT) AS user_id
+            FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8),
+                         (9), (10), (11)) AS t(cid)) b
     ) r
   ) f
 ) x
@@ -2921,6 +2928,12 @@ def _p48(d: Dialect) -> str:
         ) + f" END AS {name}")
 
     n = 16
+    # constant seed row per cid UNION'd under the events-derived volume:
+    # case coverage must NOT depend on which user_id residues a given SF
+    # happens to contain (at sf0.001 residue 15 is absent from events) —
+    # the seed guarantees all 16 cases at every SF, events rows scale the
+    # MAX/COUNT reduces with data size.
+    seed = "(VALUES " + ", ".join(f"({i})" for i in range(n)) + ")"
     spine = ", ".join([
         pick("channel_type", ["2", "3", "3", "3", "1", "4", "1", "2",
                               "2", "2", "4", "2", "3", "2", "1", "2"]),
@@ -3007,7 +3020,11 @@ FROM (
     FROM (
       SELECT cid, {spine}, {lid} AS lid, {ct_str} AS ct_str
       FROM (SELECT CAST(user_id % {n} AS INT) AS cid, user_id
-            FROM events) e
+            FROM events
+            UNION ALL
+            SELECT CAST(t.cid AS INT) AS cid,
+                   CAST(t.cid AS BIGINT) AS user_id
+            FROM {seed} AS t(cid)) e
     ) i
   ) s
 ) x
@@ -3392,9 +3409,21 @@ FROM (
              {apple_channel} AS apple_channel,
              {query} AS query
       FROM (
-        SELECT CAST(user_id % 10 AS INT) AS cid, app_id, ct, user_id,
+        SELECT cid, app_id, ct, user_id,
                {web_ad} AS web_ad, {apple_ad} AS apple_ad
-        FROM resolved WHERE dt = 'evt' AND app_id IN (1, 2)
+        FROM (
+          SELECT CAST(user_id % 10 AS INT) AS cid, app_id, ct, user_id
+          FROM resolved WHERE dt = 'evt' AND app_id IN (1, 2)
+          UNION ALL
+          -- constant seed row per cid: lane coverage must not depend on
+          -- which user_id residues the SF's evt rows for apps 1/2 happen
+          -- to contain (sf0.001 covers only 5 of the 10)
+          SELECT CAST(t.cid AS INT) AS cid, 1 + t.cid % 2 AS app_id,
+                 CAST(1700000000000 + t.cid AS BIGINT) AS ct,
+                 CAST(t.cid AS BIGINT) AS user_id
+          FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8),
+                       (9)) AS t(cid)
+        ) b
       ) r
     ) x
   ) y
@@ -3430,12 +3459,46 @@ _register("p51_web_ad_lane", _p51)
 # (rows ∝ clicks), 6 broadcastable equi-joins on the probe side, no
 # inequality join; the priority/newer-of logic is all codegen CASE.
 #
-# Data note: at the test SFs the envelope-derived ips rarely collide
-# between clicks and sessions, so the ipver-strictly-newer branch never
-# fires in data (ipua does); it is guarded by the single dual-rendered
-# template (both engines run the same CASE) and the independent Python
-# port recomputing every tier from the same rows.
+# Data note: the fuzzy tiers join on ENVELOPE-derived (ip, ua), and at
+# small SFs clicks and sessions simply never collide (sf0.001 had zero
+# ipua cases; the ipver-strictly-newer branch fired at no SF), so the
+# constant P52_FIXTURES stream below is UNION'd into `keyed`: it makes
+# exact_idfa, ipua, AND the newer-of ipver branch each fire at every SF
+# by construction, while the real rows keep scaling the store volume.
+# The independent Python port replays the same fixture rows through its
+# own tier logic — shared input, not shared derivation.
 # ---------------------------------------------------------------------------
+# (app_id, dt, user_id, ip, k, ct, seq, zg_id, pl, ua_real); k values
+# picked by residue so C1/C2/C3 enter NO exact store (k % {3,4,2} != 0),
+# the S-row user_ids NULL-out every exact probe (u % {3,4,5,2} = 1),
+# except the exact pair C4/S3 where 24 % 23 = 1 = 30 % 29 makes the
+# md5'd idfa keys collide on purpose. The iPad/iPhone pair shares
+# ua_version 17.2 but not ua_name, so S2's ipua hit (C2) is out-newered
+# by C3 through the version-only store — the iOS max branch.
+P52_UA_ANDROID = ("Mozilla/5.0 (Linux; Android 13; Pixel 7) "
+                  "AppleWebKit/537.36")
+P52_UA_IPHONE = ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) "
+                 "AppleWebKit/605.1.15")
+P52_UA_IPAD = ("Mozilla/5.0 (iPad; CPU OS 17_2 like Mac OS X) "
+               "AppleWebKit/605.1.15")
+P52_FIXTURES = [
+    (1, "mkt", 9000001, "203.0.113.7", 7, 1699990000000, -101,
+     8800001, "android", P52_UA_ANDROID),
+    (1, "ss", 21, "203.0.113.7", None, 1699990005000, -102,
+     8800011, "android", P52_UA_ANDROID),
+    (1, "mkt", 9000002, "203.0.113.9", 11, 1699990001000, -103,
+     8800002, "ios", P52_UA_IPHONE),
+    (1, "mkt", 9000003, "203.0.113.9", 13, 1699990002000, -104,
+     8800003, "ios", P52_UA_IPAD),
+    (1, "ss", 1, "203.0.113.9", None, 1699990006000, -105,
+     8800012, "ios", P52_UA_IPHONE),
+    (1, "mkt", 9000004, "203.0.113.11", 24, 1699990003000, -106,
+     8800004, "ios", P52_UA_IPHONE),
+    (1, "ss", 30, "203.0.113.12", None, 1699990007000, -107,
+     8800013, "ios", P52_UA_IPHONE),
+]
+
+
 def _p52(d: Dialect) -> str:
     from zg_etl_spark.functions import ua_parser as UP
     from zg_etl_spark.operators.domain import ua_real_case
@@ -3462,6 +3525,11 @@ WITH keyed AS (
     SELECT r.app_id, r.dt, r.user_id, r.ip, r.k, r.ct, r.seq, r.zg_id,
            r.pl, {ua_real_case(d, 'r.')} AS ua_real
     FROM resolved r WHERE r.app_id IN ({apps})
+    UNION ALL
+    SELECT f.app_id, f.dt, f.user_id, f.ip, f.k, f.ct, f.seq, f.zg_id,
+           f.pl, f.ua_real
+    FROM {R.values_sql(P52_FIXTURES, [])}
+         AS f(app_id, dt, user_id, ip, k, ct, seq, zg_id, pl, ua_real)
   ) s
 ), clicks AS (
   SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
