@@ -585,9 +585,13 @@ def _l16_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # min-labels decrease monotonically → fixpoint iff sum(lab) unchanged
     prev_sum = labels.agg(F.sum("lab")).first()[0]
+    # no broadcast hint on sym: the candidate edge set is NOT guaranteed
+    # broadcast-sized (crawl boilerplate can make near-dup edges huge) —
+    # an unhinted shuffle join degrades gracefully at 100 TB, and AQE
+    # still converts it to broadcast when the round's stats allow.
     for _ in range(20):
         prop = (
-            F.broadcast(sym)
+            sym
             .join(labels, F.col("a") == F.col("doc"))
             .selectExpr("b AS doc", "lab")
         )
