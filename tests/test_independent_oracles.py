@@ -2322,3 +2322,121 @@ def test_adv_channel_props_match_python_replay(spark, sf_dir):
             r.n_conversions, r.n_users, r.n_accounts,
             r.n_campaign_annotated, r.n_adgroup_annotated,
             r.sample_account_prop), (key, r, g)
+
+
+# ---------------------------------------------------------------------------
+# P53 IPv6 geo: an ipaddress-module port of IpDatabaseLoader.find(String)
+# (InetAddress parse → Inet6→awdb / Inet4→range db / failure→empties,
+# with Java's ::ffff:a.b.c.d→Inet4Address mapping), plus the operator's
+# isPrivateIp and isValidGeoResult verdicts (IpEnrichOperator.java:
+# 142-258) — the stdlib does the address parsing and 128-bit compares
+# the engine does with hand-rolled SQL string expansion, so the two
+# derivations share nothing but the registry tables and the fixtures.
+# ---------------------------------------------------------------------------
+def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
+    import ipaddress
+
+    def mk_ip(cid, uid):
+        return {
+            0: f"2001:db8:3::{1 + uid % 9}",
+            1: "2001:db8:5::1",
+            2: "2001:0db8:0007:0000:0000:0000:0000:0001",
+            3: "::1",
+            4: "2001:DB8:A::F",
+            5: "::ffff:8.8.8.8",
+            6: "::ffff:10.0.0.1",
+            7: "gggg::1",
+            8: "1:2:3:4:5:6:7:8:9",
+            9: "1::2::3",
+            10: "8.8.4.4",
+            11: "",
+            12: "2001:db8:f::ff",
+            13: "fe80::1",
+            14: "999.1.1.1",
+            15: "172.20.1.1",
+        }[cid]
+
+    def find(ip):  # IpDatabaseLoader.find(String)
+        if not ip:
+            return ("", "", "")
+        try:
+            addr = ipaddress.ip_address(ip)
+        except ValueError:
+            return ("", "", "")
+        if isinstance(addr, ipaddress.IPv6Address):
+            mapped = addr.ipv4_mapped
+            if mapped is not None:  # Java getByName: ::ffff:a.b.c.d → v4
+                addr = mapped
+        if isinstance(addr, ipaddress.IPv4Address):
+            v = int(addr)
+            for lo, hi, c, p, ci in R.IP_RANGES:
+                if lo <= v <= hi:
+                    return (c, p, ci)
+            return ("", "", "")
+        v = int(addr)
+        for lo, hi, c, p, ci in R.IPV6_RANGES:
+            if int(lo, 16) <= v <= int(hi, 16):
+                return (c, p, ci)
+        return ("", "", "")
+
+    def lane(ip):
+        if ip in ("", "null", "0.0.0.0"):
+            return "skip"
+        try:
+            addr = ipaddress.ip_address(ip)
+        except ValueError:
+            return "invalid"
+        if isinstance(addr, ipaddress.IPv4Address) or \
+                addr.ipv4_mapped is not None:
+            return "v4"
+        return "v6"
+
+    def is_private(ip):  # isPrivateIp, split('.') quirks included
+        parts = ip.split(".")
+        while parts and parts[-1] == "":  # Java trailing-empty drop
+            parts.pop()
+        if len(parts) != 4:
+            return 1
+        try:
+            first, second = int(parts[0]), int(parts[1])
+            if not (parts[0].isdigit() and parts[1].isdigit()):
+                raise ValueError  # Java Integer.parseInt strictness
+        except ValueError:
+            return 1
+        if first in (10, 127, 0) or (first == 172 and 16 <= second <= 31) \
+                or (first == 192 and second == 168):
+            return 1
+        return 0
+
+    def valid_geo(triple):  # isValidGeoResult
+        for s in triple:
+            for ch in s:
+                if ord(ch) < 32 and ch not in "\t\n\r":
+                    return 0
+                if ch == "�":
+                    return 0
+        return 1
+
+    uids = [r.user_id for r in _rows(spark, sf_dir,
+                                     "SELECT user_id FROM events")]
+    per_cid = {}
+    for uid in uids + list(range(16)):  # events volume + the seed rows
+        cid = int(uid % 16)
+        ip = mk_ip(cid, uid)
+        ln = lane(ip)
+        triple = find(ip.lower())
+        exp = (ln, *triple,
+               None if ln == "skip" else is_private(ip.lower()),
+               None if ln == "skip" else valid_geo(triple))
+        prev = per_cid.setdefault(cid, [exp, 0])
+        assert prev[0] == exp, (cid, prev[0], exp)  # constant per cid
+        prev[1] += 1
+
+    got = {r.cid: r for r in
+           ALL["p53_ipv6_geo"](spark, sf_dir).collect()}
+    assert len(got) == 16
+    for cid, (exp, n) in per_cid.items():
+        r = got[cid]
+        assert (r.lane, r.country, r.province, r.city,
+                r.dw_private, r.dw_valid) == exp, (cid, r, exp)
+        assert r.n_rows == n, (cid, r.n_rows, n)

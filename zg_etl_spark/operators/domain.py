@@ -615,6 +615,7 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     out.append(("ip_bl", f"SELECT * FROM {R.values_sql(R.IP_BLACKLIST, [])} AS t(b_app_id, b_ip)"))
     out.append(("ua_bl", f"SELECT * FROM {R.values_sql(R.UA_BLACKLIST, [])} AS t(b_app_id, b_ua)"))
     out.append(("ip_ranges", f"SELECT * FROM {R.values_sql(R.IP_RANGES, [])} AS t({', '.join(R.IP_RANGE_COLS)})"))
+    out.append(("ipv6_ranges", f"SELECT * FROM {R.values_sql(R.IPV6_RANGES, [])} AS t({', '.join(R.IPV6_RANGE_COLS)})"))
     out.append((
         "biz_wl",
         f"SELECT * FROM {R.values_sql(R.BUSINESS_WHITELIST, [])} AS t(wb_cid, wb_business)",

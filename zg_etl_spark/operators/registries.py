@@ -66,6 +66,27 @@ IP_RANGES = [
 ]
 IP_RANGE_COLS = ["ip_lo", "ip_hi", "country", "province", "city"]
 
+# IPv6 geo ranges (the awdb database AwdbReader.java:28-90 reads — get()
+# returns [country, province, city] for an Inet6Address, dispatched per
+# IpDatabaseLoader.java:230-245): 16 slices of 2001:db8::/32 on the third
+# hextet, bounds as inclusive 32-hex-digit lowercase strings. Fixed-width
+# hex compares lexicographically exactly like the 128-bit address integer
+# (the order the awdb binary tree walks), so a plain string BETWEEN is the
+# range lookup — no 128-bit arithmetic, which neither engine's BIGINT can
+# hold without overflow. Slice 15 carries the U+FFFD-garbled city, the
+# same mojibake convention as IP_RANGES range 31.
+IPV6_RANGES = [
+    (
+        "20010db8" + format(i, "04x") + "0" * 20,
+        "20010db8" + format(i, "04x") + "f" * 20,
+        f"C6_{i % 4}",
+        f"P6_{i % 8}",
+        f"CT6_{i}" if i != 15 else "CT6_15�",
+    )
+    for i in range(16)
+]
+IPV6_RANGE_COLS = ["v6_lo", "v6_hi", "country", "province", "city"]
+
 # per-app dictionary governance (company_app: auto_event / event_sum /
 # attr_sum — EventAsyncOperator.java:308-320 isAutoCreateDisabled /
 # isCreateEventForbid; EventAttrAsyncOperator column cap):

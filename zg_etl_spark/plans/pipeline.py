@@ -3605,3 +3605,205 @@ GROUP BY match_tier, lid"""
 
 
 _register("p52_adv_ss_priority", _p52)
+
+
+# ---------------------------------------------------------------------------
+# P53 IPv6 geo lookup (the AwdbReader lane): IpDatabaseLoader.find(String)
+# (IpDatabaseLoader.java:213-259) parses the ip with InetAddress.getByName
+# and dispatches — Inet6Address → AwdbReader.get() (AwdbReader.java:55-90,
+# [country, province, city]; the v6 record carries province/city as direct
+# fields where v4 uses multiAreas[0] — a db-format detail, both flatten to
+# the same triple), Inet4Address → the memory-mapped v4 range db, parse
+# failure → ("","",""). Java maps the ::ffff:a.b.c.d textual form to an
+# Inet4Address, so v4-MAPPED ipv6 text routes to the V4 database — the
+# fixture pins that. The geo columns model this loader capability (what
+# the enableIpv6 flag exists for, IpEnrichOperator.java:95-101).
+#
+# Two operator-side verdicts ride along as flags, because the shipped DW
+# operator (IpEnrichOperator.java:121-231) consults them BEFORE/AFTER the
+# loader:
+#   * dw_private — isPrivateIp (:190-231) splits on '.' and returns true
+#     unless exactly 4 parts with parseable parts[0]/parts[1] outside the
+#     private blocks. Consequence kept faithful: EVERY colon-form ip
+#     (including ::ffff: v4-mapped text) is "private" to the DW lane and
+#     gets \N geo — the awdb lookup only serves callers without that
+#     guard; '999.1.1.1' is NOT private (parts parse, 999 matches no
+#     block) yet fails InetAddress → loader ("","","").
+#   * dw_valid — isValidGeoResult (:236-258) rejects the whole triple
+#     when any field carries control chars / U+FFFD (v6 slice 15's
+#     garbled city exercises it, same convention as v4 range 31).
+#
+# Closed fixture alphabet (same convention as p51's percent-decode):
+# IPv4-COMPATIBLE '::a.b.c.d' (non-ffff) and zoned 'fe80::1%eth0' forms
+# are excluded — InetAddress accepts them, the fixtures never mint them.
+#
+# Scale shape: the '::' expansion and hex normalization are pure codegen
+# string ops on the scan (no UDF); both range tables are broadcast-sized
+# registry relations; fixed-width lowercase hex compares lexicographically
+# exactly like the 128-bit address integer, so the v6 lookup is a plain
+# string BETWEEN — no 128-bit arithmetic, no overflow, one 16-group agg.
+# ---------------------------------------------------------------------------
+def _p53(d: Dialect) -> str:
+    from zg_etl_spark.operators.domain import geo_garbled
+
+    s = d.s
+    n = 16
+    seed = "(VALUES " + ", ".join(f"({i})" for i in range(n)) + ")"
+    ip_str = f"""CASE cid
+    WHEN 0 THEN '2001:db8:3::' || {s('(1 + user_id % 9)')}
+    WHEN 1 THEN '2001:db8:5::1'
+    WHEN 2 THEN '2001:0db8:0007:0000:0000:0000:0000:0001'
+    WHEN 3 THEN '::1'
+    WHEN 4 THEN '2001:DB8:A::F'
+    WHEN 5 THEN '::ffff:8.8.8.8'
+    WHEN 6 THEN '::ffff:10.0.0.1'
+    WHEN 7 THEN 'gggg::1'
+    WHEN 8 THEN '1:2:3:4:5:6:7:8:9'
+    WHEN 9 THEN '1::2::3'
+    WHEN 10 THEN '8.8.4.4'
+    WHEN 11 THEN ''
+    WHEN 12 THEN '2001:db8:f::ff'
+    WHEN 13 THEN 'fe80::1'
+    WHEN 14 THEN '999.1.1.1'
+    ELSE '172.20.1.1' END"""
+
+    quad_re = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+    mapped_re = r"^::ffff:[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+    oct_re = r"^([0-9]+)\.([0-9]+)\.([0-9]+)\.([0-9]+)$"
+    hexg = "[0-9a-f]{1,4}"
+    g8_re = "^(" + "):(".join([hexg] * 8) + ")$"
+
+    def cnt(x: str, ch: str) -> str:
+        return f"(length({x}) - length(replace({x}, '{ch}', '')))"
+
+    octs = ", ".join(
+        f"TRY_CAST(regexp_extract(quad, {d.re_lit(oct_re)}, {i}) AS BIGINT)"
+        f" AS o{i}"
+        for i in range(1, 5)
+    )
+    quad_valid = " AND ".join(
+        f"o{i} IS NOT NULL AND o{i} <= 255" for i in range(1, 5))
+    groups = ", ".join(
+        f"lpad(regexp_extract(fullip, {d.re_lit(g8_re)}, {i}), 4, '0')"
+        for i in range(1, 9)
+    )
+
+    # isPrivateIp, ported on the RAW string (split('.') quirks and all)
+    seg1 = f"regexp_extract(low, {d.re_lit(r'^([^.]*)[.]')}, 1)"
+    seg2 = f"regexp_extract(low, {d.re_lit(r'^[^.]*[.]([^.]*)[.]')}, 1)"
+    dw_private = f"""CASE
+      WHEN {cnt('low', '.')} <> 3 THEN 1
+      WHEN NOT {d.rlike(seg1, '^[0-9]{1,9}$')}
+        OR NOT {d.rlike(seg2, '^[0-9]{1,9}$')} THEN 1
+      WHEN TRY_CAST({seg1} AS INT) IN (10, 127, 0) THEN 1
+      WHEN TRY_CAST({seg1} AS INT) = 172
+           AND TRY_CAST({seg2} AS INT) BETWEEN 16 AND 31 THEN 1
+      WHEN TRY_CAST({seg1} AS INT) = 192
+           AND TRY_CAST({seg2} AS INT) = 168 THEN 1
+      ELSE 0 END"""
+
+    gg4 = geo_garbled(d, "g4.country", "g4.province", "g4.city")
+    gg6 = geo_garbled(d, "g6.country", "g6.province", "g6.city")
+
+    return f"""
+SELECT cid, lane,
+       MAX(country) AS country, MAX(province) AS province,
+       MAX(city) AS city,
+       CAST(MAX(dw_private) AS INT) AS dw_private,
+       CAST(MIN(dw_valid) AS INT) AS dw_valid,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT x.cid, x.lane,
+         CASE WHEN x.lane = 'v4' THEN COALESCE(g4.country, '')
+              WHEN x.lane = 'v6' THEN COALESCE(g6.country, '')
+              ELSE '' END AS country,
+         CASE WHEN x.lane = 'v4' THEN COALESCE(g4.province, '')
+              WHEN x.lane = 'v6' THEN COALESCE(g6.province, '')
+              ELSE '' END AS province,
+         CASE WHEN x.lane = 'v4' THEN COALESCE(g4.city, '')
+              WHEN x.lane = 'v6' THEN COALESCE(g6.city, '')
+              ELSE '' END AS city,
+         CASE WHEN x.lane = 'skip' THEN CAST(NULL AS INT)
+              ELSE x.dw_private END AS dw_private,
+         CASE WHEN x.lane = 'skip' THEN CAST(NULL AS INT)
+              WHEN x.lane = 'v4' AND {gg4} THEN 0
+              WHEN x.lane = 'v6' AND {gg6} THEN 0
+              ELSE 1 END AS dw_valid
+  FROM (
+    SELECT cid, low, lane, hex32, dw_private,
+           CASE WHEN lane = 'v4'
+                THEN ((o1 * 256 + o2) * 256 + o3) * 256 + o4 END AS quad_long
+    FROM (
+      SELECT cid, low, o1, o2, o3, o4, hex32, {dw_private} AS dw_private,
+             CASE WHEN low IN ('', 'null', '0.0.0.0') THEN 'skip'
+                  WHEN {quad_valid} THEN 'v4'
+                  WHEN hex32 IS NOT NULL THEN 'v6'
+                  ELSE 'invalid' END AS lane
+      FROM (
+        SELECT cid, low, o1, o2, o3, o4,
+               CASE WHEN {d.rlike('fullip', g8_re)}
+                    THEN concat({groups}) END AS hex32
+        FROM (
+          SELECT cid, low, o1, o2, o3, o4,
+                 CASE
+                   WHEN instr(low, ':::') > 0 THEN CAST(NULL AS {d.strtype})
+                   WHEN instr(low, '::') = 0 THEN low
+                   WHEN {cnt("replace(low, '::', '|')", '|')} <> 1 THEN
+                     CAST(NULL AS {d.strtype})
+                   WHEN 8 - n_l - n_r < 1 THEN CAST(NULL AS {d.strtype})
+                   ELSE CASE WHEN left_p = '' THEN '' ELSE left_p || ':' END
+                        || repeat('0:', 8 - n_l - n_r - 1) || '0'
+                        || CASE WHEN right_p = '' THEN ''
+                                ELSE ':' || right_p END
+                 END AS fullip
+          FROM (
+            SELECT cid, low, o1, o2, o3, o4, left_p, right_p,
+                   CASE WHEN left_p = '' THEN 0
+                        ELSE {cnt('left_p', ':')} + 1 END AS n_l,
+                   CASE WHEN right_p = '' THEN 0
+                        ELSE {cnt('right_p', ':')} + 1 END AS n_r
+            FROM (
+              SELECT cid, low, o1, o2, o3, o4,
+                     CASE WHEN instr(low, '::') > 0
+                          THEN substr(low, 1, instr(low, '::') - 1)
+                          ELSE '' END AS left_p,
+                     CASE WHEN instr(low, '::') > 0
+                          THEN substr(low, instr(low, '::') + 2)
+                          ELSE '' END AS right_p
+              FROM (
+                SELECT cid, low, {octs}
+                FROM (
+                  SELECT cid,
+                         CASE WHEN {d.rlike('low0', quad_re)} THEN low0
+                              WHEN {d.rlike('low0', mapped_re)}
+                              THEN substr(low0, 8)
+                         END AS quad,
+                         low0 AS low
+                  FROM (
+                    SELECT cid, lower({ip_str}) AS low0
+                    FROM (SELECT CAST(user_id % {n} AS INT) AS cid, user_id
+                          FROM events
+                          UNION ALL
+                          SELECT CAST(t.cid AS INT) AS cid,
+                                 CAST(t.cid AS BIGINT) AS user_id
+                          FROM {seed} AS t(cid)) e
+                  ) e0
+                ) e1
+              ) e2
+            ) e3
+          ) e4
+        ) e5
+      ) e6
+    ) e7
+  ) x
+  LEFT JOIN ip_ranges g4
+         ON x.quad_long IS NOT NULL
+        AND x.quad_long BETWEEN g4.ip_lo AND g4.ip_hi
+  LEFT JOIN ipv6_ranges g6
+         ON x.hex32 IS NOT NULL
+        AND x.hex32 BETWEEN g6.v6_lo AND g6.v6_hi
+) y
+GROUP BY cid, lane"""
+
+
+_register("p53_ipv6_geo", _p53)
