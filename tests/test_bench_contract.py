@@ -12,33 +12,21 @@ from zg_etl_spark import plans
 
 def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
-    round-6 composition: l37 (the only never-driver-verified query) and
-    w9 (new partition-scoped partial upsert), every query whose OUTPUT
-    changed with the vtl fan-out spine integration (p4, p6, p8, p19,
-    p21, p29, p36, s4 — p21/w3 also held the last stale r2-era rows),
-    g4 (real SM2 key-unwrap), s9 (streaming partial-column sink) and
-    q20 (gap-fill + LOCF), p41 (ad channel props), p42 (ad click match
-    cascade), p43 (match_json gates), p44 (Apple ASA normalization),
-    p45 (DevicePropertyParser classification), p46 (Dims.java dim
-    mappings), p47 (adv CDC click routing), p48 (click-store key
-    build), p49 (deep-conversion multi-event gate), p50 (match_json
-    userProp gates), p51 (web landing-URL ad lane), p52 (app-ss probe
-    priority), s10 (streaming deep-conversion gate) — all new — p38
-    (follow-collapse semantics changed its formulation), p7
-    (garbled-geo guard changed its formulation), and the r3-era
-    stale-attestation band (l12-l27, s1/s3/s5, g1, p0 —
-    p31/p30/p32/p28/l1-l11/p27's r3-green rows were displaced by
-    q20/p41-p52/s10/p38/p7); registering a new query must never
+    round-7 composition: p53 (IPv6 geo, new), p54 (click-consumption
+    sequential replay, new), the fixture-seeding reworks whose output
+    changed (p47, p48, p51, p52), l16 (edge-join formulation changed),
+    the r2-era q-suite (q1-q10, q12-q19) + w2 and the r3-era
+    p27/p28/p30-p35 + l1-l11 stale bands, and five r5-era refreshers
+    (p37, p39, p40, s2, s6); registering a new query must never
     silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["l37_", "w9_", "w3_", "g4_", "s9_", "q20_", "p7_",
-                     "p41_", "p42_", "p43_", "p44_", "p45_", "p46_",
-                     "p47_", "p48_", "p49_", "p50_", "p51_", "p52_",
-                     "s10_", "p38_",
-                     "p4_", "p6_", "p8_", "p19_", "p21_", "p29_", "p36_",
-                     "s4_", "s1_", "s3_", "s5_", "g1_", "p0_"]
-    want_prefixes += [f"l{i}_" for i in range(12, 28)]
+    want_prefixes = ["p53_", "p54_", "p47_", "p48_", "p51_", "p52_",
+                     "l16_", "w2_", "p27_", "p28_", "p30_", "p31_",
+                     "p32_", "p33_", "p34_", "p35_",
+                     "p37_", "p39_", "p40_", "s2_", "s6_"]
+    want_prefixes += [f"q{i}_" for i in range(1, 20) if i != 11]
+    want_prefixes += [f"l{i}_" for i in range(1, 12)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -77,12 +65,12 @@ def test_bench_line_fits_driver_capture_window():
 
 def test_driver_window_is_the_planned_rotation():
     """The driver's CORRECTNESS file covers the FIRST 50 entries of
-    all_queries(); round 6 pins that window to l37 (the sole
-    never-driver-verified query), w9 (new), the vtl-spine reworks
-    (p4/p6/p8/p19/p21/p29/p36/s4 — their pre-round-6 green rows attest a
-    spine WITHOUT virtual events), and the r3-era stale band. A later
-    registry edit must not silently displace them — rotation is a
-    DELIBERATE _WINDOW change, not a side effect."""
+    all_queries(); round 7 pins that window to the two new queries
+    (p53/p54), the four seeded-spine reworks whose pre-round-7 green
+    rows attest the OLD output (p47/p48/p51/p52), l16's reworked
+    formulation, and the r2/r3-era stale band. A later registry edit
+    must not silently displace them — rotation is a DELIBERATE _WINDOW
+    change, not a side effect."""
     from zg_etl_spark import plans
 
     first50 = list(plans.all_queries())[:50]
@@ -92,25 +80,19 @@ def test_driver_window_is_the_planned_rotation():
     merged = plans.all_queries()
     missing = [n for n in plans._WINDOW if n not in merged]
     assert not missing, missing
-    # the never-verified query, the new query, and every vtl-touched
-    # query are inside the cut
     must_have = [
-        "l37_pq_ann", "w9_partial_upsert", "w3_compat_csv_roundtrip",
-        "g4_sm2_unwrap", "s9_stream_partial_upsert",
-        "p4_dictionaries", "p6_virtual_events", "p8_wide_table",
-        "p19_event_highwater", "p21_sink_counts", "p29_event_resolution",
-        "p36_event_platforms", "s4_streaming_route",
+        "p53_ipv6_geo", "p54_click_consumption", "p47_adv_cdc_route",
+        "p48_adv_click_keys", "p51_web_ad_lane", "p52_adv_ss_priority",
+        "l16_dedup_groups", "w2_bucketed_join", "q1_pricing_summary",
+        "p33_ua_parse", "l1_text_stats",
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
     # rotated/kept BEHIND the cut (still locally verified by the sf0.01
-    # parity rehearsal): the freshly-green r5 window (q11, p37, w5, l28,
-    # s6, ...) plus the r2/r3-era stragglers that yielded their slots to
-    # this round's new queries (p33/p34 → g4/s9, p35/w2/q-suite never
-    # fit) — the stragglers are the FIRST round-7 rotation candidates
-    for name in ("q11_approx_distinct", "p37_user_detail_sum",
-                 "w5_compaction", "l28_source_mixture",
-                 "s6_streaming_dedup", "w2_bucketed_join",
-                 "p33_ua_parse", "p34_user_duration",
-                 "p35_user_anonymous"):
+    # parity rehearsal): the r5/r6-green band that yielded its slots to
+    # this round's rotation
+    for name in ("q11_approx_distinct", "q20_gapfill_locf",
+                 "l37_pq_ann", "w9_partial_upsert", "p4_dictionaries",
+                 "p8_wide_table", "s4_streaming_route", "g4_sm2_unwrap",
+                 "p45_device_classify", "p49_adv_deep_convert"):
         assert name in merged and name not in first50, name

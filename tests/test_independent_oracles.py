@@ -2440,3 +2440,128 @@ def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
         assert (r.lane, r.country, r.province, r.city,
                 r.dw_private, r.dw_valid) == exp, (cid, r, exp)
         assert r.n_rows == n, (cid, r.n_rows, n)
+
+
+# ---------------------------------------------------------------------------
+# P54 click consumption: a GLOBAL sequential replay of the reference's
+# batch loop (AdvLidAndUserFirstEndFlatMapFunction.java:701-758 order,
+# :1090-1166 probe-time aliveness with tier fallthrough, :1178-1210
+# del-set by the claimed click's own key strings) — one Python loop over
+# every session in (ct, seq) order, no componentization, no DataFrames.
+# The engine computes the same matching with per-component parallel
+# replay after connected-components, so equality here verifies BOTH the
+# probe/consume logic AND that the component decomposition leaks nothing.
+# ---------------------------------------------------------------------------
+def test_click_consumption_matches_sequential_replay(spark, sf_dir):
+    import hashlib
+    import re
+    from types import SimpleNamespace
+
+    from zg_etl_spark.operators.domain import SPARK, ua_real_case
+    from zg_etl_spark.plans.pipeline import P52_FIXTURES
+
+    APPS = set(R.ADVERTISING_APPS)
+    rows = [r for r in _rows(spark, sf_dir, f"""
+        SELECT app_id, dt, user_id, ip, k, ct, seq, zg_id, pl, ua_real
+        FROM (SELECT r.*, {ua_real_case(SPARK, 'r.')} AS ua_real
+              FROM resolved r) t
+        WHERE dt IN ('mkt', 'ss')""") if r.app_id in APPS]
+    rows += [SimpleNamespace(app_id=a, dt=dt, user_id=u, ip=ip, k=k, ct=ct,
+                             seq=seq, zg_id=z, pl=pl, ua_real=ua)
+             for (a, dt, u, ip, k, ct, seq, z, pl, ua) in P52_FIXTURES]
+
+    def ua_analysis(ua):
+        if ua is None:
+            return "", ""
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)",
+                          ua, re.I)
+        if not m:
+            return "", ""
+        ver = m.group(2) or ""
+        return m.group(1), re.sub(r"[^a-zA-Z0-9 ]", ".", ver)
+
+    def kid(prefix, src, mod):
+        return hashlib.md5(f"{prefix}_{src % mod}".encode()).hexdigest()
+
+    store = {}   # key -> (ct, seq, click_seq, lid)
+    alias = {}   # click_seq -> [keys]
+    sessions = []
+    for r in rows:
+        name, ver = ua_analysis(r.ua_real)
+        if r.dt == "mkt" and r.k is not None:
+            lid = r.k % 5
+            keys = []
+            if r.k % 3 == 0:
+                keys.append(f"idfa|{r.app_id}|{kid('idfa', r.k, 23)}")
+            if r.k % 4 == 0:
+                keys.append(f"oaid|{r.app_id}|{kid('oaid', r.k, 19)}")
+            if r.k % 5 == 0:
+                keys.append(f"aid|{r.app_id}|{kid('aid', r.k, 17)}")
+            if r.k % 2 == 0:
+                keys.append(f"imei|{r.app_id}|{kid('imei', r.k, 13)}")
+            keys.append(f"fz|{r.app_id}|{r.ip}|{name}:{ver}")
+            keys.append(f"fz|{r.app_id}|{r.ip}|:{ver}")
+            alias[r.seq] = keys
+            for key in keys:
+                cur = store.get(key)
+                if cur is None or (r.ct, r.seq) > (cur[0], cur[1]):
+                    store[key] = (r.ct, r.seq, r.seq, lid)
+        elif r.dt == "ss":
+            sessions.append((r, name, ver))
+
+    dead = set()
+    from collections import Counter
+    exp_n = Counter()
+    exp_users = defaultdict(set)
+    for r, name, ver in sorted(sessions, key=lambda t: (t[0].ct, t[0].seq)):
+        is_ios = r.pl == "ios"
+        tier, hit_key = "none", None
+        if is_ios:
+            if r.user_id % 3 != 1:
+                key = f"idfa|{r.app_id}|{kid('idfa', r.user_id, 29)}"
+                if key in store and key not in dead:
+                    tier, hit_key = "exact_idfa", key
+        else:
+            for st, mod, gate, label in (("oaid", 23, 4, "exact_oaid"),
+                                         ("aid", 21, 5, "exact_aid"),
+                                         ("imei", 15, 2, "exact_imei")):
+                if r.user_id % gate == 1:
+                    continue
+                key = f"{st}|{r.app_id}|{kid(st, r.user_id, mod)}"
+                if key in store and key not in dead:
+                    tier, hit_key = label, key
+                    break
+        if hit_key is None:
+            # fuzzy, the reference's literal probe-time logic
+            max_ct, pk, pt = -1, None, None
+            uk = f"fz|{r.app_id}|{r.ip}|{name}:{ver}"
+            if uk in store and uk not in dead:
+                max_ct, pk, pt = store[uk][0], uk, "ipua"
+            if is_ios:
+                vk = f"fz|{r.app_id}|{r.ip}|:{ver}"
+                if vk in store and vk not in dead and store[vk][0] > max_ct:
+                    pk, pt = vk, "ipver"
+            if pk is not None:
+                tier, hit_key = pt, pk
+        if hit_key is None:
+            exp_n[("none", None)] += 1
+            exp_users[("none", None)].add(r.zg_id)
+            continue
+        _, _, click_seq, lid = store[hit_key]
+        dead.update(alias[click_seq])
+        exp_n[(tier, lid)] += 1
+        exp_users[(tier, lid)].add(r.zg_id)
+
+    got = {(r.match_tier, r.lid): (r.n_sessions, r.n_users)
+           for r in ALL["p54_click_consumption"](spark, sf_dir).collect()}
+    exp = {k: (n, len(exp_users[k])) for k, n in exp_n.items()}
+    assert got == exp, (got, exp)
+    # consumption must actually bite at every SF: the fixture C4 click is
+    # claimable once, so p52's snapshot and p54's replay must differ
+    p52 = {(r.match_tier, r.lid): r.n_sessions
+           for r in ALL["p52_adv_ss_priority"](spark, sf_dir).collect()}
+    assert sum(n for (t, _), n in p52.items() if t != "none") >= \
+        sum(n for (t, _), n in exp_n.items() if t != "none")

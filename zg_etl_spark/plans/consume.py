@@ -1,0 +1,298 @@
+"""P54 — click-consumption del-set: the sequential claim semantics of
+AdvLidAndUserFirstEndFlatMapFunction.java's setAdMaps/processAppSS
+(etl-flink-pipeline .../gate/AdvLidAndUserFirstEndFlatMapFunction.java:
+701-758 batch loop, 1044-1245 probe + consume).
+
+Reference semantics being modeled (the piece p52's snapshot probe
+deliberately left out, acknowledged in its docstring):
+
+* Sessions are processed IN ARRIVAL ORDER within the operator batch;
+  ``thisDelKeySet`` accumulates the keys of every click already claimed.
+* Each store probe checks aliveness AT PROBE TIME
+  (``containsKey && !thisDelKeySet.contains``, :1090-1166) — a consumed
+  key does NOT stop the cascade, the session FALLS THROUGH to its next
+  tier (``hasAndroidDevice`` stays false), so consumption can reroute a
+  later session to a lower tier, not just block it.
+* On a match, the del-set gains the claimed click's OWN key strings from
+  its stored payload — ip_ua/muid/idfa/imei/android_id/oaid (:1178-1210)
+  — so the click dies across EVERY tier at once, and deletion is by key
+  string regardless of which click currently tops that key.
+* The store snapshot is the batch-start Redis state (ingest is the
+  separate AdvSaveAppAdData path, p48); following p52's fixture
+  convention the snapshot is the full corpus click store, and the
+  two-store fuzzy split means the payload's single ip_ua_key maps to
+  both the (ip, name, ver) and (ip, ver) entries here — claiming a
+  click deletes its whole alias set.
+
+Why this is NOT a row_number query: greedy sequential matching with
+fallthrough is order-dependent — first-claim-wins per key is wrong the
+moment a blocked session would have claimed a different key. But the
+sequential core is LOCAL: two sessions interact only if they are
+connected through shared candidate keys / click aliases. So:
+
+  1. candidate resolution — the same 6 equi-joins as p52 (map-side,
+     broadcastable stores), emitting each session's static preference
+     list (only keys PRESENT in the snapshot enter it; iOS orders the
+     two fuzzy keys by stored ct, the strict ``>`` of :1157-1163);
+  2. sessions with no candidate at all exit early as 'none' (map-only —
+     at production skew this is the vast majority);
+  3. connected components over the session/key/click-alias graph,
+     iterating min-label propagation on the CONTESTED subgraph only
+     (the l16 pattern);
+  4. exact sequential replay per component via applyInPandas — parallel
+     across components, faithfully ordered within. Worst case (one
+     giant component) degrades to the inherent sequential core; typical
+     components are a handful of rows.
+
+The aggregate (match_tier, lid, n_sessions, n_users) mirrors p52, so
+the two queries diff cleanly: p54 - p52 = what consumption rerouted.
+No DuckDB oracle is declared — the algorithm is iterative + ordered
+(the driver records the rows-only check); the correctness anchor is the
+independent global sequential replay in tests/test_independent_oracles.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zg_etl_spark.operators.domain import SPARK, spark_pipeline_df
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+_REPLAY_SCHEMA = (
+    "match_tier string, lid bigint, sess_seq bigint, zg_id bigint"
+)
+
+
+def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact sequential greedy over one component: sessions in (ct, seq)
+    order, first ALIVE candidate in preference order wins, claiming a
+    click kills its whole alias key set."""
+    store = {}      # key -> (click_seq, lid)
+    alias = {}      # click_seq -> [keys]
+    cands = {}      # sess_seq -> (ct, zg_id, [(rank, key, tier)])
+    for r in pdf.itertuples(index=False):
+        if r.typ == "store":
+            store[r.key] = (r.click_seq, r.lid)
+        elif r.typ == "alias":
+            alias.setdefault(r.click_seq, []).append(r.key)
+        else:
+            ent = cands.setdefault(r.sess_seq, (r.sess_ct, r.zg_id, []))
+            ent[2].append((r.rank, r.key, r.tier))
+    dead: set = set()
+    out = []
+    for sess_seq, (ct, zg_id, lst) in sorted(
+            cands.items(), key=lambda kv: (kv[1][0], kv[0])):
+        hit = None
+        for _, key, tier in sorted(lst):
+            if key in store and key not in dead:
+                hit = (tier, key)
+                break
+        if hit is None:
+            out.append(("none", None, sess_seq, zg_id))
+            continue
+        tier, key = hit
+        click_seq, lid = store[key]
+        dead.update(alias.get(click_seq, [key]))
+        out.append((tier, lid, sess_seq, zg_id))
+    return pd.DataFrame(
+        out, columns=["match_tier", "lid", "sess_seq", "zg_id"])
+
+
+def _p54_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zg_etl_spark.plans.pipeline import (
+        p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
+
+    d = SPARK
+    base = (f"WITH keyed AS ({p52_keyed_sql(d)}\n)"
+            f", clicks AS ({p52_clicks_sql(d)}\n)"
+            f", ss AS ({p52_ss_sql(d)}\n)")
+    clicks = spark_pipeline_df(
+        spark, sf_dir, base + " SELECT * FROM clicks").localCheckpoint(True)
+    ss = spark_pipeline_df(spark, sf_dir, base + " SELECT * FROM ss")
+
+    app_s = F.col("app_id").cast("string")
+
+    def k_exact(t: str, col) -> F.Column:
+        return F.concat(F.lit(t + "|"), app_s, F.lit("|"), col)
+
+    # every (key, click) ENTRY — winners feed the store, the full set is
+    # the alias/del map (deletion is by key string, see module docstring)
+    parts = [
+        clicks.where(F.col(c).isNotNull()).select(
+            k_exact(t, F.col(c)).alias("key"), "seq", "ct", "lid")
+        for t, c in (("idfa", "idfa_key"), ("oaid", "oaid_key"),
+                     ("aid", "aid_key"), ("imei", "imei_key"))
+    ]
+    parts.append(clicks.select(
+        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
+                 "ua_name", F.lit(":"), "ua_ver").alias("key"),
+        "seq", "ct", "lid"))
+    parts.append(clicks.select(
+        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|:"),
+                 "ua_ver").alias("key"),
+        "seq", "ct", "lid"))
+    entries = parts[0]
+    for p in parts[1:]:
+        entries = entries.unionByName(p)
+    entries = entries.localCheckpoint(True)
+    store = (
+        entries.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("key")
+                .orderBy(F.col("ct").desc(), F.col("seq").desc())))
+        .where("rn = 1")
+        .select("key", F.col("seq").alias("click_seq"),
+                F.col("ct").alias("click_ct"), "lid")
+        .localCheckpoint(True)
+    )
+
+    # per-session candidates: probe keys joined to the store; ranks are
+    # the reference's tier order, the iOS fuzzy pair by stored ct with
+    # the strict > of :1157-1163 (tie keeps ip+ua)
+    sp = ss.select(
+        "seq", "ct", "zg_id", "is_ios",
+        k_exact("idfa", F.col("p_idfa")).alias("k_idfa"),
+        k_exact("oaid", F.col("p_oaid")).alias("k_oaid"),
+        k_exact("aid", F.col("p_aid")).alias("k_aid"),
+        k_exact("imei", F.col("p_imei")).alias("k_imei"),
+        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
+                 "ua_name", F.lit(":"), "ua_ver").alias("k_ipua"),
+        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip",
+                 F.lit("|:"), "ua_ver").alias("k_ipver"),
+    )
+    hits = sp
+    for t in ("idfa", "oaid", "aid", "imei", "ipua", "ipver"):
+        st = store.select(F.col("key").alias(f"k_{t}"),
+                          F.col("click_ct").alias(f"ct_{t}"))
+        hits = hits.join(st, f"k_{t}", "left")
+    tiers = []  # (tier, key_col, present_pred, rank_expr)
+    rk_u = F.when(
+        F.col("ct_ipver").isNotNull()
+        & (F.col("ct_ipver") > F.coalesce(F.col("ct_ipua"), F.lit(-1))),
+        F.lit(11)).otherwise(F.lit(10))
+    rk_v = F.when(rk_u == 11, F.lit(10)).otherwise(F.lit(11))
+    ios = F.col("is_ios") == 1
+    tiers = [
+        ("exact_idfa", "k_idfa", ios & F.col("ct_idfa").isNotNull(),
+         F.lit(0)),
+        ("exact_oaid", "k_oaid", ~ios & F.col("ct_oaid").isNotNull(),
+         F.lit(0)),
+        ("exact_aid", "k_aid", ~ios & F.col("ct_aid").isNotNull(),
+         F.lit(1)),
+        ("exact_imei", "k_imei", ~ios & F.col("ct_imei").isNotNull(),
+         F.lit(2)),
+        ("ipua", "k_ipua", F.col("ct_ipua").isNotNull(), rk_u),
+        ("ipver", "k_ipver", ios & F.col("ct_ipver").isNotNull(), rk_v),
+    ]
+    cand_parts = [
+        hits.where(pred).select(
+            F.col("seq").alias("sess_seq"), F.col("ct").alias("sess_ct"),
+            "zg_id", rank.alias("rank"), F.col(kc).alias("key"),
+            F.lit(t).alias("tier"))
+        for t, kc, pred, rank in tiers
+    ]
+    cands = cand_parts[0]
+    for p in cand_parts[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.localCheckpoint(True)
+
+    # the map-only fast path: sessions with no candidate key at all
+    nomatch = (
+        ss.join(cands.select("sess_seq").distinct(),
+                ss.seq == F.col("sess_seq"), "left_anti")
+        .select(F.lit("none").alias("match_tier"),
+                F.lit(None).cast("long").alias("lid"), "zg_id")
+    )
+
+    # component labeling over session–key and click-alias–key edges;
+    # only keys a session can reach matter, so the iteration runs on the
+    # contested subgraph, not the corpus (the l16 pattern)
+    live_keys = cands.select("key").distinct()
+    akeys = (entries.join(live_keys, "key")
+             .select("key", "seq").localCheckpoint(True))
+    # nodes: keys + sessions + clicks that alias a live key
+    n_key = live_keys.select(F.col("key").alias("node"))
+    n_sess = cands.select(
+        F.concat(F.lit("s|"), F.col("sess_seq")).alias("node")).distinct()
+    n_click = akeys.select(
+        F.concat(F.lit("c|"), F.col("seq")).alias("node")).distinct()
+    nodes = (n_key.unionByName(n_sess).unionByName(n_click)
+             .withColumn("nid", F.monotonically_increasing_id())
+             .localCheckpoint(True))
+    e1 = cands.select(
+        F.concat(F.lit("s|"), F.col("sess_seq")).alias("na"),
+        F.col("key").alias("nb"))
+    e2 = akeys.select(
+        F.concat(F.lit("c|"), F.col("seq")).alias("na"),
+        F.col("key").alias("nb"))
+    edges = e1.unionByName(e2).distinct()
+    edges = (
+        edges.join(nodes.withColumnRenamed("node", "na")
+                   .withColumnRenamed("nid", "ida"), "na")
+        .join(nodes.withColumnRenamed("node", "nb")
+              .withColumnRenamed("nid", "idb"), "nb")
+        .select("ida", "idb")
+    )
+    sym = (edges.select(F.col("ida").alias("a"), F.col("idb").alias("b"))
+           .unionAll(edges.select(F.col("idb").alias("a"),
+                                  F.col("ida").alias("b")))
+           .localCheckpoint(True))
+    labels = (sym.select(F.col("a").alias("nd")).distinct()
+              .withColumn("lab", F.col("nd")).localCheckpoint(True))
+    prev = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(30):
+        prop = (sym.join(labels, sym.a == labels.nd)
+                .select(F.col("b").alias("nd"), "lab"))
+        labels = (labels.unionByName(prop).groupBy("nd")
+                  .agg(F.min("lab").alias("lab")).localCheckpoint(True))
+        cur = labels.agg(F.sum("lab")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("p54 component labeling did not converge")
+
+    key_comp = (nodes.join(labels, nodes.nid == labels.nd)
+                .select(F.col("node").alias("key"), F.col("lab").alias("comp")))
+
+    rep_store = (store.join(key_comp, "key")
+                 .select("comp", F.lit("store").alias("typ"), "key",
+                         "click_seq", "lid",
+                         F.lit(None).cast("long").alias("sess_seq"),
+                         F.lit(None).cast("long").alias("sess_ct"),
+                         F.lit(None).cast("long").alias("zg_id"),
+                         F.lit(None).cast("int").alias("rank"),
+                         F.lit(None).cast("string").alias("tier")))
+    rep_alias = (akeys.join(key_comp, "key")
+                 .select("comp", F.lit("alias").alias("typ"), "key",
+                         F.col("seq").alias("click_seq"),
+                         F.lit(None).cast("long").alias("lid"),
+                         F.lit(None).cast("long").alias("sess_seq"),
+                         F.lit(None).cast("long").alias("sess_ct"),
+                         F.lit(None).cast("long").alias("zg_id"),
+                         F.lit(None).cast("int").alias("rank"),
+                         F.lit(None).cast("string").alias("tier")))
+    rep_cand = (cands.join(key_comp, "key")
+                .select("comp", F.lit("cand").alias("typ"), "key",
+                        F.lit(None).cast("long").alias("click_seq"),
+                        F.lit(None).cast("long").alias("lid"),
+                        "sess_seq", "sess_ct", "zg_id",
+                        F.col("rank").cast("int").alias("rank"), "tier"))
+    rep = rep_store.unionByName(rep_alias).unionByName(rep_cand)
+
+    matched = (rep.groupBy("comp").applyInPandas(_replay, _REPLAY_SCHEMA)
+               .select("match_tier", "lid", "zg_id"))
+    return (matched.unionByName(nomatch)
+            .groupBy("match_tier", "lid")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("zg_id").alias("n_users")))
+
+
+QUERIES["p54_click_consumption"] = _p54_run
+# no ORACLE entry: iterative component labeling + order-dependent replay
+# is not expressible as one DuckDB statement; the driver records the
+# rows-only check and tests/test_independent_oracles.py replays the
+# whole stream sequentially in Python as the value oracle.

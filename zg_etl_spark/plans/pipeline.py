@@ -3499,25 +3499,20 @@ P52_FIXTURES = [
 ]
 
 
-def _p52(d: Dialect) -> str:
+def _p52_kid(d: Dialect, prefix: str, src: str, mod: int) -> str:
+    """processDeviceId'd fixture device id (32-char md5 passes through)."""
+    return f"md5('{prefix}_' || {d.s(f'({src} % {mod})')})"
+
+
+def p52_keyed_sql(d: Dialect) -> str:
+    """The advertising-app mkt/ss stream with parsed UA fields and the
+    constant P52_FIXTURES rows — shared by p52's snapshot probe and
+    p54's consuming replay so the two read the same store."""
     from zg_etl_spark.functions import ua_parser as UP
     from zg_etl_spark.operators.domain import ua_real_case
 
     apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
-    s = d.s
-    store = (
-        "SELECT app_id, {keys}, lid, ct FROM (\n"
-        "    SELECT app_id, {keys}, lid, ct,\n"
-        "           ROW_NUMBER() OVER (PARTITION BY app_id, {keys}\n"
-        "                              ORDER BY ct DESC, seq DESC) AS rn\n"
-        "    FROM clicks{where}) t WHERE rn = 1"
-    )
-
-    def kid(prefix: str, src: str, mod: int) -> str:
-        return f"md5('{prefix}_' || {s(f'({src} % {mod})')})"
-
     return f"""
-WITH keyed AS (
   SELECT app_id, dt, user_id, ip, k, ct, seq, zg_id, pl,
          {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
          {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver
@@ -3530,14 +3525,51 @@ WITH keyed AS (
            f.pl, f.ua_real
     FROM {R.values_sql(P52_FIXTURES, [])}
          AS f(app_id, dt, user_id, ip, k, ct, seq, zg_id, pl, ua_real)
-  ) s
-), clicks AS (
+  ) s"""
+
+
+def p52_clicks_sql(d: Dialect) -> str:
+    """The click records with their exact store keys (FROM keyed)."""
+    kid = lambda p, s, m: _p52_kid(d, p, s, m)
+    return f"""
   SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
          CASE WHEN k % 3 = 0 THEN {kid("idfa", "k", 23)} END AS idfa_key,
          CASE WHEN k % 4 = 0 THEN {kid("oaid", "k", 19)} END AS oaid_key,
          CASE WHEN k % 5 = 0 THEN {kid("aid", "k", 17)} END AS aid_key,
          CASE WHEN k % 2 = 0 THEN {kid("imei", "k", 13)} END AS imei_key
-  FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL
+  FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL"""
+
+
+def p52_ss_sql(d: Dialect) -> str:
+    """The session-start probes (FROM keyed); ct/seq ride along for
+    p54's arrival-order replay, p52's snapshot ignores them."""
+    kid = lambda p, s, m: _p52_kid(d, p, s, m)
+    return f"""
+  SELECT app_id, zg_id, ip, ua_name, ua_ver, ct, seq,
+         CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
+         CASE WHEN user_id % 3 <> 1 THEN {kid("idfa", "user_id", 29)} END
+             AS p_idfa,
+         CASE WHEN user_id % 4 <> 1 THEN {kid("oaid", "user_id", 23)} END
+             AS p_oaid,
+         CASE WHEN user_id % 5 <> 1 THEN {kid("aid", "user_id", 21)} END
+             AS p_aid,
+         CASE WHEN user_id % 2 <> 1 THEN {kid("imei", "user_id", 15)} END
+             AS p_imei
+  FROM keyed WHERE dt = 'ss'"""
+
+
+def _p52(d: Dialect) -> str:
+    store = (
+        "SELECT app_id, {keys}, lid, ct FROM (\n"
+        "    SELECT app_id, {keys}, lid, ct,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY app_id, {keys}\n"
+        "                              ORDER BY ct DESC, seq DESC) AS rn\n"
+        "    FROM clicks{where}) t WHERE rn = 1"
+    )
+
+    return f"""
+WITH keyed AS ({p52_keyed_sql(d)}
+), clicks AS ({p52_clicks_sql(d)}
 ), idfa_store AS (
   {store.format(keys="idfa_key", where=" WHERE idfa_key IS NOT NULL")}
 ), oaid_store AS (
@@ -3550,18 +3582,7 @@ WITH keyed AS (
   {store.format(keys="ip, ua_name, ua_ver", where="")}
 ), ipver_store AS (
   {store.format(keys="ip, ua_ver", where="")}
-), ss AS (
-  SELECT app_id, zg_id, ip, ua_name, ua_ver,
-         CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
-         CASE WHEN user_id % 3 <> 1 THEN {kid("idfa", "user_id", 29)} END
-             AS p_idfa,
-         CASE WHEN user_id % 4 <> 1 THEN {kid("oaid", "user_id", 23)} END
-             AS p_oaid,
-         CASE WHEN user_id % 5 <> 1 THEN {kid("aid", "user_id", 21)} END
-             AS p_aid,
-         CASE WHEN user_id % 2 <> 1 THEN {kid("imei", "user_id", 15)} END
-             AS p_imei
-  FROM keyed WHERE dt = 'ss'
+), ss AS ({p52_ss_sql(d)}
 )
 SELECT match_tier, lid,
        COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
