@@ -2559,6 +2559,13 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
            for r in ALL["p54_click_consumption"](spark, sf_dir).collect()}
     exp = {k: (n, len(exp_users[k])) for k, n in exp_n.items()}
     assert got == exp, (got, exp)
+    # the size-gated coarse (per-app) grouping took the path above;
+    # force the component-labeling path and pin it to the same result
+    from zg_etl_spark.plans.consume import _p54_run
+    got_fine = {(r.match_tier, r.lid): (r.n_sessions, r.n_users)
+                for r in _p54_run(spark, sf_dir,
+                                  _force_components=True).collect()}
+    assert got_fine == exp, (got_fine, exp)
     # consumption must actually bite at every SF: the fixture C4 click is
     # claimable once, so p52's snapshot and p54's replay must differ
     p52 = {(r.match_tier, r.lid): r.n_sessions

@@ -36,12 +36,15 @@ connected through shared candidate keys / click aliases. So:
      two fuzzy keys by stored ct, the strict ``>`` of :1157-1163);
   2. sessions with no candidate at all exit early as 'none' (map-only —
      at production skew this is the vast majority);
-  3. connected components over the session/key/click-alias graph,
-     iterating min-label propagation on the CONTESTED subgraph only
-     (the l16 pattern);
-  4. exact sequential replay per component via applyInPandas — parallel
-     across components, faithfully ordered within. Worst case (one
-     giant component) degrades to the inherent sequential core; typical
+  3. replay grouping, size-gated: components never cross an app, so a
+     small contested volume groups by app directly (zero extra rounds —
+     the common case); past P54_COARSE_MAX candidate rows, exact
+     connected components over the session/key/click-alias graph
+     (min-label propagation on the CONTESTED subgraph only, the l16
+     pattern) bound the per-group volume;
+  4. exact sequential replay per group via applyInPandas — parallel
+     across groups, faithfully ordered within. Worst case (one giant
+     component) degrades to the inherent sequential core; typical
      components are a handful of rows.
 
 The aggregate (match_tier, lid, n_sessions, n_users) mirrors p52, so
@@ -101,17 +104,25 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
         out, columns=["match_tier", "lid", "sess_seq", "zg_id"])
 
 
-def _p54_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+# contested-candidate row count under which the replay groups by app
+# directly (no labeling rounds); above it, exact components bound the
+# per-group volume. ~60 bytes/row → the coarse path tops out around a
+# hundred MB per executor-side group, well inside task memory.
+P54_COARSE_MAX = 2_000_000
+
+
+def _p54_run(spark: SparkSession, sf_dir: str,
+             _force_components: bool = False) -> DataFrame:
     from zg_etl_spark.plans.pipeline import (
         p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
 
     d = SPARK
-    base = (f"WITH keyed AS ({p52_keyed_sql(d)}\n)"
-            f", clicks AS ({p52_clicks_sql(d)}\n)"
-            f", ss AS ({p52_ss_sql(d)}\n)")
-    clicks = spark_pipeline_df(
-        spark, sf_dir, base + " SELECT * FROM clicks").localCheckpoint(True)
-    ss = spark_pipeline_df(spark, sf_dir, base + " SELECT * FROM ss")
+    # keyed scans resolved once; clicks/ss are cheap projections of it
+    keyed = spark_pipeline_df(
+        spark, sf_dir, p52_keyed_sql(d)).localCheckpoint(True)
+    keyed.createOrReplaceTempView("keyed")
+    clicks = spark.sql(p52_clicks_sql(d)).localCheckpoint(True)
+    ss = spark.sql(p52_ss_sql(d)).localCheckpoint(True)
 
     app_s = F.col("app_id").cast("string")
 
@@ -207,12 +218,23 @@ def _p54_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("long").alias("lid"), "zg_id")
     )
 
-    # component labeling over session–key and click-alias–key edges;
-    # only keys a session can reach matter, so the iteration runs on the
-    # contested subgraph, not the corpus (the l16 pattern)
     live_keys = cands.select("key").distinct()
     akeys = (entries.join(live_keys, "key")
              .select("key", "seq").localCheckpoint(True))
+
+    # grouping for the replay. Components never cross an app (every key
+    # embeds its app id), so grouping by app is ALWAYS correct — coarser
+    # groups just replay more rows sequentially. The size gate picks:
+    #   * small contested volume → group by app directly, zero labeling
+    #     rounds (the common case, and the whole bench path);
+    #   * large → exact connected components over the session–key and
+    #     click-alias–key edges, iterating min-label propagation on the
+    #     contested subgraph only (the l16 pattern) so no single pandas
+    #     group has to hold an app's whole contested stream.
+    # tests force the component path and pin both groupings equal.
+    if not _force_components and cands.count() <= P54_COARSE_MAX:
+        return _finish(store, akeys, cands, nomatch, None)
+
     # nodes: keys + sessions + clicks that alias a live key
     n_key = live_keys.select(F.col("key").alias("node"))
     n_sess = cands.select(
@@ -256,9 +278,22 @@ def _p54_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("p54 component labeling did not converge")
 
     key_comp = (nodes.join(labels, nodes.nid == labels.nd)
-                .select(F.col("node").alias("key"), F.col("lab").alias("comp")))
+                .select(F.col("node").alias("key"),
+                        F.col("lab").cast("string").alias("comp")))
+    return _finish(store, akeys, cands, nomatch, key_comp)
 
-    rep_store = (store.join(key_comp, "key")
+
+def _finish(store, akeys, cands, nomatch, key_comp) -> DataFrame:
+    """key_comp None → coarse per-app grouping, comp derived from the
+    key string itself (field 2 is the app id) — no join at all."""
+    if key_comp is None:
+        def grouped(df):
+            return df.withColumn(
+                "comp", F.split("key", "[|]").getItem(1))
+    else:
+        def grouped(df):
+            return df.join(key_comp, "key")
+    rep_store = (grouped(store)
                  .select("comp", F.lit("store").alias("typ"), "key",
                          "click_seq", "lid",
                          F.lit(None).cast("long").alias("sess_seq"),
@@ -266,7 +301,7 @@ def _p54_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(None).cast("long").alias("zg_id"),
                          F.lit(None).cast("int").alias("rank"),
                          F.lit(None).cast("string").alias("tier")))
-    rep_alias = (akeys.join(key_comp, "key")
+    rep_alias = (grouped(akeys)
                  .select("comp", F.lit("alias").alias("typ"), "key",
                          F.col("seq").alias("click_seq"),
                          F.lit(None).cast("long").alias("lid"),
@@ -275,7 +310,7 @@ def _p54_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(None).cast("long").alias("zg_id"),
                          F.lit(None).cast("int").alias("rank"),
                          F.lit(None).cast("string").alias("tier")))
-    rep_cand = (cands.join(key_comp, "key")
+    rep_cand = (grouped(cands)
                 .select("comp", F.lit("cand").alias("typ"), "key",
                         F.lit(None).cast("long").alias("click_seq"),
                         F.lit(None).cast("long").alias("lid"),
