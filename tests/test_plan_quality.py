@@ -434,3 +434,25 @@ def test_click_match_stores_broadcast(spark, sf_dir):
     plan = _plan(ALL["p42_adv_click_match"](spark, sf_dir), "simple")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ipv6_geo_normalization_stays_jvm_side(spark, sf_dir):
+    """p53's '::' expansion / hex normalization is pure codegen string
+    work and its only joins are the two broadcast-sized registry range
+    tables (non-equi BETWEEN → broadcast nested-loop is the right
+    physical form at 32/16 rows) — never a Python UDF, never a
+    shuffle-both-sides join of the fact against a range table."""
+    plan = _plan(ALL["p53_ipv6_geo"](spark, sf_dir), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_click_consumption_python_is_replay_only(spark, sf_dir):
+    """p54's one Python stage is the per-group sequential replay —
+    exactly one FlatMapGroupsInPandas in the final plan, fed by the
+    checkpointed (JVM-resolved) store/alias/candidate relations, with
+    the map-only no-candidate fast path unioned around it."""
+    plan = _plan(ALL["p54_click_consumption"](spark, sf_dir), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
