@@ -1968,12 +1968,20 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
         return hashlib.md5(f"{prefix}_{src % mod}".encode()).hexdigest()
 
     stores = {name: {} for name in
-              ("idfa", "oaid", "aid", "imei", "ipua", "ipver")}
+              ("idfa", "oaid", "aid", "imei", "fz")}
 
     def put(store, app, key, lid, ct, seq):
         cur = stores[store].get((app, key))
         if cur is None or (ct, seq) > (cur[1], cur[2]):
             stores[store][(app, key)] = (lid, ct, seq)
+
+    def click_proc(r, name, ver):
+        # setIpUaMaps: ONE fuzzy key per click, downgraded to ':ver'
+        # for Baidu channels 1/4 iPhone clicks (channel = 1 + k % 7)
+        if (1 + r.k % 7) in (1, 4) and "iPhone" in (r.ua_real or "") \
+                and ver:
+            return ":" + ver
+        return name + ":" + ver
 
     probes = []
     for r in rows:
@@ -1988,8 +1996,8 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
                 put("aid", r.app_id, kid("aid", r.k, 17), lid, r.ct, r.seq)
             if r.k % 2 == 0:
                 put("imei", r.app_id, kid("imei", r.k, 13), lid, r.ct, r.seq)
-            put("ipua", r.app_id, (r.ip, name, ver), lid, r.ct, r.seq)
-            put("ipver", r.app_id, (r.ip, ver), lid, r.ct, r.seq)
+            put("fz", r.app_id, (r.ip, click_proc(r, name, ver)),
+                lid, r.ct, r.seq)
         elif r.dt == "ss":
             probes.append((r, name, ver))
 
@@ -2014,8 +2022,9 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
                     tier, lid = field, hit[0]
                     break
         if tier == "none":
-            u = stores["ipua"].get((r.app_id, (r.ip, name, ver)))
-            v = stores["ipver"].get((r.app_id, (r.ip, ver))) if is_ios else None
+            u = stores["fz"].get((r.app_id, (r.ip, name + ":" + ver)))
+            v = (stores["fz"].get((r.app_id, (r.ip, ":" + ver)))
+                 if is_ios and ver else None)
             if v and (u is None or v[1] > u[1]):
                 tier, lid = "ipver", v[0]
             elif u:
@@ -2068,7 +2077,7 @@ def test_click_match_cascade_matches_python_port(spark, sf_dir):
     def norm(did):
         return did if len(did) == 32 else hashlib.md5(did.encode()).hexdigest()
 
-    stores = {"exact": {}, "ipua": {}, "ipver": {}}
+    stores = {"exact": {}, "fz": {}}
 
     def put(store, key, lid, ct, seq):
         cur = stores[store].get(key)
@@ -2082,8 +2091,13 @@ def test_click_match_cascade_matches_python_port(spark, sf_dir):
             lid = r.k % 5
             if r.k % 3 == 0 and r.did:
                 put("exact", (r.app_id, norm(r.did)), lid, r.ct, r.seq)
-            put("ipua", (r.app_id, r.ip, name, ver), lid, r.ct, r.seq)
-            put("ipver", (r.app_id, r.ip, ver), lid, r.ct, r.seq)
+            # the single written fuzzy key, Baidu-iPhone downgraded
+            if (1 + r.k % 7) in (1, 4) and "iPhone" in (r.ua_real or "") \
+                    and ver:
+                proc = ":" + ver
+            else:
+                proc = name + ":" + ver
+            put("fz", (r.app_id, r.ip, proc), lid, r.ct, r.seq)
         elif r.dt == "ss":
             probes.append((r, name, ver))
 
@@ -2094,12 +2108,12 @@ def test_click_match_cascade_matches_python_port(spark, sf_dir):
         if hit:
             exp[("exact", hit[0])] += 1
             continue
-        hit = stores["ipua"].get((r.app_id, r.ip, name, ver))
+        hit = stores["fz"].get((r.app_id, r.ip, name + ":" + ver))
         if hit:
             exp[("ipua", hit[0])] += 1
             continue
-        if r.pl == "ios":
-            hit = stores["ipver"].get((r.app_id, r.ip, ver))
+        if r.pl == "ios" and ver:
+            hit = stores["fz"].get((r.app_id, r.ip, ":" + ver))
             if hit:
                 exp[("ipver", hit[0])] += 1
                 continue
@@ -2502,8 +2516,12 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
                 keys.append(f"aid|{r.app_id}|{kid('aid', r.k, 17)}")
             if r.k % 2 == 0:
                 keys.append(f"imei|{r.app_id}|{kid('imei', r.k, 13)}")
-            keys.append(f"fz|{r.app_id}|{r.ip}|{name}:{ver}")
-            keys.append(f"fz|{r.app_id}|{r.ip}|:{ver}")
+            if (1 + r.k % 7) in (1, 4) and "iPhone" in (r.ua_real or "") \
+                    and ver:
+                proc = ":" + ver
+            else:
+                proc = name + ":" + ver
+            keys.append(f"fz|{r.app_id}|{r.ip}|{proc}")
             alias[r.seq] = keys
             for key in keys:
                 cur = store.get(key)
@@ -2540,7 +2558,7 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
             uk = f"fz|{r.app_id}|{r.ip}|{name}:{ver}"
             if uk in store and uk not in dead:
                 max_ct, pk, pt = store[uk][0], uk, "ipua"
-            if is_ios:
+            if is_ios and ver:
                 vk = f"fz|{r.app_id}|{r.ip}|:{ver}"
                 if vk in store and vk not in dead and store[vk][0] > max_ct:
                     pk, pt = vk, "ipver"

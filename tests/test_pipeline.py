@@ -127,23 +127,32 @@ def test_garbled_geo_range_nulls_whole_triple(spark, sf_dir):
 
 
 def test_adv_click_match_ipver_tier(spark):
-    """The iOS ip+version fallback tier (setAppIpUaKeys:1292-1297) is
-    unreachable at fixture scale — a user's own clicks always share the
-    full UA, so tier 2 fires first. Constructed rows prove the cascade:
-    an iPhone session start matching an iPad-UA click (name differs,
-    version matches) lands in 'ipver'; the same rows on a non-iOS
-    platform land in 'none'."""
+    """The iOS ip+version fallback (setAppIpUaKeys:1292-1297) can only
+    find clicks whose WRITTEN key is the Baidu-iPhone downgraded
+    ':version' form (setIpUaMaps:260-273) — the store holds one fuzzy
+    key per click. Constructed rows prove the whole gate: a Baidu
+    (channel 1+31%7=4) iPhone click stores ':16.6', so the iPhone
+    session's full-UA probe misses and the version-only probe lands
+    'ipver'; the same rows on a non-iOS platform land 'none'; a
+    NON-Baidu click with the identical UA stores 'iPhone:16.6' and is
+    found by the full-UA probe as 'ipua'."""
     from zg_etl_spark.operators.domain import SPARK
     from zg_etl_spark.plans.pipeline import _p42
 
     rows = [
         # (app_id, dt, did, ip, k, ct, seq, zg_id, pl, user_id)
-        # click: user 11 -> iPad/16.6 UA; k=4 (k%3!=0: no exact key)
-        (1, "mkt", "did_click", "9.9.9.9", 4, 1000, 1, 501, "ios", 11),
-        # session start: user 9 -> iPhone/16.6 UA; same ip
+        # Baidu-channel click: user 9 -> iPhone/16.6 UA; k=31
+        # (1+31%7 = 4 -> downgraded key; 31%3 != 0: no exact key)
+        (1, "mkt", "did_click", "9.9.9.9", 31, 1000, 1, 501, "ios", 9),
+        # session start: same user/UA/ip -> full-UA probe misses,
+        # version-only probe hits
         (1, "ss", "did_ss", "9.9.9.9", None, 2000, 2, 601, "ios", 9),
-        # same shape, non-iOS platform: the tier-3 gate must refuse it
+        # same shape, non-iOS platform: the version-probe gate refuses
         (1, "ss", "did_ss2", "9.9.9.9", None, 2000, 3, 602, "and", 9),
+        # non-Baidu click (1+11%7 = 5), identical UA, other ip: stores
+        # the full form -> found as 'ipua'
+        (1, "mkt", "did_c2", "8.8.8.8", 11, 1000, 4, 502, "ios", 9),
+        (1, "ss", "did_s3", "8.8.8.8", None, 2000, 5, 603, "ios", 9),
     ]
     spark.createDataFrame(
         rows,
@@ -155,6 +164,7 @@ def test_adv_click_match_ipver_tier(spark):
         r["match_tier"]: (r["lid"], r["n_sessions"])
         for r in spark.sql(sql).collect()
     }
-    assert got["ipver"] == (4, 1), got
+    assert got["ipver"] == (1, 1), got
+    assert got["ipua"] == (1, 1), got
     assert got["none"] == (None, 1), got
-    assert "ipua" not in got and "exact" not in got, got
+    assert "exact" not in got, got

@@ -19,10 +19,10 @@ deliberately left out, acknowledged in its docstring):
   string regardless of which click currently tops that key.
 * The store snapshot is the batch-start Redis state (ingest is the
   separate AdvSaveAppAdData path, p48); following p52's fixture
-  convention the snapshot is the full corpus click store, and the
-  two-store fuzzy split means the payload's single ip_ua_key maps to
-  both the (ip, name, ver) and (ip, ver) entries here — claiming a
-  click deletes its whole alias set.
+  convention the snapshot is the full corpus click store. Each click
+  holds ONE fuzzy key — its written ua_proc form, downgraded to
+  ':version' for Baidu-iPhone clicks — plus its exact keys; claiming a
+  click deletes its whole alias set (the payload's own key strings).
 
 Why this is NOT a row_number query: greedy sequential matching with
 fallthrough is order-dependent — first-claim-wins per key is wrong the
@@ -137,13 +137,12 @@ def _p54_run(spark: SparkSession, sf_dir: str,
         for t, c in (("idfa", "idfa_key"), ("oaid", "oaid_key"),
                      ("aid", "aid_key"), ("imei", "imei_key"))
     ]
+    # ONE fuzzy entry per click — the single ua_proc-form key it wrote
+    # (downgraded for Baidu-iPhone clicks), matching the stored payload's
+    # single ip_ua_key field
     parts.append(clicks.select(
         F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
-                 "ua_name", F.lit(":"), "ua_ver").alias("key"),
-        "seq", "ct", "lid"))
-    parts.append(clicks.select(
-        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|:"),
-                 "ua_ver").alias("key"),
+                 "ua_proc").alias("key"),
         "seq", "ct", "lid"))
     entries = parts[0]
     for p in parts[1:]:
@@ -171,8 +170,9 @@ def _p54_run(spark: SparkSession, sf_dir: str,
         k_exact("imei", F.col("p_imei")).alias("k_imei"),
         F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
                  "ua_name", F.lit(":"), "ua_ver").alias("k_ipua"),
-        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip",
-                 F.lit("|:"), "ua_ver").alias("k_ipver"),
+        F.when(F.col("ua_ver") != "",
+               F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip",
+                        F.lit("|:"), "ua_ver")).alias("k_ipver"),
     )
     hits = sp
     for t in ("idfa", "oaid", "aid", "imei", "ipua", "ipver"):

@@ -1702,10 +1702,15 @@ _register("p41_adv_channel_props", _p41)
 # :1352-1356); (2) fuzzy ip + ToolUtil.uaAnalysis(ua) name:version
 # (:1288-1290); (3) iOS only, ip + version alone (:1292-1297, the
 # reference reads $os — modeled here via the envelope pl, our bags carry
-# no $os). Clicks are the batch's own mkt rows (p31's touch convention);
-# a click carries an exact key only when k % 3 = 0, so every tier is
-# populated. The store keeps the LATEST click per key (max ct, seq
-# tie-break) — the redis max-ct overwrite semantics.
+# no $os). The fuzzy store is ONE namespace holding the single key each
+# click WROTE — 'ip + uaAnalysis', downgraded to ':version' for Baidu
+# channels 1/4 iPhone clicks (setIpUaMaps :260-273; channel = 1+k%7
+# fixture convention) — so the ip+version probe finds ONLY downgraded
+# clicks and requires a non-empty parsed version. Clicks are the
+# batch's own mkt rows (p31's touch convention); a click carries an
+# exact key only when k % 3 = 0, so every tier is populated. The store
+# keeps the LATEST click per key (max ct, seq tie-break) — the redis
+# max-ct overwrite semantics.
 #
 # Scale shape: the three stores are per-key ROW_NUMBER aggregates of the
 # click stream (rows ∝ clicks ≪ events — at 100 TB they'd be the
@@ -1732,7 +1737,9 @@ def _p42(d: Dialect) -> str:
 WITH keyed AS (
   SELECT app_id, dt, did, ip, k, ct, seq, zg_id, pl,
          {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
-         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver
+         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver,
+         CASE WHEN instr(ua_real, 'iPhone') > 0 THEN 1 ELSE 0 END
+             AS ua_iphone
   FROM (
     SELECT r.app_id, r.dt, r.did, r.ip, r.k, r.ct, r.seq, r.zg_id, r.pl,
            {ua_real_case(d, 'r.')} AS ua_real
@@ -1740,15 +1747,16 @@ WITH keyed AS (
   ) s
 ), clicks AS (
   SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
+         CASE WHEN (1 + k % 7) IN (1, 4) AND ua_iphone = 1
+                   AND ua_ver <> '' THEN ':' || ua_ver
+              ELSE ua_name || ':' || ua_ver END AS ua_proc,
          CASE WHEN k % 3 = 0 AND did IS NOT NULL AND did <> ''
               THEN {norm_id} END AS exact_key
   FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL
 ), exact_store AS (
   {store.format(keys="exact_key", where=" WHERE exact_key IS NOT NULL")}
-), ipua_store AS (
-  {store.format(keys="ip, ua_name, ua_ver", where="")}
-), ipver_store AS (
-  {store.format(keys="ip, ua_ver", where="")}
+), fz_store AS (
+  {store.format(keys="ip, ua_proc", where="")}
 ), ss AS (
   SELECT app_id, zg_id, ip, ua_name, ua_ver,
          CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
@@ -1769,11 +1777,12 @@ FROM (
   FROM ss s
   LEFT JOIN exact_store e
          ON e.app_id = s.app_id AND e.exact_key = s.probe_key
-  LEFT JOIN ipua_store u
+  LEFT JOIN fz_store u
          ON u.app_id = s.app_id AND u.ip = s.ip
-        AND u.ua_name = s.ua_name AND u.ua_ver = s.ua_ver
-  LEFT JOIN ipver_store v
-         ON v.app_id = s.app_id AND v.ip = s.ip AND v.ua_ver = s.ua_ver
+        AND u.ua_proc = s.ua_name || ':' || s.ua_ver
+  LEFT JOIN fz_store v
+         ON s.ua_ver <> '' AND v.app_id = s.app_id AND v.ip = s.ip
+        AND v.ua_proc = ':' || s.ua_ver
 ) x
 GROUP BY match_tier, lid"""
 
@@ -3442,10 +3451,16 @@ _register("p51_web_ad_lane", _p51)
 #   * Android: oaid > android_id > imei with a PRESENCE short-circuit
 #     (:1099-1137, `hasAndroidDevice`) — an oaid store hit wins even
 #     when the android_id store holds a NEWER click;
-#   * fuzzy only when no exact hit: ip+uaAnalysis, and on iOS the
-#     ip+version store is ALSO probed with the NEWER click winning
-#     (strict >, :1140-1166) — not a tier, a max — the refinement p42's
-#     first-hit tiers deliberately flatten;
+#   * fuzzy only when no exact hit: the store holds ONE key per click —
+#     'ip + uaAnalysis(click ua)', DOWNGRADED to ':version' for Baidu
+#     channels 1/4 iPhone clicks at WRITE time (setIpUaMaps,
+#     AdvSaveAppAdDataFlatMapFunction.java:260-273) — and the session
+#     probes that single namespace twice: ip+uaAnalysis(session ua)
+#     always, and on iOS ALSO ip+':version' (which can only find
+#     downgraded clicks), the NEWER of the two hits winning (strict >,
+#     :1140-1166) — not a tier, a max — the refinement p42's first-hit
+#     tiers deliberately flatten; the ':version' probe requires a
+#     non-empty parsed version (the :1153-1156 split-length gate);
 #   * every id goes through processDeviceId (32-char pass-through else
 #     md5, :1341-1358) on BOTH sides.
 # The reference also CONSUMES a matched click via the del-key set
@@ -3456,8 +3471,9 @@ _register("p51_web_ad_lane", _p51)
 # matching, inherently sequential).
 #
 # Scale shape: identical to p42 — per-key ROW_NUMBER click stores
-# (rows ∝ clicks), 6 broadcastable equi-joins on the probe side, no
-# inequality join; the priority/newer-of logic is all codegen CASE.
+# (rows ∝ clicks; the fuzzy store is ONE namespace keyed by the click's
+# written ua_proc form), 6 broadcastable equi-joins on the probe side,
+# no inequality join; the priority/newer-of logic is all codegen CASE.
 #
 # Data note: the fuzzy tiers join on ENVELOPE-derived (ip, ua), and at
 # small SFs clicks and sessions simply never collide (sf0.001 had zero
@@ -3472,15 +3488,15 @@ _register("p51_web_ad_lane", _p51)
 # picked by residue so C1/C2/C3 enter NO exact store (k % {3,4,2} != 0),
 # the S-row user_ids NULL-out every exact probe (u % {3,4,5,2} = 1),
 # except the exact pair C4/S3 where 24 % 23 = 1 = 30 % 29 makes the
-# md5'd idfa keys collide on purpose. The iPad/iPhone pair shares
-# ua_version 17.2 but not ua_name, so S2's ipua hit (C2) is out-newered
-# by C3 through the version-only store — the iOS max branch.
+# md5'd idfa keys collide on purpose. C2 (k=11 → channel 5) stores the
+# full 'iPhone:17.2' fuzzy key; C3 (k=31 → channel 4, Baidu + iPhone
+# UA) stores the DOWNGRADED ':17.2' key, so S2's ipua hit (C2) is
+# out-newered by C3 through the version-only probe — the iOS max
+# branch over the single-namespace store.
 P52_UA_ANDROID = ("Mozilla/5.0 (Linux; Android 13; Pixel 7) "
                   "AppleWebKit/537.36")
 P52_UA_IPHONE = ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) "
                  "AppleWebKit/605.1.15")
-P52_UA_IPAD = ("Mozilla/5.0 (iPad; CPU OS 17_2 like Mac OS X) "
-               "AppleWebKit/605.1.15")
 P52_FIXTURES = [
     (1, "mkt", 9000001, "203.0.113.7", 7, 1699990000000, -101,
      8800001, "android", P52_UA_ANDROID),
@@ -3488,8 +3504,8 @@ P52_FIXTURES = [
      8800011, "android", P52_UA_ANDROID),
     (1, "mkt", 9000002, "203.0.113.9", 11, 1699990001000, -103,
      8800002, "ios", P52_UA_IPHONE),
-    (1, "mkt", 9000003, "203.0.113.9", 13, 1699990002000, -104,
-     8800003, "ios", P52_UA_IPAD),
+    (1, "mkt", 9000003, "203.0.113.9", 31, 1699990002000, -104,
+     8800003, "ios", P52_UA_IPHONE),
     (1, "ss", 1, "203.0.113.9", None, 1699990006000, -105,
      8800012, "ios", P52_UA_IPHONE),
     (1, "mkt", 9000004, "203.0.113.11", 24, 1699990003000, -106,
@@ -3515,7 +3531,9 @@ def p52_keyed_sql(d: Dialect) -> str:
     return f"""
   SELECT app_id, dt, user_id, ip, k, ct, seq, zg_id, pl,
          {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
-         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver
+         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver,
+         CASE WHEN instr(ua_real, 'iPhone') > 0 THEN 1 ELSE 0 END
+             AS ua_iphone
   FROM (
     SELECT r.app_id, r.dt, r.user_id, r.ip, r.k, r.ct, r.seq, r.zg_id,
            r.pl, {ua_real_case(d, 'r.')} AS ua_real
@@ -3529,10 +3547,21 @@ def p52_keyed_sql(d: Dialect) -> str:
 
 
 def p52_clicks_sql(d: Dialect) -> str:
-    """The click records with their exact store keys (FROM keyed)."""
+    """The click records with their exact store keys and the SINGLE
+    fuzzy-key form the store actually holds (FROM keyed): setIpUaMaps
+    writes ONE key 'ip + uaAnalysis(ua)' per click, DOWNGRADED to
+    ':version' for Baidu channels 1/4 when the raw UA contains
+    'iPhone' (AdvSaveAppAdDataFlatMapFunction.java:260-273 — iPads
+    parse as iPhone sessions, so Baidu web clicks drop the name).
+    channel = 1 + k % 7 (fixture convention; 7 is coprime with the
+    exact-key residues so the channel doesn't bias store membership)."""
     kid = lambda p, s, m: _p52_kid(d, p, s, m)
     return f"""
   SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
+         1 + k % 7 AS ch,
+         CASE WHEN (1 + k % 7) IN (1, 4) AND ua_iphone = 1
+                   AND ua_ver <> '' THEN ':' || ua_ver
+              ELSE ua_name || ':' || ua_ver END AS ua_proc,
          CASE WHEN k % 3 = 0 THEN {kid("idfa", "k", 23)} END AS idfa_key,
          CASE WHEN k % 4 = 0 THEN {kid("oaid", "k", 19)} END AS oaid_key,
          CASE WHEN k % 5 = 0 THEN {kid("aid", "k", 17)} END AS aid_key,
@@ -3578,10 +3607,8 @@ WITH keyed AS ({p52_keyed_sql(d)}
   {store.format(keys="aid_key", where=" WHERE aid_key IS NOT NULL")}
 ), imei_store AS (
   {store.format(keys="imei_key", where=" WHERE imei_key IS NOT NULL")}
-), ipua_store AS (
-  {store.format(keys="ip, ua_name, ua_ver", where="")}
-), ipver_store AS (
-  {store.format(keys="ip, ua_ver", where="")}
+), fz_store AS (
+  {store.format(keys="ip, ua_proc", where="")}
 ), ss AS ({p52_ss_sql(d)}
 )
 SELECT match_tier, lid,
@@ -3615,12 +3642,12 @@ FROM (
          ON s.is_ios = 0 AND a.app_id = s.app_id AND a.aid_key = s.p_aid
   LEFT JOIN imei_store m
          ON s.is_ios = 0 AND m.app_id = s.app_id AND m.imei_key = s.p_imei
-  LEFT JOIN ipua_store u
+  LEFT JOIN fz_store u
          ON u.app_id = s.app_id AND u.ip = s.ip
-        AND u.ua_name = s.ua_name AND u.ua_ver = s.ua_ver
-  LEFT JOIN ipver_store v
-         ON s.is_ios = 1 AND v.app_id = s.app_id
-        AND v.ip = s.ip AND v.ua_ver = s.ua_ver
+        AND u.ua_proc = s.ua_name || ':' || s.ua_ver
+  LEFT JOIN fz_store v
+         ON s.is_ios = 1 AND s.ua_ver <> '' AND v.app_id = s.app_id
+        AND v.ip = s.ip AND v.ua_proc = ':' || s.ua_ver
 ) x
 GROUP BY match_tier, lid"""
 
