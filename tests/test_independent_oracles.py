@@ -1967,8 +1967,7 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
     def kid(prefix, src, mod):
         return hashlib.md5(f"{prefix}_{src % mod}".encode()).hexdigest()
 
-    stores = {name: {} for name in
-              ("idfa", "oaid", "aid", "imei", "fz")}
+    stores = {"ex": {}, "fz": {}}  # one exact namespace, like the store
 
     def put(store, app, key, lid, ct, seq):
         cur = stores[store].get((app, key))
@@ -1989,13 +1988,13 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
         if r.dt == "mkt" and r.k is not None:
             lid = r.k % 5
             if r.k % 3 == 0:
-                put("idfa", r.app_id, kid("idfa", r.k, 23), lid, r.ct, r.seq)
+                put("ex", r.app_id, kid("idfa", r.k, 23), lid, r.ct, r.seq)
             if r.k % 4 == 0:
-                put("oaid", r.app_id, kid("oaid", r.k, 19), lid, r.ct, r.seq)
+                put("ex", r.app_id, kid("oaid", r.k, 19), lid, r.ct, r.seq)
             if r.k % 5 == 0:
-                put("aid", r.app_id, kid("aid", r.k, 17), lid, r.ct, r.seq)
+                put("ex", r.app_id, kid("aid", r.k, 17), lid, r.ct, r.seq)
             if r.k % 2 == 0:
-                put("imei", r.app_id, kid("imei", r.k, 13), lid, r.ct, r.seq)
+                put("ex", r.app_id, kid("imei", r.k, 13), lid, r.ct, r.seq)
             put("fz", r.app_id, (r.ip, click_proc(r, name, ver)),
                 lid, r.ct, r.seq)
         elif r.dt == "ss":
@@ -2008,7 +2007,7 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
         tier, lid = "none", None
         if is_ios:
             if r.user_id % 3 != 1:
-                hit = stores["idfa"].get((r.app_id, kid("idfa", r.user_id, 29)))
+                hit = stores["ex"].get((r.app_id, kid("idfa", r.user_id, 29)))
                 if hit:
                     tier, lid = "exact_idfa", hit[0]
         else:
@@ -2017,7 +2016,7 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
                                          ("imei", 15, 2, "exact_imei")):
                 if r.user_id % gate == 1:
                     continue
-                hit = stores[st].get((r.app_id, kid(st, r.user_id, mod)))
+                hit = stores["ex"].get((r.app_id, kid(st, r.user_id, mod)))
                 if hit:
                     tier, lid = field, hit[0]
                     break
@@ -2509,13 +2508,13 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
             lid = r.k % 5
             keys = []
             if r.k % 3 == 0:
-                keys.append(f"idfa|{r.app_id}|{kid('idfa', r.k, 23)}")
+                keys.append(f"ex|{r.app_id}|{kid('idfa', r.k, 23)}")
             if r.k % 4 == 0:
-                keys.append(f"oaid|{r.app_id}|{kid('oaid', r.k, 19)}")
+                keys.append(f"ex|{r.app_id}|{kid('oaid', r.k, 19)}")
             if r.k % 5 == 0:
-                keys.append(f"aid|{r.app_id}|{kid('aid', r.k, 17)}")
+                keys.append(f"ex|{r.app_id}|{kid('aid', r.k, 17)}")
             if r.k % 2 == 0:
-                keys.append(f"imei|{r.app_id}|{kid('imei', r.k, 13)}")
+                keys.append(f"ex|{r.app_id}|{kid('imei', r.k, 13)}")
             if (1 + r.k % 7) in (1, 4) and "iPhone" in (r.ua_real or "") \
                     and ver:
                 proc = ":" + ver
@@ -2539,7 +2538,7 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
         tier, hit_key = "none", None
         if is_ios:
             if r.user_id % 3 != 1:
-                key = f"idfa|{r.app_id}|{kid('idfa', r.user_id, 29)}"
+                key = f"ex|{r.app_id}|{kid('idfa', r.user_id, 29)}"
                 if key in store and key not in dead:
                     tier, hit_key = "exact_idfa", key
         else:
@@ -2548,7 +2547,7 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
                                          ("imei", 15, 2, "exact_imei")):
                 if r.user_id % gate == 1:
                     continue
-                key = f"{st}|{r.app_id}|{kid(st, r.user_id, mod)}"
+                key = f"ex|{r.app_id}|{kid(st, r.user_id, mod)}"
                 if key in store and key not in dead:
                     tier, hit_key = label, key
                     break

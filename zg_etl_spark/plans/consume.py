@@ -126,16 +126,17 @@ def _p54_run(spark: SparkSession, sf_dir: str,
 
     app_s = F.col("app_id").cast("string")
 
-    def k_exact(t: str, col) -> F.Column:
-        return F.concat(F.lit(t + "|"), app_s, F.lit("|"), col)
+    # all exact ids share one 'adtfad:{app}:{md5}' namespace in the
+    # reference — a single 'ex|' prefix here, keyed by value alone
+    def k_exact(col) -> F.Column:
+        return F.concat(F.lit("ex|"), app_s, F.lit("|"), col)
 
     # every (key, click) ENTRY — winners feed the store, the full set is
     # the alias/del map (deletion is by key string, see module docstring)
     parts = [
         clicks.where(F.col(c).isNotNull()).select(
-            k_exact(t, F.col(c)).alias("key"), "seq", "ct", "lid")
-        for t, c in (("idfa", "idfa_key"), ("oaid", "oaid_key"),
-                     ("aid", "aid_key"), ("imei", "imei_key"))
+            k_exact(F.col(c)).alias("key"), "seq", "ct", "lid")
+        for c in ("idfa_key", "oaid_key", "aid_key", "imei_key")
     ]
     # ONE fuzzy entry per click — the single ua_proc-form key it wrote
     # (downgraded for Baidu-iPhone clicks), matching the stored payload's
@@ -164,10 +165,10 @@ def _p54_run(spark: SparkSession, sf_dir: str,
     # the strict > of :1157-1163 (tie keeps ip+ua)
     sp = ss.select(
         "seq", "ct", "zg_id", "is_ios",
-        k_exact("idfa", F.col("p_idfa")).alias("k_idfa"),
-        k_exact("oaid", F.col("p_oaid")).alias("k_oaid"),
-        k_exact("aid", F.col("p_aid")).alias("k_aid"),
-        k_exact("imei", F.col("p_imei")).alias("k_imei"),
+        k_exact(F.col("p_idfa")).alias("k_idfa"),
+        k_exact(F.col("p_oaid")).alias("k_oaid"),
+        k_exact(F.col("p_aid")).alias("k_aid"),
+        k_exact(F.col("p_imei")).alias("k_imei"),
         F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
                  "ua_name", F.lit(":"), "ua_ver").alias("k_ipua"),
         F.when(F.col("ua_ver") != "",

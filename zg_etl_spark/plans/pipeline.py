@@ -3450,7 +3450,11 @@ _register("p51_web_ad_lane", _p51)
 #   * iOS: ONE exact key — idfa (:1086-1097);
 #   * Android: oaid > android_id > imei with a PRESENCE short-circuit
 #     (:1099-1137, `hasAndroidDevice`) — an oaid store hit wins even
-#     when the android_id store holds a NEWER click;
+#     when the android_id store holds a NEWER click; ALL exact keys
+#     live in one 'adtfad:{app}:{md5}' namespace regardless of which id
+#     field wrote them (setMuidProcess :408-443 writes, :1090-1137
+#     probes the same prefix), so the store is keyed by the normalized
+#     value alone — one melted exact_store here, not four;
 #   * fuzzy only when no exact hit: the store holds ONE key per click —
 #     'ip + uaAnalysis(click ua)', DOWNGRADED to ':version' for Baidu
 #     channels 1/4 iPhone clicks at WRITE time (setIpUaMaps,
@@ -3599,14 +3603,24 @@ def _p52(d: Dialect) -> str:
     return f"""
 WITH keyed AS ({p52_keyed_sql(d)}
 ), clicks AS ({p52_clicks_sql(d)}
-), idfa_store AS (
-  {store.format(keys="idfa_key", where=" WHERE idfa_key IS NOT NULL")}
-), oaid_store AS (
-  {store.format(keys="oaid_key", where=" WHERE oaid_key IS NOT NULL")}
-), aid_store AS (
-  {store.format(keys="aid_key", where=" WHERE aid_key IS NOT NULL")}
-), imei_store AS (
-  {store.format(keys="imei_key", where=" WHERE imei_key IS NOT NULL")}
+), exact_entries AS (
+  SELECT app_id, idfa_key AS mkey, lid, ct, seq FROM clicks
+  WHERE idfa_key IS NOT NULL
+  UNION ALL
+  SELECT app_id, oaid_key, lid, ct, seq FROM clicks
+  WHERE oaid_key IS NOT NULL
+  UNION ALL
+  SELECT app_id, aid_key, lid, ct, seq FROM clicks
+  WHERE aid_key IS NOT NULL
+  UNION ALL
+  SELECT app_id, imei_key, lid, ct, seq FROM clicks
+  WHERE imei_key IS NOT NULL
+), exact_store AS (
+  SELECT app_id, mkey, lid, ct FROM (
+    SELECT app_id, mkey, lid, ct,
+           ROW_NUMBER() OVER (PARTITION BY app_id, mkey
+                              ORDER BY ct DESC, seq DESC) AS rn
+    FROM exact_entries) t WHERE rn = 1
 ), fz_store AS (
   {store.format(keys="ip, ua_proc", where="")}
 ), ss AS ({p52_ss_sql(d)}
@@ -3634,14 +3648,14 @@ FROM (
            WHEN u.lid IS NOT NULL THEN u.lid
          END AS lid
   FROM ss s
-  LEFT JOIN idfa_store i
-         ON s.is_ios = 1 AND i.app_id = s.app_id AND i.idfa_key = s.p_idfa
-  LEFT JOIN oaid_store o
-         ON s.is_ios = 0 AND o.app_id = s.app_id AND o.oaid_key = s.p_oaid
-  LEFT JOIN aid_store a
-         ON s.is_ios = 0 AND a.app_id = s.app_id AND a.aid_key = s.p_aid
-  LEFT JOIN imei_store m
-         ON s.is_ios = 0 AND m.app_id = s.app_id AND m.imei_key = s.p_imei
+  LEFT JOIN exact_store i
+         ON s.is_ios = 1 AND i.app_id = s.app_id AND i.mkey = s.p_idfa
+  LEFT JOIN exact_store o
+         ON s.is_ios = 0 AND o.app_id = s.app_id AND o.mkey = s.p_oaid
+  LEFT JOIN exact_store a
+         ON s.is_ios = 0 AND a.app_id = s.app_id AND a.mkey = s.p_aid
+  LEFT JOIN exact_store m
+         ON s.is_ios = 0 AND m.app_id = s.app_id AND m.mkey = s.p_imei
   LEFT JOIN fz_store u
          ON u.app_id = s.app_id AND u.ip = s.ip
         AND u.ua_proc = s.ua_name || ':' || s.ua_ver
