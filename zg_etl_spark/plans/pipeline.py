@@ -3705,6 +3705,63 @@ _register("p52_adv_ss_priority", _p52)
 # exactly like the 128-bit address integer, so the v6 lookup is a plain
 # string BETWEEN — no 128-bit arithmetic, no overflow, one 16-group agg.
 # ---------------------------------------------------------------------------
+def ipv6_hex32_sql(d: Dialect, inner: str, passthru: str) -> str:
+    """P53's '::'-expansion + fixed-width-hex normalization lane
+    (AwdbReader's textual-address handling re-expressed as pure codegen
+    string ops). `inner` is a relation yielding `low` — the lowercased
+    ip text — plus `passthru` columns; the result yields passthru +
+    low + hex32, where hex32 is the 32-hex-digit address key (NULL for
+    anything that is not a valid colon-form IPv6 text). Factored out of
+    _p53 so tests/test_ipv6_fuzz.py can drive the EXACT production
+    expression over arbitrary generated strings in both dialects."""
+    pt = (passthru + ", ") if passthru else ""
+    hexg = "[0-9a-f]{1,4}"
+    g8_re = "^(" + "):(".join([hexg] * 8) + ")$"
+
+    def cnt(x: str, ch: str) -> str:
+        return f"(length({x}) - length(replace({x}, '{ch}', '')))"
+
+    groups = ", ".join(
+        f"lpad(regexp_extract(fullip, {d.re_lit(g8_re)}, {i}), 4, '0')"
+        for i in range(1, 9)
+    )
+    return f"""
+        SELECT {pt}low,
+               CASE WHEN {d.rlike('fullip', g8_re)}
+                    THEN concat({groups}) END AS hex32
+        FROM (
+          SELECT {pt}low,
+                 CASE
+                   WHEN instr(low, ':::') > 0 THEN CAST(NULL AS {d.strtype})
+                   WHEN instr(low, '::') = 0 THEN low
+                   WHEN {cnt("replace(low, '::', '|')", '|')} <> 1 THEN
+                     CAST(NULL AS {d.strtype})
+                   WHEN 8 - n_l - n_r < 1 THEN CAST(NULL AS {d.strtype})
+                   ELSE CASE WHEN left_p = '' THEN '' ELSE left_p || ':' END
+                        || repeat('0:', 8 - n_l - n_r - 1) || '0'
+                        || CASE WHEN right_p = '' THEN ''
+                                ELSE ':' || right_p END
+                 END AS fullip
+          FROM (
+            SELECT {pt}low, left_p, right_p,
+                   CASE WHEN left_p = '' THEN 0
+                        ELSE {cnt('left_p', ':')} + 1 END AS n_l,
+                   CASE WHEN right_p = '' THEN 0
+                        ELSE {cnt('right_p', ':')} + 1 END AS n_r
+            FROM (
+              SELECT {pt}low,
+                     CASE WHEN instr(low, '::') > 0
+                          THEN substr(low, 1, instr(low, '::') - 1)
+                          ELSE '' END AS left_p,
+                     CASE WHEN instr(low, '::') > 0
+                          THEN substr(low, instr(low, '::') + 2)
+                          ELSE '' END AS right_p
+              FROM ({inner}) v6i
+            ) v6a
+          ) v6b
+        ) v6c"""
+
+
 def _p53(d: Dialect) -> str:
     from zg_etl_spark.operators.domain import geo_garbled
 
@@ -3732,8 +3789,6 @@ def _p53(d: Dialect) -> str:
     quad_re = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
     mapped_re = r"^::ffff:[0-9]{1,3}(\.[0-9]{1,3}){3}$"
     oct_re = r"^([0-9]+)\.([0-9]+)\.([0-9]+)\.([0-9]+)$"
-    hexg = "[0-9a-f]{1,4}"
-    g8_re = "^(" + "):(".join([hexg] * 8) + ")$"
 
     def cnt(x: str, ch: str) -> str:
         return f"(length({x}) - length(replace({x}, '{ch}', '')))"
@@ -3745,10 +3800,6 @@ def _p53(d: Dialect) -> str:
     )
     quad_valid = " AND ".join(
         f"o{i} IS NOT NULL AND o{i} <= 255" for i in range(1, 5))
-    groups = ", ".join(
-        f"lpad(regexp_extract(fullip, {d.re_lit(g8_re)}, {i}), 4, '0')"
-        for i in range(1, 9)
-    )
 
     # isPrivateIp, ported on the RAW string (split('.') quirks and all)
     seg1 = f"regexp_extract(low, {d.re_lit(r'^([^.]*)[.]')}, 1)"
@@ -3766,6 +3817,27 @@ def _p53(d: Dialect) -> str:
 
     gg4 = geo_garbled(d, "g4.country", "g4.province", "g4.city")
     gg6 = geo_garbled(d, "g6.country", "g6.province", "g6.city")
+
+    inner_low = f"""
+                SELECT cid, low, {octs}
+                FROM (
+                  SELECT cid,
+                         CASE WHEN {d.rlike('low0', quad_re)} THEN low0
+                              WHEN {d.rlike('low0', mapped_re)}
+                              THEN substr(low0, 8)
+                         END AS quad,
+                         low0 AS low
+                  FROM (
+                    SELECT cid, lower({ip_str}) AS low0
+                    FROM (SELECT CAST(user_id % {n} AS INT) AS cid, user_id
+                          FROM events
+                          UNION ALL
+                          SELECT CAST(t.cid AS INT) AS cid,
+                                 CAST(t.cid AS BIGINT) AS user_id
+                          FROM {seed} AS t(cid)) e
+                  ) e0
+                ) e1"""
+    hex_block = ipv6_hex32_sql(d, inner_low, "cid, o1, o2, o3, o4")
 
     return f"""
 SELECT cid, lane,
@@ -3801,60 +3873,7 @@ FROM (
                   WHEN {quad_valid} THEN 'v4'
                   WHEN hex32 IS NOT NULL THEN 'v6'
                   ELSE 'invalid' END AS lane
-      FROM (
-        SELECT cid, low, o1, o2, o3, o4,
-               CASE WHEN {d.rlike('fullip', g8_re)}
-                    THEN concat({groups}) END AS hex32
-        FROM (
-          SELECT cid, low, o1, o2, o3, o4,
-                 CASE
-                   WHEN instr(low, ':::') > 0 THEN CAST(NULL AS {d.strtype})
-                   WHEN instr(low, '::') = 0 THEN low
-                   WHEN {cnt("replace(low, '::', '|')", '|')} <> 1 THEN
-                     CAST(NULL AS {d.strtype})
-                   WHEN 8 - n_l - n_r < 1 THEN CAST(NULL AS {d.strtype})
-                   ELSE CASE WHEN left_p = '' THEN '' ELSE left_p || ':' END
-                        || repeat('0:', 8 - n_l - n_r - 1) || '0'
-                        || CASE WHEN right_p = '' THEN ''
-                                ELSE ':' || right_p END
-                 END AS fullip
-          FROM (
-            SELECT cid, low, o1, o2, o3, o4, left_p, right_p,
-                   CASE WHEN left_p = '' THEN 0
-                        ELSE {cnt('left_p', ':')} + 1 END AS n_l,
-                   CASE WHEN right_p = '' THEN 0
-                        ELSE {cnt('right_p', ':')} + 1 END AS n_r
-            FROM (
-              SELECT cid, low, o1, o2, o3, o4,
-                     CASE WHEN instr(low, '::') > 0
-                          THEN substr(low, 1, instr(low, '::') - 1)
-                          ELSE '' END AS left_p,
-                     CASE WHEN instr(low, '::') > 0
-                          THEN substr(low, instr(low, '::') + 2)
-                          ELSE '' END AS right_p
-              FROM (
-                SELECT cid, low, {octs}
-                FROM (
-                  SELECT cid,
-                         CASE WHEN {d.rlike('low0', quad_re)} THEN low0
-                              WHEN {d.rlike('low0', mapped_re)}
-                              THEN substr(low0, 8)
-                         END AS quad,
-                         low0 AS low
-                  FROM (
-                    SELECT cid, lower({ip_str}) AS low0
-                    FROM (SELECT CAST(user_id % {n} AS INT) AS cid, user_id
-                          FROM events
-                          UNION ALL
-                          SELECT CAST(t.cid AS INT) AS cid,
-                                 CAST(t.cid AS BIGINT) AS user_id
-                          FROM {seed} AS t(cid)) e
-                  ) e0
-                ) e1
-              ) e2
-            ) e3
-          ) e4
-        ) e5
+      FROM ({hex_block}
       ) e6
     ) e7
   ) x
