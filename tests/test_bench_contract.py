@@ -17,7 +17,8 @@ def test_correctness_window_composition():
     changed (p47, p48, p51, p52), l16 (edge-join formulation changed),
     the r2-era q-suite (q1-q10, q12-q19) + w2 and the r3-era
     p27/p28/p30-p35 + l1-l11 stale bands, and five r5-era refreshers
-    (p37, p39, s2, s6) plus p42 (fuzzy store formulation changed);
+    (p39, s2, s6) plus p55 (Tencent-web click match, new) and p42
+    (fuzzy store formulation changed);
     registering a new query must never
     silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
@@ -25,7 +26,7 @@ def test_correctness_window_composition():
     want_prefixes = ["p53_", "p54_", "p47_", "p48_", "p51_", "p52_",
                      "l16_", "w2_", "p27_", "p28_", "p30_", "p31_",
                      "p32_", "p33_", "p34_", "p35_",
-                     "p37_", "p39_", "p42_", "s2_", "s6_"]
+                     "p55_", "p39_", "p42_", "s2_", "s6_"]
     want_prefixes += [f"q{i}_" for i in range(1, 20) if i != 11]
     want_prefixes += [f"l{i}_" for i in range(1, 12)]
     for prefix in want_prefixes:

@@ -34,6 +34,7 @@ SPINE_QUERIES = {
     "p48_adv_click_keys": ("cid", 16),
     "p51_web_ad_lane": ("cid", 10),
     "p53_ipv6_geo": ("cid", 16),
+    "p55_tencent_web_match": ("pid", 11),  # per app; pid set compared
 }
 
 

@@ -2589,3 +2589,85 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
            for r in ALL["p52_adv_ss_priority"](spark, sf_dir).collect()}
     assert sum(n for (t, _), n in p52.items() if t != "none") >= \
         sum(n for (t, _), n in exp_n.items() if t != "none")
+
+
+# ---------------------------------------------------------------------------
+# P55 Tencent-web click match: a Python re-derivation of the channel-3
+# store-hit lane (:819-889) — cck-keyed latest-click store from the same
+# mkt rows + seeds, probe/park/del-key logic per the reference, no SQL
+# shared with the engine formulation.
+# ---------------------------------------------------------------------------
+def test_tencent_web_match_matches_python_port(spark, sf_dir):
+    import re
+    from types import SimpleNamespace
+
+    from zg_etl_spark.operators.domain import SPARK, ua_real_case
+    from zg_etl_spark.plans.pipeline import P52_FIXTURES
+
+    APPS = list(R.ADVERTISING_APPS)
+    rows = [r for r in _rows(spark, sf_dir, f"""
+        SELECT app_id, dt, user_id, ip, k, ct, seq, ua_real
+        FROM (SELECT r.*, {ua_real_case(SPARK, 'r.')} AS ua_real
+              FROM resolved r) t
+        WHERE dt IN ('mkt', 'evt')""") if r.app_id in APPS]
+    rows += [SimpleNamespace(app_id=a, dt=dt, user_id=u, ip=ip, k=k,
+                             ct=ct, seq=seq, ua_real=ua)
+             for (a, dt, u, ip, k, ct, seq, _z, _pl, ua) in P52_FIXTURES
+             if dt == "mkt"]
+
+    def ua_analysis(ua):
+        if ua is None:
+            return "", ""
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)",
+                          ua, re.I)
+        if not m:
+            return "", ""
+        ver = m.group(2) or ""
+        return m.group(1), re.sub(r"[^a-zA-Z0-9 ]", ".", ver)
+
+    store = {}  # (app, cck) -> (ct, seq, lid, ip, ua_proc)
+    def put(app, cck, ct, seq, lid, ip, proc):
+        cur = store.get((app, cck))
+        if cur is None or (ct, seq) > (cur[0], cur[1]):
+            store[(app, cck)] = (ct, seq, lid, ip, proc)
+
+    probes = {(a, pid): 0 for a in APPS for pid in range(11)}  # seeds
+    for r in rows:
+        if r.dt == "mkt" and r.k is not None and (1 + r.k % 7) == 3:
+            name, ver = ua_analysis(r.ua_real)
+            proc = name + ":" + ver  # ch 3 is never Baidu-downgraded
+            put(r.app_id, f"cck_{r.k % 9}", r.ct, r.seq, r.k % 5,
+                r.ip, proc)
+        elif r.dt == "evt":
+            probes[(r.app_id, int(r.user_id % 11))] += 1
+    for a in APPS:  # the constant seed clicks
+        for i in range(9):
+            put(a, f"cck_{i}", 1699980000000 + i, -(200 + 10 * a + i),
+                i % 5, f"198.51.100.{i}", "Android:13")
+
+    exp = {}
+    for (a, pid), n in probes.items():
+        n += 1  # the seed probe row
+        if pid == 10:
+            exp[(a, pid)] = ("no_probe", None, None, None, None, n, None)
+            continue
+        hit = store.get((a, f"cck_{pid}"))
+        if hit is None:  # only pid 9 can miss: seeds write cck_0..8
+            assert pid == 9, (a, pid)
+            exp[(a, pid)] = ("miss_parked", None, None, None,
+                             f"adtfad:cck_{pid}:rawdata", n, None)
+            continue
+        ct, _seq, lid, ip, proc = hit
+        exp[(a, pid)] = ("hit", lid, f"adtfad:{a}:cck_{pid}",
+                         f"adtfad:{a}:{ip}{proc}", None, n, ct)
+
+    got = {(r.app_id, r.pid): (r.lane, r.lid, r.del_cck_key,
+                               r.del_ipua_key, r.parked_key, r.n_rows,
+                               r.store_ct)
+           for r in ALL["p55_tencent_web_match"](spark, sf_dir).collect()}
+    assert got == exp, ({k: (got.get(k), exp.get(k))
+                         for k in set(got) | set(exp)
+                         if got.get(k) != exp.get(k)})

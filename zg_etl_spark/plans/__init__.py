@@ -28,9 +28,10 @@ from zg_etl_spark.plans import (
 #   4. the stale-attestation band, oldest first: the r2-era q-suite
 #      (q1-q10, q12-q19) and w2, then the r3-era p27/p28/p30-p35 and
 #      l1-l11;
-#   5. p42 (its fuzzy store became the faithful single-namespace
-#      form with the Baidu-iPhone downgraded key — output changed)
-#      and four r5-era refreshers: p37, p39, s2, s6.
+#   5. p55 (Tencent-web click match, new) and p42 (its fuzzy store
+#      became the faithful single-namespace
+#      form with the Baidu-iPhone downgraded key — output changed),
+#      plus three r5-era refreshers: p39, s2, s6.
 # The remainder (the r5/r6-green band: q11, q20, p0-p26, p29, p36, p38,
 # p41-p46, p49/p50, l12-l37, s1/s3-s5/s7-s10, g1-g4, w1/w3-w9) stays in
 # the tail, covered by the local sf0.01 parity rehearsal; after this
@@ -85,7 +86,7 @@ _WINDOW = [
     "l9_ann_ivf",
     "l10_multimodal_binary",
     "l11_embedding_neardup",
-    "p37_user_detail_sum",
+    "p55_tencent_web_match",
     "p39_baidu_eqid",
     "p42_adv_click_match",
     "s2_streaming_sessions",

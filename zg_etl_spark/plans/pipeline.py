@@ -3561,7 +3561,7 @@ def p52_clicks_sql(d: Dialect) -> str:
     exact-key residues so the channel doesn't bias store membership)."""
     kid = lambda p, s, m: _p52_kid(d, p, s, m)
     return f"""
-  SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
+  SELECT app_id, ip, ua_name, ua_ver, k, k % 5 AS lid, ct, seq,
          1 + k % 7 AS ch,
          CASE WHEN (1 + k % 7) IN (1, 4) AND ua_iphone = 1
                    AND ua_ver <> '' THEN ':' || ua_ver
@@ -3888,3 +3888,100 @@ GROUP BY cid, lane"""
 
 
 _register("p53_ipv6_geo", _p53)
+
+
+# ---------------------------------------------------------------------------
+# P55 Tencent-web click match (AdvLidAndUserFirstEndFlatMapFunction.java
+# :819-889, the store-HIT half of the channel-3 lane p51 derives probe
+# keys for): a web ad row whose admap carries qz_gdt (preferred) or
+# gdt_vid probes the click store at 'adtfad:{appId}:{value}' — the keys
+# p48's Tencent-web ingest writes from channel_click_id. On a hit the
+# STORED click's payload REPLACES the web admap (lid/lname/utm come from
+# the click, :840-843), the conversion row is emitted, and the claimed
+# click's channel_click_id_key AND ip_ua_key join the del-set
+# (:846-860); on a miss the raw message is PARKED in Redis under
+# 'adtfad:{value}:rawdata' with the tengxunWebExpireTime TTL (:884-889)
+# — note the parked key carries NO appId, a faithful quirk (two apps
+# probing the same click id overwrite each other's parked payload; the
+# output's parked_key column makes the collision visible).
+#
+# Batch-order note: unlike processAppSS (p54), this lane reads Redis
+# LIVE (syncGet :830-834) while the del-set only executes at batch end
+# (:746-748) — so WITHIN a batch every probe sees the store and two
+# conversions can claim the same click; consumption is only cross-batch.
+# Under the corpus-as-one-batch convention that makes the match a plain
+# snapshot JOIN — no sequential replay needed — and the del-set columns
+# are what the NEXT batch's store would lose.
+#
+# Store and probes both ride the p52 shared CTEs: Tencent clicks are
+# ch = 3 (k % 7 = 2) with channel_click_id 'cck_' || k % 9; web probes
+# carry pid = user_id % 11 → 'cck_' || pid (pid 9 misses: the store
+# only writes cck_0..8; pid 10 has no qz_gdt/gdt_vid at all). Constant
+# seed rows keep all 9 store keys and all 11 probe cases present at
+# every SF (both apps), per the SF-invariance idiom.
+#
+# Scale shape: one broadcastable per-key store build + one equi-join +
+# an 11×2-group agg; everything else is codegen string concat.
+# ---------------------------------------------------------------------------
+def _p55(d: Dialect) -> str:
+    apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    s = d.s
+    click_seed = R.values_sql(
+        [(a, i, f"198.51.100.{i}", 1699980000000 + i, -(200 + 10 * a + i))
+         for a in R.ADVERTISING_APPS for i in range(9)],
+        [])
+    probe_seed = R.values_sql(
+        [(a, i) for a in R.ADVERTISING_APPS for i in range(11)], [])
+    return f"""
+WITH keyed AS ({p52_keyed_sql(d)}
+), clicks AS ({p52_clicks_sql(d)}
+), tx_clicks AS (
+  SELECT app_id, 'cck_' || {s('(k % 9)')} AS cck, k % 5 AS lid,
+         ip, ua_proc, ct, seq
+  FROM clicks WHERE ch = 3
+  UNION ALL
+  SELECT t.app_id, 'cck_' || {s('t.i')}, CAST(t.i % 5 AS BIGINT),
+         t.ip, 'Android:13', CAST(t.ct AS BIGINT), CAST(t.seq AS BIGINT)
+  FROM {click_seed} AS t(app_id, i, ip, ct, seq)
+), cck_store AS (
+  SELECT app_id, cck, lid, ip, ua_proc, ct FROM (
+    SELECT app_id, cck, lid, ip, ua_proc, ct,
+           ROW_NUMBER() OVER (PARTITION BY app_id, cck
+                              ORDER BY ct DESC, seq DESC) AS rn
+    FROM tx_clicks) t WHERE rn = 1
+), probes AS (
+  SELECT app_id, CAST(user_id % 11 AS INT) AS pid
+  FROM resolved WHERE dt = 'evt' AND app_id IN ({apps})
+  UNION ALL
+  SELECT t.app_id, CAST(t.pid AS INT)
+  FROM {probe_seed} AS t(app_id, pid)
+)
+SELECT app_id, pid, lane,
+       MAX(lid) AS lid, MAX(del_cck_key) AS del_cck_key,
+       MAX(del_ipua_key) AS del_ipua_key, MAX(parked_key) AS parked_key,
+       COUNT(*) AS n_rows, MAX(store_ct) AS store_ct
+FROM (
+  SELECT p.app_id, p.pid,
+         CASE WHEN p.pid = 10 THEN 'no_probe'
+              WHEN c.cck IS NOT NULL THEN 'hit'
+              ELSE 'miss_parked' END AS lane,
+         c.lid,
+         CASE WHEN c.cck IS NOT NULL
+              THEN 'adtfad:' || {s('p.app_id')} || ':' || c.cck
+         END AS del_cck_key,
+         CASE WHEN c.cck IS NOT NULL
+              THEN 'adtfad:' || {s('p.app_id')} || ':' || c.ip || c.ua_proc
+         END AS del_ipua_key,
+         CASE WHEN p.pid <> 10 AND c.cck IS NULL
+              THEN 'adtfad:cck_' || {s('p.pid')} || ':rawdata'
+         END AS parked_key,
+         c.ct AS store_ct
+  FROM probes p
+  LEFT JOIN cck_store c
+         ON p.pid <> 10 AND c.app_id = p.app_id
+        AND c.cck = 'cck_' || {s('p.pid')}
+) x
+GROUP BY app_id, pid, lane"""
+
+
+_register("p55_tencent_web_match", _p55)
