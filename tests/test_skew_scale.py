@@ -106,3 +106,25 @@ def test_aqe_skew_join_splits(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_label_components_deep_chain_converges(spark):
+    """The shared connected-components primitive must converge in
+    O(log diameter) rounds (pointer doubling) — a 500-link chain is the
+    shape crawl-boilerplate duplicate chains and cascaded click claims
+    take, and plain min-label propagation would need ~500 rounds, far
+    past any sane cap. Also pins correctness on a mixed graph: the
+    chain, a star, and an isolated pair must come out as exactly three
+    components labeled by their minimum node id."""
+    from zg_etl_spark.operators.graph import label_components
+
+    chain = [(i, i + 1) for i in range(500)]           # comp min 0
+    star = [(1000, 1000 + i) for i in range(1, 40)]    # comp min 1000
+    pair = [(5000, 5001)]                              # comp min 5000
+    edges = spark.createDataFrame(chain + star + pair, "a LONG, b LONG")
+    sym = edges.union(edges.selectExpr("b AS a", "a AS b"))
+    labels = {r.nd: r.lab for r in label_components(sym).collect()}
+    assert all(labels[i] == 0 for i in range(501))
+    assert all(labels[1000 + i] == 1000 for i in range(40))
+    assert labels[5000] == 5000 and labels[5001] == 5000
+    assert len(labels) == 501 + 40 + 2

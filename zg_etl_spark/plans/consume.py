@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zg_etl_spark.operators.domain import SPARK, spark_pipeline_df
+from zg_etl_spark.operators.graph import label_components
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -263,25 +264,12 @@ def _p54_run(spark: SparkSession, sf_dir: str,
            .unionAll(edges.select(F.col("idb").alias("a"),
                                   F.col("ida").alias("b")))
            .localCheckpoint(True))
-    labels = (sym.select(F.col("a").alias("nd")).distinct()
-              .withColumn("lab", F.col("nd")).localCheckpoint(True))
-    prev = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(30):
-        prop = (sym.join(labels, sym.a == labels.nd)
-                .select(F.col("b").alias("nd"), "lab"))
-        labels = (labels.unionByName(prop).groupBy("nd")
-                  .agg(F.min("lab").alias("lab")).localCheckpoint(True))
-        cur = labels.agg(F.sum("lab")).first()[0]
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError("p54 component labeling did not converge")
-
+    labels = label_components(sym)
     key_comp = (nodes.join(labels, nodes.nid == labels.nd)
                 .select(F.col("node").alias("key"),
                         F.col("lab").cast("string").alias("comp")))
     return _finish(store, akeys, cands, nomatch, key_comp)
+
 
 
 def _finish(store, akeys, cands, nomatch, key_comp) -> DataFrame:

@@ -577,36 +577,16 @@ def _l16_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round shuffle + checkpoint for the whole corpus. At 100 TB the
     # candidate subgraph is orders of magnitude smaller than the corpus,
     # so this turns rounds-over-everything into rounds-over-duplicates.
-    labels = (
-        sym.selectExpr("a AS doc")
-        .distinct()
-        .selectExpr("doc", "doc AS lab")
-        .localCheckpoint(eager=True)
-    )
-    # min-labels decrease monotonically → fixpoint iff sum(lab) unchanged
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    # no broadcast hint on sym: the candidate edge set is NOT guaranteed
-    # broadcast-sized (crawl boilerplate can make near-dup edges huge) —
-    # an unhinted shuffle join degrades gracefully at 100 TB, and AQE
-    # still converts it to broadcast when the round's stats allow.
-    for _ in range(20):
-        prop = (
-            sym
-            .join(labels, F.col("a") == F.col("doc"))
-            .selectExpr("b AS doc", "lab")
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("doc")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("lab")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError("l16 label propagation did not converge in 20 rounds")
+    # shared min-label propagation WITH pointer doubling (operators/
+    # graph.py): boilerplate-heavy corpora chain near-duplicates hundreds
+    # deep, and plain propagation needs ~diameter rounds — doubling makes
+    # it O(log diameter). No broadcast hint on sym inside: the candidate
+    # edge set is NOT guaranteed broadcast-sized; the unhinted shuffle
+    # join degrades gracefully at 100 TB and AQE still picks broadcast
+    # when the round's stats allow.
+    from zg_etl_spark.operators.graph import label_components
+
+    labels = label_components(sym).withColumnRenamed("nd", "doc")
     return (
         spark.table("documents")
         .join(labels, F.col("doc_id") == F.col("doc"), "left")
