@@ -33,7 +33,7 @@ SPINE_QUERIES = {
     "p47_adv_cdc_route": ("cid", 12),
     "p48_adv_click_keys": ("cid", 16),
     "p51_web_ad_lane": ("cid", 10),
-    "p53_ipv6_geo": ("cid", 16),
+    "p53_ipv6_geo": ("cid", 18),
     "p55_tencent_web_match": ("pid", 11),  # per app; pid set compared
 }
 

@@ -1995,8 +1995,9 @@ def test_ss_priority_matches_python_port(spark, sf_dir):
                 put("ex", r.app_id, kid("aid", r.k, 17), lid, r.ct, r.seq)
             if r.k % 2 == 0:
                 put("ex", r.app_id, kid("imei", r.k, 13), lid, r.ct, r.seq)
-            put("fz", r.app_id, (r.ip, click_proc(r, name, ver)),
-                lid, r.ct, r.seq)
+            if r.ip:  # setIpUaMaps write gated on isNotEmpty(ip)
+                put("fz", r.app_id, (r.ip, click_proc(r, name, ver)),
+                    lid, r.ct, r.seq)
         elif r.dt == "ss":
             probes.append((r, name, ver))
 
@@ -2096,7 +2097,8 @@ def test_click_match_cascade_matches_python_port(spark, sf_dir):
                 proc = ":" + ver
             else:
                 proc = name + ":" + ver
-            put("fz", (r.app_id, r.ip, proc), lid, r.ct, r.seq)
+            if r.ip:  # setIpUaMaps write gated on isNotEmpty(ip)
+                put("fz", (r.app_id, r.ip, proc), lid, r.ct, r.seq)
         elif r.dt == "ss":
             probes.append((r, name, ver))
 
@@ -2367,6 +2369,8 @@ def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
             13: "fe80::1",
             14: "999.1.1.1",
             15: "172.20.1.1",
+            16: "1.2.3.4.",   # Java trailing-empty drop → 4 parts, PUBLIC
+            17: "-1.2.3.4",   # parseInt accepts the sign → -1, PUBLIC
         }[cid]
 
     def find(ip):  # IpDatabaseLoader.find(String)
@@ -2404,6 +2408,15 @@ def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
             return "v4"
         return "v6"
 
+    def jint(s):  # Integer.parseInt: optional sign + ASCII digits,
+        t = s[1:] if s[:1] in "+-" else s  # int32 overflow throws
+        if not t or not all(c in "0123456789" for c in t):
+            raise ValueError(s)
+        v = int(s)
+        if not -(2 ** 31) <= v <= 2 ** 31 - 1:
+            raise ValueError(s)
+        return v
+
     def is_private(ip):  # isPrivateIp, split('.') quirks included
         parts = ip.split(".")
         while parts and parts[-1] == "":  # Java trailing-empty drop
@@ -2411,9 +2424,7 @@ def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
         if len(parts) != 4:
             return 1
         try:
-            first, second = int(parts[0]), int(parts[1])
-            if not (parts[0].isdigit() and parts[1].isdigit()):
-                raise ValueError  # Java Integer.parseInt strictness
+            first, second = jint(parts[0]), jint(parts[1])
         except ValueError:
             return 1
         if first in (10, 127, 0) or (first == 172 and 16 <= second <= 31) \
@@ -2433,8 +2444,8 @@ def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
     uids = [r.user_id for r in _rows(spark, sf_dir,
                                      "SELECT user_id FROM events")]
     per_cid = {}
-    for uid in uids + list(range(16)):  # events volume + the seed rows
-        cid = int(uid % 16)
+    for uid in uids + list(range(18)):  # events volume + the seed rows
+        cid = int(uid % 18)
         ip = mk_ip(cid, uid)
         ln = lane(ip)
         triple = find(ip.lower())
@@ -2447,7 +2458,7 @@ def test_ipv6_geo_matches_ipaddress_port(spark, sf_dir):
 
     got = {r.cid: r for r in
            ALL["p53_ipv6_geo"](spark, sf_dir).collect()}
-    assert len(got) == 16
+    assert len(got) == 18
     for cid, (exp, n) in per_cid.items():
         r = got[cid]
         assert (r.lane, r.country, r.province, r.city,
@@ -2520,7 +2531,8 @@ def test_click_consumption_matches_sequential_replay(spark, sf_dir):
                 proc = ":" + ver
             else:
                 proc = name + ":" + ver
-            keys.append(f"fz|{r.app_id}|{r.ip}|{proc}")
+            if r.ip:  # setIpUaMaps write gated on isNotEmpty(ip)
+                keys.append(f"fz|{r.app_id}|{r.ip}|{proc}")
             alias[r.seq] = keys
             for key in keys:
                 cur = store.get(key)

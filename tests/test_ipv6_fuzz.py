@@ -116,3 +116,112 @@ def test_spark_normalization_matches_stdlib(spark, corpus):
         if got[i] != exp:
             bad.append((c, got[i], exp))
     assert not bad, bad[:10]
+
+
+# ---------------------------------------------------------------------------
+# isPrivateIp fuzz: the dotted-quad verdict (dw_private_sql) is the
+# other hand-rolled Java-quirk port in the p53 lane — Java's
+# split("\\.") trailing-empty drop, parts[0]/parts[1]-only parsing, and
+# Integer.parseInt's sign/overflow grammar. Same harness shape: a
+# seeded corpus of dirty quads pinned against a literal Python port of
+# IpEnrichOperator.java:190-231 in BOTH dialects (ASCII-digit closed
+# alphabet — Character.digit's Unicode digits are documented out of
+# scope in the production docstring).
+# ---------------------------------------------------------------------------
+def _java_is_private(ip: str) -> int:
+    parts = ip.split(".")
+    while parts and parts[-1] == "":  # Java trailing-empty drop
+        parts.pop()
+    if len(parts) != 4:
+        return 1
+
+    def jint(s):
+        t = s[1:] if s[:1] in "+-" else s
+        if not t or not all(c in "0123456789" for c in t):
+            raise ValueError(s)
+        v = int(s)
+        if not -(2 ** 31) <= v <= 2 ** 31 - 1:
+            raise ValueError(s)
+        return v
+
+    try:
+        first, second = jint(parts[0]), jint(parts[1])
+    except ValueError:
+        return 1
+    if first in (10, 127, 0) or (first == 172 and 16 <= second <= 31) \
+            or (first == 192 and second == 168):
+        return 1
+    return 0
+
+
+def _quad_corpus(seed: int = 20260815, n: int = 260):
+    rng = random.Random(seed)
+
+    def octet():
+        r = rng.random()
+        if r < 0.35:
+            s = str(rng.choice([0, 1, 9, 10, 127, 168, 172, 16, 31, 32,
+                                192, 255, 256, 999, rng.randrange(256)]))
+        elif r < 0.5:   # leading zeros / long digit runs / overflow
+            s = "0" * rng.randint(1, 3) + str(rng.randrange(10 ** 9))
+            if rng.random() < 0.3:
+                s = str(rng.randrange(10 ** 9, 10 ** 12))
+        elif r < 0.65:  # signed
+            s = rng.choice(["+", "-"]) + str(rng.randrange(300))
+        elif r < 0.75:  # empty part
+            s = ""
+        elif r < 0.85:  # non-digit junk
+            s = rng.choice(["a", "1a", "1 ", " 1", "1_0", "0x10", "1.5"])
+        else:
+            s = str(rng.randrange(2 ** 31 - 2, 2 ** 31 + 2))
+        return s
+
+    def parseable():  # tokens Integer.parseInt accepts
+        s = str(rng.choice([0, 10, 127, 168, 172, 192,
+                            rng.randrange(1000)]))
+        r = rng.random()
+        if r < 0.2:
+            s = rng.choice(["+", "-"]) + s
+        elif r < 0.4:
+            s = "0" * rng.randint(1, 3) + s
+        return s
+
+    cases = []
+    for _ in range(n // 2):  # clean-ish 4-part quads (both verdicts)
+        text = ".".join(parseable() for _ in range(4))
+        if rng.random() < 0.2:
+            text += "." * rng.randint(1, 2)  # trailing dots still public
+        cases.append(text)
+    for _ in range(n - n // 2):  # dirty structure
+        k = rng.choice([2, 3, 3, 4, 4, 4, 4, 5])
+        text = ".".join(octet() for _ in range(k - 1))
+        if rng.random() < 0.35:
+            text += "." * rng.randint(1, 3)
+        cases.append(text)
+    cases += ["10.0.0.1", "172.16.0.1", "172.32.0.1", "192.168.1.1",
+              "192.169.1.1", "127.1.1.1", "0.1.2.3", "1.2.3.4",
+              "1.2.3.4.", "1.2.3.4..", "-0.1.2.3", "+10.1.2.3",
+              "2147483647.1.1.1", "2147483648.1.1.1", "0010.1.2.3",
+              "1..2.3", "1.2..3", "", "...", "....", "1.2.3.4.5"]
+    return cases
+
+
+def test_dw_private_fuzz_both_dialects(spark):
+    from zg_etl_spark.plans.pipeline import dw_private_sql
+
+    corpus = _quad_corpus()
+    rows = ", ".join(
+        "(%d, '%s')" % (i, c.replace("'", "''")) for i, c in enumerate(corpus)
+    )
+    exp = {i: _java_is_private(c) for i, c in enumerate(corpus)}
+    assert sum(exp.values()) >= 60          # corpus sanity: both verdicts
+    assert len(exp) - sum(exp.values()) >= 40
+    for d, run in ((DUCK, lambda q: duckdb.sql(q).fetchall()),
+                   (SPARK, lambda q: [tuple(r) for r in
+                                      spark.sql(q).collect()])):
+        q = (f"SELECT i, {dw_private_sql(d, 'low')} AS p "
+             f"FROM (SELECT i, t AS low FROM (VALUES {rows})"
+             f" AS f(i, t)) x")
+        got = {r[0]: r[1] for r in run(q)}
+        bad = [(corpus[i], got[i], exp[i]) for i in exp if got[i] != exp[i]]
+        assert not bad, (d.__class__.__name__, bad[:10])

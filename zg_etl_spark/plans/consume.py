@@ -77,14 +77,19 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
     store = {}      # key -> (click_seq, lid)
     alias = {}      # click_seq -> [keys]
     cands = {}      # sess_seq -> (ct, zg_id, [(rank, key, tier)])
+    # nullable long columns arrive as float64 (pandas NaN coercion);
+    # int() at each use keeps seq/ct/lid exact past 2^53 — each branch
+    # only reads the columns that are non-null for its typ
     for r in pdf.itertuples(index=False):
         if r.typ == "store":
-            store[r.key] = (r.click_seq, r.lid)
+            store[r.key] = (int(r.click_seq),
+                            None if pd.isna(r.lid) else int(r.lid))
         elif r.typ == "alias":
-            alias.setdefault(r.click_seq, []).append(r.key)
+            alias.setdefault(int(r.click_seq), []).append(r.key)
         else:
-            ent = cands.setdefault(r.sess_seq, (r.sess_ct, r.zg_id, []))
-            ent[2].append((r.rank, r.key, r.tier))
+            ent = cands.setdefault(
+                int(r.sess_seq), (int(r.sess_ct), int(r.zg_id), []))
+            ent[2].append((int(r.rank), r.key, r.tier))
     dead: set = set()
     out = []
     for sess_seq, (ct, zg_id, lst) in sorted(
@@ -107,8 +112,11 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
 
 # contested-candidate row count under which the replay groups by app
 # directly (no labeling rounds); above it, exact components bound the
-# per-group volume. ~60 bytes/row → the coarse path tops out around a
-# hundred MB per executor-side group, well inside task memory.
+# per-group volume. Every relation the replay ships (store, alias,
+# candidates) is first cut to LIVE keys — keys some session probes — so
+# store+alias rows are O(cands) and the gate on cands.count() really
+# bounds group bytes: ~100 B/row → the coarse path tops out around a
+# few hundred MB per executor-side group, inside task memory.
 P54_COARSE_MAX = 2_000_000
 
 
@@ -141,8 +149,12 @@ def _p54_run(spark: SparkSession, sf_dir: str,
     ]
     # ONE fuzzy entry per click — the single ua_proc-form key it wrote
     # (downgraded for Baidu-iPhone clicks), matching the stored payload's
-    # single ip_ua_key field
-    parts.append(clicks.select(
+    # single ip_ua_key field; the WRITE is gated on a non-empty ip
+    # (setIpUaMaps' StringUtils.isNotEmpty(ip),
+    # AdvSaveAppAdDataFlatMapFunction.java:275-279) — the probe side
+    # builds its key unconditionally, like the reference (:1140-1141)
+    parts.append(clicks.where(
+        F.col("ip").isNotNull() & (F.col("ip") != "")).select(
         F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
                  "ua_proc").alias("key"),
         "seq", "ct", "lid"))
@@ -220,9 +232,15 @@ def _p54_run(spark: SparkSession, sf_dir: str,
                 F.lit(None).cast("long").alias("lid"), "zg_id")
     )
 
-    live_keys = cands.select("key").distinct()
+    # everything the replay ships is restricted to LIVE keys (keys some
+    # session actually probes): unprobed store/alias rows can never match
+    # or die observably, and without this cut the coarse per-app branch
+    # would ship an app's ENTIRE click store into one pandas group —
+    # per-group volume must be ∝ contested candidates, not store size
+    live_keys = cands.select("key").distinct().localCheckpoint(True)
     akeys = (entries.join(live_keys, "key")
              .select("key", "seq").localCheckpoint(True))
+    store = store.join(live_keys, "key").localCheckpoint(True)
 
     # grouping for the replay. Components never cross an app (every key
     # embeds its app id), so grouping by app is ALWAYS correct — coarser

@@ -1705,8 +1705,11 @@ _register("p41_adv_channel_props", _p41)
 # no $os). The fuzzy store is ONE namespace holding the single key each
 # click WROTE — 'ip + uaAnalysis', downgraded to ':version' for Baidu
 # channels 1/4 iPhone clicks (setIpUaMaps :260-273; channel = 1+k%7
-# fixture convention) — so the ip+version probe finds ONLY downgraded
-# clicks and requires a non-empty parsed version. Clicks are the
+# fixture convention), and the WRITE is gated on a non-empty ip
+# (StringUtils.isNotEmpty(ip) :275-279 — the probe side builds its key
+# unconditionally, like the reference) — so the ip+version probe finds
+# ONLY downgraded clicks and requires a non-empty parsed version.
+# Clicks are the
 # batch's own mkt rows (p31's touch convention); a click carries an
 # exact key only when k % 3 = 0, so every tier is populated. The store
 # keeps the LATEST click per key (max ct, seq tie-break) — the redis
@@ -1756,7 +1759,8 @@ WITH keyed AS (
 ), exact_store AS (
   {store.format(keys="exact_key", where=" WHERE exact_key IS NOT NULL")}
 ), fz_store AS (
-  {store.format(keys="ip, ua_proc", where="")}
+  {store.format(keys="ip, ua_proc",
+                where=" WHERE ip IS NOT NULL AND ip <> ''")}
 ), ss AS (
   SELECT app_id, zg_id, ip, ua_name, ua_ver,
          CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
@@ -3622,7 +3626,8 @@ WITH keyed AS ({p52_keyed_sql(d)}
                               ORDER BY ct DESC, seq DESC) AS rn
     FROM exact_entries) t WHERE rn = 1
 ), fz_store AS (
-  {store.format(keys="ip, ua_proc", where="")}
+  {store.format(keys="ip, ua_proc",
+                where=" WHERE ip IS NOT NULL AND ip <> ''")}
 ), ss AS ({p52_ss_sql(d)}
 )
 SELECT match_tier, lid,
@@ -3684,9 +3689,12 @@ _register("p52_adv_ss_priority", _p52)
 # Two operator-side verdicts ride along as flags, because the shipped DW
 # operator (IpEnrichOperator.java:121-231) consults them BEFORE/AFTER the
 # loader:
-#   * dw_private — isPrivateIp (:190-231) splits on '.' and returns true
-#     unless exactly 4 parts with parseable parts[0]/parts[1] outside the
-#     private blocks. Consequence kept faithful: EVERY colon-form ip
+#   * dw_private — isPrivateIp (:190-231) splits on '.' (Java split
+#     DROPS trailing empty strings, so '1.2.3.4.' still has 4 parts) and
+#     returns true unless exactly 4 parts with
+#     Integer.parseInt-parseable parts[0]/parts[1] (sign accepted, any
+#     digit count, int32 overflow throws → private) outside the private
+#     blocks. Consequence kept faithful: EVERY colon-form ip
 #     (including ::ffff: v4-mapped text) is "private" to the DW lane and
 #     gets \N geo — the awdb lookup only serves callers without that
 #     guard; '999.1.1.1' is NOT private (parts parse, 999 matches no
@@ -3762,11 +3770,47 @@ def ipv6_hex32_sql(d: Dialect, inner: str, passthru: str) -> str:
         ) v6c"""
 
 
+def dw_private_sql(d: Dialect, col: str) -> str:
+    """IpEnrichOperator.isPrivateIp (IpEnrichOperator.java:190-231) as
+    pure codegen SQL over the raw ip text, Java quirks included:
+    ``ip.split("\\\\.")`` DROPS trailing empty strings — so '1.2.3.4.'
+    has 4 parts and can be PUBLIC — only parts[0]/parts[1] are ever
+    parsed, and ``Integer.parseInt`` accepts an optional sign and any
+    digit count ('-0' → 0 → private; '0000000010' → 10 → private) but
+    throws on int32 overflow (→ private). Closed alphabet: ASCII digits
+    only (Java's Character.digit also accepts Unicode decimal digits —
+    the fixtures and fuzz corpus never mint them). Factored out of _p53
+    so tests can drive the EXACT production expression over arbitrary
+    generated strings in both dialects; `col` yields the ip text."""
+
+    def cnt(x: str, ch: str) -> str:
+        return f"(length({x}) - length(replace({x}, '{ch}', '')))"
+
+    # trailing dots produce exactly the trailing empty strings Java
+    # drops, so stripping them makes parts == dot-count + 1
+    trimmed = f"regexp_replace({col}, {d.re_lit(r'[.]+$')}, '')"
+    seg1 = f"regexp_extract({col}, {d.re_lit(r'^([^.]*)[.]')}, 1)"
+    seg2 = f"regexp_extract({col}, {d.re_lit(r'^[^.]*[.]([^.]*)[.]')}, 1)"
+    v1 = f"TRY_CAST({seg1} AS BIGINT)"
+    v2 = f"TRY_CAST({seg2} AS BIGINT)"
+    return f"""CASE
+      WHEN {cnt(trimmed, '.')} <> 3 THEN 1
+      WHEN NOT {d.rlike(seg1, '^[+-]?[0-9]+$')}
+        OR NOT {d.rlike(seg2, '^[+-]?[0-9]+$')} THEN 1
+      WHEN {v1} IS NULL OR {v1} NOT BETWEEN -2147483648 AND 2147483647
+        OR {v2} IS NULL OR {v2} NOT BETWEEN -2147483648 AND 2147483647
+        THEN 1
+      WHEN {v1} IN (10, 127, 0) THEN 1
+      WHEN {v1} = 172 AND {v2} BETWEEN 16 AND 31 THEN 1
+      WHEN {v1} = 192 AND {v2} = 168 THEN 1
+      ELSE 0 END"""
+
+
 def _p53(d: Dialect) -> str:
     from zg_etl_spark.operators.domain import geo_garbled
 
     s = d.s
-    n = 16
+    n = 18
     seed = "(VALUES " + ", ".join(f"({i})" for i in range(n)) + ")"
     ip_str = f"""CASE cid
     WHEN 0 THEN '2001:db8:3::' || {s('(1 + user_id % 9)')}
@@ -3784,7 +3828,9 @@ def _p53(d: Dialect) -> str:
     WHEN 12 THEN '2001:db8:f::ff'
     WHEN 13 THEN 'fe80::1'
     WHEN 14 THEN '999.1.1.1'
-    ELSE '172.20.1.1' END"""
+    WHEN 15 THEN '172.20.1.1'
+    WHEN 16 THEN '1.2.3.4.'
+    ELSE '-1.2.3.4' END"""
 
     quad_re = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
     mapped_re = r"^::ffff:[0-9]{1,3}(\.[0-9]{1,3}){3}$"
@@ -3802,18 +3848,7 @@ def _p53(d: Dialect) -> str:
         f"o{i} IS NOT NULL AND o{i} <= 255" for i in range(1, 5))
 
     # isPrivateIp, ported on the RAW string (split('.') quirks and all)
-    seg1 = f"regexp_extract(low, {d.re_lit(r'^([^.]*)[.]')}, 1)"
-    seg2 = f"regexp_extract(low, {d.re_lit(r'^[^.]*[.]([^.]*)[.]')}, 1)"
-    dw_private = f"""CASE
-      WHEN {cnt('low', '.')} <> 3 THEN 1
-      WHEN NOT {d.rlike(seg1, '^[0-9]{1,9}$')}
-        OR NOT {d.rlike(seg2, '^[0-9]{1,9}$')} THEN 1
-      WHEN TRY_CAST({seg1} AS INT) IN (10, 127, 0) THEN 1
-      WHEN TRY_CAST({seg1} AS INT) = 172
-           AND TRY_CAST({seg2} AS INT) BETWEEN 16 AND 31 THEN 1
-      WHEN TRY_CAST({seg1} AS INT) = 192
-           AND TRY_CAST({seg2} AS INT) = 168 THEN 1
-      ELSE 0 END"""
+    dw_private = dw_private_sql(d, "low")
 
     gg4 = geo_garbled(d, "g4.country", "g4.province", "g4.city")
     gg6 = geo_garbled(d, "g6.country", "g6.province", "g6.city")
