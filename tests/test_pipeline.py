@@ -168,3 +168,32 @@ def test_adv_click_match_ipver_tier(spark):
     assert got["ipua"] == (1, 1), got
     assert got["none"] == (None, 1), got
     assert "exact" not in got, got
+
+
+def test_p54_candidates_template_matches_engine(spark, sf_dir):
+    """The p54_candidates SQL template (the driver-hashable half of p54)
+    must emit EXACTLY the candidate relation the sequential replay
+    consumes — same sessions, keys, tiers, ranks (multiset equality).
+    With the driver's DuckDB hash row on p54_candidates and the global
+    sequential replay oracle in test_independent_oracles, this closes
+    p54's attestation chain: every input to the replay is value-checked."""
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.operators.domain import SPARK, spark_pipeline_df
+    from zg_etl_spark.plans.consume import _p54_relations, p54_candidates_sql
+
+    _, _, _, cands = _p54_relations(spark, sf_dir)
+    eng = cands.select(
+        "sess_seq", "sess_ct", "zg_id",
+        F.col("rank").cast("int").alias("cand_rank"),
+        F.col("key").alias("cand_key"), "tier",
+    )
+    tpl = spark_pipeline_df(spark, sf_dir, p54_candidates_sql(SPARK)).select(
+        "sess_seq", "sess_ct", "zg_id",
+        F.col("cand_rank").cast("int").alias("cand_rank"),
+        "cand_key", "tier",
+    )
+    n = eng.count()
+    assert n > 0 and n == tpl.count()
+    assert eng.exceptAll(tpl).count() == 0
+    assert tpl.exceptAll(eng).count() == 0

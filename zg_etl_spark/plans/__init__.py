@@ -15,82 +15,78 @@ changed this round; the twice-green remainder rotates behind them.
 from zg_etl_spark.plans import (
     consume, gate_queries, llm, pipeline, relational, streaming_queries)
 
-# Round-7 window: CORRECTNESS_r06 landed 50/50 green on the round-6
-# composition, so that block rotates behind. The window now front-loads,
-# in priority order:
-#   1. p53 (IPv6 geo, new) and p54 (click-consumption sequential replay,
-#      new — rows-only check, no SQL oracle by design);
-#   2. the queries whose OUTPUT changed with the SF-invariant fixture
-#      seeding (constant seed rows / the P52_FIXTURES stream): p47, p48,
-#      p51, p52 — their r6 rows attest the unseeded spines;
-#   3. l16 (broadcast hint dropped from the per-round edge join — same
-#      values, different plan; re-attest the formulation);
-#   4. the stale-attestation band, oldest first: the r2-era q-suite
-#      (q1-q10, q12-q19) and w2, then the r3-era p27/p28/p30-p35 and
-#      l1-l11;
-#   5. p55 (Tencent-web click match, new) and p42 (its fuzzy store
-#      became the faithful single-namespace
-#      form with the Baidu-iPhone downgraded key — output changed),
-#      plus three r5-era refreshers: p39, s2, s6.
-# The remainder (the r5/r6-green band: q11, q20, p0-p26, p29, p36, p38,
-# p41-p46, p49/p50, l12-l37, s1/s3-s5/s7-s10, g1-g4, w1/w3-w9) stays in
-# the tail, covered by the local sf0.01 parity rehearsal; after this
-# rotation nothing attested is older than r5.
+# Round-8 window: CORRECTNESS_r07 landed 49 hash-green + p54 rows-only
+# on the round-7 composition, so that block rotates behind. The window
+# now front-loads, in priority order:
+#   1. p54c_candidates (new — the driver-hashable half of p54's replay:
+#      its candidate-resolution joins under a full DuckDB value oracle)
+#      and w10_scale_ids (new — the xxhash64 scale-profile ID mode as a
+#      bijection-checking query);
+#   2. the queries whose OUTPUT changed with the round-7 advisory fixes
+#      (ip-gated fuzzy click-store writes; two new p53 fixture cids for
+#      the trailing-dot / signed-octet isPrivateIp paths): p42, p52,
+#      p53 — their r7 rows attest the pre-fix output;
+#   3. the stale-attestation band, oldest first (everything last green
+#      in round 5): q11/q20, p1-p3/p5/p7/p9-p18/p20/p22-p26, p37/p40,
+#      w1/w4-w8, g2/g3, l28-l37, s7/s8.
+# The remainder (the r6/r7-green band) stays in the tail, covered by
+# the local sf0.01 parity rehearsal; after this rotation nothing
+# attested is older than round 6.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
 # new entry silently displace the intended 50th query.
 _WINDOW = [
-    "p53_ipv6_geo",
-    "p54_click_consumption",
-    "p47_adv_cdc_route",
-    "p48_adv_click_keys",
-    "p51_web_ad_lane",
-    "p52_adv_ss_priority",
-    "l16_dedup_groups",
-    "q1_pricing_summary",
-    "q2_orders_customer_join",
-    "q3_revenue_by_nation",
-    "q4_nation_region",
-    "q5_semi_anti",
-    "q6_hash_agg",
-    "q7_rollup",
-    "q8_window_topk",
-    "q9_top_parts",
-    "q10_set_ops",
-    "q12_scalar_functions",
-    "q13_cube",
-    "q14_grouping_sets",
-    "q15_percentiles",
-    "q16_window_frames",
-    "q17_supplier_revenue",
-    "q18_correlated_subquery",
-    "q19_not_in_null_aware",
-    "w2_bucketed_join",
-    "p27_user_profile",
-    "p28_gate_business",
-    "p30_search_keywords",
-    "p31_adv_attribution",
-    "p32_synthesized_records",
-    "p33_ua_parse",
-    "p34_user_duration",
-    "p35_user_anonymous",
-    "l1_text_stats",
-    "l2_lang_id",
-    "l3_dedup_exact",
-    "l4_ngram_jaccard",
-    "l5_minhash_signatures",
-    "l6_lsh_candidates",
-    "l7_simhash",
-    "l8_ann_bruteforce",
-    "l9_ann_ivf",
-    "l10_multimodal_binary",
-    "l11_embedding_neardup",
-    "p55_tencent_web_match",
-    "p39_baidu_eqid",
+    "p54c_candidates",
+    "w10_scale_ids",
     "p42_adv_click_match",
-    "s2_streaming_sessions",
-    "s6_streaming_dedup",
+    "p52_adv_ss_priority",
+    "p53_ipv6_geo",
+    "q11_approx_distinct",
+    "q20_gapfill_locf",
+    "p1_gate_errors",
+    "p2_identity_mappings",
+    "p3_zgid_binding",
+    "p5_virtual_attrs",
+    "p7_enrichment",
+    "p9_user_properties",
+    "p10_b_user_upsert",
+    "p11_b_device_upsert",
+    "p12_id_archive",
+    "p13_user_visit_stats",
+    "p14_first_touch",
+    "p15_retention_cohort",
+    "p16_funnel",
+    "p17_user_prop_dict",
+    "p18_device_props",
+    "p20_asof_props",
+    "p22_session_attribution",
+    "p23_ad_conversion",
+    "p24_app_first_seen",
+    "p25_time_rollup",
+    "p26_error_details",
+    "p37_user_detail_sum",
+    "p40_salted_counters",
+    "w1_upsert_writer",
+    "w4_partition_overwrite",
+    "w5_compaction",
+    "w6_delete_sign",
+    "w7_schema_evolution",
+    "w8_retention_sweep",
+    "g2_wire_crypto",
+    "g3_rsa_unwrap",
+    "l28_source_mixture",
+    "l29_semantic_dedup",
+    "l30_dup_span_fraction",
+    "l31_candidate_verify",
+    "l32_vocab_coverage",
+    "l33_lm_quality_score",
+    "l34_source_overlap",
+    "l35_incremental_dedup",
+    "l36_sequence_packing",
+    "l37_pq_ann",
+    "s7_stream_stream_join",
+    "s8_stream_upsert_delete",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)

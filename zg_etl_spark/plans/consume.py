@@ -59,7 +59,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from zg_etl_spark.operators.domain import SPARK, spark_pipeline_df
+from zg_etl_spark.operators.domain import (
+    DUCK, SPARK, duck_pipeline_sql, spark_pipeline_df)
 from zg_etl_spark.operators.graph import label_components
 
 QUERIES: dict = {}
@@ -120,8 +121,13 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
 P54_COARSE_MAX = 2_000_000
 
 
-def _p54_run(spark: SparkSession, sf_dir: str,
-             _force_components: bool = False) -> DataFrame:
+def _p54_relations(spark: SparkSession, sf_dir: str):
+    """The DataFrame build of p54's candidate resolution — click-store
+    entries, per-key store, session probes, and the per-session static
+    preference relation (cands). Shared by the sequential replay
+    (_p54_run) and pinned against the dual-dialect p54_candidates SQL
+    template by tests/test_pipeline.py, so the driver's hash-green
+    p54_candidates row transitively attests these joins."""
     from zg_etl_spark.plans.pipeline import (
         p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
 
@@ -223,6 +229,12 @@ def _p54_run(spark: SparkSession, sf_dir: str,
     for p in cand_parts[1:]:
         cands = cands.unionByName(p)
     cands = cands.localCheckpoint(True)
+    return entries, store, ss, cands
+
+
+def _p54_run(spark: SparkSession, sf_dir: str,
+             _force_components: bool = False) -> DataFrame:
+    entries, store, ss, cands = _p54_relations(spark, sf_dir)
 
     # the map-only fast path: sessions with no candidate key at all
     nomatch = (
@@ -337,4 +349,104 @@ QUERIES["p54_click_consumption"] = _p54_run
 # no ORACLE entry: iterative component labeling + order-dependent replay
 # is not expressible as one DuckDB statement; the driver records the
 # rows-only check and tests/test_independent_oracles.py replays the
-# whole stream sequentially in Python as the value oracle.
+# whole stream sequentially in Python as the value oracle. The
+# SQL-expressible half (the 6-equi-join candidate resolution the replay
+# consumes) is hash-attested separately as p54c_candidates below.
+
+
+# ---------------------------------------------------------------------------
+# P54_CANDIDATES — the driver-hashable half of p54: each session's
+# static preference list over the batch-start click store (the same
+# probe keys/tiers/ranks the sequential replay consumes,
+# AdvLidAndUserFirstEndFlatMapFunction.java:1085-1166 for the probe
+# order, :408-443 + setIpUaMaps :260-279 for the store writes). Pure
+# joins — ROW_NUMBER store build + 6 broadcastable equi-joins — so it
+# carries a full DuckDB value oracle; tests/test_pipeline.py pins this
+# template's output equal to the DataFrame-built relation the replay
+# actually ships (_p54_relations), closing the attestation chain:
+# driver hash-green here + template≡engine pin + the global sequential
+# Python replay ⇒ every piece of p54 is value-checked.
+# ---------------------------------------------------------------------------
+def p54_candidates_sql(d) -> str:
+    from zg_etl_spark.plans.pipeline import (
+        p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
+
+    s = d.s
+    ex = "'ex|' || {app} || '|' || {v}"
+    rk_u = ("CASE WHEN ct_ipver IS NOT NULL"
+            " AND ct_ipver > COALESCE(ct_ipua, -1) THEN 11 ELSE 10 END")
+    rk_v = f"CASE WHEN {rk_u} = 11 THEN 10 ELSE 11 END"
+    exact_entry = (
+        "  SELECT {k} AS cand_key, ct, seq, lid FROM clicks\n"
+        "  WHERE {col} IS NOT NULL"
+    )
+    exact_entries = "\n  UNION ALL\n".join(
+        exact_entry.format(k=ex.format(app=s("app_id"), v=col), col=col)
+        for col in ("idfa_key", "oaid_key", "aid_key", "imei_key"))
+    return f"""
+WITH keyed AS ({p52_keyed_sql(d)}
+), clicks AS ({p52_clicks_sql(d)}
+), entries AS (
+{exact_entries}
+  UNION ALL
+  SELECT 'fz|' || {s('app_id')} || '|' || ip || '|' || ua_proc,
+         ct, seq, lid
+  FROM clicks WHERE ip IS NOT NULL AND ip <> ''
+), store AS (
+  SELECT cand_key, ct AS click_ct FROM (
+    SELECT cand_key, ct,
+           ROW_NUMBER() OVER (PARTITION BY cand_key
+                              ORDER BY ct DESC, seq DESC) AS rn
+    FROM entries) t WHERE rn = 1
+), ss AS ({p52_ss_sql(d)}
+), sp AS (
+  SELECT seq, ct, zg_id, is_ios,
+         {ex.format(app=s('app_id'), v='p_idfa')} AS k_idfa,
+         {ex.format(app=s('app_id'), v='p_oaid')} AS k_oaid,
+         {ex.format(app=s('app_id'), v='p_aid')} AS k_aid,
+         {ex.format(app=s('app_id'), v='p_imei')} AS k_imei,
+         'fz|' || {s('app_id')} || '|' || ip || '|' || ua_name || ':'
+             || ua_ver AS k_ipua,
+         CASE WHEN ua_ver <> ''
+              THEN 'fz|' || {s('app_id')} || '|' || ip || '|:' || ua_ver
+         END AS k_ipver
+  FROM ss
+), hits AS (
+  SELECT sp.*,
+         i.click_ct AS ct_idfa, o.click_ct AS ct_oaid,
+         a.click_ct AS ct_aid, m.click_ct AS ct_imei,
+         u.click_ct AS ct_ipua, v.click_ct AS ct_ipver
+  FROM sp
+  LEFT JOIN store i ON i.cand_key = sp.k_idfa
+  LEFT JOIN store o ON o.cand_key = sp.k_oaid
+  LEFT JOIN store a ON a.cand_key = sp.k_aid
+  LEFT JOIN store m ON m.cand_key = sp.k_imei
+  LEFT JOIN store u ON u.cand_key = sp.k_ipua
+  LEFT JOIN store v ON v.cand_key = sp.k_ipver
+)
+SELECT seq AS sess_seq, ct AS sess_ct, zg_id, 0 AS cand_rank,
+       k_idfa AS cand_key, 'exact_idfa' AS tier
+FROM hits WHERE is_ios = 1 AND ct_idfa IS NOT NULL
+UNION ALL
+SELECT seq, ct, zg_id, 0, k_oaid, 'exact_oaid'
+FROM hits WHERE is_ios = 0 AND ct_oaid IS NOT NULL
+UNION ALL
+SELECT seq, ct, zg_id, 1, k_aid, 'exact_aid'
+FROM hits WHERE is_ios = 0 AND ct_aid IS NOT NULL
+UNION ALL
+SELECT seq, ct, zg_id, 2, k_imei, 'exact_imei'
+FROM hits WHERE is_ios = 0 AND ct_imei IS NOT NULL
+UNION ALL
+SELECT seq, ct, zg_id, {rk_u}, k_ipua, 'ipua'
+FROM hits WHERE ct_ipua IS NOT NULL
+UNION ALL
+SELECT seq, ct, zg_id, {rk_v}, k_ipver, 'ipver'
+FROM hits WHERE is_ios = 1 AND ct_ipver IS NOT NULL"""
+
+
+def _p54c_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark_pipeline_df(spark, sf_dir, p54_candidates_sql(SPARK))
+
+
+QUERIES["p54c_candidates"] = _p54c_run
+ORACLE["p54c_candidates"] = duck_pipeline_sql(p54_candidates_sql(DUCK))

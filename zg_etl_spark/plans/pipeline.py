@@ -4020,3 +4020,60 @@ GROUP BY app_id, pid, lane"""
 
 
 _register("p55_tencent_web_match", _p55)
+
+
+# ---------------------------------------------------------------------------
+# W10 — the scale-profile ID mode as a declared, oracle-checked query.
+#
+# The deterministic profile assigns zg_did/zg_uid with per-app
+# DENSE_RANK over first-seen order (did_ids/uid_ids above) — faithful to
+# the reference's dense Snowflake+HSETNX assignment
+# (common/util/SnowflakeIdGenerator.java:21-90, OneIdService.java:
+# 337-358) but serialized per app at 100 TB (one sorted window per hot
+# app). The scale profile (operators/scale_ids.py) replaces it with
+# xxhash64(namespace, app_id, key): map-side, shuffle-free, stable
+# across batches with NO mapping store.
+#
+# Equivalence contract made hash-checkable: hash IDs are a pure function
+# of (app_id, key), so the partition of events they induce can only
+# MERGE natural-key groups (collision), never split them. Therefore
+# per app: count(distinct hash_id) == count(distinct key) ⇔ the hash
+# assignment is a bijection ⇔ every relational aggregate grouped by
+# hash id equals the same aggregate grouped by the natural key. The
+# query emits both counts from the Spark side (hash ids actually
+# computed); the oracle emits the natural-key count for BOTH columns —
+# the driver's value hash goes green iff the bijection holds on the
+# data. tests/test_skew_scale.py additionally pins the join-back 1:1
+# pairing against the dense_rank namespace and the per-device event
+# multiset equality.
+# ---------------------------------------------------------------------------
+def _w10_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from zg_etl_spark.operators.scale_ids import (
+        with_hash_device_ids,
+        with_hash_user_ids,
+    )
+
+    g = spark_pipeline_df(
+        spark, sf_dir, "SELECT app_id, did, cuid FROM gate_ok")
+    h = with_hash_user_ids(with_hash_device_ids(g))
+    return h.groupBy("app_id").agg(
+        F.countDistinct("did").alias("n_dev"),
+        F.countDistinct("zg_did").alias("n_dev_hash"),
+        F.countDistinct("cuid").alias("n_usr"),
+        F.countDistinct("zg_uid").alias("n_usr_hash"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES["w10_scale_ids"] = _w10_run
+ORACLE["w10_scale_ids"] = duck_pipeline_sql("""
+SELECT app_id,
+       COUNT(DISTINCT did)  AS n_dev,
+       COUNT(DISTINCT did)  AS n_dev_hash,
+       COUNT(DISTINCT cuid) AS n_usr,
+       COUNT(DISTINCT cuid) AS n_usr_hash,
+       COUNT(*)             AS n_events
+FROM gate_ok
+GROUP BY app_id""")
