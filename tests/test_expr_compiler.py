@@ -79,11 +79,19 @@ CORPUS = [
     ("date_diff('2024-08-10', '2024-08-01')", 9),
     ("date_diff('2024-08-10', ct_s)", 9),
     # date-aware ordered comparisons (compareDates :115-142): both sides
-    # parse as datetimes → chronological compare; '2024/8/2' < '2024-08-10'
-    # is TRUE chronologically but FALSE as strings ('/' > '-'), so this
-    # case fails if ordering falls back to string comparison
+    # parse as datetimes → chronological compare; '2024/8/2 0:0:0' <
+    # '2024-08-10' is TRUE chronologically but FALSE as strings
+    # ('/' > '-'), so this case fails if ordering falls back to string
+    # comparison
     ("'2024-08-10' > '2024-08-02'", True),
-    ("'2024/8/2' < '2024-08-10'", True),
+    ("'2024/8/2 0:0:0' < '2024-08-10'", True),
+    # …but slash/unpadded DATE-ONLY strings never parse in the reference:
+    # every LocalDateTime.parse pattern needs time fields and the
+    # LocalDate fallback is strict ISO (parseDateTimeString :613-620) —
+    # the compare falls to the numeric branch, whose BigDecimal throws
+    # (errData row → NULL here)
+    ("'2024/8/2' < '2024-08-10'", None),
+    ("'2024-8-2' < '2024-08-10'", None),
     ("'2024-08-01 06:30:00' >= '2024-08-01'", True),
     ("date_format(ct_s, 'yyyy-MM-dd') >= '2024-08-01'", True),
     ("CASE WHEN '2024-08-10' > '2024-08-02' THEN 'later' ELSE 'not' END", "later"),

@@ -1,0 +1,537 @@
+"""Dirty-input fuzz for the expression compiler (V1/V2) — the match_json
+treatment applied to functions/expr_compiler.py.
+
+Three legs:
+
+1. ENGINE ≡ ENGINE: every (expression template × dirty value pair) must
+   agree across SparkEmitter and DuckEmitter, tri-state (NULL / value),
+   with numeric and NaN/Inf rendering normalization. All cells evaluate
+   in ONE query per engine.
+2. ENGINE ≡ REFERENCE PORT: a literal Python port of the evaluator's
+   semantic kernels (VirtualAttributeExpressionEvaluator.java — the
+   date-aware ordered compare :115-142, parseDateTimeString's EFFECTIVE
+   accepted set :588-622, the Long.parseLong epoch gate :512-517, the
+   strict >1e10 sec/ms heuristic :526-535, scale-10 HALF_UP divide
+   :302-311). Where the reference returns a representable value, both
+   engines must produce it; where it THROWS (errData row), the engines
+   must produce the DOCUMENTED rendering — NULL, or the try_cast-lenient
+   numeric value for the documented leniency classes (whitespace /
+   scientific / decimal strings the reference's parseLong rejects).
+3. SEEDED RANDOM TREES over the dirty alphabet, engine ≡ engine.
+
+Alphabet is closed as documented in the compiler docstring: ASCII
+digits, 4-digit years, BMP text, substring starts ≥ 1.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+from datetime import datetime, timedelta, timezone
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+
+from zg_etl_spark.functions.expr_compiler import ExprCompiler
+
+# ---------------------------------------------------------------------------
+# dirty alphabet
+# ---------------------------------------------------------------------------
+DIRTY = [
+    None,
+    "",
+    " ",
+    "abc",
+    "0",
+    "-1",
+    "007",
+    "+42",
+    "-0",
+    " 42 ",
+    "3.5",
+    "1e5",
+    "0x10",
+    "NaN",
+    "Infinity",
+    "-Infinity",
+    "1722470400",            # 2024-08-01 UTC, seconds
+    "9999999999",            # just under the 1e10 boundary → seconds
+    "10000000000",           # exactly 1e10 → seconds (strict >)
+    "10000000001",           # just over → millis
+    "253402300799",          # >1e10 → millis (1978)
+    "253402300799999",       # 9999-12-31 23:59:59.999 as millis
+    "253402300800000",       # one ms past year 9999 → NULL
+    "-62135596800",          # 0001-01-01 as seconds
+    "-62135596801",          # one s before year 1 → NULL
+    "999999999999999999",    # 18 digits, far past year 9999 → NULL
+    "9223372036854775807",   # Long.MAX — parses in Java, unrepresentable here
+    "99999999999999999999",  # 20 digits — Long.parseLong overflows (throw)
+    "2024-08-10",
+    "2024-8-1",              # unpadded date-only: NOT a date (ref quirk)
+    "2024/8/1",              # slash date-only: NOT a date (ref quirk)
+    "2024-8-1 3:4:5",
+    "2024/8/1 3:4:5",
+    "2024-08-10 23:59:59",
+    "2024-08-10T05:30",
+    "2024-08-10T05:30:15",
+    "2024-02-29",            # valid leap day
+    "2023-02-29",            # invalid leap day
+    "2024-02-31",
+    "2024-13-01",
+    "2024-00-10",
+    "2024-08-10 24:00:00",
+    "9999-12-31 23:59:59",
+    "0001-01-01",
+]
+
+TEMPLATES = [
+    "f < g",
+    "f <= g",
+    "f > g",
+    "f >= g",
+    "f = g",
+    "f != g",
+    "f / g",
+    "f % g",
+    "f + g",
+    "round(f / g, 2)",
+    "date_format(f, 'yyyy-MM-dd HH:mm:ss')",
+    "from_unixtime(f)",
+    "date_diff(f, g)",
+    "length(f)",
+    "upper(f)",
+    "substring(f, 2, 3)",
+    "coalesce(nullif(f, ''), 'empty')",
+    "CASE WHEN f < g THEN 'lt' WHEN f >= g THEN 'ge' END",
+]
+
+
+def _resolver(name: str, hint: str) -> str:
+    if hint == "number":
+        return f"try_cast({name} AS DOUBLE)"
+    return name
+
+
+COMPILER = ExprCompiler(spark_field_resolver=_resolver,
+                        duck_field_resolver=_resolver)
+
+
+# ---------------------------------------------------------------------------
+# reference port — the Java semantics, literally
+# ---------------------------------------------------------------------------
+THROW = object()          # reference raised → errData row
+OUT_OF_WINDOW = object()  # representable in Java, not in int64-µs engines
+
+_LONG_RE = re.compile(r"[+-]?[0-9]+$")
+_BIGDEC_RE = re.compile(r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$")
+# TRY_CAST(x AS DOUBLE) grammar shared by both engines: trimmed, and the
+# special nan/inf names (leniency the reference's BigDecimal lacks)
+_TRYCAST_SPECIAL = {"nan": math.nan, "inf": math.inf, "infinity": math.inf,
+                    "+inf": math.inf, "+infinity": math.inf,
+                    "-inf": -math.inf, "-infinity": -math.inf}
+
+
+def ref_parse_long(s: str):
+    """Long.parseLong: strict int grammar + int64 range, else THROW."""
+    if not _LONG_RE.fullmatch(s):
+        return THROW
+    v = int(s)
+    return v if -(2**63) <= v < 2**63 else THROW
+
+
+def ref_big_decimal(s: str):
+    """new BigDecimal(String): strict (no whitespace), exact."""
+    if not _BIGDEC_RE.fullmatch(s):
+        return THROW
+    return Decimal(s)
+
+
+def engine_num_cmp(fa: float, fb: float) -> int:
+    """Both engines' ORDER semantics for doubles: NaN equals NaN and
+    sorts greater than everything else (non-IEEE, shared by Spark SQL
+    and DuckDB comparisons)."""
+    na, nb = math.isnan(fa), math.isnan(fb)
+    if na and nb:
+        return 0
+    if na:
+        return 1
+    if nb:
+        return -1
+    return (fa > fb) - (fa < fb)
+
+
+def try_cast_double(s):
+    """Both engines' TRY_CAST(VARCHAR AS DOUBLE): trim, plain/scientific
+    decimals, nan/inf names; None on anything else."""
+    if s is None:
+        return None
+    t = s.strip()
+    if t.lower() in _TRYCAST_SPECIAL:
+        return _TRYCAST_SPECIAL[t.lower()]
+    if _BIGDEC_RE.fullmatch(t):
+        return float(t)
+    return None
+
+
+def ref_epoch_to_dt(v: int):
+    """The sec/ms heuristic (:526-535) + the engines' documented
+    years-0001-9999 window."""
+    ms = v if v > 10_000_000_000 else v * 1000
+    if not -62_135_596_800_000 <= ms <= 253_402_300_799_999:
+        return OUT_OF_WINDOW
+    return datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(
+        milliseconds=ms)
+
+
+_DT_FORMS = [
+    # (regex, field order) — the evaluator's EFFECTIVE set: with-time
+    # forms take 1-2 digit fields; date-only survives ONLY as strict ISO
+    (re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$"), 6),
+    (re.compile(r"(\d{4})/(\d{1,2})/(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$"), 6),
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})$"), 6),
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})$"), 5),
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})$"), 3),
+]
+
+
+def ref_parse_datetime(s: str):
+    """parseDateTimeString's effective accepted set → aware-UTC datetime
+    (the engines are TZ-naive-in-UTC) or None."""
+    for rx, nfields in _DT_FORMS:
+        m = rx.match(s)
+        if m:
+            parts = [int(x) for x in m.groups()[:nfields]]
+            parts += [0] * (6 - len(parts))
+            try:
+                return datetime(*parts, tzinfo=timezone.utc)
+            except ValueError:
+                return None  # calendar-invalid → next formats also fail
+    return None
+
+
+def ref_compare(a: str, b: str):
+    """compareDates (:115-142): chronological iff both sides parse as
+    datetimes, else BigDecimal numeric; returns -1/0/1 or THROW."""
+    da, db = ref_parse_datetime(a), ref_parse_datetime(b)
+    if da is not None and db is not None:
+        return (da > db) - (da < db)
+    xa, xb = ref_big_decimal(a), ref_big_decimal(b)
+    if xa is THROW or xb is THROW:
+        return THROW
+    return (xa > xb) - (xa < xb)
+
+
+def ref_divide(a: str, b: str):
+    """divideNumbers (:302-311): scale 10, HALF_UP; /0 and non-numerics
+    THROW."""
+    xa, xb = ref_big_decimal(a), ref_big_decimal(b)
+    if xa is THROW or xb is THROW or xb == 0:
+        return THROW
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 80  # BigDecimal divide(…, 10, HALF_UP) is exact
+        return (xa / xb).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP)
+
+
+def ref_ts_from_any(s: str):
+    """date_format's value coercion: Long.parseLong FIRST (:512-517),
+    else the datetime formats; THROW when neither."""
+    v = ref_parse_long(s) if _LONG_RE.fullmatch(s) else THROW
+    if v is not THROW:
+        return ref_epoch_to_dt(v)
+    dt = ref_parse_datetime(s)
+    return dt if dt is not None else THROW
+
+
+# ---------------------------------------------------------------------------
+# harness: all cells in one query per engine
+# ---------------------------------------------------------------------------
+def _pairs():
+    rng = random.Random(20260815)
+    vals = [v for v in DIRTY]
+    out = []
+    # full diagonal + a seeded sample of the cross product (the full
+    # 44² × 18 cells would be ~35k per engine; 1/3 sample keeps the
+    # one-query evaluation under a few seconds while seeds make any
+    # failure reproducible)
+    for i, a in enumerate(vals):
+        for j, b in enumerate(vals):
+            if i == j or rng.random() < 0.34:
+                out.append((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    pairs = _pairs()
+    s_cols, d_cols = [], []
+    for t, tpl in enumerate(TEMPLATES):
+        s_cols.append(f"CAST(({COMPILER.to_spark_sql(tpl)}) AS STRING) AS c{t}")
+        d_cols.append(f"CAST(({COMPILER.to_duckdb_sql(tpl)}) AS VARCHAR) AS c{t}")
+
+    sdf = spark.createDataFrame(pairs, "f string, g string")
+    sdf.createOrReplaceTempView("fuzz_rows")
+    s_rows = spark.sql(
+        "SELECT f, g, " + ", ".join(s_cols) + " FROM fuzz_rows"
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fuzz_rows (f VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO fuzz_rows VALUES (?, ?)", pairs)
+    d_rows = con.execute(
+        "SELECT f, g, " + ", ".join(d_cols) + " FROM fuzz_rows"
+    ).fetchall()
+
+    s_map = {(r[0], r[1]): tuple(r[2:]) for r in s_rows}
+    d_map = {(r[0], r[1]): tuple(r[2:]) for r in d_rows}
+    assert set(s_map) == set(d_map) and len(s_map) == len(pairs)
+    return pairs, s_map, d_map
+
+
+def _norm_eq(a: str | None, b: str | None) -> bool:
+    if a is None or b is None:
+        return a is b
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb))
+    except (ValueError, OverflowError):
+        pass
+    # timestamp renderings: trailing fractional zeros
+    return a.rstrip("0").rstrip(".") == b.rstrip("0").rstrip(".")
+
+
+def test_engines_agree_on_dirty_cells(cells):
+    pairs, s_map, d_map = cells
+    bad = []
+    for pair in pairs:
+        for t, tpl in enumerate(TEMPLATES):
+            s, d = s_map[pair][t], d_map[pair][t]
+            if not _norm_eq(s, d):
+                bad.append((tpl, pair, s, d))
+    assert not bad, f"{len(bad)} cross-engine divergences, first 5: {bad[:5]}"
+
+
+def test_ordered_compare_matches_reference(cells):
+    """Leg 2, compare kernel: wherever the reference compareDates yields
+    a verdict, the engines must yield the same one — except the two
+    documented leniency classes (try_cast-lenient numerics the
+    BigDecimal path would reject, and double-precision loss past 2^53,
+    where BigDecimal compares exactly)."""
+    pairs, s_map, _ = cells
+    op_idx = {"<": 0, "<=": 1, ">": 2, ">=": 3}
+    evals = {"<": lambda c: c < 0, "<=": lambda c: c <= 0,
+             ">": lambda c: c > 0, ">=": lambda c: c >= 0}
+    checked = 0
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        cmp = ref_compare(a, b)
+        for op, idx in op_idx.items():
+            got = s_map[(a, b)][idx]
+            if cmp is THROW:
+                # documented rendering: NULL — unless the engines'
+                # lenient numeric coercion yields a number for both
+                fa, fb = try_cast_double(a), try_cast_double(b)
+                if fa is not None and fb is not None:
+                    want = str(evals[op](engine_num_cmp(fa, fb))).lower()
+                    assert got == want, (op, a, b, got)
+                else:
+                    assert got is None, (op, a, b, got)
+                continue
+            # precision deviation: BigDecimal is exact past 2^53
+            da, db = ref_parse_datetime(a), ref_parse_datetime(b)
+            if da is None or db is None:  # numeric branch
+                fa, fb = try_cast_double(a), try_cast_double(b)
+                if (fa is None or fb is None
+                        or abs(fa) >= 2**53 or abs(fb) >= 2**53):
+                    continue
+            want = str(evals[op](cmp)).lower()
+            assert got == want, (op, a, b, got, cmp)
+            checked += 1
+    assert checked > 400, f"port coverage too thin: {checked}"
+
+
+def test_divide_matches_reference(cells):
+    """Leg 2, divide kernel: scale-10 HALF_UP where the reference
+    divides; NULL where it throws on /0 (documented rendering); the
+    lenient-numeric class divides in double space."""
+    pairs, s_map, _ = cells
+    div_idx = TEMPLATES.index("f / g")
+    checked = 0
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        got = s_map[(a, b)][div_idx]
+        want = ref_divide(a, b)
+        if want is THROW:
+            fa, fb = try_cast_double(a), try_cast_double(b)
+            if fa is None or fb is None:
+                assert got is None, (a, b, got)
+            elif fb == 0 or math.isnan(fb) or math.isinf(fb) \
+                    or math.isnan(fa) or math.isinf(fa):
+                continue  # lenient specials: engine≡engine leg covers them
+            else:
+                assert got is not None, (a, b, got)
+            continue
+        if math.isinf(float(want)) or abs(want) > 1e300:
+            continue
+        assert got is not None and abs(float(got) - float(want)) <= max(
+            1e-9, 1e-9 * abs(float(want))), (a, b, got, want)
+        checked += 1
+    assert checked > 100, f"port coverage too thin: {checked}"
+
+
+def test_ts_coercion_matches_reference(cells):
+    """Leg 2, epoch kernel: date_format(f, 'yyyy-MM-dd HH:mm:ss') must
+    render exactly the reference's LocalDateTime (UTC pinning is the
+    engine's documented ZoneId choice) wherever the reference returns
+    one inside years 0001-9999; NULL where it throws or the epoch falls
+    outside the engine window (documented deviation)."""
+    pairs, s_map, _ = cells
+    fmt_idx = TEMPLATES.index("date_format(f, 'yyyy-MM-dd HH:mm:ss')")
+    seen = set()
+    checked = 0
+    for a, _b in pairs:
+        if a is None or a in seen:
+            continue
+        seen.add(a)
+        got = s_map[(a, _b)][fmt_idx]
+        want = ref_ts_from_any(a)
+        if want is THROW or want is OUT_OF_WINDOW:
+            assert got is None, (a, got, want)
+        else:
+            # %Y does not zero-pad years < 1000 on glibc — format the
+            # year explicitly so 0001-01-01 round-trips
+            ref_str = f"{want.year:04d}-" + want.strftime("%m-%d %H:%M:%S")
+            assert got == ref_str, (a, got, ref_str)
+            checked += 1
+    assert checked >= 12, f"port coverage too thin: {checked}"
+
+
+def test_documented_trycast_underscore_divergence(spark):
+    """DISCOVERED by this fuzz and documented rather than papered over:
+    DuckDB's TRY_CAST numeric grammar accepts underscore digit
+    separators ('1_0' → 10.0) where Spark yields NULL — a divergence in
+    the engines themselves, below the compiler. The dirty alphabet and
+    the fixture corpus exclude underscored numerics; this pin keeps the
+    difference visible and fails if either engine changes grammar."""
+    s = spark.sql("SELECT try_cast('1_0' AS DOUBLE)").collect()[0][0]
+    d = duckdb.sql("SELECT TRY_CAST('1_0' AS DOUBLE)").fetchone()[0]
+    assert s is None, s
+    assert d == 10.0, d
+
+
+def test_sec_ms_boundary_is_strict():
+    """The 1e10 boundary is a strict > in the reference (:526): exactly
+    10000000000 is SECONDS (year 2286), one more is millis (1970)."""
+    lo = ref_epoch_to_dt(10_000_000_000)
+    hi = ref_epoch_to_dt(10_000_000_001)
+    assert lo.year == 2286 and hi.year == 1970
+
+
+# ---------------------------------------------------------------------------
+# leg 3: seeded random trees over the dirty alphabet
+# ---------------------------------------------------------------------------
+# type-tracked generation: arithmetic takes only number-typed subtrees,
+# comparisons yield booleans consumed only by CASE/NOT — the grammar real
+# rules use (a boolean fed to `*` is a rule-author error that fails fast
+# at registration in Spark's ANSI analyzer)
+def _gen_num(rng: random.Random, depth: int) -> str:
+    # constant leaves stay numeric-parseable: string constants reach
+    # ANSI arithmetic un-try_cast (rule-author constants fail fast at
+    # registration by design); the dirty VALUES flow through f/g, whose
+    # resolver try_casts
+    if depth <= 0:
+        return rng.choice(["f", "g", "42", "3.5", "7"])
+    a = _gen_num(rng, depth - 1)
+    b = _gen_num(rng, depth - 1)
+    pick = rng.random()
+    if pick < 0.40:
+        return f"({a} {rng.choice(['+', '-', '*', '/', '%'])} {b})"
+    if pick < 0.55:
+        return f"round({a} / 7, {rng.randrange(0, 4)})"
+    if pick < 0.70:
+        return f"abs({a} - {b})"
+    if pick < 0.85:
+        return f"length(concat({_gen_str(rng, depth - 1)}, 'x'))"
+    return f"CASE WHEN {_gen_bool(rng, depth - 1)} THEN {a} END"
+
+
+def _gen_str(rng: random.Random, depth: int) -> str:
+    if depth <= 0:
+        return rng.choice(["f", "g", "'7'", "'2024-08-10'"])
+    a = _gen_str(rng, depth - 1)
+    pick = rng.random()
+    if pick < 0.3:
+        return f"upper({a})"
+    if pick < 0.6:
+        return f"substring(concat({a}, {_gen_str(rng, depth - 1)}), "\
+               f"{rng.randrange(1, 4)}, 5)"
+    return f"coalesce(nullif({a}, ''), 'empty')"
+
+
+def _gen_bool(rng: random.Random, depth: int) -> str:
+    if depth <= 0 or rng.random() < 0.5:
+        if rng.random() < 0.5:
+            return (f"{_gen_num(rng, 0)} "
+                    f"{rng.choice(['<', '<=', '>', '>=', '=', '!='])} "
+                    f"{_gen_num(rng, 0)}")
+        return (f"{_gen_str(rng, 0)} {rng.choice(['=', '!='])} "
+                f"{_gen_str(rng, 0)}")
+    a = _gen_bool(rng, depth - 1)
+    b = _gen_bool(rng, depth - 1)
+    return rng.choice([f"({a} AND {b})", f"({a} OR {b})", f"NOT {a}"])
+
+
+def _gen(rng: random.Random, depth: int) -> str:
+    pick = rng.random()
+    if pick < 0.5:
+        return _gen_num(rng, depth)
+    if pick < 0.75:
+        return _gen_str(rng, depth)
+    return f"CASE WHEN {_gen_bool(rng, depth)} THEN 'y' ELSE 'n' END"
+
+
+N_RANDOM = 150
+
+
+def test_random_trees_agree_on_dirty_rows(spark):
+    rng = random.Random(20260815)
+    exprs = [_gen(rng, rng.randrange(1, 4)) for _ in range(N_RANDOM)]
+    # a dirty-row sample: every value class represented
+    rows = [(a, b) for a, b in zip(DIRTY, DIRTY[7:] + DIRTY[:7])]
+
+    s_cols = [f"CAST(({COMPILER.to_spark_sql(e)}) AS STRING) AS c{i}"
+              for i, e in enumerate(exprs)]
+    d_cols = [f"CAST(({COMPILER.to_duckdb_sql(e)}) AS VARCHAR) AS c{i}"
+              for i, e in enumerate(exprs)]
+
+    spark.createDataFrame(rows, "f string, g string") \
+        .createOrReplaceTempView("fuzz_rand_rows")
+    s_rows = spark.sql(
+        "SELECT f, g, " + ", ".join(s_cols) + " FROM fuzz_rand_rows"
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_rand_rows (f VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO fuzz_rand_rows VALUES (?, ?)", rows)
+    d_rows = con.execute(
+        "SELECT f, g, " + ", ".join(d_cols) + " FROM fuzz_rand_rows"
+    ).fetchall()
+
+    s_map = {(r[0], r[1]): tuple(r[2:]) for r in s_rows}
+    d_map = {(r[0], r[1]): tuple(r[2:]) for r in d_rows}
+    bad = []
+    for key in s_map:
+        for i, e in enumerate(exprs):
+            if not _norm_eq(s_map[key][i], d_map[key][i]):
+                bad.append((e, key, s_map[key][i], d_map[key][i]))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"

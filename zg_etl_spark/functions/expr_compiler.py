@@ -25,11 +25,56 @@ Documented semantics preserved:
 - division carries scale 10, HALF_UP (`:302-311`) → round(a/b, 10);
 - substring is 1-based (`:386-392`), as in both target dialects;
 - from_unixtime / date_format use the sec-vs-ms heuristic: value > 1e10 is
-  millis (`:449-456`) — emitted via timestamp_millis/epoch_ms so both
-  engines stay timezone-naive (UTC);
-- NULL semantics are SQL (reference throws on div-by-0; we yield NULL —
-  documented divergence, the batch engine must not abort a 100 TB job on
-  one bad row).
+  millis (`:449-456`, strict Long comparison) — emitted via
+  timestamp_millis/epoch_ms so both engines stay timezone-naive (UTC);
+- the STRING epoch path is gated on Long.parseLong's grammar
+  (`^[+-]?\\d+$`, `:515-517`): decimals, whitespace, and scientific
+  notation are NOT epochs (the reference throws; we fall through to the
+  datetime-string parse and then NULL);
+- a NUMERIC epoch is truncated toward zero like `Number.longValue()`
+  (`:512`) — emitted as trunc() before the BIGINT cast because DuckDB's
+  double→BIGINT cast ROUNDS while Spark's truncates;
+- the datetime-string formats are the evaluator's effective set: the
+  date-only patterns in its formatter lists always fail
+  `LocalDateTime.parse` (no time fields), so only strict ISO
+  `yyyy-MM-dd` survives via the `LocalDate.parse` fallback
+  (`:613-620`) — unpadded (`2024-8-1`) and slash (`2024/8/1`)
+  DATE-ONLY strings are NOT datetimes (they fall through to the numeric
+  branch, as in compareDates `:139-141`); with-time forms accept 1-2
+  digit fields. Each format is regex-gated so both engines accept the
+  identical string set.
+- NULL semantics are SQL (reference throws on div-by-0, unparseable
+  epochs/dates, numeric overflow — routing the row to errData; we yield
+  NULL — documented divergence, the batch engine must not abort a
+  100 TB job on one bad row).
+
+Documented deviations (pinned by tests/test_expr_fuzz.py):
+- epochs outside calendar years 0001-9999 → NULL (the reference's
+  LocalDateTime happily represents year 292278994; int64-microsecond
+  engines cannot — and the unguarded *1000 would overflow the ANSI
+  BIGINT cast and abort the job);
+- numeric coercion outside the epoch path stays try_cast-lenient
+  (whitespace, decimals, scientific accepted where the reference's
+  BigDecimal/parseLong would throw → errData; value-instead-of-error
+  is the batch rendering of a per-row error sink);
+- closed datetime alphabet: 4-digit ASCII years (Java's `yyyy` also
+  parses 5+-digit years and unicode digits; the fixture corpus and the
+  fuzz alphabet never mint them);
+- substring start < 1 is reference-UNDEFINED (String.substring(-1)
+  throws, `:384-391`) and the two SQL dialects disagree there (Spark
+  treats 0 as 1, DuckDB shifts the window) — rules must use 1-based
+  positive starts, as every reference-shipped rule does; length() is
+  SQL codepoint length (Java's is UTF-16 code units — differs only
+  beyond the BMP, which the closed alphabet never mints);
+- date_diff counts FULL 24-hour periods truncated toward zero
+  (`ChronoUnit.DAYS.between` on LocalDateTime, `:440`) — faithful —
+  but its ARGUMENT forms are harmonized with date_format's (epoch
+  heuristic + datetime strings): the reference's own date_diff is
+  internally inconsistent (String args must be datetimes and throw on
+  epoch digits `:407-410`; Number args are ALWAYS millis with no >1e10
+  heuristic `:413-415`), an asymmetry that only exists because its
+  property bag distinguishes JSON number from string — our stringly
+  wide model cannot, so both functions share ts_from_any.
 """
 
 from __future__ import annotations
@@ -340,12 +385,18 @@ def _sql_str(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
+# compile-time MAYBE-date gate: over-accepting is safe (the runtime
+# regex-gated parse yields NULL and the compare falls back to numeric),
+# under-accepting would wrongly skip the date branch — so this set is a
+# superset of the runtime-accepted forms (strptime %m/%d/%H accept 1-2
+# digits, and the date-only slash/unpadded forms stay listed)
 _DATE_FORMATS_PY = (
     "%Y-%m-%d %H:%M:%S",
     "%Y-%m-%d",
     "%Y/%m/%d %H:%M:%S",
     "%Y/%m/%d",
     "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M",
 )
 
 _NUMBER_FUNCS = {"length", "abs", "round", "ceil", "floor", "date_diff"}
@@ -391,28 +442,110 @@ class Emitter:
     def cast_num(self, frag: str) -> str:
         raise NotImplementedError
 
+    def try_num(self, frag: str) -> str:
+        """Force an operand into double space WITHOUT the abort-on-bad
+        semantics of a plain ANSI cast: string-typed operands reach
+        arithmetic through paths the hint system cannot see (a CASE
+        branch yielding a raw field, a string constant), and Spark's
+        implicit ANSI cast would abort the job on one dirty row where
+        the reference's BigDecimal throw routes that row to errData —
+        NULL-and-continue is the documented batch rendering. Identical
+        spelling works in both dialects."""
+        return f"TRY_CAST({frag} AS DOUBLE)"
+
     def safe_div(self, a: str, b: str) -> str:
         """Division yielding NULL on a zero divisor in this dialect."""
+        raise NotImplementedError
+
+    def safe_mod(self, a: str, b: str) -> str:
+        """Remainder yielding NULL on a zero divisor in this dialect."""
         raise NotImplementedError
 
     def cast_str(self, frag: str) -> str:
         raise NotImplementedError
 
-    def ts_from_any(self, frag_any: str) -> str:
-        """Coerce a stringly value (epoch sec / epoch ms / datetime string)
-        to a naive timestamp, with the reference's >1e10 ⇒ millis rule."""
+    def rlike(self, frag: str, pattern: str) -> str:
+        """Anchored regex test over a string fragment."""
+        raise NotImplementedError
+
+    def ms_to_ts(self, ms_frag: str) -> str:
+        """BIGINT epoch-millis fragment (nullable) → naive timestamp."""
+        raise NotImplementedError
+
+    def trunc_to_long(self, d_frag: str) -> str:
+        """DOUBLE fragment → BIGINT truncated toward zero, matching
+        Number.longValue() (DuckDB's double→BIGINT cast rounds, Spark's
+        truncates — each dialect supplies its truncating form)."""
+        raise NotImplementedError
+
+    # --- shared timestamp semantics (reference evaluator :440-535) ---------
+    # calendar years 0001-9999 as epoch bounds; outside → NULL (documented
+    # deviation: int64-microsecond engines cannot hold the reference's
+    # unbounded LocalDateTime, and an ungated *1000 would overflow the
+    # ANSI BIGINT cast and abort the whole job on one bad row)
+    _EPOCH_S_MIN = -62_135_596_800
+    _EPOCH_MS_MAX = 253_402_300_799_999
+    _LONG_RE = "^[+-]?[0-9]{1,18}$"  # Long.parseLong grammar; 19-digit
+    # longs parse in Java but all exceed the year-9999 window → NULL
+    # either way, so the 18-digit cap is value-identical and overflow-free
+
+    def _epoch_ms(self, v: str) -> str:
+        """Nullable BIGINT epoch → epoch-millis with the strict >1e10 ⇒
+        already-millis rule (:526-535); NULL outside years 0001-9999.
+        The seconds branch multiplies at most |1e10|·1000 — in-range."""
+        return (f"CASE WHEN {v} > {self._EPOCH_MS_MAX} THEN NULL"
+                f" WHEN {v} > 10000000000 THEN {v}"
+                f" WHEN {v} >= {self._EPOCH_S_MIN} THEN {v} * 1000"
+                f" ELSE NULL END")
+
+    def ts_from_any(self, frag: str) -> str:
+        """Stringly value → naive timestamp: Long.parseLong FIRST (an
+        integer string is ALWAYS an epoch, :512-517 — no datetime format
+        is all-digits), else the datetime-string formats. Decimals,
+        whitespace, scientific notation are not epochs (parseLong throws
+        → reference errData → NULL here)."""
+        as_long = f"TRY_CAST({frag} AS BIGINT)"
+        return (f"CASE WHEN {self.rlike(frag, self._LONG_RE)} "
+                f"THEN {self.ms_to_ts(self._epoch_ms(as_long))} "
+                f"ELSE {self.ts_date_str(frag)} END")
+
+    def ts_from_num(self, frag: str) -> str:
+        """Numeric value → naive timestamp via Number.longValue()
+        truncation toward zero (:512), then the >1e10 rule."""
+        d = self.try_num(frag)
+        v = (f"CASE WHEN {d} BETWEEN -9.2e18 AND 9.2e18 "
+             f"THEN {self.trunc_to_long(d)} END")
+        return self.ms_to_ts(self._epoch_ms(v))
+
+    # regex gate per accepted datetime format — the evaluator's EFFECTIVE
+    # set (module docstring): date-only patterns fail LocalDateTime.parse,
+    # only strict ISO yyyy-MM-dd survives via the LocalDate fallback;
+    # with-time forms take 1-2 digit month/day/hour/min/sec
+    _DT_FORMS = (
+        ("^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}"
+         " [0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$", "dash_dt"),
+        ("^[0-9]{4}/[0-9]{1,2}/[0-9]{1,2}"
+         " [0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$", "slash_dt"),
+        ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(:[0-9]{2})?$",
+         "iso_t"),
+        ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "date_only"),
+    )
+
+    def dt_parse(self, frag: str, form: str) -> str:
+        """Parse a regex-vetted datetime string of the named form."""
         raise NotImplementedError
 
     def ts_date_str(self, frag: str) -> str:
         """Multi-format DATE-STRING parse (VirtualAttributeExpressionEvaluator
-        parseDateTimeString formats, :588-622) — NULL for anything else,
-        including pure numbers (epoch values are NOT dates here: the
-        reference's compareDates only takes the date branch when the text
-        parses as a calendar datetime)."""
-        raise NotImplementedError
-
-    def ts_from_num(self, frag_num: str) -> str:
-        raise NotImplementedError
+        parseDateTimeString :588-622 + the executeOperation formatter
+        lists) — NULL for anything else, including pure numbers (epoch
+        values are NOT dates here: compareDates only takes the date
+        branch when the text parses as a calendar datetime)."""
+        whens = " ".join(
+            f"WHEN {self.rlike(frag, rx)} THEN {self.dt_parse(frag, form)}"
+            for rx, form in self._DT_FORMS
+        )
+        return f"(CASE {whens} END)"
 
     def fmt_ts(self, ts_frag: str, fmt: str) -> str:
         raise NotImplementedError
@@ -489,16 +622,29 @@ class Emitter:
         if op == "not":
             return f"(NOT {self.emit(node.left, 'bool')})"
         if op == "neg":
-            return f"(- {self.emit(node.left, 'number')})"
+            return f"(- {self.try_num(self.emit(node.left, 'number'))})"
         if op in ("and", "or"):
             return (
                 f"({self.emit(node.left, 'bool')} {op.upper()} "
                 f"{self.emit(node.right, 'bool')})"
             )
-        if op in ("+", "-", "*", "%"):
+        if op in ("+", "-", "*"):
+            # all reference arithmetic is BigDecimal (:290-311); double
+            # is this engine's documented number space, and try_num keeps
+            # a dirty operand from aborting the job (see its docstring)
             return (
-                f"({self.emit(node.left, 'number')} {op} "
-                f"{self.emit(node.right, 'number')})"
+                f"({self.try_num(self.emit(node.left, 'number'))} {op} "
+                f"{self.try_num(self.emit(node.right, 'number'))})"
+            )
+        if op == "%":
+            # BigDecimal.remainder: truncated remainder, sign of the
+            # dividend — both engines' double mod. A zero divisor throws
+            # in the reference (errData row) AND in Spark ANSI (even for
+            # doubles, REMAINDER_BY_ZERO aborts the job) — safe_mod
+            # yields NULL in both dialects instead
+            return self.safe_mod(
+                self.try_num(self.emit(node.left, "number")),
+                self.try_num(self.emit(node.right, "number")),
             )
         if op == "/":
             # reference divide carries scale 10 HALF_UP (:302-311).
@@ -512,7 +658,7 @@ class Emitter:
             # whole job (the reference throws per-row and routes the row
             # to errData; NULL-and-continue is the batch rendering of that)
             return (
-                f"round({self.safe_div(self.cast_num(self.emit(node.left, 'number')), self.cast_num(self.emit(node.right, 'number')))}, 10)"
+                f"round({self.safe_div(self.try_num(self.emit(node.left, 'number')), self.try_num(self.emit(node.right, 'number')))}, 10)"
             )
         if op in ("=", "!="):
             lh = self._operand_hint(node.right)
@@ -528,9 +674,13 @@ class Emitter:
             # branch out of definitely-numeric comparisons (numeric consts,
             # arithmetic, number-returning functions) so `k > 50` stays a
             # plain double compare.
+            # the numeric branch is NUMERIC, never string ordering
+            # (compareNumbers :139-141 goes through BigDecimal): TRY_CAST
+            # forces string operands — constants, concat(...) results —
+            # into number space, NULL where BigDecimal would throw
             num = (
-                f"({self.emit(node.left, 'number')} {op} "
-                f"{self.emit(node.right, 'number')})"
+                f"(TRY_CAST({self.emit(node.left, 'number')} AS DOUBLE) {op} "
+                f"TRY_CAST({self.emit(node.right, 'number')} AS DOUBLE))"
             )
             if not (_could_be_date(node.left) and _could_be_date(node.right)):
                 return num
@@ -553,15 +703,22 @@ class Emitter:
         if name == "length":
             return self.cast_num(f"length({a(0, 'string')})")
         if name == "concat":
-            parts = ", ".join(self.emit(x, "string") for x in args)
-            return f"concat({parts})"
+            # `||` in BOTH dialects, not concat(): DuckDB's concat()
+            # IGNORES null arguments while Spark's propagates them — and
+            # the reference NPEs on a null param (Object::toString,
+            # :380-382 → errData row), so NULL-propagation is the
+            # documented rendering
+            if not args:
+                return "''"
+            parts = " || ".join(self.emit(x, "string") for x in args)
+            return f"({parts})"
         if name == "substring":
-            start = f"CAST({a(1, 'number')} AS BIGINT)"
+            start = f"TRY_CAST({a(1, 'number')} AS BIGINT)"
             if len(args) == 2:
                 return f"substring({a(0, 'string')}, {start})"
             return (
                 f"substring({a(0, 'string')}, {start}, "
-                f"CAST({a(2, 'number')} AS BIGINT))"
+                f"TRY_CAST({a(2, 'number')} AS BIGINT))"
             )
         if name == "now":
             return self.now()
@@ -577,13 +734,14 @@ class Emitter:
             fmt = self._const_str(args[1], "from_unixtime pattern")
             return self.fmt_ts(ts, fmt)
         if name == "abs":
-            return f"abs({a(0, 'number')})"
+            return f"abs({self.try_num(a(0, 'number'))})"
         if name == "round":
             if len(args) == 1:
-                return f"round({a(0, 'number')})"
-            return f"round({a(0, 'number')}, {self._const_int(args[1])})"
+                return f"round({self.try_num(a(0, 'number'))})"
+            return (f"round({self.try_num(a(0, 'number'))}, "
+                    f"{self._const_int(args[1])})")
         if name in ("ceil", "floor"):
-            return f"{name}({a(0, 'number')})"
+            return f"{name}({self.try_num(a(0, 'number'))})"
         if name == "coalesce":
             return "coalesce(" + ", ".join(self.emit(x) for x in args) + ")"
         if name == "nullif":
@@ -617,37 +775,47 @@ class SparkEmitter(Emitter):
         # bare `/` raises DIVIDE_BY_ZERO
         return f"try_divide({a}, {b})"
 
+    def safe_mod(self, a: str, b: str) -> str:
+        return f"try_mod({a}, {b})"
+
     def cast_str(self, frag: str) -> str:
         return f"CAST({frag} AS STRING)"
 
-    def ts_from_any(self, frag: str) -> str:
-        n = f"try_cast({frag} AS DOUBLE)"
-        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
-        return (
-            f"coalesce(try_to_timestamp({frag}), "
-            f"timestamp_millis(CAST({ms} AS BIGINT)))"
-        )
+    def rlike(self, frag: str, pattern: str) -> str:
+        return f"({frag} RLIKE {_sql_str(pattern)})"
 
-    def ts_from_num(self, frag: str) -> str:
-        n = f"CAST({frag} AS DOUBLE)"
-        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
-        return f"timestamp_millis(CAST({ms} AS BIGINT))"
+    def ms_to_ts(self, ms_frag: str) -> str:
+        return f"timestamp_millis({ms_frag})"
 
-    def ts_date_str(self, frag: str) -> str:
-        # single pattern letters (M/d/H/m/s) accept 1-2 digits, covering
-        # both the padded and unpadded reference formats
-        pats = ["yyyy-M-d H:m:s", "yyyy-M-d", "yyyy/M/d H:m:s", "yyyy/M/d",
-                "yyyy-M-d'T'H:m:s"]
+    def trunc_to_long(self, d_frag: str) -> str:
+        # Spark's ANSI double→BIGINT cast truncates toward zero (the
+        # operand is range-gated by the caller, so it cannot throw)
+        return f"CAST({d_frag} AS BIGINT)"
+
+    # single pattern letters (M/d/H/m/s) accept 1-2 digits in Spark's
+    # datetime patterns — the regex gate already fixed the digit counts
+    _SPARK_DT = {
+        "dash_dt": ["yyyy-M-d H:m:s"],
+        "slash_dt": ["yyyy/M/d H:m:s"],
+        "iso_t": ["yyyy-M-d'T'H:m:s", "yyyy-M-d'T'H:m"],
+        "date_only": ["yyyy-M-d"],
+    }
+
+    def dt_parse(self, frag: str, form: str) -> str:
         tries = ", ".join(
-            f"try_to_timestamp({frag}, {_sql_str(p)})" for p in pats
+            f"try_to_timestamp({frag}, {_sql_str(p)})"
+            for p in self._SPARK_DT[form]
         )
-        return f"coalesce({tries})"
+        return f"coalesce({tries})" if "," in tries else tries
 
     def fmt_ts(self, ts_frag: str, fmt: str) -> str:
         return f"date_format({ts_frag}, {_sql_str(fmt)})"
 
     def datediff_days(self, a_ts: str, b_ts: str) -> str:
-        return f"CAST(datediff(CAST({a_ts} AS DATE), CAST({b_ts} AS DATE)) AS BIGINT)"
+        # full 24-hour periods, truncated toward zero (ANSI double→BIGINT
+        # cast truncates; operands are bounded by the year-9999 window)
+        return (f"CAST((unix_micros({a_ts}) - unix_micros({b_ts}))"
+                f" / 86400e6 AS BIGINT)")
 
     def json_get(self, j: str, p: str) -> str:
         return f"get_json_object({j}, {_sql_str(p)})"
@@ -665,36 +833,49 @@ class DuckEmitter(Emitter):
     def safe_div(self, a: str, b: str) -> str:
         return f"({a} / {b})"  # DuckDB double division yields NULL on /0
 
+    def safe_mod(self, a: str, b: str) -> str:
+        return f"({a} % {b})"  # DuckDB double mod yields NULL on %0
+
     def cast_str(self, frag: str) -> str:
         return f"CAST({frag} AS VARCHAR)"
 
-    def ts_from_any(self, frag: str) -> str:
-        n = f"TRY_CAST({frag} AS DOUBLE)"
-        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
-        return (
-            f"coalesce(TRY_CAST({frag} AS TIMESTAMP), "
-            f"epoch_ms(CAST({ms} AS BIGINT)))"
+    def rlike(self, frag: str, pattern: str) -> str:
+        return f"regexp_matches({frag}, {_sql_str(pattern)})"
+
+    def ms_to_ts(self, ms_frag: str) -> str:
+        return f"epoch_ms({ms_frag})"
+
+    def trunc_to_long(self, d_frag: str) -> str:
+        # DuckDB's double→BIGINT cast ROUNDS; trunc() first to match
+        # Number.longValue()'s truncation toward zero
+        return f"CAST(trunc({d_frag}) AS BIGINT)"
+
+    # %-padded strptime fields accept 1-2 digits in DuckDB — the regex
+    # gate already fixed the digit counts
+    _DUCK_DT = {
+        "dash_dt": ["%Y-%m-%d %H:%M:%S"],
+        "slash_dt": ["%Y/%m/%d %H:%M:%S"],
+        "iso_t": ["%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M"],
+        "date_only": ["%Y-%m-%d"],
+    }
+
+    def dt_parse(self, frag: str, form: str) -> str:
+        # one try_strptime per format, NOT the format-list form: the list
+        # overload returns TIMESTAMP WITH TIME ZONE (naive everywhere else)
+        tries = ", ".join(
+            f"try_strptime({frag}, {_sql_str(p)})"
+            for p in self._DUCK_DT[form]
         )
-
-    def ts_from_num(self, frag: str) -> str:
-        n = f"CAST({frag} AS DOUBLE)"
-        ms = f"CASE WHEN {n} > 1e10 THEN {n} ELSE {n} * 1000 END"
-        return f"epoch_ms(CAST({ms} AS BIGINT))"
-
-    def ts_date_str(self, frag: str) -> str:
-        pats = ["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y/%m/%d %H:%M:%S",
-                "%Y/%m/%d", "%Y-%m-%dT%H:%M:%S"]
-        fmt_list = ", ".join(_sql_str(p) for p in pats)
-        return f"try_strptime({frag}, [{fmt_list}])"
+        return f"coalesce({tries})" if "," in tries else tries
 
     def fmt_ts(self, ts_frag: str, fmt: str) -> str:
         return f"strftime({ts_frag}, {_sql_str(java_fmt_to_strftime(fmt))})"
 
     def datediff_days(self, a_ts: str, b_ts: str) -> str:
-        return (
-            f"CAST(date_diff('day', CAST({b_ts} AS DATE), CAST({a_ts} AS DATE)) "
-            f"AS BIGINT)"
-        )
+        # full 24-hour periods toward zero; NOT DuckDB's date_diff('day'),
+        # which counts calendar-boundary crossings
+        return (f"CAST(trunc((epoch({a_ts}) - epoch({b_ts})) / 86400.0)"
+                f" AS BIGINT)")
 
     def json_get(self, j: str, p: str) -> str:
         return f"json_extract_string({j}, {_sql_str(p)})"
