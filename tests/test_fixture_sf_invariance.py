@@ -48,6 +48,24 @@ def test_case_set_is_sf_invariant(spark, name):
         assert len(sets[SF_A]) == expected, (name, sorted(sets[SF_A]))
 
 
+@pytest.mark.parametrize("sf", [SF_A, SF_B])
+def test_p54_consumption_reroutes_at_every_sf(spark, sf):
+    """p54's fixtures ride p52's (same candidate resolution), but its
+    output is the consumption-REROUTED tier set: 'none' must be present
+    (a session whose only candidates were claimed earlier), and at least
+    one (tier, lid) cell must differ from p52's snapshot probe — the
+    sequential del-set must actually consume, at EVERY SF.  Generalizes
+    the within-one-SF diff check in test_independent_oracles."""
+    p52 = {(r.match_tier, r.lid): r.n_sessions
+           for r in ALL["p52_adv_ss_priority"](spark, sf).collect()}
+    p54 = {(r.match_tier, r.lid): r.n_sessions
+           for r in ALL["p54_click_consumption"](spark, sf).collect()}
+    tiers54 = {t for t, _ in p54}
+    assert "none" in tiers54, (sf, tiers54)
+    changed = {k for k in set(p52) | set(p54) if p52.get(k) != p54.get(k)}
+    assert changed, (sf, "consumption rerouted nothing — fixture too thin")
+
+
 def test_p52_required_tiers_at_every_sf(spark):
     # p52 groups by (match_tier, lid) so its row count legitimately
     # varies with data; the invariant is that the fixture-guaranteed
