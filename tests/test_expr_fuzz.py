@@ -223,6 +223,20 @@ def ref_compare(a: str, b: str):
     return (xa > xb) - (xa < xb)
 
 
+def ref_is_equal(a, b):
+    """isEqual (:230-265): NULL-SAFE (both null → True, one null →
+    False) and NUMERIC-FIRST (both BigDecimal-parseable → numeric
+    equality), else string equality. != is its plain negation."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    xa, xb = ref_big_decimal(a), ref_big_decimal(b)
+    if xa is not THROW and xb is not THROW:
+        return xa == xb
+    return a == b
+
+
 def ref_divide(a: str, b: str):
     """divideNumbers (:302-311): scale 10, HALF_UP; /0 and non-numerics
     THROW."""
@@ -356,6 +370,36 @@ def test_ordered_compare_matches_reference(cells):
             want = str(evals[op](cmp)).lower()
             assert got == want, (op, a, b, got, cmp)
             checked += 1
+    assert checked > 400, f"port coverage too thin: {checked}"
+
+
+def test_equality_matches_reference(cells):
+    """Leg 2, equality kernel: engines must carry isEqual's null-safe
+    numeric-first contract — including null = null → TRUE and
+    '007' = '7' → TRUE — except the documented leniency class (values
+    the engines' try_cast numeric grammar accepts but BigDecimal
+    rejects) and the documented 2^53 double-precision bound."""
+    pairs, s_map, _ = cells
+    eq_idx = TEMPLATES.index("f = g")
+    ne_idx = TEMPLATES.index("f != g")
+    checked = 0
+    for a, b in pairs:
+        want = ref_is_equal(a, b)
+        if a is not None and b is not None:
+            fa, fb = try_cast_double(a), try_cast_double(b)
+            lenient = (
+                (fa is not None and ref_big_decimal(a) is THROW)
+                or (fb is not None and ref_big_decimal(b) is THROW)
+                or (fa is not None and abs(fa) >= 2**53)
+                or (fb is not None and abs(fb) >= 2**53)
+            )
+            if lenient:
+                continue  # engine≡engine leg still covers these cells
+        got_eq = s_map[(a, b)][eq_idx]
+        got_ne = s_map[(a, b)][ne_idx]
+        assert got_eq == str(want).lower(), ("=", a, b, got_eq, want)
+        assert got_ne == str(not want).lower(), ("!=", a, b, got_ne, want)
+        checked += 1
     assert checked > 400, f"port coverage too thin: {checked}"
 
 

@@ -661,11 +661,31 @@ class Emitter:
                 f"round({self.safe_div(self.try_num(self.emit(node.left, 'number')), self.try_num(self.emit(node.right, 'number')))}, 10)"
             )
         if op in ("=", "!="):
+            # isEqual (:230-265) is NULL-SAFE and NUMERIC-FIRST: both
+            # null → TRUE (one null → FALSE, and != is its plain
+            # negation); both sides BigDecimal-parseable → numeric
+            # equality ('007' = '7' is TRUE); else string equality.
+            # SQL's null-propagating `=` would render null = null as
+            # filtered-out instead of TRUE — emitted as an explicit CASE
+            # so both dialects carry the reference contract. The numeric
+            # probe uses the engines' try_cast grammar (documented
+            # leniency superset of BigDecimal) in double space
+            # (documented 2^53 precision bound).
             lh = self._operand_hint(node.right)
             rh = self._operand_hint(node.left)
             lh = lh if lh != "any" else "string"
             rh = rh if rh != "any" else "string"
-            return f"({self.emit(node.left, lh)} {op} {self.emit(node.right, rh)})"
+            a = self.emit(node.left, lh)
+            b = self.emit(node.right, rh)
+            na, nb = self.try_num(a), self.try_num(b)
+            eq = (
+                f"(CASE WHEN {a} IS NULL AND {b} IS NULL THEN TRUE"
+                f" WHEN {a} IS NULL OR {b} IS NULL THEN FALSE"
+                f" WHEN {na} IS NOT NULL AND {nb} IS NOT NULL"
+                f" THEN {na} = {nb}"
+                f" ELSE {self.cast_str(a)} = {self.cast_str(b)} END)"
+            )
+            return eq if op == "=" else f"(NOT {eq})"
         if op in ("<", "<=", ">", ">="):
             # reference compareDates (:115-142): ordered comparisons are
             # DATE-AWARE — if both sides parse as calendar datetimes the

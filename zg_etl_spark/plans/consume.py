@@ -198,7 +198,14 @@ def _p54_relations(spark: SparkSession, sf_dir: str):
     for t in ("idfa", "oaid", "aid", "imei", "ipua", "ipver"):
         st = store.select(F.col("key").alias(f"k_{t}"),
                           F.col("click_ct").alias(f"ct_{t}"))
-        hits = hits.join(st, f"k_{t}", "left")
+        # window-built store has no size stats → AQE silently falls back
+        # to SortMergeJoin (6 shuffles); the store is the per-batch click
+        # snapshot — registry-sized, broadcast it (the p42/p52 lesson)
+        hits = hits.join(F.broadcast(st), f"k_{t}", "left")
+    # materialize ONCE: six tier branches fan out of this relation below,
+    # and without the cut each branch re-executes the whole 6-join probe
+    # (measured: 36 joins in the naive plan)
+    hits = hits.localCheckpoint(True)
     tiers = []  # (tier, key_col, present_pred, rank_expr)
     rk_u = F.when(
         F.col("ct_ipver").isNotNull()
@@ -445,7 +452,17 @@ FROM hits WHERE is_ios = 1 AND ct_ipver IS NOT NULL"""
 
 
 def _p54c_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark_pipeline_df(spark, sf_dir, p54_candidates_sql(SPARK))
+    """The QUERY side runs the engine relation the replay actually ships
+    (_p54_relations — broadcast store probes, hits materialized once);
+    the SQL template above serves as the DuckDB oracle and as the
+    Spark-rendering pin target in tests/test_pipeline.py. The driver's
+    hash row therefore checks engine-vs-DuckDB directly."""
+    _, _, _, cands = _p54_relations(spark, sf_dir)
+    return cands.select(
+        "sess_seq", "sess_ct", "zg_id",
+        F.col("rank").cast("int").alias("cand_rank"),
+        F.col("key").alias("cand_key"), "tier",
+    )
 
 
 QUERIES["p54c_candidates"] = _p54c_run
