@@ -84,6 +84,10 @@ DIRTY = [
     "2024-08-10 24:00:00",
     "9999-12-31 23:59:59",
     "0001-01-01",
+    '{"a": "x"}',
+    '{"a": 3, "b": {"c": [1, 2]}}',
+    "not json",
+    "[1, 2]",
 ]
 
 TEMPLATES = [
@@ -105,6 +109,8 @@ TEMPLATES = [
     "substring(f, 2, 3)",
     "coalesce(nullif(f, ''), 'empty')",
     "CASE WHEN f < g THEN 'lt' WHEN f >= g THEN 'ge' END",
+    "get_json_string(f, '$.a')",
+    "get_json_string(f, '$.b.c[1]')",
 ]
 
 

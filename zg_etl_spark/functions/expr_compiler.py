@@ -898,7 +898,11 @@ class DuckEmitter(Emitter):
                 f" AS BIGINT)")
 
     def json_get(self, j: str, p: str) -> str:
-        return f"json_extract_string({j}, {_sql_str(p)})"
+        # json_valid gate: DuckDB's json_extract_string THROWS on
+        # malformed JSON where Spark's get_json_object and the
+        # reference's readTree-catch (:624-680) return NULL
+        return (f"(CASE WHEN json_valid({j}) THEN "
+                f"json_extract_string({j}, {_sql_str(p)}) END)")
 
     def now(self) -> str:
         return self.now_literal or "now()"
