@@ -431,24 +431,34 @@ WITH keyed AS ({p52_keyed_sql(d)}
   LEFT JOIN store u ON u.cand_key = sp.k_ipua
   LEFT JOIN store v ON v.cand_key = sp.k_ipver
 )
-SELECT seq AS sess_seq, ct AS sess_ct, zg_id, 0 AS cand_rank,
-       k_idfa AS cand_key, 'exact_idfa' AS tier
-FROM hits WHERE is_ios = 1 AND ct_idfa IS NOT NULL
-UNION ALL
-SELECT seq, ct, zg_id, 0, k_oaid, 'exact_oaid'
-FROM hits WHERE is_ios = 0 AND ct_oaid IS NOT NULL
-UNION ALL
-SELECT seq, ct, zg_id, 1, k_aid, 'exact_aid'
-FROM hits WHERE is_ios = 0 AND ct_aid IS NOT NULL
-UNION ALL
-SELECT seq, ct, zg_id, 2, k_imei, 'exact_imei'
-FROM hits WHERE is_ios = 0 AND ct_imei IS NOT NULL
-UNION ALL
-SELECT seq, ct, zg_id, {rk_u}, k_ipua, 'ipua'
-FROM hits WHERE ct_ipua IS NOT NULL
-UNION ALL
-SELECT seq, ct, zg_id, {rk_v}, k_ipver, 'ipver'
-FROM hits WHERE is_ios = 1 AND ct_ipver IS NOT NULL"""
+SELECT seq AS sess_seq, ct AS sess_ct, zg_id,
+       CASE t.tier
+         WHEN 'exact_idfa' THEN 0
+         WHEN 'exact_oaid' THEN 0
+         WHEN 'exact_aid'  THEN 1
+         WHEN 'exact_imei' THEN 2
+         WHEN 'ipua'       THEN {rk_u}
+         ELSE {rk_v} END AS cand_rank,
+       CASE t.tier
+         WHEN 'exact_idfa' THEN k_idfa
+         WHEN 'exact_oaid' THEN k_oaid
+         WHEN 'exact_aid'  THEN k_aid
+         WHEN 'exact_imei' THEN k_imei
+         WHEN 'ipua'       THEN k_ipua
+         ELSE k_ipver END AS cand_key,
+       t.tier AS tier
+FROM hits
+CROSS JOIN (
+  SELECT 'exact_idfa' AS tier UNION ALL SELECT 'exact_oaid'
+  UNION ALL SELECT 'exact_aid' UNION ALL SELECT 'exact_imei'
+  UNION ALL SELECT 'ipua' UNION ALL SELECT 'ipver') t
+WHERE CASE t.tier
+        WHEN 'exact_idfa' THEN is_ios = 1 AND ct_idfa IS NOT NULL
+        WHEN 'exact_oaid' THEN is_ios = 0 AND ct_oaid IS NOT NULL
+        WHEN 'exact_aid'  THEN is_ios = 0 AND ct_aid IS NOT NULL
+        WHEN 'exact_imei' THEN is_ios = 0 AND ct_imei IS NOT NULL
+        WHEN 'ipua'       THEN ct_ipua IS NOT NULL
+        ELSE is_ios = 1 AND ct_ipver IS NOT NULL END"""
 
 
 def _p54c_run(spark: SparkSession, sf_dir: str) -> DataFrame:
