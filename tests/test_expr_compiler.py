@@ -78,23 +78,30 @@ CORPUS = [
     ("from_unixtime(ct_ms, 'yyyyMMdd')", "20240801"),
     ("date_diff('2024-08-10', '2024-08-01')", 9),
     ("date_diff('2024-08-10', ct_s)", 9),
-    # date-aware ordered comparisons (compareDates :115-142): both sides
-    # parse as datetimes → chronological compare; '2024/8/2 0:0:0' <
-    # '2024-08-10' is TRUE chronologically but FALSE as strings
-    # ('/' > '-'), so this case fails if ordering falls back to string
-    # comparison
-    ("'2024-08-10' > '2024-08-02'", True),
-    ("'2024/8/2 0:0:0' < '2024-08-10'", True),
-    # …but slash/unpadded DATE-ONLY strings never parse in the reference:
-    # every LocalDateTime.parse pattern needs time fields and the
-    # LocalDate fallback is strict ISO (parseDateTimeString :613-620) —
-    # the compare falls to the numeric branch, whose BigDecimal throws
-    # (errData row → NULL here)
+    # ordered comparisons are date-aware ONLY when one side is a datetime
+    # OBJECT — now()/1-arg from_unixtime results (compareDates :115-142 +
+    # extractDateTime :171-186, which returns null for String). Two
+    # date-LOOKING strings fall to compareNumbers, whose BigDecimal
+    # throws (errData row → NULL here) — these pin the faithful gate:
+    ("'2024-08-10' > '2024-08-02'", None),
+    ("'2024/8/2 0:0:0' < '2024-08-10'", None),
     ("'2024/8/2' < '2024-08-10'", None),
     ("'2024-8-2' < '2024-08-10'", None),
-    ("'2024-08-01 06:30:00' >= '2024-08-01'", True),
-    ("date_format(ct_s, 'yyyy-MM-dd') >= '2024-08-01'", True),
-    ("CASE WHEN '2024-08-10' > '2024-08-02' THEN 'later' ELSE 'not' END", "later"),
+    ("'2024-08-01 06:30:00' >= '2024-08-01'", None),
+    ("date_format(ct_s, 'yyyy-MM-dd') >= '2024-08-01'", None),
+    ("CASE WHEN '2024-08-10' > '2024-08-02' THEN 'later' ELSE 'not' END", "not"),
+    # the date branch the reference DOES take: a DateTimeResult from
+    # 1-arg from_unixtime vs a parseable datetime string — chronological
+    # in both directions, NULL against an unparseable string. The
+    # compare's parse is OperationNode's OWN parseDateTimeString
+    # (:144-168, no LocalDate fallback) so even strict-ISO DATE-ONLY
+    # strings don't parse here — while date_diff (:407-428 → :588-622)
+    # happily takes '2024-08-01' (corpus rows above)
+    ("from_unixtime(ct_s) >= '2024-08-01'", None),
+    ("from_unixtime(ct_s) < '2024-12-31 00:00:00'", True),
+    ("'2024-07-31 23:59:59' < from_unixtime(ct_s)", True),
+    ("from_unixtime(ct_s) > '2024/8/1'", None),
+    ("from_unixtime(ct_s) > 'abc'", None),
     # non-date strings fall back to NUMERIC (never string ordering)
     ("price > '1000'", True),
     # math

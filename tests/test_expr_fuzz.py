@@ -111,7 +111,14 @@ TEMPLATES = [
     "CASE WHEN f < g THEN 'lt' WHEN f >= g THEN 'ge' END",
     "get_json_string(f, '$.a')",
     "get_json_string(f, '$.b.c[1]')",
+    "now() < f",
+    "from_unixtime(f) >= g",
 ]
+
+# the fixed clock the now() templates compare against (reference: a real
+# LocalDateTime.now(); pinned here so the port leg is deterministic)
+NOW_SQL = "TIMESTAMP '2024-08-15 12:00:00'"
+NOW_DT = datetime(2024, 8, 15, 12, 0, 0, tzinfo=timezone.utc)
 
 
 def _resolver(name: str, hint: str) -> str:
@@ -121,7 +128,8 @@ def _resolver(name: str, hint: str) -> str:
 
 
 COMPILER = ExprCompiler(spark_field_resolver=_resolver,
-                        duck_field_resolver=_resolver)
+                        duck_field_resolver=_resolver,
+                        now_literal=NOW_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -202,10 +210,13 @@ _DT_FORMS = [
 ]
 
 
-def ref_parse_datetime(s: str):
+def ref_parse_datetime(s: str, with_date_only: bool = True):
     """parseDateTimeString's effective accepted set → aware-UTC datetime
-    (the engines are TZ-naive-in-UTC) or None."""
-    for rx, nfields in _DT_FORMS:
+    (the engines are TZ-naive-in-UTC) or None. ``with_date_only=False``
+    is OperationNode's own copy (:144-168, compareDates' mixed branch):
+    no LocalDate fallback, so strict-ISO date-only fails there too."""
+    forms = _DT_FORMS if with_date_only else _DT_FORMS[:-1]
+    for rx, nfields in forms:
         m = rx.match(s)
         if m:
             parts = [int(x) for x in m.groups()[:nfields]]
@@ -218,11 +229,10 @@ def ref_parse_datetime(s: str):
 
 
 def ref_compare(a: str, b: str):
-    """compareDates (:115-142): chronological iff both sides parse as
-    datetimes, else BigDecimal numeric; returns -1/0/1 or THROW."""
-    da, db = ref_parse_datetime(a), ref_parse_datetime(b)
-    if da is not None and db is not None:
-        return (da > db) - (da < db)
+    """compareDates (:115-142) for two STRING operands: extractDateTime
+    (:171-186) returns null for String, so the date branch NEVER fires
+    between strings — both sides go straight to BigDecimal numeric
+    compare, THROW on anything non-numeric (date-looking included)."""
     xa, xb = ref_big_decimal(a), ref_big_decimal(b)
     if xa is THROW or xb is THROW:
         return THROW
@@ -367,16 +377,14 @@ def test_ordered_compare_matches_reference(cells):
                     assert got is None, (op, a, b, got)
                 continue
             # precision deviation: BigDecimal is exact past 2^53
-            da, db = ref_parse_datetime(a), ref_parse_datetime(b)
-            if da is None or db is None:  # numeric branch
-                fa, fb = try_cast_double(a), try_cast_double(b)
-                if (fa is None or fb is None
-                        or abs(fa) >= 2**53 or abs(fb) >= 2**53):
-                    continue
+            fa, fb = try_cast_double(a), try_cast_double(b)
+            if (fa is None or fb is None
+                    or abs(fa) >= 2**53 or abs(fb) >= 2**53):
+                continue
             want = str(evals[op](cmp)).lower()
             assert got == want, (op, a, b, got, cmp)
             checked += 1
-    assert checked > 400, f"port coverage too thin: {checked}"
+    assert checked > 300, f"port coverage too thin: {checked}"
 
 
 def test_equality_matches_reference(cells):
@@ -406,7 +414,7 @@ def test_equality_matches_reference(cells):
         assert got_eq == str(want).lower(), ("=", a, b, got_eq, want)
         assert got_ne == str(not want).lower(), ("!=", a, b, got_ne, want)
         checked += 1
-    assert checked > 400, f"port coverage too thin: {checked}"
+    assert checked > 300, f"port coverage too thin: {checked}"
 
 
 def test_divide_matches_reference(cells):
@@ -464,6 +472,33 @@ def test_ts_coercion_matches_reference(cells):
             assert got == ref_str, (a, got, ref_str)
             checked += 1
     assert checked >= 12, f"port coverage too thin: {checked}"
+
+
+def test_now_compare_matches_reference(cells):
+    """Leg 2, the date branch the reference DOES take: a datetime object
+    (now()) on one side, the other side parsed via OperationNode's OWN
+    parseDateTimeString (:144-168 — NO LocalDate fallback, date-only
+    strings fail) — chronological where it parses, NULL where the
+    reference's compareNumbers would throw on the LocalDateTime."""
+    pairs, s_map, _ = cells
+    idx = TEMPLATES.index("now() < f")
+    seen = set()
+    checked = 0
+    for a, _b in pairs:
+        if a in seen:
+            continue
+        seen.add(a)
+        got = s_map[(a, _b)][idx]
+        dt = (ref_parse_datetime(a, with_date_only=False)
+              if a is not None else None)
+        if dt is None:
+            assert got is None, (a, got)
+        else:
+            assert got == str(NOW_DT < dt).lower(), (a, got, dt)
+            checked += 1
+    # the alphabet has 6 with-time datetimes that survive :144's
+    # fallback-less parse (date-only forms are numeric-branch here)
+    assert checked >= 6, f"port coverage too thin: {checked}"
 
 
 def test_documented_trycast_underscore_divergence(spark):

@@ -42,7 +42,17 @@ Documented semantics preserved:
   DATE-ONLY strings are NOT datetimes (they fall through to the numeric
   branch, as in compareDates `:139-141`); with-time forms accept 1-2
   digit fields. Each format is regex-gated so both engines accept the
-  identical string set.
+  identical string set;
+- ordered comparisons are date-aware ONLY when a side is a datetime
+  OBJECT — `now()` or 1-arg `from_unixtime` results (`extractDateTime`
+  `:171-186` returns null for String) — with the other side parsed via
+  OperationNode's OWN `parseDateTimeString` (`:144-168`), which lacks
+  FunctionNode's `LocalDate` fallback: in the compare's mixed branch
+  even strict-ISO DATE-ONLY strings do not parse (with-time forms
+  only), while `date_diff`/`date_format` arguments do accept
+  `yyyy-MM-dd`. TWO STRINGS always compare numerically, so
+  `'2024-08-10' > '2024-08-02'` is NULL (the reference's BigDecimal
+  throws → errData), and equality remains string-based for dates;
 - NULL semantics are SQL (reference throws on div-by-0, unparseable
   epochs/dates, numeric overflow — routing the row to errData; we yield
   NULL — documented divergence, the batch engine must not abort a
@@ -385,49 +395,6 @@ def _sql_str(value: str) -> str:
     return "'" + value.replace("'", "''") + "'"
 
 
-# compile-time MAYBE-date gate: over-accepting is safe (the runtime
-# regex-gated parse yields NULL and the compare falls back to numeric),
-# under-accepting would wrongly skip the date branch — so this set is a
-# superset of the runtime-accepted forms (strptime %m/%d/%H accept 1-2
-# digits, and the date-only slash/unpadded forms stay listed)
-_DATE_FORMATS_PY = (
-    "%Y-%m-%d %H:%M:%S",
-    "%Y-%m-%d",
-    "%Y/%m/%d %H:%M:%S",
-    "%Y/%m/%d",
-    "%Y-%m-%dT%H:%M:%S",
-    "%Y-%m-%dT%H:%M",
-)
-
-_NUMBER_FUNCS = {"length", "abs", "round", "ceil", "floor", "date_diff"}
-
-
-def _parses_as_date(s: str) -> bool:
-    from datetime import datetime
-
-    for f in _DATE_FORMATS_PY:
-        try:
-            datetime.strptime(s.strip(), f)
-            return True
-        except ValueError:
-            pass
-    return False
-
-
-def _could_be_date(node: Node) -> bool:
-    """Compile-time conservative test: can this operand be a calendar-date
-    string at runtime? Numeric constants, arithmetic, and number-returning
-    functions cannot; string constants are decided by actually parsing
-    them; fields / CASE / string-returning functions might."""
-    if isinstance(node, Const):
-        return isinstance(node.value, str) and _parses_as_date(node.value)
-    if isinstance(node, Op):
-        return False
-    if isinstance(node, Func):
-        return node.name not in _NUMBER_FUNCS
-    return True
-
-
 class Emitter:
     """Base emitter. ``field_resolver(name, hint)`` maps an identifier to a
     SQL fragment; hint ∈ {'any','number','string','timestamp'}."""
@@ -535,15 +502,23 @@ class Emitter:
         """Parse a regex-vetted datetime string of the named form."""
         raise NotImplementedError
 
-    def ts_date_str(self, frag: str) -> str:
+    def ts_date_str(self, frag: str, with_date_only: bool = True) -> str:
         """Multi-format DATE-STRING parse (VirtualAttributeExpressionEvaluator
         parseDateTimeString :588-622 + the executeOperation formatter
         lists) — NULL for anything else, including pure numbers (epoch
         values are NOT dates here: compareDates only takes the date
-        branch when the text parses as a calendar datetime)."""
+        branch when the text parses as a calendar datetime).
+
+        ``with_date_only=False`` is OperationNode's own copy of the
+        method (:144-168), the one compareDates' mixed branch calls: it
+        has NO ``LocalDate.parse`` fallback, so even strict-ISO
+        ``yyyy-MM-dd`` fails there (every with-time pattern needs time
+        fields) — only date_diff/date_format arguments (:588-622)
+        accept date-only strings."""
+        forms = self._DT_FORMS if with_date_only else self._DT_FORMS[:-1]
         whens = " ".join(
             f"WHEN {self.rlike(frag, rx)} THEN {self.dt_parse(frag, form)}"
-            for rx, form in self._DT_FORMS
+            for rx, form in forms
         )
         return f"(CASE {whens} END)"
 
@@ -687,30 +662,52 @@ class Emitter:
             )
             return eq if op == "=" else f"(NOT {eq})"
         if op in ("<", "<=", ">", ">="):
-            # reference compareDates (:115-142): ordered comparisons are
-            # DATE-AWARE — if both sides parse as calendar datetimes the
-            # comparison is chronological, else it falls back to NUMERIC
-            # (never string ordering). Compile-time gating keeps the date
-            # branch out of definitely-numeric comparisons (numeric consts,
-            # arithmetic, number-returning functions) so `k > 50` stays a
-            # plain double compare.
+            # reference compareDates (:115-142) + extractDateTime
+            # (:171-186): the DATE branch fires ONLY when a side IS a
+            # datetime OBJECT — the result of now() or 1-arg
+            # from_unixtime — never for two strings (extractDateTime
+            # returns null for String, so two date-looking strings fall
+            # to compareNumbers, whose BigDecimal throws → errData).
+            # With one datetime side, the OTHER side is parsed via
+            # OperationNode's parseDateTimeString (:144-168 — the copy
+            # WITHOUT the LocalDate fallback, so date-only strings fail
+            # even as strict ISO); unparseable → compareNumbers throws
+            # on the LocalDateTime → errData → NULL here.
+            lt = self._ts_operand(node.left)
+            rt = self._ts_operand(node.right)
+            if lt or rt:
+                a_ts = lt or self.ts_date_str(
+                    self.cast_str(self.emit(node.left, "string")),
+                    with_date_only=False)
+                b_ts = rt or self.ts_date_str(
+                    self.cast_str(self.emit(node.right, "string")),
+                    with_date_only=False)
+                return (
+                    f"(CASE WHEN {a_ts} IS NOT NULL AND {b_ts} IS NOT NULL "
+                    f"THEN {a_ts} {op} {b_ts} END)"
+                )
             # the numeric branch is NUMERIC, never string ordering
             # (compareNumbers :139-141 goes through BigDecimal): TRY_CAST
             # forces string operands — constants, concat(...) results —
             # into number space, NULL where BigDecimal would throw
-            num = (
+            return (
                 f"(TRY_CAST({self.emit(node.left, 'number')} AS DOUBLE) {op} "
                 f"TRY_CAST({self.emit(node.right, 'number')} AS DOUBLE))"
             )
-            if not (_could_be_date(node.left) and _could_be_date(node.right)):
-                return num
-            a_ts = self.ts_date_str(self.emit(node.left, "string"))
-            b_ts = self.ts_date_str(self.emit(node.right, "string"))
-            return (
-                f"(CASE WHEN {a_ts} IS NOT NULL AND {b_ts} IS NOT NULL "
-                f"THEN {a_ts} {op} {b_ts} ELSE {num} END)"
-            )
         raise ExpressionError(f"unknown op {op}")
+
+    def _ts_operand(self, node: Node) -> str | None:
+        """SQL timestamp fragment when this operand evaluates to a
+        datetime OBJECT in the reference — LocalDateTime from now(), or
+        DateTimeResult from 1-arg from_unixtime (:395-396, :539-541) —
+        else None (strings are NOT datetime objects, extractDateTime
+        :171-186)."""
+        if isinstance(node, Func) and node.name == "now" and not node.args:
+            return self.now()
+        if (isinstance(node, Func) and node.name == "from_unixtime"
+                and len(node.args) == 1):
+            return self.ts_from_num(self.emit(node.args[0], "number"))
+        return None
 
     def emit_func(self, node: Func) -> str:
         name, args = node.name, node.args
