@@ -58,6 +58,35 @@ CORPUS = [
     ("price > 1000 AND qty < 10", True),
     ("price < 1000 OR qty = 3", True),
     ("NOT price < 1000", True),
+    # the toBigDecimal boundary (:324-347, :682-694): null and
+    # trim-empty strings are ZERO — a missing field COMPARES as 0 and
+    # ADDS as 0; it never makes the result unknown
+    ("maybe_null < 1", True),
+    ("maybe_null > 0 OR status = 'ok'", True),
+    ("maybe_null + 5", 5.0),
+    ("'' + 1", 1.0),
+    ("'  ' * 7", 0.0),
+    ("abs(maybe_null)", 0.0),
+    ("round(maybe_null, 2)", 0.0),
+    ("maybe_null / 2", 0.0),
+    # …but a null/zero DIVISOR still throws (divideNumbers :302-311)
+    ("2 / maybe_null", None),
+    ("qty % maybe_null", None),
+    # boolean ops are Java truthiness over eagerly-evaluated operands
+    # (:107-113, :216-222): non-TRUE (null, strings, numbers) is plain
+    # false, not(them) is TRUE — while a THROW in either operand aborts
+    # the row even when SQL's 3-valued logic would decide
+    ("maybe_null AND price > 0", False),
+    ("NOT maybe_null", True),
+    ("NOT status", True),
+    ("price < 0 AND name_s > 1", None),   # false AND throw → errData
+    ("price > 0 OR name_s > 1", None),    # true OR throw → errData
+    # isEqual stays null-safe for legitimate nulls, but a throwy
+    # operand's NULL preempts (upper(null) NPEs before isEqual runs)
+    ("maybe_null = maybe_null", True),
+    ("upper(maybe_null) = 'X'", None),
+    ("coalesce(upper(maybe_null), 'x')", None),
+    ("coalesce(maybe_null, 'x')", "x"),
     # CASE
     ("CASE WHEN price > 1000 THEN 'high' ELSE 'low' END", "high"),
     ("CASE WHEN price < 10 THEN 'a' WHEN qty = 3 THEN 'b' ELSE 'c' END", "b"),
@@ -73,7 +102,11 @@ CORPUS = [
     # dates: sec vs ms heuristic at 1e10
     ("date_format(ct_s, 'yyyy-MM-dd')", "2024-08-01"),
     ("date_format(ct_ms, 'yyyy-MM-dd HH:mm:ss')", "2024-08-01 00:00:00"),
-    ("date_format('2024-08-10', 'yyyyMMdd')", "20240810"),
+    # date_format's inline formatter list (:487-501) has NO LocalDate
+    # fallback: a date-only string throws (errData → NULL) — unlike
+    # date_diff, whose parseDateTimeString (:588-622) does fall back
+    ("date_format('2024-08-10', 'yyyyMMdd')", None),
+    ("date_format('2024-08-10 06:30:00', 'yyyyMMdd')", "20240810"),
     ("from_unixtime(ct_s)", "2024-08-01 00:00:00"),
     ("from_unixtime(ct_ms, 'yyyyMMdd')", "20240801"),
     ("date_diff('2024-08-10', '2024-08-01')", 9),
@@ -89,7 +122,11 @@ CORPUS = [
     ("'2024-8-2' < '2024-08-10'", None),
     ("'2024-08-01 06:30:00' >= '2024-08-01'", None),
     ("date_format(ct_s, 'yyyy-MM-dd') >= '2024-08-01'", None),
-    ("CASE WHEN '2024-08-10' > '2024-08-02' THEN 'later' ELSE 'not' END", "not"),
+    # a THROWING condition aborts the row (ConditionNode :729-749 runs
+    # conditions lazily, but a throw propagates) — it does NOT fall
+    # through to ELSE the way a merely-false/null condition does
+    ("CASE WHEN '2024-08-10' > '2024-08-02' THEN 'later' ELSE 'not' END", None),
+    ("CASE WHEN price > '999999' THEN 'big' ELSE 'small' END", "small"),
     # the date branch the reference DOES take: a DateTimeResult from
     # 1-arg from_unixtime vs a parseable datetime string — chronological
     # in both directions, NULL against an unparseable string. The

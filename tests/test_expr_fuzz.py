@@ -113,6 +113,10 @@ TEMPLATES = [
     "get_json_string(f, '$.b.c[1]')",
     "now() < f",
     "from_unixtime(f) >= g",
+    "(f < g) AND (f != g)",
+    "(f >= g) OR (f = g)",
+    "NOT (f > g)",
+    "abs(f)",
 ]
 
 # the fixed clock the now() templates compare against (reference: a real
@@ -160,6 +164,39 @@ def ref_big_decimal(s: str):
     if not _BIGDEC_RE.fullmatch(s):
         return THROW
     return Decimal(s)
+
+
+def ref_op_num(v):
+    """The toBigDecimal boundary (:324-347, :682-694): null → ZERO,
+    trim-empty string → ZERO, else strict BigDecimal / THROW. This is
+    the coercion compareNumbers / arithmetic / abs-round-ceil-floor
+    apply — NOT isEqual, whose isNumeric gate rejects empties."""
+    if v is None:
+        return Decimal(0)
+    if v.strip() == "":
+        return Decimal(0)
+    return ref_big_decimal(v)
+
+
+def engine_num(v):
+    """The engines' rendering of the same boundary: NULL/'' → 0.0, else
+    TRY_CAST double space (the documented lenient superset)."""
+    if v is None or v.strip() == "":
+        return 0.0
+    return try_cast_double(v)
+
+
+def _lenient(v) -> bool:
+    """Cells where the engines' documented leniency departs from
+    BigDecimal: try_cast accepts (whitespace-padded, nan/inf names)
+    where the reference throws, or the value exceeds the documented
+    2^53 double-precision bound."""
+    en = engine_num(v)
+    if en is None:
+        return False
+    if math.isnan(en) or math.isinf(en) or abs(en) >= 2**53:
+        return True
+    return ref_op_num(v) is THROW
 
 
 def engine_num_cmp(fa: float, fb: float) -> int:
@@ -228,12 +265,13 @@ def ref_parse_datetime(s: str, with_date_only: bool = True):
     return None
 
 
-def ref_compare(a: str, b: str):
-    """compareDates (:115-142) for two STRING operands: extractDateTime
-    (:171-186) returns null for String, so the date branch NEVER fires
-    between strings — both sides go straight to BigDecimal numeric
-    compare, THROW on anything non-numeric (date-looking included)."""
-    xa, xb = ref_big_decimal(a), ref_big_decimal(b)
+def ref_compare(a, b):
+    """compareDates (:115-142) for two STRING/null operands:
+    extractDateTime (:171-186) returns null for String, so the date
+    branch NEVER fires between strings — both sides go straight to the
+    toBigDecimal numeric compare (null/'' are ZERO there), THROW on
+    anything non-numeric (date-looking included)."""
+    xa, xb = ref_op_num(a), ref_op_num(b)
     if xa is THROW or xb is THROW:
         return THROW
     return (xa > xb) - (xa < xb)
@@ -253,10 +291,11 @@ def ref_is_equal(a, b):
     return a == b
 
 
-def ref_divide(a: str, b: str):
-    """divideNumbers (:302-311): scale 10, HALF_UP; /0 and non-numerics
-    THROW."""
-    xa, xb = ref_big_decimal(a), ref_big_decimal(b)
+def ref_divide(a, b):
+    """divideNumbers (:302-311): scale 10, HALF_UP behind the
+    toBigDecimal boundary (null/'' dividends are ZERO, a null/'' divisor
+    is the /0 throw); non-numerics THROW."""
+    xa, xb = ref_op_num(a), ref_op_num(b)
     if xa is THROW or xb is THROW or xb == 0:
         return THROW
     import decimal
@@ -267,12 +306,14 @@ def ref_divide(a: str, b: str):
 
 
 def ref_ts_from_any(s: str):
-    """date_format's value coercion: Long.parseLong FIRST (:512-517),
-    else the datetime formats; THROW when neither."""
+    """date_format's value coercion: Long.parseLong FIRST (:457-466),
+    else date_format's OWN inline formatter list (:487-501 — NO
+    LocalDate fallback, date-only strings throw); THROW when neither.
+    (Only date_diff's parse, :588-622, accepts strict-ISO date-only.)"""
     v = ref_parse_long(s) if _LONG_RE.fullmatch(s) else THROW
     if v is not THROW:
         return ref_epoch_to_dt(v)
-    dt = ref_parse_datetime(s)
+    dt = ref_parse_datetime(s, with_date_only=False)
     return dt if dt is not None else THROW
 
 
@@ -361,15 +402,13 @@ def test_ordered_compare_matches_reference(cells):
              ">": lambda c: c > 0, ">=": lambda c: c >= 0}
     checked = 0
     for a, b in pairs:
-        if a is None or b is None:
-            continue
         cmp = ref_compare(a, b)
         for op, idx in op_idx.items():
             got = s_map[(a, b)][idx]
             if cmp is THROW:
                 # documented rendering: NULL — unless the engines'
                 # lenient numeric coercion yields a number for both
-                fa, fb = try_cast_double(a), try_cast_double(b)
+                fa, fb = engine_num(a), engine_num(b)
                 if fa is not None and fb is not None:
                     want = str(evals[op](engine_num_cmp(fa, fb))).lower()
                     assert got == want, (op, a, b, got)
@@ -377,7 +416,7 @@ def test_ordered_compare_matches_reference(cells):
                     assert got is None, (op, a, b, got)
                 continue
             # precision deviation: BigDecimal is exact past 2^53
-            fa, fb = try_cast_double(a), try_cast_double(b)
+            fa, fb = engine_num(a), engine_num(b)
             if (fa is None or fb is None
                     or abs(fa) >= 2**53 or abs(fb) >= 2**53):
                 continue
@@ -425,12 +464,10 @@ def test_divide_matches_reference(cells):
     div_idx = TEMPLATES.index("f / g")
     checked = 0
     for a, b in pairs:
-        if a is None or b is None:
-            continue
         got = s_map[(a, b)][div_idx]
         want = ref_divide(a, b)
         if want is THROW:
-            fa, fb = try_cast_double(a), try_cast_double(b)
+            fa, fb = engine_num(a), engine_num(b)
             if fa is None or fb is None:
                 assert got is None, (a, b, got)
             elif fb == 0 or math.isnan(fb) or math.isinf(fb) \
@@ -499,6 +536,136 @@ def test_now_compare_matches_reference(cells):
     # the alphabet has 6 with-time datetimes that survive :144's
     # fallback-less parse (date-only forms are numeric-branch here)
     assert checked >= 6, f"port coverage too thin: {checked}"
+
+
+def test_bool_ops_match_reference(cells):
+    """Leg 2, the and/or/not kernels (:216-222): Java truthiness over
+    EAGERLY-evaluated operands — a throw in either comparison aborts the
+    row even where SQL 3-valued logic would decide (FALSE AND throw,
+    TRUE OR throw are both errData); otherwise plain two-valued
+    booleans, never unknown."""
+    pairs, s_map, _ = cells
+    and_idx = TEMPLATES.index("(f < g) AND (f != g)")
+    or_idx = TEMPLATES.index("(f >= g) OR (f = g)")
+    not_idx = TEMPLATES.index("NOT (f > g)")
+    checked = 0
+    for a, b in pairs:
+        if _lenient(a) or _lenient(b):
+            continue  # engine≡engine leg covers the lenient class
+        got_and = s_map[(a, b)][and_idx]
+        got_or = s_map[(a, b)][or_idx]
+        got_not = s_map[(a, b)][not_idx]
+        cmp = ref_compare(a, b)
+        if cmp is THROW:
+            assert got_and is None, (a, b, got_and)
+            assert got_or is None, (a, b, got_or)
+            assert got_not is None, (a, b, got_not)
+            continue
+        eqv = ref_is_equal(a, b)
+        # documented 2^53 equality-precision bound
+        fa, fb = engine_num(a), engine_num(b)
+        if ((fa is not None and fb is not None) and (fa == fb) != eqv):
+            continue
+        assert got_and == str(cmp < 0 and not eqv).lower(), (a, b, got_and)
+        assert got_or == str(cmp >= 0 or eqv).lower(), (a, b, got_or)
+        assert got_not == str(not cmp > 0).lower(), (a, b, got_not)
+        checked += 1
+    assert checked > 100, f"port coverage too thin: {checked}"
+
+
+def test_case_throw_matches_reference(cells):
+    """Leg 2, ConditionNode (:729-749): lazy conditions fire on
+    Boolean.TRUE.equals, but a THROWING condition aborts the row — it
+    never falls through to a later WHEN or the implicit NULL default."""
+    pairs, s_map, _ = cells
+    idx = TEMPLATES.index("CASE WHEN f < g THEN 'lt' WHEN f >= g THEN 'ge' END")
+    checked = 0
+    for a, b in pairs:
+        if _lenient(a) or _lenient(b):
+            continue
+        got = s_map[(a, b)][idx]
+        cmp = ref_compare(a, b)
+        if cmp is THROW:
+            assert got is None, (a, b, got)
+        else:
+            assert got == ("lt" if cmp < 0 else "ge"), (a, b, got, cmp)
+            checked += 1
+    assert checked > 80, f"port coverage too thin: {checked}"
+
+
+def test_numeric_zero_coercion_matches_reference(cells):
+    """Leg 2, the toBigDecimal boundary in arithmetic and abs
+    (:324-347, :547-556, :682-694): null and trim-empty are ZERO — a
+    missing field ADDS as 0 — while non-numerics still throw."""
+    pairs, s_map, _ = cells
+    add_idx = TEMPLATES.index("f + g")
+    mod_idx = TEMPLATES.index("f % g")
+    abs_idx = TEMPLATES.index("abs(f)")
+    checked = 0
+    for a, b in pairs:
+        if _lenient(a) or _lenient(b):
+            continue
+        xa, xb = ref_op_num(a), ref_op_num(b)
+        got_add = s_map[(a, b)][add_idx]
+        got_mod = s_map[(a, b)][mod_idx]
+        got_abs = s_map[(a, b)][abs_idx]
+        if xa is THROW:
+            assert got_add is None and got_abs is None, (a, b)
+        else:
+            assert got_abs is not None and \
+                abs(float(got_abs) - abs(float(xa))) <= 1e-9, (a, got_abs)
+        if xa is THROW or xb is THROW:
+            assert got_add is None and got_mod is None, (a, b)
+            continue
+        assert got_add is not None and \
+            abs(float(got_add) - float(xa + xb)) <= max(
+                1e-9, 1e-9 * abs(float(xa + xb))), (a, b, got_add)
+        if xb == 0:
+            # BigDecimal.remainder by ZERO throws (:313-318) — including
+            # the null/'' divisor that zero-coercion produces
+            assert got_mod is None, (a, b, got_mod)
+        else:
+            # truncated remainder, sign of the dividend
+            want = float(xa - (xa / xb).to_integral_value(
+                rounding="ROUND_DOWN") * xb)
+            assert got_mod is not None and \
+                abs(float(got_mod) - want) <= 1e-9, (a, b, got_mod, want)
+        checked += 1
+    assert checked > 100, f"port coverage too thin: {checked}"
+
+
+def ref_substring(s, start: int, length: int):
+    """String.substring bounds (:384-393): begin may equal the length
+    (yields ''), beyond it THROWS; end = min(begin+length, len) and an
+    end before begin THROWS; a null receiver NPEs on toString."""
+    if s is None:
+        return THROW
+    b = start - 1
+    if b < 0 or b > len(s):
+        return THROW
+    e = min(b + length, len(s))
+    if e < b:
+        return THROW
+    return s[b:e]
+
+
+def test_substring_matches_reference(cells):
+    pairs, s_map, _ = cells
+    idx = TEMPLATES.index("substring(f, 2, 3)")
+    seen = set()
+    checked = 0
+    for a, _b in pairs:
+        if a in seen:
+            continue
+        seen.add(a)
+        got = s_map[(a, _b)][idx]
+        want = ref_substring(a, 2, 3)
+        if want is THROW:
+            assert got is None, (a, got)
+        else:
+            assert got == want, (a, got, want)
+            checked += 1
+    assert checked > 20, f"port coverage too thin: {checked}"
 
 
 def test_documented_trycast_underscore_divergence(spark):

@@ -53,10 +53,22 @@ Documented semantics preserved:
   `yyyy-MM-dd`. TWO STRINGS always compare numerically, so
   `'2024-08-10' > '2024-08-02'` is NULL (the reference's BigDecimal
   throws → errData), and equality remains string-based for dates;
-- NULL semantics are SQL (reference throws on div-by-0, unparseable
-  epochs/dates, numeric overflow — routing the row to errData; we yield
-  NULL — documented divergence, the batch engine must not abort a
-  100 TB job on one bad row).
+- the toBigDecimal boundary treats null and trim-empty strings as ZERO
+  (`:324-347`, `:682-694`): a missing field COMPARES as 0 and ADDS as 0
+  — `k > 50` with no k is FALSE, not unknown — while unparseable
+  strings still throw (→ NULL here);
+- boolean operators use Java truthiness over EAGERLY-evaluated operands
+  (`:107-113`, `:216-222`): non-TRUE values (null, strings, numbers)
+  are plain false and `not` of them is TRUE, but a THROW in either
+  operand aborts the row even where SQL's 3-valued logic would decide
+  (`FALSE AND throw` is errData, `TRUE OR throw` is errData) — emitted
+  as explicit NULL-preempting guards around the operand fragments,
+  with compile-time knowledge (`_node_throwy`) of whether a fragment's
+  runtime NULL is a legitimate value or a rendered throw;
+- NULL semantics elsewhere are SQL (reference throws on div-by-0,
+  unparseable epochs/dates, numeric overflow — routing the row to
+  errData; we yield NULL — documented divergence, the batch engine
+  must not abort a 100 TB job on one bad row).
 
 Documented deviations (pinned by tests/test_expr_fuzz.py):
 - epochs outside calendar years 0001-9999 → NULL (the reference's
@@ -420,6 +432,103 @@ class Emitter:
         spelling works in both dialects."""
         return f"TRY_CAST({frag} AS DOUBLE)"
 
+    # functions whose reference result can be a LEGITIMATE null
+    # (coalesce all-null :559-564, nullif match :566-568, get_json_string
+    # miss / null-or-empty text :572-584); every other function either
+    # returns a value or THROWS (upper(null) NPEs :374-376, unparseable
+    # dates throw :441-501, BigDecimal throws :547-556)
+    _VALUE_FUNCS = frozenset({"coalesce", "nullif", "get_json_string"})
+    # number-returning nodes: their fragments are numeric-typed and a
+    # runtime NULL can only mean a reference throw
+    _NUMERIC_FUNCS = frozenset({"length", "abs", "round", "ceil", "floor",
+                                "date_diff"})
+
+    def _node_throwy(self, node: "Node") -> bool:
+        """True when a runtime NULL of this node's fragment can only mean
+        the reference THREW evaluating it (errData row), never a
+        legitimate null value. Fields (missing key, :52-62), constants,
+        CASE (no-match, :749), and the _VALUE_FUNCS produce legitimate
+        nulls; comparisons, boolean ops, arithmetic, and the remaining
+        functions throw instead of returning null. The reference
+        evaluates ALL operands/params BEFORE applying an operator
+        (OperationNode :107-113, FunctionNode :362-367), so a throw in
+        any operand aborts the whole expression — which is why throwy
+        NULLs must preempt value logic in every composite emission."""
+        if isinstance(node, (Const, Field, Case)):
+            return False
+        if isinstance(node, Func) and node.name in self._VALUE_FUNCS:
+            return False
+        return True
+
+    def num_operand(self, node: "Node") -> str:
+        """A toBigDecimal boundary (OperationNode :324-347, FunctionNode
+        :682-694): null → ZERO, trim-empty string → ZERO, datetime
+        object → throw, anything else → BigDecimal (rendered in the
+        engines' documented try_cast-lenient double space). Whether a
+        runtime NULL/'' is a legitimate value or a throw is compile-time
+        knowledge (_node_throwy), so the zero-coercion only fires where
+        the reference could actually see a null/empty value."""
+        if isinstance(node, Const):
+            v = node.value
+            if v is None:
+                return "CAST(0.0 AS DOUBLE)"
+            if isinstance(v, bool):
+                # new BigDecimal("true"/"false") throws → errData
+                return "CAST(NULL AS DOUBLE)"
+            if isinstance(v, (int, float)):
+                return f"CAST({v!r} AS DOUBLE)"
+            if v.strip() == "":
+                return "CAST(0.0 AS DOUBLE)"
+            return self.try_num(_sql_str(v))
+        if self._ts_operand(node) is not None:
+            # LocalDateTime / DateTimeResult in numeric space → throw
+            return "CAST(NULL AS DOUBLE)"
+        if isinstance(node, Op):
+            if node.op in ("+", "-", "*", "/", "%", "neg"):
+                # numeric-typed; NULL is a propagated throw
+                return self.try_num(self.emit(node, "number"))
+            # boolean-valued op: a Boolean reaches the default
+            # toBigDecimal branch → new BigDecimal("true") throws; an
+            # operand throw also throws — NULL unconditionally
+            return "CAST(NULL AS DOUBLE)"
+        if isinstance(node, Func) and node.name in self._NUMERIC_FUNCS:
+            return self.try_num(self.emit(node, "number"))
+        s = self.cast_str(self.emit(node, "string"))
+        if self._node_throwy(node):
+            # string-returning function: '' is a value (→ ZERO), NULL is
+            # a throw (upper(null) NPEs before toBigDecimal ever runs)
+            return (f"(CASE WHEN {s} IS NULL THEN CAST(NULL AS DOUBLE)"
+                    f" WHEN trim({s}) = '' THEN CAST(0.0 AS DOUBLE)"
+                    f" ELSE {self.try_num(s)} END)")
+        # legitimate-null node (field / CASE / value-func): null and
+        # trim-empty are both ZERO
+        return (f"(CASE WHEN {s} IS NULL OR trim({s}) = ''"
+                f" THEN CAST(0.0 AS DOUBLE)"
+                f" ELSE {self.try_num(s)} END)")
+
+    def bool_operand(self, node: "Node") -> tuple[str, bool]:
+        """A Boolean.TRUE.equals boundary (and/or/not :216-222, CASE
+        conditions :729-749): returns (fragment, throwy) where throwy
+        marks a fragment whose runtime NULL means the reference THREW
+        evaluating the operand (must preempt as NULL). Non-boolean
+        values are NEVER truthy in the reference — Boolean.TRUE.equals
+        of a string/number/null is false (even the string 'true') —
+        but evaluating the operand can still throw."""
+        if isinstance(node, Op) and node.op in (
+                "and", "or", "not", "=", "!=", "<", "<=", ">", ">="):
+            return self.emit(node, "bool"), True
+        if isinstance(node, Const):
+            if isinstance(node.value, bool):
+                return ("TRUE" if node.value else "FALSE"), False
+            return "FALSE", False
+        if isinstance(node, Case):
+            # a no-match CASE yields a legitimate null → falsy
+            return f"coalesce({self.emit(node, 'bool')}, FALSE)", False
+        frag = self.emit(node, "any")
+        if self._node_throwy(node):
+            return f"(CASE WHEN {frag} IS NOT NULL THEN FALSE END)", True
+        return "FALSE", False
+
     def safe_div(self, a: str, b: str) -> str:
         """Division yielding NULL on a zero divisor in this dialect."""
         raise NotImplementedError
@@ -465,16 +574,24 @@ class Emitter:
                 f" WHEN {v} >= {self._EPOCH_S_MIN} THEN {v} * 1000"
                 f" ELSE NULL END")
 
-    def ts_from_any(self, frag: str) -> str:
+    def ts_from_any(self, frag: str, with_date_only: bool = True) -> str:
         """Stringly value → naive timestamp: Long.parseLong FIRST (an
         integer string is ALWAYS an epoch, :512-517 — no datetime format
         is all-digits), else the datetime-string formats. Decimals,
         whitespace, scientific notation are not epochs (parseLong throws
-        → reference errData → NULL here)."""
+        → reference errData → NULL here).
+
+        ``with_date_only`` selects which parseDateTimeString the caller
+        models: date_diff's (:407-428 → :588-622, LocalDate fallback —
+        strict-ISO date-only parses) vs date_format's inline formatter
+        list (:487-501, NO fallback — date-only strings throw).
+        date_diff's parseLong-first is this engine's documented
+        harmonization (the reference's own date_diff rejects epoch
+        STRINGS its sibling date_format accepts)."""
         as_long = f"TRY_CAST({frag} AS BIGINT)"
         return (f"CASE WHEN {self.rlike(frag, self._LONG_RE)} "
                 f"THEN {self.ms_to_ts(self._epoch_ms(as_long))} "
-                f"ELSE {self.ts_date_str(frag)} END")
+                f"ELSE {self.ts_date_str(frag, with_date_only)} END")
 
     def ts_from_num(self, frag: str) -> str:
         """Numeric value → naive timestamp via Number.longValue()
@@ -551,9 +668,19 @@ class Emitter:
         if isinstance(node, Func):
             return self.emit_func(node)
         if isinstance(node, Case):
+            # ConditionNode (:729-749): conditions evaluate LAZILY in
+            # order and fire on Boolean.TRUE.equals — null / non-boolean
+            # results fall through (SQL CASE already treats NULL as
+            # no-match) — but a condition that THROWS aborts the row, so
+            # each throwy condition gets a NULL-preempting arm placed
+            # right before its own WHEN (later conditions never run in
+            # the reference once an earlier one throws)
             parts = ["CASE"]
             for cond, val in node.whens:
-                parts.append(f"WHEN {self.emit(cond, 'bool')} THEN {self.emit(val)}")
+                c, throwy = self.bool_operand(cond)
+                if throwy:
+                    parts.append(f"WHEN ({c}) IS NULL THEN NULL")
+                parts.append(f"WHEN {c} THEN {self.emit(val)}")
             if node.default is not None:
                 parts.append(f"ELSE {self.emit(node.default)}")
             parts.append("END")
@@ -595,31 +722,50 @@ class Emitter:
     def emit_op(self, node: Op) -> str:
         op = node.op
         if op == "not":
-            return f"(NOT {self.emit(node.left, 'bool')})"
+            # !Boolean.TRUE.equals(v) (:222): null and every non-boolean
+            # are truthy-NOT (→ TRUE); only a throw in the operand makes
+            # the result NULL
+            f, throwy = self.bool_operand(node.left)
+            if throwy:
+                return f"(NOT {f})"  # SQL NOT NULL = NULL = the throw
+            return f"(NOT coalesce({f}, FALSE))"
         if op == "neg":
-            return f"(- {self.try_num(self.emit(node.left, 'number'))})"
+            return f"(- {self.num_operand(node.left)})"
         if op in ("and", "or"):
-            return (
-                f"({self.emit(node.left, 'bool')} {op.upper()} "
-                f"{self.emit(node.right, 'bool')})"
-            )
+            # allMatch/anyMatch(Boolean.TRUE::equals) (:218-220) over
+            # EAGERLY-evaluated operands (:107-113): non-TRUE values —
+            # including null and non-booleans — are plain false, they
+            # never make the result unknown; but a throw in EITHER
+            # operand aborts the row even when the other operand would
+            # decide a short-circuiting evaluator (FALSE AND throw is
+            # errData, not false — SQL's 3-valued logic gets this wrong
+            # in both directions, hence the explicit guards)
+            a, ta = self.bool_operand(node.left)
+            b, tb = self.bool_operand(node.right)
+            guards = [f"({f}) IS NULL" for f, t in ((a, ta), (b, tb)) if t]
+            core = f"({a} {op.upper()} {b})"
+            if guards:
+                return (f"(CASE WHEN {' OR '.join(guards)} THEN NULL "
+                        f"ELSE {core} END)")
+            return core
         if op in ("+", "-", "*"):
-            # all reference arithmetic is BigDecimal (:290-311); double
-            # is this engine's documented number space, and try_num keeps
-            # a dirty operand from aborting the job (see its docstring)
+            # all reference arithmetic is BigDecimal (:290-311) behind
+            # the toBigDecimal boundary (null/'' → ZERO); double is this
+            # engine's documented number space
             return (
-                f"({self.try_num(self.emit(node.left, 'number'))} {op} "
-                f"{self.try_num(self.emit(node.right, 'number'))})"
+                f"({self.num_operand(node.left)} {op} "
+                f"{self.num_operand(node.right)})"
             )
         if op == "%":
             # BigDecimal.remainder: truncated remainder, sign of the
             # dividend — both engines' double mod. A zero divisor throws
             # in the reference (errData row) AND in Spark ANSI (even for
             # doubles, REMAINDER_BY_ZERO aborts the job) — safe_mod
-            # yields NULL in both dialects instead
+            # yields NULL in both dialects instead. A null divisor is
+            # ZERO at the toBigDecimal boundary → the same throw.
             return self.safe_mod(
-                self.try_num(self.emit(node.left, "number")),
-                self.try_num(self.emit(node.right, "number")),
+                self.num_operand(node.left),
+                self.num_operand(node.right),
             )
         if op == "/":
             # reference divide carries scale 10 HALF_UP (:302-311).
@@ -633,7 +779,7 @@ class Emitter:
             # whole job (the reference throws per-row and routes the row
             # to errData; NULL-and-continue is the batch rendering of that)
             return (
-                f"round({self.safe_div(self.try_num(self.emit(node.left, 'number')), self.try_num(self.emit(node.right, 'number')))}, 10)"
+                f"round({self.safe_div(self.num_operand(node.left), self.num_operand(node.right))}, 10)"
             )
         if op in ("=", "!="):
             # isEqual (:230-265) is NULL-SAFE and NUMERIC-FIRST: both
@@ -653,8 +799,19 @@ class Emitter:
             a = self.emit(node.left, lh)
             b = self.emit(node.right, rh)
             na, nb = self.try_num(a), self.try_num(b)
+            # isEqual only runs once both operands evaluated (:107-113):
+            # a NULL out of a throwy operand is a reference throw and
+            # preempts the null-safe arms (upper(null) = 'X' is errData,
+            # not FALSE); legitimate nulls (fields, value-funcs) keep
+            # isEqual's null-safe contract
+            guards = []
+            if self._node_throwy(node.left):
+                guards.append(f"{a} IS NULL")
+            if self._node_throwy(node.right):
+                guards.append(f"{b} IS NULL")
+            pre = f"WHEN {' OR '.join(guards)} THEN NULL " if guards else ""
             eq = (
-                f"(CASE WHEN {a} IS NULL AND {b} IS NULL THEN TRUE"
+                f"(CASE {pre}WHEN {a} IS NULL AND {b} IS NULL THEN TRUE"
                 f" WHEN {a} IS NULL OR {b} IS NULL THEN FALSE"
                 f" WHEN {na} IS NOT NULL AND {nb} IS NOT NULL"
                 f" THEN {na} = {nb}"
@@ -687,12 +844,13 @@ class Emitter:
                     f"THEN {a_ts} {op} {b_ts} END)"
                 )
             # the numeric branch is NUMERIC, never string ordering
-            # (compareNumbers :139-141 goes through BigDecimal): TRY_CAST
-            # forces string operands — constants, concat(...) results —
-            # into number space, NULL where BigDecimal would throw
+            # (compareNumbers :321-323 goes through toBigDecimal, where
+            # null and trim-empty strings are ZERO — a missing field
+            # COMPARES as 0, it does not make the predicate unknown);
+            # NULL only where BigDecimal would throw (errData)
             return (
-                f"(TRY_CAST({self.emit(node.left, 'number')} AS DOUBLE) {op} "
-                f"TRY_CAST({self.emit(node.right, 'number')} AS DOUBLE))"
+                f"({self.num_operand(node.left)} {op} "
+                f"{self.num_operand(node.right)})"
             )
         raise ExpressionError(f"unknown op {op}")
 
@@ -730,20 +888,29 @@ class Emitter:
             parts = " || ".join(self.emit(x, "string") for x in args)
             return f"({parts})"
         if name == "substring":
+            # Java String.substring (:384-393) throws when begin exceeds
+            # the length (begin == length is legal and yields '') or
+            # when a negative length pulls the end before the begin —
+            # SQL substring would quietly return '' in both cases, so
+            # the Java bounds become explicit NULL (errData) guards
+            s = a(0, "string")
             start = f"TRY_CAST({a(1, 'number')} AS BIGINT)"
             if len(args) == 2:
-                return f"substring({a(0, 'string')}, {start})"
-            return (
-                f"substring({a(0, 'string')}, {start}, "
-                f"TRY_CAST({a(2, 'number')} AS BIGINT))"
-            )
+                return (f"(CASE WHEN {start} <= length({s}) + 1 "
+                        f"THEN substring({s}, {start}) END)")
+            ln = f"TRY_CAST({a(2, 'number')} AS BIGINT)"
+            return (f"(CASE WHEN {start} <= length({s}) + 1 AND {ln} >= 0 "
+                    f"THEN substring({s}, {start}, {ln}) END)")
         if name == "now":
             return self.now()
         if name == "date_diff":
             return self.datediff_days(self.ts_from_any(a(0)), self.ts_from_any(a(1)))
         if name == "date_format":
             fmt = self._const_str(args[1], "date_format pattern")
-            return self.fmt_ts(self.ts_from_any(a(0)), fmt)
+            # date_format's own string parse (:487-501) has NO LocalDate
+            # fallback — '2024-08-01' throws here while date_diff takes it
+            return self.fmt_ts(self.ts_from_any(a(0), with_date_only=False),
+                               fmt)
         if name == "from_unixtime":
             ts = self.ts_from_num(a(0, "number"))
             if len(args) == 1:
@@ -751,22 +918,39 @@ class Emitter:
             fmt = self._const_str(args[1], "from_unixtime pattern")
             return self.fmt_ts(ts, fmt)
         if name == "abs":
-            return f"abs({self.try_num(a(0, 'number'))})"
+            # abs/round/ceil/floor run their argument through
+            # FunctionNode's toBigDecimal (:547-556 → :682-694) — null
+            # and trim-empty are ZERO there too
+            return f"abs({self.num_operand(args[0])})"
         if name == "round":
             if len(args) == 1:
-                return f"round({self.try_num(a(0, 'number'))})"
-            return (f"round({self.try_num(a(0, 'number'))}, "
+                return f"round({self.num_operand(args[0])})"
+            return (f"round({self.num_operand(args[0])}, "
                     f"{self._const_int(args[1])})")
         if name in ("ceil", "floor"):
-            return f"{name}({self.try_num(a(0, 'number'))})"
+            return f"{name}({self.num_operand(args[0])})"
         if name == "coalesce":
-            return "coalesce(" + ", ".join(self.emit(x) for x in args) + ")"
+            # params evaluate eagerly (:362-367): a throw in ANY
+            # argument — even one after the first non-null — aborts the
+            # row, so throwy arguments get NULL-preempting guards
+            inner = "coalesce(" + ", ".join(self.emit(x) for x in args) + ")"
+            return self._guard_throwy_args(args, inner)
         if name == "nullif":
-            return f"nullif({a(0)}, {a(1)})"
+            return self._guard_throwy_args(args, f"nullif({a(0)}, {a(1)})")
         if name == "get_json_string":
             path = self._const_str(args[1], "json path")
             return self.json_get(a(0, "string"), path)
         raise ExpressionError(f"unknown function {name}")
+
+    def _guard_throwy_args(self, args: list, inner: str) -> str:
+        """NULL-preempt a function call when any eagerly-evaluated
+        throwy argument is NULL (its reference evaluation threw)."""
+        guards = [f"({self.emit(x)}) IS NULL"
+                  for x in args if self._node_throwy(x)]
+        if guards:
+            return (f"(CASE WHEN {' OR '.join(guards)} THEN NULL "
+                    f"ELSE {inner} END)")
+        return inner
 
     @staticmethod
     def _const_str(node: Node, what: str) -> str:

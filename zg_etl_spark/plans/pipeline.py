@@ -163,7 +163,11 @@ def _va_frag(d: Dialect, rule_sql: str) -> str:
     ast = parse(rule_sql)
     frag = emitter.emit(ast)
     if returns_boolean(ast):
-        frag = f"CASE WHEN {frag} THEN 1 ELSE 0 END"
+        # convertValue (VirtualPropertyOperator.java:231-235) maps a
+        # Boolean result to 1/0 — but only a RESULT: a throw during
+        # evaluation is an errData row, so a NULL fragment must stay
+        # NULL (CAST preserves it; CASE..ELSE 0 would invent a 0)
+        frag = f"CAST({frag} AS INT)"
     return frag
 
 
