@@ -96,7 +96,19 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
   epoch digits `:407-410`; Number args are ALWAYS millis with no >1e10
   heuristic `:413-415`), an asymmetry that only exists because its
   property bag distinguishes JSON number from string — our stringly
-  wide model cannot, so both functions share ts_from_any.
+  wide model cannot, so both functions share ts_from_any;
+- CASE and coalesce/nullif results are classified legitimate-null
+  (`_node_throwy`): a NULL they RETURN zero-coerces/falsy-coerces like
+  the reference's null, but a NULL a throwy BRANCH VALUE produced
+  inside them is indistinguishable at runtime and coerces the same way
+  instead of erroring the row (`CASE WHEN k > 0 THEN 1/0 END + 5` is 5
+  here, errData in the reference). The two meanings of one NULL cannot
+  be split without a sentinel channel; throwy CONDITIONS and throwy
+  coalesce/nullif ARGUMENTS are guarded exactly;
+- boolean positions assume boolean-typed operands (comparisons, rule
+  constants): the reference's Boolean is only minted by its own
+  operators, and a raw FIELD in a boolean slot (always falsy in Java —
+  the bag is stringly) is outside the shipped rule grammar.
 """
 
 from __future__ import annotations
