@@ -1,0 +1,683 @@
+"""Random-tree triangulation for the expression compiler (V1/V2).
+
+test_expr_fuzz.py pins each semantic KERNEL against a literal Python
+port; this file pins arbitrary COMPOSITIONS. Two independent Python
+evaluators walk the same parsed AST the emitters walk:
+
+- ENGINE mode: a value-level mirror of the emitted SQL — the executable
+  spec of the documented semantics (zero-coercion, throw-guards, Java
+  truthiness, try_cast leniency). Both engines must agree with it on
+  EVERY cell; a divergence is an emission bug in one dialect.
+- REFERENCE mode: the Java evaluator's semantics, literally
+  (VirtualAttributeExpressionEvaluator.java — eager operands :107-113,
+  toBigDecimal null/''→ZERO :324-347, Boolean.TRUE.equals truthiness
+  :216-222, lazy-but-throwing CASE conditions :729-749, scale-10
+  HALF_UP divide :302-311, String.substring bounds :384-393). Where it
+  returns a value or throws, the engine rendering must match — NULL for
+  a throw — on every cell whose leaves avoid the documented leniency
+  classes; cells whose comparisons sit within double-precision distance
+  of a verdict flip are skipped via a FRAGILE sentinel (BigDecimal is
+  exact, doubles are not — the documented 2^53/precision deviation).
+
+Trees, rows, and assertions are fully seeded/deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from decimal import ROUND_DOWN, ROUND_HALF_UP, Decimal, localcontext
+
+import duckdb
+import pytest
+
+from test_expr_fuzz import (
+    COMPILER,
+    DIRTY,
+    THROW,
+    _gen,
+    _lenient,
+    _norm_eq,
+    engine_num_cmp,
+    ref_substring,
+    try_cast_double,
+)
+from zg_etl_spark.functions.expr_compiler import (
+    Case,
+    Const,
+    Field,
+    Func,
+    Op,
+    parse,
+)
+
+_BOOL_OPS = ("and", "or", "not", "=", "!=", "<", "<=", ">", ">=")
+_NUMERIC_FUNCS = {"length", "abs", "round", "ceil", "floor", "date_diff"}
+_VALUE_FUNCS = {"coalesce", "nullif", "get_json_string"}
+
+
+def _throwy(node) -> bool:
+    """Mirror of Emitter._node_throwy."""
+    if isinstance(node, (Const, Field, Case)):
+        return False
+    if isinstance(node, Func) and node.name in _VALUE_FUNCS:
+        return False
+    return True
+
+
+def _has_guards(node) -> bool:
+    """Mirror of Emitter._throw_guards being non-empty."""
+    if _throwy(node):
+        return True
+    if isinstance(node, Func) and node.name in _VALUE_FUNCS:
+        return any(_has_guards(a) for a in node.args)
+    if isinstance(node, Case):
+        return _has_guards_case(node)
+    return False
+
+
+def _has_guards_case(node) -> bool:
+    """Mirror of _throw_guards(Case) being non-empty: any throwy
+    condition, or any branch value with guards of its own."""
+    conds = [c for c, _ in node.whens]
+    vals = [v for _, v in node.whens]
+    if node.default is not None:
+        vals.append(node.default)
+    return any(_throwy(c) for c in conds) or any(_has_guards(v)
+                                                 for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# ENGINE mode: value-level mirror of the emitted SQL
+# ---------------------------------------------------------------------------
+def _operand_hint(other) -> str:
+    if isinstance(other, Const):
+        if isinstance(other.value, bool):
+            return "any"
+        if isinstance(other.value, (int, float)):
+            return "number"
+        if isinstance(other.value, str):
+            return "string"
+    if isinstance(other, Op) and other.op in ("+", "-", "*", "/", "%", "neg"):
+        return "number"
+    if isinstance(other, Func) and other.name in _NUMERIC_FUNCS:
+        return "number"
+    if isinstance(other, Func) and other.name in (
+            "upper", "lower", "concat", "substring", "date_format",
+            "get_json_string"):
+        return "string"
+    return "any"
+
+
+def _e_cast_str(v):
+    """CAST(x AS STRING/VARCHAR) of an engine value."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return v
+
+
+def _e_try_num(v):
+    """TRY_CAST(value AS DOUBLE)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    return try_cast_double(v)
+
+
+class EngineEval:
+    """eval(node, hint) returns the value the emitted SQL produces:
+    None = SQL NULL. Structured exactly like Emitter.emit/emit_op/
+    emit_func so each branch mirrors one emission site."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def eval(self, node, hint="any"):
+        if isinstance(node, Const):
+            v = node.value
+            return float(v) if isinstance(v, (int, float)) \
+                and not isinstance(v, bool) else v
+        if isinstance(node, Field):
+            v = self.env[node.name]
+            if hint == "number":  # the leg-3 resolver's try_cast
+                return try_cast_double(v) if v is not None else None
+            return v
+        if isinstance(node, Op):
+            return self.eval_op(node)
+        if isinstance(node, Func):
+            return self.eval_func(node)
+        if isinstance(node, Case):
+            for cond, val in node.whens:
+                c, throwy = self.bool_operand(cond)
+                if throwy and c is None:
+                    return None
+                if c is True:
+                    return self.eval(val)
+            return self.eval(node.default) if node.default is not None \
+                else None
+        raise AssertionError(f"cannot eval {node}")
+
+    def _guards_null(self, node) -> bool:
+        """Mirror of _throw_guards: any guard fragment NULL at runtime.
+        For CASE, replays the lazy condition chain like the emitted
+        guard expression does."""
+        if _throwy(node):
+            return self.eval(node, "any") is None
+        if isinstance(node, Func) and node.name in _VALUE_FUNCS:
+            return any(self._guards_null(a) for a in node.args)
+        if isinstance(node, Case):
+            for cond, val in node.whens:
+                c, throwy = self.bool_operand(cond)
+                if throwy and c is None:
+                    return True
+                if c is True:
+                    return self._guards_null(val)
+            if node.default is not None:
+                return self._guards_null(node.default)
+            return False
+        return False
+
+    def num_operand(self, node):
+        if isinstance(node, Const):
+            v = node.value
+            if v is None:
+                return 0.0
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, (int, float)):
+                return float(v)
+            if v.strip() == "":
+                return 0.0
+            return try_cast_double(v)
+        if isinstance(node, Op):
+            if node.op in ("+", "-", "*", "/", "%", "neg"):
+                return self.eval(node, "number")
+            return None  # boolean-valued op at a numeric boundary
+        if isinstance(node, Func) and node.name in _NUMERIC_FUNCS:
+            return self.eval(node, "number")
+        s = _e_cast_str(self.eval(node, "string"))
+        if _throwy(node):
+            if s is None:
+                return None
+            return 0.0 if s.strip() == "" else try_cast_double(s)
+        if self._guards_null(node):
+            return None
+        if s is None or s.strip() == "":
+            return 0.0
+        return try_cast_double(s)
+
+    def bool_operand(self, node):
+        if isinstance(node, Op) and node.op in _BOOL_OPS:
+            return self.eval(node, "bool"), True
+        if isinstance(node, Const):
+            if isinstance(node.value, bool):
+                return node.value, False
+            return False, False
+        if isinstance(node, Case):
+            v = self.eval(node, "bool")
+            frag = v if v is not None else False
+            if _has_guards(node):
+                return (None if self._guards_null(node) else frag), True
+            return frag, False
+        frag = self.eval(node, "any")
+        if _throwy(node):
+            return (None if frag is None else False), True
+        if _has_guards(node):
+            return (None if self._guards_null(node) else False), True
+        return False, False
+
+    def eval_op(self, node):
+        op = node.op
+        if op == "not":
+            f, throwy = self.bool_operand(node.left)
+            if throwy:
+                return None if f is None else (not f)
+            return not (f if f is not None else False)
+        if op == "neg":
+            v = self.num_operand(node.left)
+            return None if v is None else -v
+        if op in ("and", "or"):
+            a, ta = self.bool_operand(node.left)
+            b, tb = self.bool_operand(node.right)
+            if (ta and a is None) or (tb and b is None):
+                return None
+            return (a and b) if op == "and" else (a or b)
+        if op in ("+", "-", "*"):
+            a, b = self.num_operand(node.left), self.num_operand(node.right)
+            if a is None or b is None:
+                return None
+            try:
+                return {"+": a + b, "-": a - b, "*": a * b}[op]
+            except OverflowError:
+                return math.inf
+        if op == "%":
+            a, b = self.num_operand(node.left), self.num_operand(node.right)
+            if a is None or b is None or b == 0:
+                return None
+            if math.isnan(a) or math.isnan(b) or math.isinf(a):
+                return math.nan
+            return math.fmod(a, b)
+        if op == "/":
+            a, b = self.num_operand(node.left), self.num_operand(node.right)
+            if a is None or b is None or b == 0:
+                return None
+            return _sql_round(a / b, 10)
+        if op in ("<", "<=", ">", ">="):
+            a, b = self.num_operand(node.left), self.num_operand(node.right)
+            if a is None or b is None:
+                return None
+            c = engine_num_cmp(a, b)
+            return {"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[op]
+        if op in ("=", "!="):
+            lh = _operand_hint(node.right)
+            rh = _operand_hint(node.left)
+            lh = lh if lh != "any" else "string"
+            rh = rh if rh != "any" else "string"
+            a = self.eval(node.left, lh)
+            b = self.eval(node.right, rh)
+            if self._guards_null(node.left) or self._guards_null(node.right):
+                return None
+            if a is None and b is None:
+                eq = True
+            elif a is None or b is None:
+                eq = False
+            else:
+                na, nb = _e_try_num(a), _e_try_num(b)
+                if na is not None and nb is not None:
+                    eq = (na == nb) or (math.isnan(na) and math.isnan(nb))
+                else:
+                    eq = _e_cast_str(a) == _e_cast_str(b)
+            return eq if op == "=" else (not eq)
+        raise AssertionError(op)
+
+    def eval_func(self, node):
+        name, args = node.name, node.args
+        if name in ("upper", "lower"):
+            v = self.eval(args[0], "string")
+            if v is None:
+                return None
+            s = _e_cast_str(v)
+            return s.upper() if name == "upper" else s.lower()
+        if name == "length":
+            v = _e_cast_str(self.eval(args[0], "string"))
+            return None if v is None else float(len(v))
+        if name == "concat":
+            parts = [_e_cast_str(self.eval(x, "string")) for x in args]
+            if any(p is None for p in parts):
+                return None  # `||` propagates NULL in both dialects
+            return "".join(parts)
+        if name == "substring":
+            s = _e_cast_str(self.eval(args[0], "string"))
+            start = self._int_arg(args[1])
+            ln = self._int_arg(args[2]) if len(args) > 2 else None
+            if s is None or start is None or \
+                    (len(args) > 2 and ln is None):
+                return None
+            if start > len(s) + 1 or (ln is not None and ln < 0):
+                return None  # the Java-bounds guard
+            b = start - 1
+            return s[b:] if ln is None else s[b:b + ln]
+        if name == "coalesce":
+            if any(self._guards_null(x) for x in args):
+                return None
+            for x in args:
+                v = self.eval(x)
+                if v is not None:
+                    return v
+            return None
+        if name == "nullif":
+            if self._guards_null(args[0]) or self._guards_null(args[1]):
+                return None
+            a, b = self.eval(args[0]), self.eval(args[1])
+            return None if a == b else a
+        if name == "abs":
+            v = self.num_operand(args[0])
+            return None if v is None else abs(v)
+        if name == "round":
+            v = self.num_operand(args[0])
+            n = int(args[1].value) if len(args) > 1 else 0
+            return None if v is None else _sql_round(v, n)
+        if name in ("ceil", "floor"):
+            v = self.num_operand(args[0])
+            if v is None:
+                return None
+            return float(math.ceil(v) if name == "ceil" else math.floor(v))
+        raise AssertionError(f"tree generator never mints {name}")
+
+    def _int_arg(self, node):
+        v = self.eval(node, "number")
+        v = _e_try_num(v)
+        return None if v is None else int(v)
+
+
+def _sql_round(x: float, n: int) -> float:
+    """Both engines' round(DOUBLE, n): HALF_UP on the shortest decimal
+    rendering of the double (Spark goes through BigDecimal.valueOf)."""
+    if math.isnan(x) or math.isinf(x) or abs(x) >= 1e17:
+        return x  # no fractional precision left in a double
+    with localcontext() as ctx:
+        ctx.prec = 60
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# REFERENCE mode: the Java semantics, literally
+# ---------------------------------------------------------------------------
+class Throw(Exception):
+    """The reference raised → errData row (rendered NULL)."""
+
+
+class Fragile(Exception):
+    """A comparison's verdict sits within double-precision distance of a
+    flip: BigDecimal decides exactly, the engines' doubles may not —
+    the documented precision deviation. Skip the cell."""
+
+
+def _bd(s: str) -> Decimal:
+    """new BigDecimal(String): strict grammar."""
+    import re
+    if not re.fullmatch(
+            r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?", s):
+        raise Throw(f"BigDecimal({s!r})")
+    return Decimal(s)
+
+
+def _to_bd(v) -> Decimal:
+    """OperationNode/FunctionNode toBigDecimal (:324-347, :682-694)."""
+    if v is None:
+        return Decimal(0)
+    if isinstance(v, bool):
+        raise Throw("BigDecimal(Boolean.toString())")
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, str):
+        if v.strip() == "":
+            return Decimal(0)
+        return _bd(v)
+    raise Throw(f"toBigDecimal({v!r})")
+
+
+def _ref_str(v) -> str:
+    """Object.toString()."""
+    if v is None:
+        raise Throw("NPE: null.toString()")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        return str(v)
+    return v
+
+
+def _fragile_gate(a: Decimal, b: Decimal):
+    """compareNumbers verdicts the engines compute in double space: if
+    the exact operands are closer than double-resolution, skip."""
+    fa, fb = float(a), float(b)
+    if fa == fb and a != b:
+        raise Fragile((a, b))
+    if fa != fb and abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb), 1.0):
+        raise Fragile((a, b))
+
+
+class RefEval:
+    """eval(node) → None | bool | str | Decimal, or raises Throw."""
+
+    def __init__(self, env):
+        self.env = env
+
+    def eval(self, node):
+        if isinstance(node, Const):
+            v = node.value
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return Decimal(str(v))
+            return v
+        if isinstance(node, Field):
+            return self.env[node.name]
+        if isinstance(node, Case):
+            # ConditionNode :729-749: lazy, Boolean.TRUE.equals
+            for cond, val in node.whens:
+                c = self.eval(cond)  # a Throw propagates
+                if c is True:
+                    return self.eval(val)
+            return self.eval(node.default) if node.default is not None \
+                else None
+        if isinstance(node, Op):
+            return self.eval_op(node)
+        if isinstance(node, Func):
+            return self.eval_func(node)
+        raise AssertionError(node)
+
+    def eval_op(self, node):
+        op = node.op
+        # OperationNode :107-113: ALL operands evaluate before the op
+        if op == "neg":
+            return -_to_bd(self.eval(node.left))
+        vals = [self.eval(node.left)]
+        if node.right is not None:
+            vals.append(self.eval(node.right))
+        if op == "not":
+            return not (vals[0] is True)
+        if op == "and":
+            return all(v is True for v in vals)
+        if op == "or":
+            return any(v is True for v in vals)
+        if op in ("+", "-", "*"):
+            a, b = _to_bd(vals[0]), _to_bd(vals[1])
+            return {"+": a + b, "-": a - b, "*": a * b}[op]
+        if op == "/":
+            b = _to_bd(vals[1])
+            if b == 0:
+                raise Throw("/0")
+            a = _to_bd(vals[0])
+            with localcontext() as ctx:
+                ctx.prec = 80
+                return (a / b).quantize(Decimal("1e-10"),
+                                        rounding=ROUND_HALF_UP)
+        if op == "%":
+            b = _to_bd(vals[1])
+            if b == 0:
+                raise Throw("remainder by zero")
+            a = _to_bd(vals[0])
+            with localcontext() as ctx:
+                ctx.prec = 200
+                return a - (a / b).to_integral_value(
+                    rounding=ROUND_DOWN) * b
+        if op in ("<", "<=", ">", ">="):
+            # compareDates :115-142 → both strings/nulls → compareNumbers
+            a, b = _to_bd(vals[0]), _to_bd(vals[1])
+            _fragile_gate(a, b)
+            c = (a > b) - (a < b)
+            return {"<": c < 0, "<=": c <= 0, ">": c > 0, ">=": c >= 0}[op]
+        if op in ("=", "!="):
+            eq = self._is_equal(vals[0], vals[1])
+            return eq if op == "=" else (not eq)
+        raise AssertionError(op)
+
+    def _is_equal(self, a, b) -> bool:
+        """isEqual :230-265 — null-safe, numeric-first (isNumeric uses
+        the STRICT BigDecimal grammar: '' is NOT numeric here)."""
+        if a is None and b is None:
+            return True
+        if a is None or b is None:
+            return False
+
+        def numeric(v):
+            if isinstance(v, Decimal):
+                return v
+            if isinstance(v, str):
+                try:
+                    return _bd(v)
+                except Throw:
+                    return None
+            return None
+
+        na, nb = numeric(a), numeric(b)
+        if na is not None and nb is not None:
+            _fragile_gate(na, nb)
+            return na == nb
+        if isinstance(a, str) and isinstance(b, str):
+            return a == b
+        if isinstance(a, bool) and isinstance(b, bool):
+            return a == b
+        return _ref_str(a) == _ref_str(b)
+
+    def eval_func(self, node):
+        name = node.name
+        vals = [self.eval(x) for x in node.args]  # eager, :362-367
+        if name in ("upper", "lower"):
+            s = _ref_str(vals[0])
+            return s.upper() if name == "upper" else s.lower()
+        if name == "length":
+            return Decimal(len(_ref_str(vals[0])))
+        if name == "concat":
+            return "".join(_ref_str(v) for v in vals)
+        if name == "substring":
+            s = _ref_str(vals[0])
+            if not isinstance(vals[1], Decimal):
+                raise Throw("ClassCastException: substring start")
+            start = int(vals[1])
+            ln = None
+            if len(vals) > 2:
+                if not isinstance(vals[2], Decimal):
+                    raise Throw("ClassCastException: substring length")
+                ln = int(vals[2])
+            out = ref_substring(s, start, ln if ln is not None else len(s))
+            if out is THROW:
+                raise Throw("StringIndexOutOfBounds")
+            return out
+        if name == "coalesce":
+            for v in vals:
+                if v is not None:
+                    return v
+            return None
+        if name == "nullif":
+            a, b = vals
+            if type(a) is type(b) and a == b:
+                return None
+            if a is None and b is None:
+                return None
+            return a
+        if name == "abs":
+            return _to_bd(vals[0]).copy_abs()
+        if name == "round":
+            n = int(vals[1]) if len(vals) > 1 else 0
+            with localcontext() as ctx:
+                ctx.prec = 200
+                return _to_bd(vals[0]).quantize(Decimal(1).scaleb(-n),
+                                                rounding=ROUND_HALF_UP)
+        if name == "ceil":
+            return _to_bd(vals[0]).to_integral_value(rounding="ROUND_CEILING")
+        if name == "floor":
+            return _to_bd(vals[0]).to_integral_value(rounding="ROUND_FLOOR")
+        raise AssertionError(f"tree generator never mints {name}")
+
+
+# ---------------------------------------------------------------------------
+# the harness
+# ---------------------------------------------------------------------------
+N_TREES = 120
+
+
+@pytest.fixture(scope="module")
+def tree_cells(spark):
+    rng = random.Random(20260816)
+    exprs = [_gen(rng, rng.randrange(1, 4)) for _ in range(N_TREES)]
+    rows = [(a, b) for a, b in zip(DIRTY, DIRTY[11:] + DIRTY[:11])]
+
+    s_cols = [f"CAST(({COMPILER.to_spark_sql(e)}) AS STRING) AS c{i}"
+              for i, e in enumerate(exprs)]
+    d_cols = [f"CAST(({COMPILER.to_duckdb_sql(e)}) AS VARCHAR) AS c{i}"
+              for i, e in enumerate(exprs)]
+
+    spark.createDataFrame(rows, "f string, g string") \
+        .createOrReplaceTempView("tree_rows")
+    s_rows = spark.sql(
+        "SELECT f, g, " + ", ".join(s_cols) + " FROM tree_rows").collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tree_rows (f VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO tree_rows VALUES (?, ?)", rows)
+    d_rows = con.execute(
+        "SELECT f, g, " + ", ".join(d_cols) + " FROM tree_rows").fetchall()
+
+    s_map = {(r[0], r[1]): tuple(r[2:]) for r in s_rows}
+    d_map = {(r[0], r[1]): tuple(r[2:]) for r in d_rows}
+    return exprs, rows, s_map, d_map
+
+
+def _render_engine(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return v
+
+
+def test_trees_match_engine_port(tree_cells):
+    """Every cell, both dialects ≡ the value-level mirror of the emitted
+    SQL — the executable spec of the documented semantics."""
+    exprs, rows, s_map, d_map = tree_cells
+    asts = [parse(e) for e in exprs]
+    bad = []
+    for key in rows:
+        env = {"f": key[0], "g": key[1]}
+        ev = EngineEval(env)
+        for i, ast in enumerate(asts):
+            want = _render_engine(ev.eval(ast))
+            for which, got in (("spark", s_map[key][i]),
+                               ("duck", d_map[key][i])):
+                if not _norm_eq(got, want):
+                    bad.append((exprs[i], key, which, got, want))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
+def test_trees_match_reference_port(tree_cells):
+    """Cells whose leaves avoid the documented leniency classes: the
+    engines must render exactly what the Java evaluator computes — NULL
+    where it throws — for arbitrary compositions. Fragile cells (verdict
+    within double-precision of a flip) are the documented precision
+    deviation and are skipped."""
+    exprs, rows, s_map, _ = tree_cells
+    asts = [parse(e) for e in exprs]
+    checked = 0
+    bad = []
+    for key in rows:
+        if _lenient(key[0]) or _lenient(key[1]):
+            continue
+        env = {"f": key[0], "g": key[1]}
+        rv = RefEval(env)
+        for i, ast in enumerate(asts):
+            got = s_map[key][i]
+            try:
+                want = rv.eval(ast)
+            except Throw:
+                if got is not None:
+                    bad.append((exprs[i], key, got, "THROW"))
+                continue
+            except Fragile:
+                continue
+            if want is None:
+                ok = got is None
+            elif isinstance(want, bool):
+                ok = got == ("true" if want else "false")
+            elif isinstance(want, Decimal):
+                if abs(want) >= Decimal(2) ** 53:
+                    continue  # documented precision bound
+                ok = got is not None and _norm_eq(got, str(want))
+            else:
+                ok = got == want
+            if not ok:
+                bad.append((exprs[i], key, got, want))
+            else:
+                checked += 1
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+    assert checked > 2000, f"port coverage too thin: {checked}"

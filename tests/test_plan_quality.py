@@ -103,11 +103,14 @@ def test_bucketed_join_has_no_shuffle_under_join(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["p0_envelope", "p8_wide_table", "p13_user_visit_stats"],
+    ["p0_envelope", "p5_virtual_attrs", "p8_wide_table",
+     "p13_user_visit_stats"],
 )
 def test_pipeline_queries_stay_jvm_side(spark, sf_dir, name):
     """The event-pipeline spine is pure Column/SQL — Python appears only
-    in explicitly-UDF operators (l14, l15, s2), never in the spine."""
+    in explicitly-UDF operators (l14, l15, s2), never in the spine.
+    p5 pins the compiled virtual-attribute expressions specifically:
+    the zero-coercion/guard CASEs stay whole-stage-codegen SQL."""
     plan = _plan(ALL[name](spark, sf_dir), "simple")
     assert "EvalPython" not in plan, f"{name} fell off the JVM path:\n{plan}"
 

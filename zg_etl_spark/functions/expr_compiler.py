@@ -97,14 +97,16 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
   heuristic `:413-415`), an asymmetry that only exists because its
   property bag distinguishes JSON number from string — our stringly
   wide model cannot, so both functions share ts_from_any;
-- CASE and coalesce/nullif results are classified legitimate-null
+- CASE and coalesce/nullif results stay legitimate-null
   (`_node_throwy`): a NULL they RETURN zero-coerces/falsy-coerces like
-  the reference's null, but a NULL a throwy BRANCH VALUE produced
-  inside them is indistinguishable at runtime and coerces the same way
-  instead of erroring the row (`CASE WHEN k > 0 THEN 1/0 END + 5` is 5
-  here, errData in the reference). The two meanings of one NULL cannot
-  be split without a sentinel channel; throwy CONDITIONS and throwy
-  coalesce/nullif ARGUMENTS are guarded exactly;
+  the reference's null. The other meaning of NULL — a throw INSIDE them
+  — travels on a separate compile-time sentinel channel
+  (`_throw_guards`): value-funcs re-expose their eagerly-evaluated
+  params' guards, and CASE emits a lazy guard expression that replays
+  its condition chain (NULL on a condition throw or the FIRED branch's
+  throw, never an unfired branch's), so `CASE WHEN k > 0 THEN 1/0 END
+  + 5` is errData-NULL when the branch fires and 5 when it doesn't —
+  exactly the reference;
 - boolean positions assume boolean-typed operands (comparisons, rule
   constants): the reference's Boolean is only minted by its own
   operators, and a raw FIELD in a boolean slot (always falsy in Java —
@@ -472,6 +474,53 @@ class Emitter:
             return False
         return True
 
+    def _throw_guards(self, node: "Node") -> list[str]:
+        """SQL fragments whose runtime NULL ⟺ the reference threw while
+        evaluating this node — the sentinel channel that keeps a throwy
+        NULL from laundering into a legitimate one through value layers.
+        A throwy node guards itself. A value-func (coalesce/nullif/
+        get_json_string) evaluates its params EAGERLY (:362-367), so its
+        guards are its params' guards, recursively. A CASE evaluates
+        lazily (:729-749), so its guard replays the condition chain:
+        NULL on a throwy condition's throw, then the FIRED branch
+        value's own guards, TRUE everywhere else — unfired branches
+        never leak into the guard, exactly like the reference never
+        evaluates them. Common rule CASEs (no throwy parts) prune to no
+        guard at all."""
+        if self._node_throwy(node):
+            return [self.emit(node, "any")]
+        if isinstance(node, Func) and node.name in self._VALUE_FUNCS:
+            return [g for a in node.args for g in self._throw_guards(a)]
+        if isinstance(node, Case):
+            arms = []
+            plain = True
+            for cond, val in node.whens:
+                c, throwy = self.bool_operand(cond)
+                if throwy:
+                    arms.append(f"WHEN ({c}) IS NULL THEN NULL")
+                    plain = False
+                veil = self._guard_expr(val)
+                if veil != "TRUE":
+                    plain = False
+                arms.append(f"WHEN {c} THEN {veil}")
+            default = (self._guard_expr(node.default)
+                       if node.default is not None else "TRUE")
+            if default != "TRUE":
+                plain = False
+            if plain:
+                return []
+            return [f"(CASE {' '.join(arms)} ELSE {default} END)"]
+        return []
+
+    def _guard_expr(self, node: "Node") -> str:
+        """TRUE when this node's reference evaluation returns, NULL when
+        it throws — the scalar form of _throw_guards."""
+        gs = self._throw_guards(node)
+        if not gs:
+            return "TRUE"
+        conds = " OR ".join(f"({g}) IS NULL" for g in gs)
+        return f"(CASE WHEN {conds} THEN NULL ELSE TRUE END)"
+
     def num_operand(self, node: "Node") -> str:
         """A toBigDecimal boundary (OperationNode :324-347, FunctionNode
         :682-694): null → ZERO, trim-empty string → ZERO, datetime
@@ -513,8 +562,11 @@ class Emitter:
                     f" WHEN trim({s}) = '' THEN CAST(0.0 AS DOUBLE)"
                     f" ELSE {self.try_num(s)} END)")
         # legitimate-null node (field / CASE / value-func): null and
-        # trim-empty are both ZERO
-        return (f"(CASE WHEN {s} IS NULL OR trim({s}) = ''"
+        # trim-empty are both ZERO — but a throw inside a value-func's
+        # eager params still preempts (the guards see through the layer)
+        pre = " ".join(f"WHEN ({g}) IS NULL THEN CAST(NULL AS DOUBLE)"
+                       for g in self._throw_guards(node))
+        return (f"(CASE {pre} WHEN {s} IS NULL OR trim({s}) = ''"
                 f" THEN CAST(0.0 AS DOUBLE)"
                 f" ELSE {self.try_num(s)} END)")
 
@@ -534,11 +586,22 @@ class Emitter:
                 return ("TRUE" if node.value else "FALSE"), False
             return "FALSE", False
         if isinstance(node, Case):
-            # a no-match CASE yields a legitimate null → falsy
-            return f"coalesce({self.emit(node, 'bool')}, FALSE)", False
+            # a no-match CASE yields a legitimate null → falsy; a throw
+            # inside (condition or fired branch) still aborts via guards
+            frag = f"coalesce({self.emit(node, 'bool')}, FALSE)"
+            gs = self._throw_guards(node)
+            if gs:
+                conds = " OR ".join(f"({g}) IS NULL" for g in gs)
+                return (f"(CASE WHEN {conds} THEN NULL "
+                        f"ELSE {frag} END)"), True
+            return frag, False
         frag = self.emit(node, "any")
         if self._node_throwy(node):
             return f"(CASE WHEN {frag} IS NOT NULL THEN FALSE END)", True
+        gs = self._throw_guards(node)
+        if gs:  # value-func: falsy, but its eager params can still throw
+            conds = " OR ".join(f"({g}) IS NULL" for g in gs)
+            return f"(CASE WHEN {conds} THEN NULL ELSE FALSE END)", True
         return "FALSE", False
 
     def safe_div(self, a: str, b: str) -> str:
@@ -816,11 +879,9 @@ class Emitter:
             # preempts the null-safe arms (upper(null) = 'X' is errData,
             # not FALSE); legitimate nulls (fields, value-funcs) keep
             # isEqual's null-safe contract
-            guards = []
-            if self._node_throwy(node.left):
-                guards.append(f"{a} IS NULL")
-            if self._node_throwy(node.right):
-                guards.append(f"{b} IS NULL")
+            guards = [f"({g}) IS NULL"
+                      for side in (node.left, node.right)
+                      for g in self._throw_guards(side)]
             pre = f"WHEN {' OR '.join(guards)} THEN NULL " if guards else ""
             eq = (
                 f"(CASE {pre}WHEN {a} IS NULL AND {b} IS NULL THEN TRUE"
@@ -956,9 +1017,10 @@ class Emitter:
 
     def _guard_throwy_args(self, args: list, inner: str) -> str:
         """NULL-preempt a function call when any eagerly-evaluated
-        throwy argument is NULL (its reference evaluation threw)."""
-        guards = [f"({self.emit(x)}) IS NULL"
-                  for x in args if self._node_throwy(x)]
+        argument's reference evaluation threw (recursively through
+        value-func layers)."""
+        guards = [f"({g}) IS NULL"
+                  for x in args for g in self._throw_guards(x)]
         if guards:
             return (f"(CASE WHEN {' OR '.join(guards)} THEN NULL "
                     f"ELSE {inner} END)")
