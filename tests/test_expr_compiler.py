@@ -139,6 +139,13 @@ CORPUS = [
     ("'2024-07-31 23:59:59' < from_unixtime(ct_s)", True),
     ("from_unixtime(ct_s) > '2024/8/1'", None),
     ("from_unixtime(ct_s) > 'abc'", None),
+    # a datetime OBJECT flows through an exhaustive CASE (ConditionNode
+    # returns the branch value as-is) and still takes the date branch;
+    # the throwing-condition arm still aborts
+    ("CASE WHEN price > 0 THEN from_unixtime(ct_s) "
+     "ELSE now() END < '2024-08-01 06:30:00'", True),
+    ("CASE WHEN name_s > 1 THEN from_unixtime(ct_s) "
+     "ELSE now() END < '2024-08-01 06:30:00'", None),
     # non-date strings fall back to NUMERIC (never string ordering)
     ("price > '1000'", True),
     # math

@@ -932,12 +932,33 @@ class Emitter:
         datetime OBJECT in the reference — LocalDateTime from now(), or
         DateTimeResult from 1-arg from_unixtime (:395-396, :539-541) —
         else None (strings are NOT datetime objects, extractDateTime
-        :171-186)."""
+        :171-186). An EXHAUSTIVE CASE (every branch incl. ELSE a
+        datetime object) carries the object through (ConditionNode
+        returns the branch value as-is): re-emitted over timestamp
+        fragments with the usual condition throw-guards — a NULL of the
+        re-emitted frag then means exactly a reference throw, which the
+        compare renders NULL. A non-exhaustive CASE can also return
+        null (no match), which compareDates sends to the NUMERIC branch
+        as ZERO — one fragment cannot carry both meanings, so those
+        stay on the stringly path (the formatted rendering compares
+        numerically, throwing like the reference's ZERO-vs-unparseable
+        in the common sub-case)."""
         if isinstance(node, Func) and node.name == "now" and not node.args:
             return self.now()
         if (isinstance(node, Func) and node.name == "from_unixtime"
                 and len(node.args) == 1):
             return self.ts_from_num(self.emit(node.args[0], "number"))
+        if isinstance(node, Case) and node.whens and node.default is not None:
+            branches = [self._ts_operand(v) for _, v in node.whens]
+            dflt = self._ts_operand(node.default)
+            if all(branches) and dflt:
+                arms = []
+                for (cond, _), ts in zip(node.whens, branches):
+                    c, throwy = self.bool_operand(cond)
+                    if throwy:
+                        arms.append(f"WHEN ({c}) IS NULL THEN NULL")
+                    arms.append(f"WHEN {c} THEN {ts}")
+                return f"(CASE {' '.join(arms)} ELSE {dflt} END)"
         return None
 
     def emit_func(self, node: Func) -> str:
