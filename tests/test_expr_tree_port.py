@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 import random
+import re
+from datetime import datetime, timedelta, timezone
 from decimal import ROUND_DOWN, ROUND_HALF_UP, Decimal, localcontext
 
 import duckdb
@@ -34,11 +36,14 @@ import pytest
 from test_expr_fuzz import (
     COMPILER,
     DIRTY,
+    NOW_DT,
     THROW,
     _gen,
     _lenient,
     _norm_eq,
     engine_num_cmp,
+    ref_parse_datetime,
+    ref_parse_long,
     ref_substring,
     try_cast_double,
 )
@@ -681,3 +686,394 @@ def test_trees_match_reference_port(tree_cells):
                 checked += 1
     assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
     assert checked > 2000, f"port coverage too thin: {checked}"
+
+
+# ---------------------------------------------------------------------------
+# date-surface compositions: from_unixtime / date_format / now flowing
+# through CASE, string funcs, value funcs, compares, and boolean ops —
+# the kernels are fuzz-pinned one at a time in test_expr_fuzz.py; these
+# templates pin their COMPOSITION. DT below is the reference's datetime
+# OBJECT (LocalDateTime / DateTimeResult — toString is the
+# 'yyyy-MM-dd HH:mm:ss' rendering, DateTimeResult.java:13).
+# ---------------------------------------------------------------------------
+DATE_TEMPLATES = [
+    "from_unixtime(f) = from_unixtime(g)",
+    "now() < from_unixtime(f)",
+    "from_unixtime(f) >= date_format(g, 'yyyy-MM-dd HH:mm:ss')",
+    "CASE WHEN f < g THEN from_unixtime(f) ELSE now() END"
+    " <= '2024-08-10 00:00:00'",
+    "upper(date_format(f, 'yyyy-MM-dd HH:mm:ss'))",
+    "coalesce(date_format(f, 'yyyy-MM-dd HH:mm:ss'), 'none')",
+    "date_format(f, 'yyyy-MM-dd HH:mm:ss') = g",
+    "from_unixtime(f, 'yyyyMMdd')",
+    "length(from_unixtime(f))",
+    "from_unixtime(f) + 1",
+    "now() >= now()",
+    "CASE WHEN from_unixtime(f) > '2024-08-10 00:00:00' THEN 'after'"
+    " ELSE 'before' END",
+    "substring(from_unixtime(f), 1, 4)",
+    "from_unixtime(f) < '2024-08-10'",
+    "from_unixtime(1722470400) <= g",
+    "(now() < from_unixtime(f)) AND (f < g)",
+    "NOT (from_unixtime(f) > g)",
+]
+
+_EPOCH_MS_MAX = 253_402_300_799_999
+_EPOCH_S_MIN = -62_135_596_800
+NOW_TS = NOW_DT  # the pinned now() literal, as an engine value
+
+
+class Deviation(Exception):
+    """A cell in a DOCUMENTED deviation class the per-kernel fuzz pins
+    separately — here the stringly-typing choice: from_unixtime of a
+    decimal epoch is valid for a JSON NUMBER (longValue truncates) and a
+    throw for a JSON STRING (Long.parseLong); the wide model carries
+    only strings and takes the number interpretation."""
+
+
+class OutOfWindow(Exception):
+    """Representable in Java's unbounded LocalDateTime (and in Python's
+    bounded datetime it is NOT) — the engines render NULL there, the
+    documented years-0001-9999 deviation."""
+
+
+def _java_fmt(dt, pattern: str) -> str:
+    if pattern == "yyyy-MM-dd HH:mm:ss":
+        return (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} "
+                f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}")
+    if pattern == "yyyyMMdd":
+        return f"{dt.year:04d}{dt.month:02d}{dt.day:02d}"
+    if pattern == "yyyy-MM-dd":
+        return f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+    raise AssertionError(pattern)
+
+
+def _epoch_to_dt_or_window(ts: int):
+    """sec/ms heuristic (:526-535) then construct; Python's datetime
+    range IS the engines' documented window, so construction failure ⟺
+    engine NULL."""
+    ms = ts if ts > 10_000_000_000 else ts * 1000
+    try:
+        return (datetime(1970, 1, 1, tzinfo=timezone.utc)
+                + timedelta(milliseconds=ms))
+    except OverflowError:
+        raise OutOfWindow(ts)
+
+
+class DT:
+    """The reference's datetime object (LocalDateTime/DateTimeResult)."""
+
+    def __init__(self, dt):
+        self.dt = dt
+
+    def formatted(self):
+        return _java_fmt(self.dt, "yyyy-MM-dd HH:mm:ss")
+
+
+# --- EngineEval date extensions (value mirrors of the emitted SQL) ---------
+def _e_ts_from_num(v):
+    """ts_from_num: try_num → ±9.2e18 gate → trunc toward zero →
+    epoch-ms window rule → naive-UTC timestamp value (None = NULL)."""
+    d = _e_try_num(v)
+    if d is None or math.isnan(d) or not (-9.2e18 <= d <= 9.2e18):
+        return None
+    return _e_ms_to_ts(_e_epoch_ms(int(d)))
+
+
+def _e_epoch_ms(v):
+    if v is None:
+        return None
+    if v > _EPOCH_MS_MAX:
+        return None
+    if v > 10_000_000_000:
+        return v
+    if v >= _EPOCH_S_MIN:
+        return v * 1000
+    return None
+
+
+def _e_ms_to_ts(ms):
+    if ms is None:
+        return None
+    return (datetime(1970, 1, 1, tzinfo=timezone.utc)
+            + timedelta(milliseconds=ms))
+
+
+_LONG_RE_FULL = re.compile(r"[+-]?[0-9]{1,18}$")
+
+
+def _e_ts_from_any(v, with_date_only=True):
+    """ts_from_any: the LONG_RE epoch gate first, else the regex-gated
+    datetime formats."""
+    if v is None:
+        return None
+    s = _e_cast_str(v)
+    if _LONG_RE_FULL.fullmatch(s):
+        return _e_ms_to_ts(_e_epoch_ms(int(s)))
+    dt = ref_parse_datetime(s, with_date_only=with_date_only)
+    return dt
+
+
+def _e_fmt_ts(ts, pattern):
+    return None if ts is None else _java_fmt(ts, pattern)
+
+
+class EngineEvalDates(EngineEval):
+    """EngineEval + the date-function emission mirrors."""
+
+    def eval_func(self, node):
+        name, args = node.name, node.args
+        if name == "now":
+            return NOW_TS
+        if name == "from_unixtime":
+            ts = _e_ts_from_num(self.eval(args[0], "number"))
+            fmt = args[1].value if len(args) > 1 else "yyyy-MM-dd HH:mm:ss"
+            return _e_fmt_ts(ts, fmt)
+        if name == "date_format":
+            ts = _e_ts_from_any(self.eval(args[0], "any"),
+                                with_date_only=False)
+            return _e_fmt_ts(ts, args[1].value)
+        return super().eval_func(node)
+
+    def _ts_operand(self, node):
+        """Mirror of Emitter._ts_operand: a timestamp VALUE (None = the
+        fragment's NULL) or the sentinel 'not-a-ts-operand' (False)."""
+        if isinstance(node, Func) and node.name == "now" and not node.args:
+            return NOW_TS
+        if (isinstance(node, Func) and node.name == "from_unixtime"
+                and len(node.args) == 1):
+            return _e_ts_from_num(self.eval(node.args[0], "number"))
+        if isinstance(node, Case) and node.whens and node.default is not None:
+            shapes = [self._ts_shape(v) for _, v in node.whens]
+            if all(shapes) and self._ts_shape(node.default):
+                for cond, val in node.whens:
+                    c, throwy = self.bool_operand(cond)
+                    if throwy and c is None:
+                        return None
+                    if c is True:
+                        return self._ts_operand(val)
+                return self._ts_operand(node.default)
+        return False
+
+    def num_operand(self, node):
+        # mirror: Emitter.num_operand checks _ts_operand FIRST — a
+        # datetime object at a numeric boundary is an unconditional NULL
+        if self._ts_shape(node):
+            return None
+        return super().num_operand(node)
+
+    def _ts_shape(self, node) -> bool:
+        """Compile-time: would Emitter._ts_operand return a fragment?"""
+        if isinstance(node, Func) and node.name == "now" and not node.args:
+            return True
+        if (isinstance(node, Func) and node.name == "from_unixtime"
+                and len(node.args) == 1):
+            return True
+        if isinstance(node, Case) and node.whens and node.default is not None:
+            return (all(self._ts_shape(v) for _, v in node.whens)
+                    and self._ts_shape(node.default))
+        return False
+
+    def eval_op(self, node):
+        if node.op in ("<", "<=", ">", ">="):
+            lt = self._ts_operand(node.left)
+            rt = self._ts_operand(node.right)
+            if lt is not False or rt is not False:
+                a = lt if lt is not False else ref_parse_datetime(
+                    _e_cast_str(self.eval(node.left, "string")) or "\0",
+                    with_date_only=False)
+                b = rt if rt is not False else ref_parse_datetime(
+                    _e_cast_str(self.eval(node.right, "string")) or "\0",
+                    with_date_only=False)
+                if a is None or b is None:
+                    return None
+                return {"<": a < b, "<=": a <= b,
+                        ">": a > b, ">=": a >= b}[node.op]
+        return super().eval_op(node)
+
+
+# --- RefEval date extensions ------------------------------------------------
+class RefEvalDates(RefEval):
+    def eval_func(self, node):
+        name = node.name
+        if name == "now":
+            return DT(NOW_DT)
+        if name in ("from_unixtime", "date_format"):
+            vals = [self.eval(x) for x in node.args]
+            if name == "from_unixtime":
+                v = vals[0]
+                if isinstance(v, Decimal):
+                    ts = int(v)  # Number.longValue truncation
+                elif isinstance(v, str):
+                    got = ref_parse_long(v)
+                    if got is THROW:
+                        if try_cast_double(v) is not None:
+                            raise Deviation(v)  # number-vs-string typing
+                        raise Throw("from_unixtime parseLong")
+                    ts = got
+                else:
+                    raise Throw("from_unixtime param type")
+                dt = _epoch_to_dt_or_window(ts)
+                if len(vals) > 1:
+                    return _java_fmt(dt, node.args[1].value)
+                return DT(dt)
+            # date_format (:441-501): DT passthrough, Number/parseLong
+            # epoch heuristic, else the inline formats (NO date-only)
+            v = vals[0]
+            if isinstance(v, DT):
+                dt = v.dt
+            elif isinstance(v, Decimal):
+                dt = _epoch_to_dt_or_window(int(v))
+            elif isinstance(v, str):
+                got = ref_parse_long(v)
+                if got is not THROW:
+                    dt = _epoch_to_dt_or_window(got)
+                else:
+                    dt = ref_parse_datetime(v, with_date_only=False)
+                    if dt is None:
+                        raise Throw("date_format unparseable")
+            else:
+                raise Throw("date_format param type")
+            return _java_fmt(dt, node.args[1].value)
+        return super().eval_func(node)
+
+    def eval_op(self, node):
+        if node.op in ("<", "<=", ">", ">="):
+            a = self.eval(node.left)
+            b = self.eval(node.right)
+            c = self._compare_dates(a, b)
+            return {"<": c < 0, "<=": c <= 0,
+                    ">": c > 0, ">=": c >= 0}[node.op]
+        return super().eval_op(node)
+
+    def _compare_dates(self, a, b) -> int:
+        """compareDates :115-142, full: datetime objects first, then the
+        mixed parse (no date-only), then compareNumbers (where a DT
+        throws in toBigDecimal)."""
+        da = a.dt if isinstance(a, DT) else None
+        db = b.dt if isinstance(b, DT) else None
+        if da is not None and db is not None:
+            return (da > db) - (da < db)
+        if da is not None:
+            s = _ref_str(b)  # b.toString() — NPE on null, :126
+            pd = ref_parse_datetime(s, with_date_only=False)
+            if pd is not None:
+                return (da > pd) - (da < pd)
+        if db is not None:
+            s = _ref_str(a)
+            pd = ref_parse_datetime(s, with_date_only=False)
+            if pd is not None:
+                return (pd > db) - (pd < db)
+        xa, xb = _to_bd(a), _to_bd(b)
+        _fragile_gate(xa, xb)
+        return (xa > xb) - (xa < xb)
+
+    def _is_equal(self, a, b) -> bool:
+        # DateTimeResult is NOT a LocalDateTime: isEqual's first branch
+        # misses it and it falls through to toString equality (:230-265)
+        if isinstance(a, DT) or isinstance(b, DT):
+            if a is None or b is None:
+                return False
+            return _ref_str(a) == _ref_str(b)
+        return super()._is_equal(a, b)
+
+
+def _ref_str_dt(v):
+    return v.formatted() if isinstance(v, DT) else v
+
+
+# patch _ref_str/_to_bd to understand DT (toString renders the
+# formatted form; toBigDecimal throws on datetime objects, :327-335)
+_orig_ref_str = _ref_str
+
+
+def _ref_str(v):  # noqa: F811
+    if isinstance(v, DT):
+        return v.formatted()
+    return _orig_ref_str(v)
+
+
+_orig_to_bd = _to_bd
+
+
+def _to_bd(v):  # noqa: F811
+    if isinstance(v, DT):
+        raise Throw("datetime in numeric op")  # :327-335
+    return _orig_to_bd(v)
+
+
+@pytest.fixture(scope="module")
+def date_cells(spark):
+    rows = [(a, b) for a, b in zip(DIRTY, DIRTY[5:] + DIRTY[:5])]
+    s_cols = [f"CAST(({COMPILER.to_spark_sql(e)}) AS STRING) AS c{i}"
+              for i, e in enumerate(DATE_TEMPLATES)]
+    d_cols = [f"CAST(({COMPILER.to_duckdb_sql(e)}) AS VARCHAR) AS c{i}"
+              for i, e in enumerate(DATE_TEMPLATES)]
+
+    spark.createDataFrame(rows, "f string, g string") \
+        .createOrReplaceTempView("date_rows")
+    s_rows = spark.sql(
+        "SELECT f, g, " + ", ".join(s_cols) + " FROM date_rows").collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE date_rows (f VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO date_rows VALUES (?, ?)", rows)
+    d_rows = con.execute(
+        "SELECT f, g, " + ", ".join(d_cols) + " FROM date_rows").fetchall()
+
+    s_map = {(r[0], r[1]): tuple(r[2:]) for r in s_rows}
+    d_map = {(r[0], r[1]): tuple(r[2:]) for r in d_rows}
+    return rows, s_map, d_map
+
+
+def test_date_compositions_match_engine_port(date_cells):
+    rows, s_map, d_map = date_cells
+    asts = [parse(e) for e in DATE_TEMPLATES]
+    bad = []
+    for key in rows:
+        ev = EngineEvalDates({"f": key[0], "g": key[1]})
+        for i, ast in enumerate(asts):
+            want = _render_engine(ev.eval(ast))
+            for which, got in (("spark", s_map[key][i]),
+                               ("duck", d_map[key][i])):
+                if not _norm_eq(got, want):
+                    bad.append((DATE_TEMPLATES[i], key, which, got, want))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
+def test_date_compositions_match_reference_port(date_cells):
+    rows, s_map, _ = date_cells
+    asts = [parse(e) for e in DATE_TEMPLATES]
+    checked = 0
+    bad = []
+    for key in rows:
+        if _lenient(key[0]) or _lenient(key[1]):
+            continue
+        rv = RefEvalDates({"f": key[0], "g": key[1]})
+        for i, ast in enumerate(asts):
+            got = s_map[key][i]
+            try:
+                want = rv.eval(ast)
+            except (Throw, OutOfWindow):
+                # a throw is errData; an out-of-window datetime is the
+                # documented years-0001-9999 deviation — NULL either way
+                if got is not None:
+                    bad.append((DATE_TEMPLATES[i], key, got, "THROW/OOW"))
+                continue
+            except (Fragile, Deviation):
+                continue
+            want = _ref_str_dt(want)
+            if want is None:
+                ok = got is None
+            elif isinstance(want, bool):
+                ok = got == ("true" if want else "false")
+            elif isinstance(want, Decimal):
+                ok = got is not None and _norm_eq(got, str(want))
+            else:
+                ok = got == want
+            if not ok:
+                bad.append((DATE_TEMPLATES[i], key, got, want))
+            else:
+                checked += 1
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+    assert checked > 120, f"port coverage too thin: {checked}"

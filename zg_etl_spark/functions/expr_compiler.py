@@ -96,7 +96,11 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
   epoch digits `:407-410`; Number args are ALWAYS millis with no >1e10
   heuristic `:413-415`), an asymmetry that only exists because its
   property bag distinguishes JSON number from string — our stringly
-  wide model cannot, so both functions share ts_from_any;
+  wide model cannot, so both functions share ts_from_any. The same
+  typing choice makes from_unixtime's epoch coercion try_cast-numeric:
+  a decimal epoch ('3.5') is Number.longValue-truncated like the
+  reference's JSON-number case, where its JSON-string case would throw
+  in Long.parseLong;
 - CASE and coalesce/nullif results stay legitimate-null
   (`_node_throwy`): a NULL they RETURN zero-coerces/falsy-coerces like
   the reference's null. The other meaning of NULL — a throw INSIDE them
