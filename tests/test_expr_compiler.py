@@ -139,6 +139,21 @@ CORPUS = [
     ("'2024-07-31 23:59:59' < from_unixtime(ct_s)", True),
     ("from_unixtime(ct_s) > '2024/8/1'", None),
     ("from_unixtime(ct_s) > 'abc'", None),
+    # dataType:"date" constants (parseConstantValue :834-835) — a
+    # LocalDateTime OBJECT: chronological compares, isEqual's
+    # LocalDateTime branch (now() qualifies; from_unixtime's
+    # DateTimeResult does NOT — it falls to toString equality, where
+    # the ISO-'T' and 'y-M-d H:m:s' renderings can never match), Java
+    # toString in string contexts (seconds dropped when zero),
+    # toBigDecimal throw in arithmetic
+    ("TIMESTAMP '2024-08-01T06:30:00' > '2024-08-01 00:00:00'", True),
+    ("TIMESTAMP '2024-08-01T00:00:00' < from_unixtime(ct_s)", False),
+    ("TIMESTAMP '2024-08-01T06:30:00' = TIMESTAMP '2024-08-01T06:30'", True),
+    ("from_unixtime(ct_s) = TIMESTAMP '2024-08-01T00:00:00'", False),
+    ("upper(TIMESTAMP '2024-08-01T06:30:00')", "2024-08-01T06:30"),
+    ("concat(TIMESTAMP '2024-08-01T06:30:15', '!')", "2024-08-01T06:30:15!"),
+    ("TIMESTAMP '2024-08-01T06:30:00' + 1", None),
+    ("now() = now()", True),
     # a datetime OBJECT flows through an exhaustive CASE (ConditionNode
     # returns the branch value as-is) and still takes the date branch;
     # the throwing-condition arm still aborts
@@ -225,6 +240,22 @@ def test_parse_errors():
     for bad in ["price +", "CASE price END", "unknownfn(1)", "(price", "1 ~~ 2"]:
         with pytest.raises(ExpressionError):
             parse(bad)
+
+
+def test_bad_timestamp_literal_fails_at_parse():
+    """LocalDateTime.parse throws inside parseConstantValue (:834-835) —
+    registration time, not evaluation time: date-only, space-separated,
+    unpadded, and calendar-invalid literals are all rejected."""
+    for bad in ["TIMESTAMP '2024-08-01'", "TIMESTAMP '2024-08-01 06:30:00'",
+                "TIMESTAMP '2024-8-1T06:30'", "TIMESTAMP '2024-02-30T00:00'",
+                "TIMESTAMP 'abc'"]:
+        with pytest.raises(ExpressionError):
+            parse(bad)
+    # and 'timestamp' NOT followed by a string literal stays a field
+    from zg_etl_spark.functions.expr_compiler import Field, Op
+    ast = parse("timestamp > 5")
+    assert isinstance(ast, Op) and isinstance(ast.left, Field)
+    assert ast.left.name == "timestamp"
 
 
 def test_va_resolver_opens_custom_bag():

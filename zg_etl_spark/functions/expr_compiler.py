@@ -43,8 +43,17 @@ Documented semantics preserved:
   branch, as in compareDates `:139-141`); with-time forms accept 1-2
   digit fields. Each format is regex-gated so both engines accept the
   identical string set;
+- the rule AST's 4th constant type, `dataType: "date"`
+  (`parseConstantValue` :834-835), is spelled `TIMESTAMP '<iso>'` here:
+  a LocalDateTime OBJECT that compares chronologically, equals other
+  LocalDateTime objects via isEqual's first branch (now() qualifies,
+  DateTimeResult does NOT), renders Java's `toString()` (ISO 'T' form,
+  seconds dropped when zero) in string contexts, and throws in
+  toBigDecimal; a malformed literal fails at parse = rule registration,
+  like the reference's `LocalDateTime.parse`;
 - ordered comparisons are date-aware ONLY when a side is a datetime
-  OBJECT — `now()` or 1-arg `from_unixtime` results (`extractDateTime`
+  OBJECT — `now()`, a date constant, or 1-arg `from_unixtime` results
+  (`extractDateTime`
   `:171-186` returns null for String) — with the other side parsed via
   OperationNode's OWN `parseDateTimeString` (`:144-168`), which lacks
   FunctionNode's `LocalDate` fallback: in the compare's mixed branch
@@ -195,6 +204,32 @@ class Func(Node):
 class Case(Node):
     whens: list[tuple[Node, Node]] = dc_field(default_factory=list)
     default: Node | None = None
+
+
+@dataclass
+class TsConst(Node):
+    """The rule AST's 4th constant type: ``dataType: "date"`` becomes a
+    LocalDateTime OBJECT (`parseConstantValue` :834-835,
+    ``LocalDateTime.parse`` — strict ISO, 'T' separator, optional
+    seconds; anything else throws AT PARSE TIME, i.e. rule
+    registration). Spelled ``TIMESTAMP '<iso>'`` in this SQL grammar.
+    As an object it compares chronologically (extractDateTime :171-177),
+    equals other LocalDateTimes via isEqual's first branch (:230-232),
+    throws in toBigDecimal (:332-335), and renders Java's
+    ``LocalDateTime.toString()`` in string contexts — ISO with 'T',
+    seconds omitted when zero."""
+
+    value: object  # datetime.datetime (naive)
+
+    def java_str(self) -> str:
+        v = self.value
+        base = f"{v.year:04d}-{v.month:02d}-{v.day:02d}T{v.hour:02d}:{v.minute:02d}"
+        return base if v.second == 0 else f"{base}:{v.second:02d}"
+
+    def sql_ts(self) -> str:
+        v = self.value
+        return (f"TIMESTAMP '{v.year:04d}-{v.month:02d}-{v.day:02d} "
+                f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}'")
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +400,11 @@ class Parser:
             self.next()
             low = text.lower()
             nxt = self.peek()
+            if low == "timestamp" and nxt and nxt[0] == "str":
+                self.next()
+                quote = nxt[1][0]
+                raw = nxt[1][1:-1].replace(quote * 2, quote)
+                return TsConst(_parse_ldt_literal(raw))
             if nxt and nxt[0] == "op" and nxt[1] == "(":
                 if low in AGGREGATES:
                     # SqlToJsonExpressionConverter.java:98-122 — aggregates banned
@@ -382,6 +422,22 @@ class Parser:
             # dotted path keeps the last segment (reference :531-541)
             return Field(text.split(".")[-1])
         raise ExpressionError(f"unexpected token {t}")
+
+
+def _parse_ldt_literal(raw: str):
+    """LocalDateTime.parse's ISO_LOCAL_DATE_TIME: 'T' separator, 2-digit
+    fields, optional :ss — anything else throws at rule registration
+    (parseConstantValue :834-835 raises during parseExpression)."""
+    from datetime import datetime
+
+    if not re.fullmatch(
+            r"[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(:[0-9]{2})?",
+            raw):
+        raise ExpressionError(f"bad TIMESTAMP literal: {raw!r}")
+    try:
+        return datetime.fromisoformat(raw)
+    except ValueError as e:
+        raise ExpressionError(f"bad TIMESTAMP literal: {raw!r}") from e
 
 
 def parse(sql: str) -> Node:
@@ -472,7 +528,7 @@ class Emitter:
         (OperationNode :107-113, FunctionNode :362-367), so a throw in
         any operand aborts the whole expression — which is why throwy
         NULLs must preempt value logic in every composite emission."""
-        if isinstance(node, (Const, Field, Case)):
+        if isinstance(node, (Const, Field, Case, TsConst)):
             return False
         if isinstance(node, Func) and node.name in self._VALUE_FUNCS:
             return False
@@ -491,6 +547,8 @@ class Emitter:
         never leak into the guard, exactly like the reference never
         evaluates them. Common rule CASEs (no throwy parts) prune to no
         guard at all."""
+        if isinstance(node, TsConst):
+            return []  # a parsed literal: never null, never throws
         if self._node_throwy(node):
             return [self.emit(node, "any")]
         if isinstance(node, Func) and node.name in self._VALUE_FUNCS:
@@ -732,6 +790,11 @@ class Emitter:
 
     # --- shared emission ---------------------------------------------------
     def emit(self, node: Node, hint: str = "any") -> str:
+        if isinstance(node, TsConst):
+            # the OBJECT form is taken by _ts_operand at the boundaries
+            # that care; everywhere else the value is Java's
+            # LocalDateTime.toString() rendering, a compile-time string
+            return _sql_str(node.java_str())
         if isinstance(node, Const):
             if node.value is None:
                 return "NULL"
@@ -871,6 +934,15 @@ class Emitter:
             # probe uses the engines' try_cast grammar (documented
             # leniency superset of BigDecimal) in double space
             # (documented 2^53 precision bound).
+            # isEqual's FIRST branch (:230-232): both sides LocalDateTime
+            # OBJECTS — now() or a date constant, NOT DateTimeResult
+            # (from_unixtime), which fails the instanceof and falls to
+            # toString equality — compare chronologically
+            llt = self._ldt_operand(node.left)
+            rlt = self._ldt_operand(node.right)
+            if llt and rlt:
+                eq = f"({llt} = {rlt})"
+                return eq if op == "=" else f"(NOT {eq})"
             lh = self._operand_hint(node.right)
             rh = self._operand_hint(node.left)
             lh = lh if lh != "any" else "string"
@@ -947,6 +1019,8 @@ class Emitter:
         stay on the stringly path (the formatted rendering compares
         numerically, throwing like the reference's ZERO-vs-unparseable
         in the common sub-case)."""
+        if isinstance(node, TsConst):
+            return node.sql_ts()
         if isinstance(node, Func) and node.name == "now" and not node.args:
             return self.now()
         if (isinstance(node, Func) and node.name == "from_unixtime"
@@ -963,6 +1037,18 @@ class Emitter:
                         arms.append(f"WHEN ({c}) IS NULL THEN NULL")
                     arms.append(f"WHEN {c} THEN {ts}")
                 return f"(CASE {' '.join(arms)} ELSE {dflt} END)"
+        return None
+
+    def _ldt_operand(self, node: Node) -> str | None:
+        """Timestamp fragment when the operand is a LocalDateTime OBJECT
+        in the reference — now() (:395-396) or a date constant
+        (parseConstantValue :834-835) — the only types isEqual's first
+        branch (:230-232) accepts. DateTimeResult (1-arg from_unixtime)
+        is NOT a LocalDateTime and falls through to toString equality."""
+        if isinstance(node, TsConst):
+            return node.sql_ts()
+        if isinstance(node, Func) and node.name == "now" and not node.args:
+            return self.now()
         return None
 
     def emit_func(self, node: Func) -> str:
