@@ -53,6 +53,7 @@ from zg_etl_spark.functions.expr_compiler import (
     Field,
     Func,
     Op,
+    TsConst,
     parse,
 )
 
@@ -63,7 +64,7 @@ _VALUE_FUNCS = {"coalesce", "nullif", "get_json_string"}
 
 def _throwy(node) -> bool:
     """Mirror of Emitter._node_throwy."""
-    if isinstance(node, (Const, Field, Case)):
+    if isinstance(node, (Const, Field, Case, TsConst)):
         return False
     if isinstance(node, Func) and node.name in _VALUE_FUNCS:
         return False
@@ -716,6 +717,12 @@ DATE_TEMPLATES = [
     "from_unixtime(1722470400) <= g",
     "(now() < from_unixtime(f)) AND (f < g)",
     "NOT (from_unixtime(f) > g)",
+    "TIMESTAMP '2024-08-10T00:00:00' > f",
+    "now() = TIMESTAMP '2024-08-15T12:00:00'",
+    "from_unixtime(f) = TIMESTAMP '2024-08-10T05:30:15'",
+    "coalesce(nullif(upper(f), ''), TIMESTAMP '2024-08-10T05:30:00')",
+    "CASE WHEN f < g THEN TIMESTAMP '2024-08-10T05:30:00'"
+    " ELSE now() END <= g",
 ]
 
 _EPOCH_MS_MAX = 253_402_300_799_999
@@ -761,13 +768,26 @@ def _epoch_to_dt_or_window(ts: int):
 
 
 class DT:
-    """The reference's datetime object (LocalDateTime/DateTimeResult)."""
+    """The reference's DateTimeResult: toString is the
+    'yyyy-MM-dd HH:mm:ss' rendering (DateTimeResult.java:13)."""
 
     def __init__(self, dt):
         self.dt = dt
 
     def formatted(self):
         return _java_fmt(self.dt, "yyyy-MM-dd HH:mm:ss")
+
+
+class LDT(DT):
+    """A bare LocalDateTime (now(), date constants): toString is the
+    ISO 'T' form with seconds dropped when zero, and isEqual's first
+    branch (:230-232) accepts it where DateTimeResult falls through."""
+
+    def formatted(self):
+        v = self.dt
+        base = (f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+                f"T{v.hour:02d}:{v.minute:02d}")
+        return base if v.second == 0 else f"{base}:{v.second:02d}"
 
 
 # --- EngineEval date extensions (value mirrors of the emitted SQL) ---------
@@ -821,6 +841,20 @@ def _e_fmt_ts(ts, pattern):
 class EngineEvalDates(EngineEval):
     """EngineEval + the date-function emission mirrors."""
 
+    def eval(self, node, hint="any"):
+        if isinstance(node, TsConst):
+            return node.java_str()  # the toString rendering
+        return super().eval(node, hint)
+
+    def _ldt_operand(self, node):
+        """Mirror of Emitter._ldt_operand: a LocalDateTime OBJECT —
+        TsConst or now() — as a timestamp value, else None."""
+        if isinstance(node, TsConst):
+            return node.value.replace(tzinfo=timezone.utc)
+        if isinstance(node, Func) and node.name == "now" and not node.args:
+            return NOW_TS
+        return None
+
     def eval_func(self, node):
         name, args = node.name, node.args
         if name == "now":
@@ -838,6 +872,8 @@ class EngineEvalDates(EngineEval):
     def _ts_operand(self, node):
         """Mirror of Emitter._ts_operand: a timestamp VALUE (None = the
         fragment's NULL) or the sentinel 'not-a-ts-operand' (False)."""
+        if isinstance(node, TsConst):
+            return node.value.replace(tzinfo=timezone.utc)
         if isinstance(node, Func) and node.name == "now" and not node.args:
             return NOW_TS
         if (isinstance(node, Func) and node.name == "from_unixtime"
@@ -864,6 +900,8 @@ class EngineEvalDates(EngineEval):
 
     def _ts_shape(self, node) -> bool:
         """Compile-time: would Emitter._ts_operand return a fragment?"""
+        if isinstance(node, TsConst):
+            return True
         if isinstance(node, Func) and node.name == "now" and not node.args:
             return True
         if (isinstance(node, Func) and node.name == "from_unixtime"
@@ -875,6 +913,12 @@ class EngineEvalDates(EngineEval):
         return False
 
     def eval_op(self, node):
+        if node.op in ("=", "!="):
+            llt = self._ldt_operand(node.left)
+            rlt = self._ldt_operand(node.right)
+            if llt is not None and rlt is not None:
+                eq = llt == rlt
+                return eq if node.op == "=" else (not eq)
         if node.op in ("<", "<=", ">", ">="):
             lt = self._ts_operand(node.left)
             rt = self._ts_operand(node.right)
@@ -894,10 +938,15 @@ class EngineEvalDates(EngineEval):
 
 # --- RefEval date extensions ------------------------------------------------
 class RefEvalDates(RefEval):
+    def eval(self, node):
+        if isinstance(node, TsConst):
+            return LDT(node.value.replace(tzinfo=timezone.utc))
+        return super().eval(node)
+
     def eval_func(self, node):
         name = node.name
         if name == "now":
-            return DT(NOW_DT)
+            return LDT(NOW_DT)
         if name in ("from_unixtime", "date_format"):
             vals = [self.eval(x) for x in node.args]
             if name == "from_unixtime":
@@ -969,8 +1018,11 @@ class RefEvalDates(RefEval):
         return (xa > xb) - (xa < xb)
 
     def _is_equal(self, a, b) -> bool:
-        # DateTimeResult is NOT a LocalDateTime: isEqual's first branch
-        # misses it and it falls through to toString equality (:230-265)
+        # both LocalDateTime OBJECTS → isEqual's first branch (:230-232);
+        # DateTimeResult is NOT a LocalDateTime: it misses that branch
+        # and falls through to toString equality (:230-265)
+        if isinstance(a, LDT) and isinstance(b, LDT):
+            return a.dt == b.dt
         if isinstance(a, DT) or isinstance(b, DT):
             if a is None or b is None:
                 return False
