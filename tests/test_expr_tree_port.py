@@ -267,7 +267,10 @@ class EngineEval:
             a, b = self.num_operand(node.left), self.num_operand(node.right)
             if a is None or b is None or b == 0:
                 return None
-            if math.isnan(a) or math.isnan(b) or math.isinf(a):
+            # the 2^53 dividend guard (abs(NaN/inf) fails it too)
+            if math.isnan(a) or abs(a) > 9.007199254740992e15:
+                return None
+            if math.isnan(b):
                 return math.nan
             return math.fmod(a, b)
         if op == "/":

@@ -91,6 +91,12 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
 - closed datetime alphabet: 4-digit ASCII years (Java's `yyyy` also
   parses 5+-digit years and unicode digits; the fixture corpus and the
   fuzz alphabet never mint them);
+- remainders of dividends beyond 2^53 are NULL: the double carries no
+  unit resolution there, so the remainder would amplify a one-ulp
+  upstream difference into its own full scale — the two engines
+  disagree with each other AND with BigDecimal's exact value (the
+  reference computes it exactly; a value we cannot reproduce is
+  rendered NULL, like the epoch window);
 - substring start < 1 is reference-UNDEFINED (String.substring(-1)
   throws, `:384-391`) and the two SQL dialects disagree there (Spark
   treats 0 as 1, DuckDB shifts the window) — rules must use 1-based
@@ -905,10 +911,17 @@ class Emitter:
             # doubles, REMAINDER_BY_ZERO aborts the job) — safe_mod
             # yields NULL in both dialects instead. A null divisor is
             # ZERO at the toBigDecimal boundary → the same throw.
-            return self.safe_mod(
-                self.num_operand(node.left),
-                self.num_operand(node.right),
-            )
+            # Dividends beyond 2^53 are NULL (documented precision
+            # bound): the double has no unit resolution there, so the
+            # remainder amplifies any one-ulp upstream difference into
+            # its full scale — the engines would disagree with each
+            # other AND with BigDecimal's exact value (found by the
+            # 1500-tree sweep: round(q,10) differs by an ulp at 2.6e17,
+            # flipping the remainder by 0.025).
+            a = self.num_operand(node.left)
+            return (f"(CASE WHEN abs({a}) <= 9.007199254740992e15 "
+                    f"THEN {self.safe_mod(a, self.num_operand(node.right))} "
+                    f"END)")
         if op == "/":
             # reference divide carries scale 10 HALF_UP (:302-311).
             # Operands are forced to DOUBLE: with decimal-literal operands
