@@ -154,6 +154,12 @@ CORPUS = [
     ("concat(TIMESTAMP '2024-08-01T06:30:15', '!')", "2024-08-01T06:30:15!"),
     ("TIMESTAMP '2024-08-01T06:30:00' + 1", None),
     ("now() = now()", True),
+    # now() in VALUE contexts renders Java's LocalDateTime.toString
+    # (ISO 'T' form): the 5th char is the date dash, and equality with
+    # a non-matching string is toString-FALSE, never a numeric-epoch
+    # compare (isEqual falls through, :230-265)
+    ("substring(now(), 5, 1)", "-"),
+    ("now() = 'never'", False),
     # a datetime OBJECT flows through an exhaustive CASE (ConditionNode
     # returns the branch value as-is) and still takes the date branch;
     # the throwing-condition arm still aborts

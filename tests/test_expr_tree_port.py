@@ -861,7 +861,12 @@ class EngineEvalDates(EngineEval):
     def eval_func(self, node):
         name, args = node.name, node.args
         if name == "now":
-            return NOW_TS
+            # value context: the Java toString rendering (mirror of
+            # ldt_render over the pinned literal)
+            v = NOW_TS
+            base = (f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+                    f"T{v.hour:02d}:{v.minute:02d}")
+            return base if v.second == 0 else f"{base}:{v.second:02d}"
         if name == "from_unixtime":
             ts = _e_ts_from_num(self.eval(args[0], "number"))
             fmt = args[1].value if len(args) > 1 else "yyyy-MM-dd HH:mm:ss"

@@ -794,6 +794,13 @@ class Emitter:
     def now(self) -> str:
         raise NotImplementedError
 
+    def ldt_render(self, ts_frag: str) -> str:
+        """Java LocalDateTime.toString() of a timestamp fragment: the
+        ISO 'T' form with seconds omitted when zero — the rendering a
+        datetime OBJECT takes in string contexts (concat/upper/equality
+        fallthrough). NOT the DateTimeResult format."""
+        raise NotImplementedError
+
     # --- shared emission ---------------------------------------------------
     def emit(self, node: Node, hint: str = "any") -> str:
         if isinstance(node, TsConst):
@@ -1099,7 +1106,12 @@ class Emitter:
             return (f"(CASE WHEN {start} <= length({s}) + 1 AND {ln} >= 0 "
                     f"THEN substring({s}, {start}, {ln}) END)")
         if name == "now":
-            return self.now()
+            # VALUE context: the LocalDateTime's Java toString rendering
+            # (ISO 'T', seconds dropped when zero) — `now() = 'x'` falls
+            # through isEqual to toString equality, never to a numeric
+            # epoch compare. The OBJECT form is taken by
+            # _ts_operand/_ldt_operand at compares before emit_func runs.
+            return self.ldt_render(self.now())
         if name == "date_diff":
             return self.datediff_days(self.ts_from_any(a(0)), self.ts_from_any(a(1)))
         if name == "date_format":
@@ -1222,6 +1234,12 @@ class SparkEmitter(Emitter):
     def now(self) -> str:
         return self.now_literal or "current_timestamp()"
 
+    def ldt_render(self, ts_frag: str) -> str:
+        return (f"(CASE WHEN second({ts_frag}) = 0 "
+                f"THEN date_format({ts_frag}, \"yyyy-MM-dd'T'HH:mm\") "
+                f"ELSE date_format({ts_frag}, \"yyyy-MM-dd'T'HH:mm:ss\") "
+                f"END)")
+
 
 class DuckEmitter(Emitter):
     dialect = "duckdb"
@@ -1285,6 +1303,11 @@ class DuckEmitter(Emitter):
 
     def now(self) -> str:
         return self.now_literal or "now()"
+
+    def ldt_render(self, ts_frag: str) -> str:
+        return (f"(CASE WHEN date_part('second', {ts_frag}) = 0 "
+                f"THEN strftime({ts_frag}, '%Y-%m-%dT%H:%M') "
+                f"ELSE strftime({ts_frag}, '%Y-%m-%dT%H:%M:%S') END)")
 
 
 # ---------------------------------------------------------------------------
