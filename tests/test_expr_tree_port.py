@@ -1137,3 +1137,120 @@ def test_date_compositions_match_reference_port(date_cells):
                 checked += 1
     assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
     assert checked > 120, f"port coverage too thin: {checked}"
+
+
+# ---------------------------------------------------------------------------
+# seeded RANDOM date-trees — the fixed DATE_TEMPLATES' generator form.
+# This leg found the now()-rendering bug (a timestamp fragment reaching
+# the equality's numeric probe instead of Java's toString fallthrough).
+# ---------------------------------------------------------------------------
+def _gen_d_ts(rng, d):
+    p = rng.random()
+    if p < 0.3:
+        return f"from_unixtime({rng.choice(['f', 'g', '1722470400'])})"
+    if p < 0.5:
+        return "now()"
+    if p < 0.7:
+        return (f"TIMESTAMP '2024-08-{rng.randrange(1, 28):02d}"
+                f"T{rng.randrange(0, 24):02d}:30:00'")
+    if d <= 0:
+        return "now()"
+    return (f"CASE WHEN {_gen_d_bool(rng, 0)} THEN {_gen_d_ts(rng, d - 1)}"
+            f" ELSE {_gen_d_ts(rng, d - 1)} END")
+
+
+def _gen_d_str(rng, d):
+    p = rng.random()
+    if p < 0.25:
+        return f"date_format({rng.choice(['f', 'g'])}, 'yyyy-MM-dd HH:mm:ss')"
+    if p < 0.4:
+        return f"from_unixtime({rng.choice(['f', 'g'])}, 'yyyyMMdd')"
+    if p < 0.5:
+        return rng.choice(["f", "g", "'2024-08-10 05:30:00'", "'x'"])
+    if d <= 0:
+        return "f"
+    q = rng.random()
+    if q < 0.3:
+        return f"upper({_gen_d_str(rng, d - 1)})"
+    if q < 0.5:
+        return f"concat({_gen_d_str(rng, d - 1)}, '!')"
+    if q < 0.7:
+        return f"coalesce(nullif({_gen_d_str(rng, d - 1)}, ''), 'none')"
+    return f"substring({_gen_d_str(rng, d - 1)}, 1, 8)"
+
+
+def _gen_d_bool(rng, d):
+    ops = ["<", "<=", ">", ">=", "=", "!="]
+    if d <= 0 or rng.random() < 0.5:
+        q = rng.random()
+        if q < 0.4:
+            return f"{_gen_d_ts(rng, 0)} {rng.choice(ops)} {_gen_d_str(rng, 0)}"
+        if q < 0.7:
+            return f"{_gen_d_ts(rng, 0)} {rng.choice(ops)} {_gen_d_ts(rng, 0)}"
+        return f"{_gen_d_str(rng, 0)} {rng.choice(ops)} {_gen_d_str(rng, 0)}"
+    a, b = _gen_d_bool(rng, d - 1), _gen_d_bool(rng, d - 1)
+    return rng.choice([f"({a} AND {b})", f"({a} OR {b})", f"NOT {a}"])
+
+
+def _gen_date_tree(rng):
+    p = rng.random()
+    d = rng.randrange(1, 3)
+    if p < 0.45:
+        return _gen_d_bool(rng, d)
+    if p < 0.75:
+        return _gen_d_str(rng, d)
+    return f"CASE WHEN {_gen_d_bool(rng, d - 1)} THEN {_gen_d_str(rng, 0)} ELSE 'z' END"
+
+
+def test_random_date_trees_triangulate(spark):
+    rng = random.Random(55550001)
+    exprs = [_gen_date_tree(rng) for _ in range(100)]
+    asts = [parse(e) for e in exprs]
+    rows = [(a, b) for a, b in zip(DIRTY, DIRTY[23:] + DIRTY[:23])]
+
+    s_cols = [f"CAST(({COMPILER.to_spark_sql(e)}) AS STRING) AS c{i}"
+              for i, e in enumerate(exprs)]
+    d_cols = [f"CAST(({COMPILER.to_duckdb_sql(e)}) AS VARCHAR) AS c{i}"
+              for i, e in enumerate(exprs)]
+    spark.createDataFrame(rows, "f string, g string") \
+        .createOrReplaceTempView("dtree_rows")
+    s_rows = spark.sql(
+        "SELECT f, g, " + ", ".join(s_cols) + " FROM dtree_rows").collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dtree_rows (f VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO dtree_rows VALUES (?, ?)", rows)
+    d_rows = con.execute(
+        "SELECT f, g, " + ", ".join(d_cols) + " FROM dtree_rows").fetchall()
+    s_map = {(r[0], r[1]): tuple(r[2:]) for r in s_rows}
+    d_map = {(r[0], r[1]): tuple(r[2:]) for r in d_rows}
+
+    bad = []
+    checked = 0
+    for key in rows:
+        ev = EngineEvalDates({"f": key[0], "g": key[1]})
+        rv = RefEvalDates({"f": key[0], "g": key[1]})
+        for i, ast in enumerate(asts):
+            want = _render_engine(ev.eval(ast))
+            s, d = s_map[key][i], d_map[key][i]
+            if not _norm_eq(s, d) or not _norm_eq(s, want):
+                bad.append(("engine", exprs[i], key, s, d, want))
+            if _lenient(key[0]) or _lenient(key[1]):
+                continue
+            try:
+                rw = _ref_str_dt(rv.eval(ast))
+            except (Throw, OutOfWindow):
+                rw = None
+            except (Fragile, Deviation):
+                continue
+            if rw is None:
+                ok = s is None
+            elif isinstance(rw, bool):
+                ok = s == ("true" if rw else "false")
+            else:
+                ok = s is not None and _norm_eq(s, str(rw))
+            if not ok:
+                bad.append(("ref", exprs[i], key, s, rw))
+            else:
+                checked += 1
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+    assert checked > 800, f"port coverage too thin: {checked}"
