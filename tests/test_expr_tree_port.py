@@ -367,10 +367,13 @@ class EngineEval:
 
 
 def _sql_round(x: float, n: int) -> float:
-    """Both engines' round(DOUBLE, n): HALF_UP on the shortest decimal
-    rendering of the double (Spark goes through BigDecimal.valueOf)."""
-    if math.isnan(x) or math.isinf(x) or abs(x) >= 1e17:
-        return x  # no fractional precision left in a double
+    """Mirror of Emitter.round_scaled: identity where x*10^n exceeds
+    2^53 (the engines' round implementations lose ulps there and
+    diverge), HALF_UP on the shortest decimal rendering below it."""
+    if math.isnan(x) or math.isinf(x):
+        return x
+    if abs(x) >= 9.007199254740992e15 / (10.0 ** n):
+        return x
     with localcontext() as ctx:
         ctx.prec = 60
         return float(Decimal(repr(x)).quantize(

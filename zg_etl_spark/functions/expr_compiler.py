@@ -680,6 +680,20 @@ class Emitter:
         """Remainder yielding NULL on a zero divisor in this dialect."""
         raise NotImplementedError
 
+    def round_scaled(self, frag: str, n: int) -> str:
+        """round(x, n) agreeing across engines: identity where x·10^n
+        exceeds 2^53. Below that bound both engines' round is exact in
+        the scaled-integer space; above it DuckDB's scaling loses ulps
+        where Spark's BigDecimal.valueOf path doesn't, and one lost ulp
+        amplifies through cancellation or remainders into full-scale
+        divergence (found by the randomized tree sweeps at 2.5e14/2.6e17
+        magnitudes). The n-th decimal of such a value exceeds the
+        double's resolution anyway — identity is the honest rendering,
+        inside the documented precision bound."""
+        thr = 9.007199254740992e15 / (10.0 ** n)
+        return (f"(CASE WHEN abs({frag}) < {thr!r} THEN round({frag}, {n}) "
+                f"ELSE {frag} END)")
+
     def cast_str(self, frag: str) -> str:
         raise NotImplementedError
 
@@ -941,7 +955,7 @@ class Emitter:
             # whole job (the reference throws per-row and routes the row
             # to errData; NULL-and-continue is the batch rendering of that)
             return (
-                f"round({self.safe_div(self.num_operand(node.left), self.num_operand(node.right))}, 10)"
+                self.round_scaled(self.safe_div(self.num_operand(node.left), self.num_operand(node.right)), 10)
             )
         if op in ("=", "!="):
             # isEqual (:230-265) is NULL-SAFE and NUMERIC-FIRST: both
@@ -1133,9 +1147,9 @@ class Emitter:
             return f"abs({self.num_operand(args[0])})"
         if name == "round":
             if len(args) == 1:
-                return f"round({self.num_operand(args[0])})"
-            return (f"round({self.num_operand(args[0])}, "
-                    f"{self._const_int(args[1])})")
+                return self.round_scaled(self.num_operand(args[0]), 0)
+            return self.round_scaled(self.num_operand(args[0]),
+                                     self._const_int(args[1]))
         if name in ("ceil", "floor"):
             return f"{name}({self.num_operand(args[0])})"
         if name == "coalesce":
