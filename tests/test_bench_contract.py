@@ -12,23 +12,19 @@ from zg_etl_spark import plans
 
 def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
-    round-8 composition: p54c (the driver-hashable half of p54, new) and
-    w10 (scale-profile hash-ID bijection, new), the three queries whose
-    output changed with the round-7 advisory fixes (p42, p52, p53 —
-    ip-gated fuzzy store writes + new isPrivateIp fixture cids), and the
-    r5-era stale band (q11/q20, p1-p3/p5/p7/p9-p18/p20/p22-p26, p37/p40,
-    w1/w4-w8, g2/g3, l28-l37, s7/s8); registering a new query must never
-    silently displace one of these."""
+    round-9 composition: the 41-query round-6-attested band (the oldest
+    driver rows after r8's full-green window — spine relations p8/p6
+    first), plus nine picks from the next-oldest r7 band (the l16/s6/l11
+    bench watch items, the adv lanes p47/p48/p51/p55, w2, s2);
+    registering a new query must never silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["p54c_", "w10_", "p42_", "p52_", "p53_",
-                     "q11_", "q20_", "p37_", "p40_", "g2_", "g3_",
-                     "s7_", "s8_"]
-    want_prefixes += [f"p{i}_" for i in (1, 2, 3, 5, 7)]
-    want_prefixes += [f"p{i}_" for i in range(9, 19) if i != 19]
-    want_prefixes += [f"p{i}_" for i in (20, 22, 23, 24, 25, 26)]
-    want_prefixes += [f"w{i}_" for i in (1, 4, 5, 6, 7, 8)]
-    want_prefixes += [f"l{i}_" for i in range(28, 38)]
+    want_prefixes = ["g1_", "g4_", "w3_", "w9_", "w2_"]
+    want_prefixes += [f"p{i}_" for i in (0, 4, 6, 8, 19, 21, 29, 36, 38,
+                                         41, 43, 44, 45, 46, 49, 50)]
+    want_prefixes += [f"p{i}_" for i in (47, 48, 51, 55)]
+    want_prefixes += [f"l{i}_" for i in (*range(12, 28), 11)]
+    want_prefixes += [f"s{i}_" for i in (1, 2, 3, 4, 5, 6, 9, 10)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -67,12 +63,10 @@ def test_bench_line_fits_driver_capture_window():
 
 def test_driver_window_is_the_planned_rotation():
     """The driver's CORRECTNESS file covers the FIRST 50 entries of
-    all_queries(); round 8 pins that window to the two new queries
-    (p54c_candidates/w10_scale_ids), the three advisory-fix reworks
-    whose round-7 green rows attest the OLD output (p42/p52/p53), and
-    the r5-era stale band. A later registry edit must not silently
-    displace them — rotation is a DELIBERATE _WINDOW change, not a side
-    effect."""
+    all_queries(); round 9 pins that window to the 41-query r6-attested
+    band (the oldest rows after r8's full-green window) plus nine picks
+    from the r7 band. A later registry edit must not silently displace
+    them — rotation is a DELIBERATE _WINDOW change, not a side effect."""
     from zg_etl_spark import plans
 
     first50 = list(plans.all_queries())[:50]
@@ -83,21 +77,26 @@ def test_driver_window_is_the_planned_rotation():
     missing = [n for n in plans._WINDOW if n not in merged]
     assert not missing, missing
     must_have = [
-        "p54c_candidates", "w10_scale_ids", "p42_adv_click_match",
-        "p52_adv_ss_priority", "p53_ipv6_geo", "q11_approx_distinct",
-        "q20_gapfill_locf", "p37_user_detail_sum", "w1_upsert_writer",
-        "g2_wire_crypto", "l28_source_mixture", "l37_pq_ann",
-        "s7_stream_stream_join",
+        "p8_wide_table", "p6_virtual_events", "p0_envelope",
+        "p4_dictionaries", "g1_wire_roundtrip", "g4_sm2_unwrap",
+        "l12_tokens_fingerprint", "l27_dedup_keep_list",
+        "l16_dedup_groups", "l11_embedding_neardup",
+        "s1_streaming_identity", "s6_streaming_dedup",
+        "s10_streaming_deep_convert", "p47_adv_cdc_route",
+        "p55_tencent_web_match", "w3_compat_csv_roundtrip",
+        "w9_partial_upsert",
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
     # rotated/kept BEHIND the cut (still locally verified by the sf0.01
-    # parity rehearsal): the r6/r7-green band that yielded its slots to
+    # parity rehearsal): the r7/r8-green band that yielded its slots to
     # this round's rotation
-    for name in ("p54_click_consumption", "p47_adv_cdc_route",
-                 "p48_adv_click_keys", "p51_web_ad_lane",
-                 "p55_tencent_web_match", "l16_dedup_groups",
-                 "q1_pricing_summary", "w2_bucketed_join",
-                 "p33_ua_parse", "l1_text_stats", "s2_streaming_sessions",
-                 "p45_device_classify", "p49_adv_deep_convert"):
+    for name in ("p54_click_consumption", "p54c_candidates",
+                 "w10_scale_ids", "p42_adv_click_match",
+                 "p52_adv_ss_priority", "p53_ipv6_geo",
+                 "q1_pricing_summary", "q11_approx_distinct",
+                 "p33_ua_parse", "l1_text_stats", "l28_source_mixture",
+                 "l37_pq_ann", "s7_stream_stream_join",
+                 "g2_wire_crypto", "w1_upsert_writer",
+                 "p5_virtual_attrs"):
         assert name in merged and name not in first50, name

@@ -15,78 +15,75 @@ changed this round; the twice-green remainder rotates behind them.
 from zg_etl_spark.plans import (
     consume, gate_queries, llm, pipeline, relational, streaming_queries)
 
-# Round-8 window: CORRECTNESS_r07 landed 49 hash-green + p54 rows-only
-# on the round-7 composition, so that block rotates behind. The window
-# now front-loads, in priority order:
-#   1. p54c_candidates (new — the driver-hashable half of p54's replay:
-#      its candidate-resolution joins under a full DuckDB value oracle)
-#      and w10_scale_ids (new — the xxhash64 scale-profile ID mode as a
-#      bijection-checking query);
-#   2. the queries whose OUTPUT changed with the round-7 advisory fixes
-#      (ip-gated fuzzy click-store writes; two new p53 fixture cids for
-#      the trailing-dot / signed-octet isPrivateIp paths): p42, p52,
-#      p53 — their r7 rows attest the pre-fix output;
-#   3. the stale-attestation band, oldest first (everything last green
-#      in round 5): q11/q20, p1-p3/p5/p7/p9-p18/p20/p22-p26, p37/p40,
-#      w1/w4-w8, g2/g3, l28-l37, s7/s8.
-# The remainder (the r6/r7-green band) stays in the tail, covered by
+# Round-9 window: CORRECTNESS_r08 landed 50/50 hash-green on the round-8
+# composition, so that block rotates behind. After r8 the OLDEST driver
+# rows are the 41 round-6-attested queries; the window front-loads, in
+# priority order:
+#   1. the spine's most load-bearing relations first (p8 wide table, p6
+#      virtual events — two rounds stale), then the rest of the r6 band:
+#      g1/g4, l12-l15/l17-l27, p0/p4, p19/p21/p29/p36/p38/p41/p43-p46/
+#      p49/p50, s1/s3-s5/s9/s10, w3/w9;
+#   2. nine picks from the next-oldest (r7) band: the three bench watch
+#      items (l16/s6/l11 — re-attest alongside their standalone A/B),
+#      the adv lanes p47/p48/p51/p55, w2, s2.
+# The remainder (the r7/r8-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
-# attested is older than round 6.
+# attested is older than round 7.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
 # new entry silently displace the intended 50th query.
 _WINDOW = [
-    "p54c_candidates",
-    "w10_scale_ids",
-    "p42_adv_click_match",
-    "p52_adv_ss_priority",
-    "p53_ipv6_geo",
-    "q11_approx_distinct",
-    "q20_gapfill_locf",
-    "p1_gate_errors",
-    "p2_identity_mappings",
-    "p3_zgid_binding",
-    "p5_virtual_attrs",
-    "p7_enrichment",
-    "p9_user_properties",
-    "p10_b_user_upsert",
-    "p11_b_device_upsert",
-    "p12_id_archive",
-    "p13_user_visit_stats",
-    "p14_first_touch",
-    "p15_retention_cohort",
-    "p16_funnel",
-    "p17_user_prop_dict",
-    "p18_device_props",
-    "p20_asof_props",
-    "p22_session_attribution",
-    "p23_ad_conversion",
-    "p24_app_first_seen",
-    "p25_time_rollup",
-    "p26_error_details",
-    "p37_user_detail_sum",
-    "p40_salted_counters",
-    "w1_upsert_writer",
-    "w4_partition_overwrite",
-    "w5_compaction",
-    "w6_delete_sign",
-    "w7_schema_evolution",
-    "w8_retention_sweep",
-    "g2_wire_crypto",
-    "g3_rsa_unwrap",
-    "l28_source_mixture",
-    "l29_semantic_dedup",
-    "l30_dup_span_fraction",
-    "l31_candidate_verify",
-    "l32_vocab_coverage",
-    "l33_lm_quality_score",
-    "l34_source_overlap",
-    "l35_incremental_dedup",
-    "l36_sequence_packing",
-    "l37_pq_ann",
-    "s7_stream_stream_join",
-    "s8_stream_upsert_delete",
+    "p8_wide_table",
+    "p6_virtual_events",
+    "p0_envelope",
+    "p4_dictionaries",
+    "g1_wire_roundtrip",
+    "g4_sm2_unwrap",
+    "p19_event_highwater",
+    "p21_sink_counts",
+    "p29_event_resolution",
+    "p36_event_platforms",
+    "p38_adv_user_sources",
+    "p41_adv_channel_props",
+    "p43_adv_match_json",
+    "p44_apple_asa",
+    "p45_device_classify",
+    "p46_dims_mapping",
+    "p49_adv_deep_convert",
+    "p50_match_json_userprop",
+    "l12_tokens_fingerprint",
+    "l13_curation",
+    "l14_ann_pandas",
+    "l15_multimodal_features",
+    "l17_resize_features",
+    "l18_split_sample",
+    "l19_tfidf_terms",
+    "l20_chunking",
+    "l21_bigram_stats",
+    "l22_stratified_sample",
+    "l23_frame_sample",
+    "l24_pii_scrub",
+    "l25_decontaminate",
+    "l26_repetition_filter",
+    "l27_dedup_keep_list",
+    "s1_streaming_identity",
+    "s3_streaming_counts",
+    "s4_streaming_route",
+    "s5_streaming_zgid",
+    "s9_stream_partial_upsert",
+    "s10_streaming_deep_convert",
+    "w3_compat_csv_roundtrip",
+    "w9_partial_upsert",
+    "l16_dedup_groups",
+    "l11_embedding_neardup",
+    "s6_streaming_dedup",
+    "p47_adv_cdc_route",
+    "p48_adv_click_keys",
+    "p51_web_ad_lane",
+    "p55_tencent_web_match",
+    "w2_bucketed_join",
+    "s2_streaming_sessions",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)
