@@ -88,6 +88,9 @@ DIRTY = [
     '{"a": 3, "b": {"c": [1, 2]}}',
     "not json",
     "[1, 2]",
+    '{"a": null}',                          # NullNode value ≠ missing key
+    '{"a": true, "b": ["s", {"d": 2.50}]}',  # bool render + 2.50→2.5
+    '{"a": {"b": [10, 20, 30]}}',           # nested array indexing
 ]
 
 TEMPLATES = [
@@ -111,6 +114,15 @@ TEMPLATES = [
     "CASE WHEN f < g THEN 'lt' WHEN f >= g THEN 'ge' END",
     "get_json_string(f, '$.a')",
     "get_json_string(f, '$.b.c[1]')",
+    "get_json_string(f, '$.a.b[1]')",
+    "get_json_string(f, '$.b[1].d')",
+    "get_json_string(f, '$')",           # bare $: VERBATIM passthrough
+    "get_json_string(f, '$.a.b[-1]')",   # negative idx: compile-time NULL
+    "upper(get_json_string(f, '$.b'))",
+    "length(get_json_string(f, '$.a'))",
+    "nullif(f, g)",
+    "coalesce(f, g, 'none')",
+    "coalesce(nullif(f, g), nullif(g, f), 'tied')",
     "now() < f",
     "from_unixtime(f) >= g",
     "(f < g) AND (f != g)",
@@ -681,6 +693,74 @@ def test_documented_trycast_underscore_divergence(spark):
     assert d == 10.0, d
 
 
+def test_documented_json_trailing_garbage_divergence(spark):
+    """DISCOVERED by the round-9 JSON extension and documented rather
+    than papered over: Jackson's default readTree — used by BOTH the
+    reference (extractJsonPathAsString :638, FAIL_ON_TRAILING_TOKENS
+    off) and Spark's get_json_object — reads the FIRST complete JSON
+    value and ignores trailing content, so '{"a": "x"}abc' extracts
+    'x'; DuckDB's json_valid gate rejects the whole document. A
+    divergence in the engines themselves, below the compiler. The
+    closed alphabet therefore treats JSON documents as whole values:
+    the tree generators feed get_json_string from FIELD leaves only
+    (never concat/substring compositions that could mint a valid
+    prefix + garbage). This pin keeps the difference visible and fails
+    if either engine changes behavior."""
+    dirty = '{"a": "x"}abc'
+    s = spark.sql(
+        f"SELECT get_json_object('{dirty}', '$.a')").collect()[0][0]
+    d = duckdb.sql(
+        f"SELECT CASE WHEN json_valid('{dirty}') THEN "
+        f"json_extract_string('{dirty}', '$.a') END").fetchone()[0]
+    assert s == "x", s      # Spark ≡ reference (Jackson leniency)
+    assert d is None, d     # DuckDB: strict whole-document validation
+
+
+def test_iso_fractional_seconds_out_of_scope(spark):
+    """Documented deviation (compiler docstring, 'closed datetime
+    alphabet'): ISO_LOCAL_DATE_TIME accepts fractional seconds —
+    '2024-08-15T10:15:30.5' parses to a LocalDateTime in the reference
+    (parseDateTimeString :156, date_format :479) — but the iso_t regex
+    gate here requires whole seconds, so the string falls to the numeric
+    path and the cell renders NULL in BOTH engines. Carrying the
+    fraction faithfully would also need fraction-aware ldt_render and
+    nano-exact compares past the engines' µs precision; the fixture
+    corpus and fuzz alphabet never mint fractional-second ISO strings.
+    This pin keeps the deviation visible in both directions."""
+    frac = "2024-08-15T10:15:30.5"
+    # the reference side: java.time's ISO parser accepts the fraction
+    # (Python's fromisoformat models the same grammar for this shape)
+    assert datetime.fromisoformat(frac).microsecond == 500_000
+    # and the engines' documented rendering: NULL via the regex gate
+    tpl = "date_format(f, 'yyyy-MM-dd HH:mm:ss')"
+    # substitute via a one-row relation (the resolver leaves strings as-is)
+    sdf = spark.createDataFrame([(frac, None)], "f string, g string")
+    sdf.createOrReplaceTempView("iso_frac_row")
+    s = spark.sql(
+        f"SELECT CAST(({COMPILER.to_spark_sql(tpl)}) AS STRING)"
+        " FROM iso_frac_row").collect()[0][0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE iso_frac_row(f VARCHAR, g VARCHAR)")
+    con.execute("INSERT INTO iso_frac_row VALUES (?, NULL)", [frac])
+    d = con.execute(
+        f"SELECT CAST(({COMPILER.to_duckdb_sql(tpl)}) AS VARCHAR)"
+        " FROM iso_frac_row").fetchone()[0]
+    assert s is None and d is None, (s, d)
+    # whole-second sibling stays in-alphabet and parses in both
+    whole = "2024-08-15T10:15:30"
+    sdf2 = spark.createDataFrame([(whole, None)], "f string, g string")
+    sdf2.createOrReplaceTempView("iso_frac_row")
+    s2 = spark.sql(
+        f"SELECT CAST(({COMPILER.to_spark_sql(tpl)}) AS STRING)"
+        " FROM iso_frac_row").collect()[0][0]
+    con.execute("DELETE FROM iso_frac_row")
+    con.execute("INSERT INTO iso_frac_row VALUES (?, NULL)", [whole])
+    d2 = con.execute(
+        f"SELECT CAST(({COMPILER.to_duckdb_sql(tpl)}) AS VARCHAR)"
+        " FROM iso_frac_row").fetchone()[0]
+    assert s2 == d2 == "2024-08-15 10:15:30", (s2, d2)
+
+
 def test_sec_ms_boundary_is_strict():
     """The 1e10 boundary is a strict > in the reference (:526): exactly
     10000000000 is SECONDS (year 2286), one more is millis (1970)."""
@@ -717,17 +797,32 @@ def _gen_num(rng: random.Random, depth: int) -> str:
     return f"CASE WHEN {_gen_bool(rng, depth - 1)} THEN {a} END"
 
 
+# the closed JSON-path pool: '$'-prefixed, non-negative indices (the
+# compile-time-normalized grammar both engines and the reference share)
+_JSON_PATHS = ["$.a", "$.b", "$.b.c[0]", "$.b.c[1]", "$.b.c[5]",
+               "$.missing", "$.a.b[0]", "$.a.b[2]", "$.b[1].d", "$[0]"]
+
+
 def _gen_str(rng: random.Random, depth: int) -> str:
     if depth <= 0:
         return rng.choice(["f", "g", "'7'", "'2024-08-10'"])
     a = _gen_str(rng, depth - 1)
     pick = rng.random()
-    if pick < 0.3:
+    if pick < 0.25:
         return f"upper({a})"
-    if pick < 0.6:
+    if pick < 0.5:
         return f"substring(concat({a}, {_gen_str(rng, depth - 1)}), "\
                f"{rng.randrange(1, 4)}, 5)"
-    return f"coalesce(nullif({a}, ''), 'empty')"
+    if pick < 0.65:
+        # json input is a FIELD leaf only: a composed string (concat,
+        # substring of a concat) can mint valid-prefix-plus-trailing-
+        # garbage JSON, where the engines genuinely diverge (documented,
+        # test_documented_json_trailing_garbage_divergence)
+        return (f"get_json_string({rng.choice(['f', 'g'])}, "
+                f"'{rng.choice(_JSON_PATHS)}')")
+    if pick < 0.8:
+        return f"nullif({a}, {_gen_str(rng, depth - 1)})"
+    return f"coalesce(nullif({a}, ''), {_gen_str(rng, depth - 1)}, 'empty')"
 
 
 def _gen_bool(rng: random.Random, depth: int) -> str:

@@ -38,6 +38,7 @@ from test_expr_fuzz import (
     DIRTY,
     NOW_DT,
     THROW,
+    _JSON_PATHS,
     _gen,
     _lenient,
     _norm_eq,
@@ -60,6 +61,81 @@ from zg_etl_spark.functions.expr_compiler import (
 _BOOL_OPS = ("and", "or", "not", "=", "!=", "<", "<=", ">", ">=")
 _NUMERIC_FUNCS = {"length", "abs", "round", "ceil", "floor", "date_diff"}
 _VALUE_FUNCS = {"coalesce", "nullif", "get_json_string"}
+
+
+# ---------------------------------------------------------------------------
+# get_json_string — one navigation shared by both ports.
+#
+# extractJsonPathAsString (VirtualAttributeExpressionEvaluator.java
+# :624-681): '$'-prefixed dotted paths, optional single non-negative
+# bracket index per part, scalars rendered as text (numbers via
+# Jackson's asText, booleans lowercase), objects/arrays re-rendered
+# compact, every failure → null. Verified empirically that Spark's
+# get_json_object and DuckDB's json_valid-gated json_extract_string
+# produce the SAME values on this closed path grammar (the emitter
+# normalizes the three spots they'd diverge from the reference at
+# compile time: non-'$' paths, bare '$' verbatim passthrough, negative
+# indices — expr_compiler.py emit_func 'get_json_string').
+# ---------------------------------------------------------------------------
+def _json_nav_render(jt: str, rest: str):
+    """Navigate the already-'$'-stripped dotted path over parsed JSON;
+    None = null. `rest` is non-empty (bare '$' is handled upstream as a
+    verbatim passthrough in BOTH the reference and the emitted SQL)."""
+    import json as _json
+
+    try:
+        cur = _json.loads(jt)  # Jackson readTree / both engines' parse
+    except Exception:
+        return None
+    for part in rest.split("."):
+        if cur is None:
+            return None
+        field, idx = part, None
+        b = part.find("[")
+        if b > -1 and part.endswith("]"):
+            field = part[:b]
+            sidx = part[b + 1:-1]
+            # Integer.parseInt grammar; the emitter compile-times bad or
+            # negative indices to NULL, so this branch mirrors both
+            if not re.fullmatch(r"[+-]?[0-9]+", sidx) or \
+                    not -2**31 <= int(sidx) < 2**31 or int(sidx) < 0:
+                return None
+            idx = int(sidx)
+        if field != "":
+            cur = cur.get(field) if isinstance(cur, dict) else None
+        if idx is not None:
+            if not isinstance(cur, list) or idx >= len(cur):
+                return None
+            cur = cur[idx]
+    if cur is None:
+        return None
+    if isinstance(cur, bool):
+        return "true" if cur else "false"
+    if isinstance(cur, str):
+        return cur
+    if isinstance(cur, int):
+        return str(cur)
+    if isinstance(cur, float):
+        # Double.toString ≡ repr on the closed alphabet (plain decimals
+        # below the 1e7 scientific-notation threshold)
+        return repr(cur)
+    return _json.dumps(cur, separators=(",", ":"), ensure_ascii=False)
+
+
+def _json_get_value(jt, jp: str):
+    """The full get_json_string value semantics both ports share once
+    their own argument coercions produced (jt, jp) strings: the
+    reference's grammar, which the emitted SQL now matches exactly."""
+    if jt is None or jt == "" or jp is None or jp == "":
+        return None  # :578-580 null/empty pre-check; nullif('') in SQL
+    if not jp.startswith("$"):
+        return None  # :627-629; compile-timed to NULL in the emitters
+    rest = jp[1:]
+    if rest.startswith("."):
+        rest = rest[1:]
+    if rest == "":
+        return jt  # VERBATIM, no JSON validation (:633-635)
+    return _json_nav_render(jt, rest)
 
 
 def _throwy(node) -> bool:
@@ -358,6 +434,11 @@ class EngineEval:
             if v is None:
                 return None
             return float(math.ceil(v) if name == "ceil" else math.floor(v))
+        if name == "get_json_string":
+            # mirrors the emitted SQL: the path is a compile-time const,
+            # the json argument renders through the string channel
+            jt = _e_cast_str(self.eval(args[0], "string"))
+            return _json_get_value(jt, args[1].value)
         raise AssertionError(f"tree generator never mints {name}")
 
     def _int_arg(self, node):
@@ -588,6 +669,12 @@ class RefEval:
             return _to_bd(vals[0]).to_integral_value(rounding="ROUND_CEILING")
         if name == "floor":
             return _to_bd(vals[0]).to_integral_value(rounding="ROUND_FLOOR")
+        if name == "get_json_string":
+            # :571-583 — params already evaluated eagerly; null params
+            # short-circuit BEFORE toString, then extractJsonPathAsString
+            jt = None if vals[0] is None else _ref_str(vals[0])
+            jp = None if vals[1] is None else _ref_str(vals[1])
+            return _json_get_value(jt, jp)
         raise AssertionError(f"tree generator never mints {name}")
 
 
@@ -729,6 +816,18 @@ DATE_TEMPLATES = [
     "coalesce(nullif(upper(f), ''), TIMESTAMP '2024-08-10T05:30:00')",
     "CASE WHEN f < g THEN TIMESTAMP '2024-08-10T05:30:00'"
     " ELSE now() END <= g",
+    # date_diff compositions (ports implement the r9 integer-µs DIV):
+    # string/object args are exactly comparable; epoch-digit strings and
+    # Number args raise the documented Deviation in the ref port
+    "date_diff(f, g)",
+    "date_diff(from_unixtime(f), '2024-08-01 00:00:00')",
+    "date_diff(now(), f) > 3",
+    "date_diff(TIMESTAMP '2024-08-10T00:00:00', f)",
+    # JSON-bearing value-function compositions over the same rows
+    "get_json_string(f, '$.b.c[1]')",
+    "coalesce(get_json_string(f, '$.a'), get_json_string(g, '$.a'), 'nj')",
+    "nullif(get_json_string(f, '$.a'), 'x')",
+    "length(get_json_string(f, '$.b'))",
 ]
 
 _EPOCH_MS_MAX = 253_402_300_799_999
@@ -878,6 +977,18 @@ class EngineEvalDates(EngineEval):
             ts = _e_ts_from_any(self.eval(args[0], "any"),
                                 with_date_only=False)
             return _e_fmt_ts(ts, args[1].value)
+        if name == "date_diff":
+            # mirror of datediff_days: full 24-hour periods truncated
+            # toward zero, computed in EXACT integer microseconds (the
+            # emitters' BIGINT DIV/`//` forms)
+            a = _e_ts_from_any(self.eval(args[0], "any"))
+            b = _e_ts_from_any(self.eval(args[1], "any"))
+            if a is None or b is None:
+                return None
+            td = a - b
+            us = (td.days * 86_400 + td.seconds) * 10**6 + td.microseconds
+            q = abs(us) // 86_400_000_000
+            return float(q if us >= 0 else -q)
         return super().eval_func(node)
 
     def _ts_operand(self, node):
@@ -995,6 +1106,39 @@ class RefEvalDates(RefEval):
             else:
                 raise Throw("date_format param type")
             return _java_fmt(dt, node.args[1].value)
+        if name == "date_diff":
+            # :407-440 — ChronoUnit.DAYS.between on the parsed pair.
+            # The reference's OWN argument forms are internally
+            # inconsistent (epoch-digit strings throw :407-410, Number
+            # args are ALWAYS millis with no >1e10 heuristic :413-415);
+            # the engines are documented-harmonized onto ts_from_any, so
+            # those two arg classes raise Deviation (skip), like
+            # from_unixtime's stringly case. Datetime STRINGS (incl. the
+            # strict-ISO date-only fallback, :588-622) and datetime
+            # OBJECTS agree in both worlds and are checked exactly.
+            vals = [self.eval(x) for x in node.args]
+
+            def to_dt(v):
+                if isinstance(v, DT):
+                    return v.dt
+                if isinstance(v, Decimal):
+                    raise Deviation("date_diff Number arg: always-millis "
+                                    "vs the harmonized >1e10 heuristic")
+                if isinstance(v, str):
+                    if ref_parse_long(v) is not THROW:
+                        raise Deviation("date_diff epoch-digit string: "
+                                        "ref throws, engines parse")
+                    dt = ref_parse_datetime(v, with_date_only=True)
+                    if dt is None:
+                        raise Throw("date_diff unparseable string")
+                    return dt
+                raise Throw("date_diff param type")
+
+            a, b = to_dt(vals[0]), to_dt(vals[1])
+            td = a - b
+            us = (td.days * 86_400 + td.seconds) * 10**6 + td.microseconds
+            q = abs(us) // 86_400_000_000
+            return Decimal(q if us >= 0 else -q)
         return super().eval_func(node)
 
     def eval_op(self, node):
@@ -1164,21 +1308,36 @@ def _gen_d_ts(rng, d):
 
 def _gen_d_str(rng, d):
     p = rng.random()
-    if p < 0.25:
+    if p < 0.2:
         return f"date_format({rng.choice(['f', 'g'])}, 'yyyy-MM-dd HH:mm:ss')"
-    if p < 0.4:
+    if p < 0.32:
         return f"from_unixtime({rng.choice(['f', 'g'])}, 'yyyyMMdd')"
-    if p < 0.5:
+    if p < 0.42:
         return rng.choice(["f", "g", "'2024-08-10 05:30:00'", "'x'"])
+    if p < 0.5:
+        # JSON-bearing leaf: fields carry the DIRTY alphabet's JSON
+        # values; the path pool is the compile-time-normalized grammar
+        return (f"get_json_string({rng.choice(['f', 'g'])}, "
+                f"'{rng.choice(_JSON_PATHS)}')")
     if d <= 0:
         return "f"
     q = rng.random()
-    if q < 0.3:
+    if q < 0.25:
         return f"upper({_gen_d_str(rng, d - 1)})"
-    if q < 0.5:
+    if q < 0.45:
         return f"concat({_gen_d_str(rng, d - 1)}, '!')"
-    if q < 0.7:
+    if q < 0.6:
         return f"coalesce(nullif({_gen_d_str(rng, d - 1)}, ''), 'none')"
+    if q < 0.7:
+        # the value-function arg matrix: nullif over two live subtrees,
+        # coalesce over three
+        return (f"coalesce(nullif({_gen_d_str(rng, d - 1)}, "
+                f"{_gen_d_str(rng, d - 1)}), {_gen_d_str(rng, 0)}, 'z')")
+    if q < 0.8:
+        # field leaves only — composed strings can mint trailing-garbage
+        # JSON, the documented engine divergence
+        return (f"get_json_string({rng.choice(['f', 'g'])}, "
+                f"'{rng.choice(_JSON_PATHS)}')")
     return f"substring({_gen_d_str(rng, d - 1)}, 1, 8)"
 
 

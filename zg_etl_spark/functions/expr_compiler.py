@@ -90,7 +90,19 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
   is the batch rendering of a per-row error sink);
 - closed datetime alphabet: 4-digit ASCII years (Java's `yyyy` also
   parses 5+-digit years and unicode digits; the fixture corpus and the
-  fuzz alphabet never mint them);
+  fuzz alphabet never mint them), and WHOLE-SECOND ISO strings only —
+  ISO_LOCAL_DATE_TIME accepts fractional seconds ('2024-08-15T10:15:30.5'
+  parses in the reference, `:156`, `:479`) but the iso_t regex gate
+  rejects them, so they fall to the numeric path (NULL) here; carrying
+  the fraction faithfully would also need fraction-aware ldt_render
+  ('…:ss.nnn') and nano-exact compares past the engines' µs precision.
+  Pinned by test_iso_fractional_seconds_out_of_scope;
+- JSON documents are WHOLE values: Jackson's default readTree (the
+  reference, :638) and Spark's get_json_object read the first complete
+  JSON value and ignore trailing content ('{"a":"x"}abc' extracts),
+  DuckDB's json_valid gate rejects it — an engine-level divergence, so
+  rules must not feed get_json_string concatenation-composed documents
+  (pinned by test_documented_json_trailing_garbage_divergence);
 - remainders of dividends beyond 2^53 are NULL: the double carries no
   unit resolution there, so the remainder would amplify a one-ulp
   upstream difference into its own full scale — the two engines
@@ -1125,7 +1137,16 @@ class Emitter:
             # through isEqual to toString equality, never to a numeric
             # epoch compare. The OBJECT form is taken by
             # _ts_operand/_ldt_operand at compares before emit_func runs.
-            return self.ldt_render(self.now())
+            # ldt_render models the nano==0 rendering only, so the
+            # fragment is truncated to whole seconds first: an UNPINNED
+            # now() (LocalDateTime.now() virtually always carries nanos,
+            # which Java renders as '…:ss.nnn') would otherwise drop the
+            # fraction — and drop ':ss' whenever second==0 — silently.
+            # With the truncation the emitted semantics are exactly the
+            # stated model: now() rendered at whole-second resolution
+            # (pipeline clocks are pinned to whole seconds anyway;
+            # date_trunc is a no-op there).
+            return self.ldt_render(f"date_trunc('second', {self.now()})")
         if name == "date_diff":
             return self.datediff_days(self.ts_from_any(a(0)), self.ts_from_any(a(1)))
         if name == "date_format":
@@ -1162,6 +1183,33 @@ class Emitter:
             return self._guard_throwy_args(args, f"nullif({a(0)}, {a(1)})")
         if name == "get_json_string":
             path = self._const_str(args[1], "json path")
+            # the path is a compile-time constant, so the reference's
+            # extractJsonPathAsString grammar (:624-681) normalizes HERE,
+            # where the engines would otherwise diverge from it:
+            # - non-'$' path → null (:627-629; DuckDB would treat it as
+            #   a bare key path and extract);
+            # - '$' alone (empty remainder) → jsonText VERBATIM, no JSON
+            #   validation (:633-635; both engines re-render minified and
+            #   NULL invalid JSON) — emitted as the nullif('') passthrough
+            #   the null/empty pre-check (:578-580) implies;
+            # - any negative bracket index → null (:662; Spark agrees,
+            #   DuckDB indexes from the array's end).
+            if not path.startswith("$"):
+                return "NULL"
+            rest = path[1:]
+            rest = rest[1:] if rest.startswith(".") else rest
+            if rest == "":
+                return f"nullif({a(0, 'string')}, '')"
+            for part in rest.split("."):
+                b = part.find("[")
+                if b > -1 and part.endswith("]"):
+                    idx = part[b + 1:-1]
+                    # Integer.parseInt grammar: optional sign + digits,
+                    # 32-bit range; a failed parse (e.g. '[0][1]' reads
+                    # idx '0][1') or a negative index is null
+                    if not re.fullmatch(r"[+-]?[0-9]+", idx) or \
+                            not -2**31 <= int(idx) < 2**31 or int(idx) < 0:
+                        return "NULL"
             return self.json_get(a(0, "string"), path)
         raise ExpressionError(f"unknown function {name}")
 
@@ -1237,10 +1285,13 @@ class SparkEmitter(Emitter):
         return f"date_format({ts_frag}, {_sql_str(fmt)})"
 
     def datediff_days(self, a_ts: str, b_ts: str) -> str:
-        # full 24-hour periods, truncated toward zero (ANSI double→BIGINT
-        # cast truncates; operands are bounded by the year-9999 window)
-        return (f"CAST((unix_micros({a_ts}) - unix_micros({b_ts}))"
-                f" / 86400e6 AS BIGINT)")
+        # full 24-hour periods, truncated toward zero, ENTIRELY in BIGINT
+        # space (DIV truncates toward zero on integers) — a double detour
+        # loses ulps once the span exceeds 2^53 µs (~285 years, reachable
+        # inside the 0001-9999 window) and can flip the day count by one
+        # vs ChronoUnit.DAYS.between
+        return (f"((unix_micros({a_ts}) - unix_micros({b_ts}))"
+                f" DIV 86400000000)")
 
     def json_get(self, j: str, p: str) -> str:
         return f"get_json_object({j}, {_sql_str(p)})"
@@ -1304,9 +1355,11 @@ class DuckEmitter(Emitter):
 
     def datediff_days(self, a_ts: str, b_ts: str) -> str:
         # full 24-hour periods toward zero; NOT DuckDB's date_diff('day'),
-        # which counts calendar-boundary crossings
-        return (f"CAST(trunc((epoch({a_ts}) - epoch({b_ts})) / 86400.0)"
-                f" AS BIGINT)")
+        # which counts calendar-boundary crossings. BIGINT µs space with
+        # `//` (truncates toward zero on integers) — exact past 2^53 µs,
+        # matching the Spark emitter's DIV form bit-for-bit
+        return (f"((epoch_us({a_ts}) - epoch_us({b_ts}))"
+                f" // 86400000000)")
 
     def json_get(self, j: str, p: str) -> str:
         # json_valid gate: DuckDB's json_extract_string THROWS on

@@ -31,7 +31,15 @@ def hash_id(namespace: str, *cols: str | Column) -> Column:
 
 def with_hash_device_ids(df: DataFrame, app_col: str = "app_id",
                          did_col: str = "did") -> DataFrame:
-    return df.withColumn("zg_did", hash_id(NS_DEVICE, app_col, did_col))
+    # NULL did stays NULL — without the guard Spark's xxhash64 SKIPS null
+    # inputs, hashing every null-did row to one per-app constant (a silent
+    # device merge, and countDistinct(zg_did) would exceed
+    # countDistinct(did) by one). Mirrors the cuid guard below.
+    return df.withColumn(
+        "zg_did",
+        F.when(F.col(did_col).isNotNull(),
+               hash_id(NS_DEVICE, app_col, did_col)),
+    )
 
 
 def with_hash_user_ids(df: DataFrame, app_col: str = "app_id",

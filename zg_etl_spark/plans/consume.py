@@ -78,9 +78,19 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
     store = {}      # key -> (click_seq, lid)
     alias = {}      # click_seq -> [keys]
     cands = {}      # sess_seq -> (ct, zg_id, [(rank, key, tier)])
-    # nullable long columns arrive as float64 (pandas NaN coercion);
-    # int() at each use keeps seq/ct/lid exact past 2^53 — each branch
-    # only reads the columns that are non-null for its typ
+    # nullable long columns arrive as float64 (pandas NaN coercion) —
+    # the float64 detour is lossless ONLY below 2^53, and int() at each
+    # use merely strips the float type, it cannot recover precision lost
+    # upstream. seq/ct/lid are monotonic event sequence numbers and
+    # epoch-ms values, orders of magnitude under the bound; the guard
+    # below makes the assumption explicit instead of silent.
+    for c in ("click_seq", "lid", "sess_seq", "sess_ct", "zg_id"):
+        if c in pdf.columns and len(pdf):
+            mx = pdf[c].abs().max()
+            if pd.notna(mx) and mx >= 2**53:
+                raise ValueError(
+                    f"replay column {c} exceeds the float64-exact bound "
+                    f"(max abs {mx}); ship it as arrow int64 instead")
     for r in pdf.itertuples(index=False):
         if r.typ == "store":
             store[r.key] = (int(r.click_seq),
