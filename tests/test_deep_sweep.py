@@ -1,0 +1,148 @@
+"""Per-round FRESH-SEED deep sweep over random expression trees.
+
+The committed corpora (test_expr_fuzz leg 3, test_expr_tree_port's 120
+trees + 100 date trees) are regression armor: they re-run the same
+seeded trees every round. This sweep is the discovery layer: its seed
+rotates with ``zg_etl_spark.buildinfo.BUILD_ROUND``, so each round
+triangulates ≥1,000 NEVER-BEFORE-SEEN trees. The round-8 one-off
+versions of this harness (/tmp scripts, ~2,600 trees) found THREE real
+emitter bugs the corpus had missed — the now()-rendering bug (a raw
+timestamp fragment reaching equality's numeric probe), and the two
+>2^53 ulp-amplification divergences in ``%`` and ``round(x, n)`` —
+which is the empirical case for fresh seeds every round.
+
+Two legs, mirroring the committed corpora's strongest checks:
+
+- NUMERIC leg: test_expr_fuzz's typed generator (arithmetic / string /
+  boolean / JSON-bearing trees). Every cell must satisfy
+  engine ≡ engine ≡ EngineEval (the value-level executable spec).
+- DATE leg: test_expr_tree_port's date-composition generator (now(),
+  TIMESTAMP literals, from_unixtime/date_format chains, JSON and
+  value-function forms). Every cell engine ≡ engine ≡ EngineEvalDates;
+  clean cells (no documented-leniency leaves) additionally triangulate
+  against RefEvalDates — the literal Java port — with the
+  Fragile/OutOfWindow/Deviation sentinels of the committed corpus.
+
+Ritual (SURVEY.md §5): bump BUILD_ROUND at round start; if the sweep
+finds a divergence, fix it or document it, then PIN the failing tree as
+a named corpus test — the sweep never becomes the armor itself.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from test_expr_fuzz import COMPILER, DIRTY, _gen, _lenient, _norm_eq
+from test_expr_tree_port import (
+    Deviation,
+    EngineEval,
+    EngineEvalDates,
+    Fragile,
+    OutOfWindow,
+    RefEvalDates,
+    Throw,
+    _gen_date_tree,
+    _ref_str_dt,
+    _render_engine,
+)
+from zg_etl_spark.buildinfo import BUILD_ROUND
+from zg_etl_spark.functions.expr_compiler import parse
+
+SEED = 96_180_000 + BUILD_ROUND          # fresh trees every round
+N_NUM_BATCHES, NUM_PER_BATCH = 6, 90     # 540 numeric-leg trees
+N_DATE_BATCHES, DATE_PER_BATCH = 6, 80   # 480 date-leg trees
+
+
+def _rows(offset: int):
+    """Dirty value pairs; the pairing offset rotates with the round so
+    the same value meets different partners each sweep."""
+    k = (offset + 7 * BUILD_ROUND) % len(DIRTY)
+    return [(a, b) for a, b in zip(DIRTY, DIRTY[k:] + DIRTY[:k])]
+
+
+def _eval_both(spark, rows, exprs, view):
+    s_cols = [f"CAST(({COMPILER.to_spark_sql(e)}) AS STRING) AS c{i}"
+              for i, e in enumerate(exprs)]
+    d_cols = [f"CAST(({COMPILER.to_duckdb_sql(e)}) AS VARCHAR) AS c{i}"
+              for i, e in enumerate(exprs)]
+    spark.createDataFrame(rows, "f string, g string") \
+        .createOrReplaceTempView(view)
+    s_rows = spark.sql(
+        "SELECT f, g, " + ", ".join(s_cols) + f" FROM {view}").collect()
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE {view} (f VARCHAR, g VARCHAR)")
+    con.executemany(f"INSERT INTO {view} VALUES (?, ?)", rows)
+    d_rows = con.execute(
+        "SELECT f, g, " + ", ".join(d_cols) + f" FROM {view}").fetchall()
+    s_map = {(r[0], r[1]): tuple(r[2:]) for r in s_rows}
+    d_map = {(r[0], r[1]): tuple(r[2:]) for r in d_rows}
+    assert set(s_map) == set(d_map) and len(s_map) == len(rows)
+    return s_map, d_map
+
+
+def test_deep_sweep_numeric_leg(spark):
+    rng = random.Random(SEED)
+    rows = _rows(11)
+    bad = []
+    for batch in range(N_NUM_BATCHES):
+        exprs = [_gen(rng, rng.randrange(1, 4))
+                 for _ in range(NUM_PER_BATCH)]
+        asts = [parse(e) for e in exprs]
+        s_map, d_map = _eval_both(spark, rows, exprs,
+                                  f"dsweep_n{batch}")
+        for key in rows:
+            ev = EngineEval({"f": key[0], "g": key[1]})
+            for i, ast in enumerate(asts):
+                want = _render_engine(ev.eval(ast))
+                s, d = s_map[key][i], d_map[key][i]
+                if not _norm_eq(s, d) or not _norm_eq(s, want):
+                    bad.append((exprs[i], key, s, d, want))
+    assert not bad, (
+        f"round-{BUILD_ROUND} sweep (seed {SEED}): {len(bad)} "
+        f"divergences, first 5: {bad[:5]}")
+
+
+def test_deep_sweep_date_leg(spark):
+    rng = random.Random(SEED + 1)
+    rows = _rows(23)
+    bad = []
+    checked_ref = 0
+    for batch in range(N_DATE_BATCHES):
+        exprs = [_gen_date_tree(rng) for _ in range(DATE_PER_BATCH)]
+        asts = [parse(e) for e in exprs]
+        s_map, d_map = _eval_both(spark, rows, exprs,
+                                  f"dsweep_d{batch}")
+        for key in rows:
+            ev = EngineEvalDates({"f": key[0], "g": key[1]})
+            rv = RefEvalDates({"f": key[0], "g": key[1]})
+            for i, ast in enumerate(asts):
+                want = _render_engine(ev.eval(ast))
+                s, d = s_map[key][i], d_map[key][i]
+                if not _norm_eq(s, d) or not _norm_eq(s, want):
+                    bad.append(("engine", exprs[i], key, s, d, want))
+                    continue
+                if _lenient(key[0]) or _lenient(key[1]):
+                    continue
+                try:
+                    rw = _ref_str_dt(rv.eval(ast))
+                except (Throw, OutOfWindow):
+                    rw = None
+                except (Fragile, Deviation):
+                    continue
+                if rw is None:
+                    ok = s is None
+                elif isinstance(rw, bool):
+                    ok = s == ("true" if rw else "false")
+                else:
+                    ok = s is not None and _norm_eq(s, str(rw))
+                if not ok:
+                    bad.append(("ref", exprs[i], key, s, rw))
+                else:
+                    checked_ref += 1
+    assert not bad, (
+        f"round-{BUILD_ROUND} sweep (seed {SEED + 1}): {len(bad)} "
+        f"divergences, first 5: {bad[:5]}")
+    assert checked_ref > 1000, f"ref-leg coverage too thin: {checked_ref}"
