@@ -78,23 +78,25 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
     store = {}      # key -> (click_seq, lid)
     alias = {}      # click_seq -> [keys]
     cands = {}      # sess_seq -> (ct, zg_id, [(rank, key, tier)])
-    # nullable long columns arrive as float64 (pandas NaN coercion) —
-    # the float64 detour is lossless ONLY below 2^53, and int() at each
-    # use merely strips the float type, it cannot recover precision lost
-    # upstream. seq/ct/lid are monotonic event sequence numbers and
-    # epoch-ms values, orders of magnitude under the bound; the guard
-    # below makes the assumption explicit instead of silent.
+    # the long columns arrive -1-SENTINEL-filled (see _finish), so the
+    # arrow batches have null count 0 and convert to EXACT int64 — the
+    # float64 path a nullable column would take is lossy above 2^53,
+    # and seq values (epoch-ms*1e6 + event_id ≈ 1.7e18) live where its
+    # ulp is 256. The guard keeps the assumption checked: a float dtype
+    # reappearing here with values past the bound is a data-loss bug,
+    # not a formatting choice.
     for c in ("click_seq", "lid", "sess_seq", "sess_ct", "zg_id"):
-        if c in pdf.columns and len(pdf):
+        if c in pdf.columns and len(pdf) and \
+                pdf[c].dtype.kind == "f":
             mx = pdf[c].abs().max()
             if pd.notna(mx) and mx >= 2**53:
                 raise ValueError(
-                    f"replay column {c} exceeds the float64-exact bound "
-                    f"(max abs {mx}); ship it as arrow int64 instead")
+                    f"replay column {c} arrived float64 past the exact "
+                    f"bound (max abs {mx}); the sentinel fill regressed")
     for r in pdf.itertuples(index=False):
         if r.typ == "store":
             store[r.key] = (int(r.click_seq),
-                            None if pd.isna(r.lid) else int(r.lid))
+                            None if r.lid == -1 else int(r.lid))
         elif r.typ == "alias":
             alias.setdefault(int(r.click_seq), []).append(r.key)
         else:
@@ -352,7 +354,15 @@ def _finish(store, akeys, cands, nomatch, key_comp) -> DataFrame:
                         F.lit(None).cast("long").alias("lid"),
                         "sess_seq", "sess_ct", "zg_id",
                         F.col("rank").cast("int").alias("rank"), "tier"))
-    rep = rep_store.unionByName(rep_alias).unionByName(rep_cand)
+    # -1 SENTINELS, not NULLs, on the long columns: a nullable int64
+    # reaches pandas as float64 (NaN coercion), which is exact only
+    # below 2^53 — seq values are epoch-ms*1e6+event_id ≈ 1.7e18, where
+    # float64's ulp is 256 and same-millisecond sequence numbers would
+    # collapse or reorder silently (caught by the _replay guard at
+    # sf0.1). All real values are positive, so -1 is unambiguous; a
+    # null-count-0 arrow batch converts to exact int64.
+    rep = rep_store.unionByName(rep_alias).unionByName(rep_cand).na.fill(
+        -1, ["click_seq", "lid", "sess_seq", "sess_ct", "zg_id", "rank"])
 
     matched = (rep.groupBy("comp").applyInPandas(_replay, _REPLAY_SCHEMA)
                .select("match_tier", "lid", "zg_id"))
