@@ -57,17 +57,24 @@ def test_salted_join_equals_plain(spark):
 
 def test_hash_ids_deterministic_and_shuffle_free(spark):
     df = spark.createDataFrame(
-        [(1, "d1", "c1"), (1, "d2", None), (2, "d1", "c2")],
+        [(1, "d1", "c1"), (1, "d2", None), (2, "d1", "c2"), (1, None, "c9")],
         "app_id BIGINT, did STRING, cuid STRING",
     )
     a = with_hash_user_ids(with_hash_device_ids(df)).collect()
     b = with_hash_user_ids(with_hash_device_ids(df)).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable across runs
+    # stable across runs (str key: tuples carry None, not orderable)
+    assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
 
-    rows = {(r.app_id, r.did): r.zg_did for r in a}
+    rows = {(r.app_id, r.did): r.zg_did
+            for r in a if r.did is not None}
     assert len(set(rows.values())) == 3           # app-scoped: (1,d1) != (2,d1)
     anon = [r for r in a if r.cuid is None][0]
     assert anon.zg_uid is None
+    # NULL did → NULL zg_did (without the guard, xxhash64 skips null
+    # inputs and every null-did row would collapse into one per-app
+    # device, and countDistinct(zg_did) would exceed countDistinct(did))
+    null_did = [r for r in a if r.did is None][0]
+    assert null_did.zg_did is None
 
     # map-side only: no Exchange in the plan
     plan = with_hash_device_ids(df)._jdf.queryExecution().executedPlan().toString()
