@@ -35,7 +35,17 @@ import random
 import duckdb
 import pytest
 
-from test_expr_fuzz import COMPILER, DIRTY, _gen, _lenient, _norm_eq
+from test_expr_fuzz import (
+    _JSON_PATHS,
+    COMPILER,
+    DIRTY,
+    _gen,
+    _gen_bool,
+    _gen_num,
+    _gen_str,
+    _lenient,
+    _norm_eq,
+)
 from test_expr_tree_port import (
     Deviation,
     EngineEval,
@@ -44,6 +54,9 @@ from test_expr_tree_port import (
     OutOfWindow,
     RefEvalDates,
     Throw,
+    _gen_d_bool,
+    _gen_d_str,
+    _gen_d_ts,
     _gen_date_tree,
     _ref_str_dt,
     _render_engine,
@@ -54,6 +67,44 @@ from zg_etl_spark.functions.expr_compiler import parse
 SEED = 96_180_000 + BUILD_ROUND          # fresh trees every round
 N_NUM_BATCHES, NUM_PER_BATCH = 6, 90     # 540 numeric-leg trees
 N_DATE_BATCHES, DATE_PER_BATCH = 6, 80   # 480 date-leg trees
+N_MIX_BATCHES, MIX_PER_BATCH = 4, 60     # 240 mixed-leg trees
+
+
+# --- mixed-family generator --------------------------------------------------
+# Compositions that CROSS the numeric/date/JSON family boundaries the
+# per-family generators never leave — in particular date_diff results
+# flowing into arithmetic/round/% (the round-9 integer-µs DIV rework;
+# spans past 2^53 µs are reachable via the dirty alphabet's huge epochs,
+# exactly where a double-space day count would flip by one).
+def _gen_mixed(rng):
+    n = lambda: _gen_num(rng, rng.randrange(0, 2))       # noqa: E731
+    s = lambda: _gen_str(rng, rng.randrange(0, 2))       # noqa: E731
+    ds = lambda: _gen_d_str(rng, rng.randrange(0, 2))    # noqa: E731
+    db = lambda: _gen_d_bool(rng, rng.randrange(0, 2))   # noqa: E731
+    dts = lambda: _gen_d_ts(rng, 1)                      # noqa: E731
+    cmp_ = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+    forms = [
+        lambda: f"date_diff({dts()}, '2024-08-01 00:00:00') {cmp_} {n()}",
+        lambda: f"date_diff(f, g) + {n()}",
+        lambda: f"date_diff(f, '0001-01-01') % 97",
+        lambda: f"round(date_diff(now(), f) / 7, {rng.randrange(0, 3)})",
+        lambda: f"abs(date_diff({dts()}, g))",
+        lambda: f"concat({s()}, date_format(f, 'yyyyMMdd'))",
+        lambda: f"length({ds()}) {cmp_} {n()}",
+        # CASE branches stay family-homogeneous (documented grammar
+        # constraint: DuckDB binds CASE types statically) — `* 1` forces
+        # the leaf branch into the numeric family like the emitters'
+        # arithmetic TRY_CAST does
+        lambda: (f"CASE WHEN {db()} THEN ({n()} * 1) ELSE "
+                 f"date_diff(f, g) END * 3"),
+        lambda: (f"get_json_string(f, '{rng.choice(_JSON_PATHS)}') "
+                 f"{cmp_} {n()}"),
+        lambda: (f"coalesce(nullif({ds()}, ''), "
+                 f"get_json_string(g, '$.a'), {s()})"),
+        lambda: f"({_gen_bool(rng, 1)}) AND ({db()})",
+        lambda: f"substring({ds()}, 1, 6) = substring({s()}, 1, 6)",
+    ]
+    return rng.choice(forms)()
 
 
 def _rows(offset: int):
@@ -146,3 +197,45 @@ def test_deep_sweep_date_leg(spark):
         f"round-{BUILD_ROUND} sweep (seed {SEED + 1}): {len(bad)} "
         f"divergences, first 5: {bad[:5]}")
     assert checked_ref > 1000, f"ref-leg coverage too thin: {checked_ref}"
+
+
+def test_deep_sweep_mixed_leg(spark):
+    """Cross-family compositions under the full dates-aware ports; same
+    triangulation as the date leg (engine ≡ engine ≡ EngineEvalDates on
+    every cell, RefEvalDates on clean cells)."""
+    rng = random.Random(SEED + 2)
+    rows = _rows(31)
+    bad = []
+    for batch in range(N_MIX_BATCHES):
+        exprs = [_gen_mixed(rng) for _ in range(MIX_PER_BATCH)]
+        asts = [parse(e) for e in exprs]
+        s_map, d_map = _eval_both(spark, rows, exprs,
+                                  f"dsweep_m{batch}")
+        for key in rows:
+            ev = EngineEvalDates({"f": key[0], "g": key[1]})
+            rv = RefEvalDates({"f": key[0], "g": key[1]})
+            for i, ast in enumerate(asts):
+                want = _render_engine(ev.eval(ast))
+                s, d = s_map[key][i], d_map[key][i]
+                if not _norm_eq(s, d) or not _norm_eq(s, want):
+                    bad.append(("engine", exprs[i], key, s, d, want))
+                    continue
+                if _lenient(key[0]) or _lenient(key[1]):
+                    continue
+                try:
+                    rw = _ref_str_dt(rv.eval(ast))
+                except (Throw, OutOfWindow):
+                    rw = None
+                except (Fragile, Deviation):
+                    continue
+                if rw is None:
+                    ok = s is None
+                elif isinstance(rw, bool):
+                    ok = s == ("true" if rw else "false")
+                else:
+                    ok = s is not None and _norm_eq(s, str(rw))
+                if not ok:
+                    bad.append(("ref", exprs[i], key, s, rw))
+    assert not bad, (
+        f"round-{BUILD_ROUND} sweep (seed {SEED + 2}): {len(bad)} "
+        f"divergences, first 5: {bad[:5]}")

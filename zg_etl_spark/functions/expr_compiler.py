@@ -109,7 +109,14 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
   disagree with each other AND with BigDecimal's exact value (the
   reference computes it exactly; a value we cannot reproduce is
   rendered NULL, like the epoch window);
-- substring start < 1 is reference-UNDEFINED (String.substring(-1)
+- CASE value branches must stay FAMILY-homogeneous (all-numeric,
+  all-string, or all-datetime): the reference carries Object values so a
+  rule could mix a raw field with date_diff's number in one CASE, but
+  SQL engines type CASE statically — DuckDB rejects a VARCHAR/BIGINT
+  branch mix at bind time (registration fails loudly, never silently
+  wrong) where Spark would coerce. Every reference-shipped rule is
+  homogeneous; a mixed rule is expressible by forcing the family
+  (`x * 1`, `concat(x, '')`);
   throws, `:384-391`) and the two SQL dialects disagree there (Spark
   treats 0 as 1, DuckDB shifts the window) — rules must use 1-based
   positive starts, as every reference-shipped rule does; length() is
