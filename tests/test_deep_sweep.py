@@ -56,7 +56,6 @@ from test_expr_tree_port import (
     Throw,
     _gen_d_bool,
     _gen_d_str,
-    _gen_d_ts,
     _gen_date_tree,
     _ref_str_dt,
     _render_engine,
@@ -81,7 +80,24 @@ def _gen_mixed(rng):
     s = lambda: _gen_str(rng, rng.randrange(0, 2))       # noqa: E731
     ds = lambda: _gen_d_str(rng, rng.randrange(0, 2))    # noqa: E731
     db = lambda: _gen_d_bool(rng, rng.randrange(0, 2))   # noqa: E731
-    dts = lambda: _gen_d_ts(rng, 1)                      # noqa: E731
+
+    # datetime ARGS stay leaf-shaped: ts_from_any textually inlines its
+    # fragment ~11× (regex gates + per-format parses), so a composed
+    # (CASE/derived) argument to date_diff multiplies its own emission —
+    # a depth-2 tree reaches ~650 KB of SQL, and 60 such columns in one
+    # projection OOM codegen. One bounded date_diff-over-CASE template
+    # lives in DATE_TEMPLATES instead; here args are leaves.
+    def dts():
+        p = rng.random()
+        if p < 0.3:
+            return rng.choice(["f", "g"])
+        if p < 0.55:
+            return "now()"
+        if p < 0.8:
+            return (f"TIMESTAMP '2024-08-{rng.randrange(1, 28):02d}"
+                    f"T{rng.randrange(0, 24):02d}:30:00'")
+        return f"from_unixtime({rng.choice(['f', 'g', '1722470400'])})"
+
     cmp_ = rng.choice(["<", "<=", ">", ">=", "=", "!="])
     forms = [
         lambda: f"date_diff({dts()}, '2024-08-01 00:00:00') {cmp_} {n()}",
@@ -208,6 +224,10 @@ def test_deep_sweep_mixed_leg(spark):
     bad = []
     for batch in range(N_MIX_BATCHES):
         exprs = [_gen_mixed(rng) for _ in range(MIX_PER_BATCH)]
+        # emission-size guard: keep the projection's total codegen
+        # bounded (the leaf-shaped dts() makes this rare)
+        exprs = [e for e in exprs
+                 if len(COMPILER.to_spark_sql(e)) < 60_000] or ["f = g"]
         asts = [parse(e) for e in exprs]
         s_map, d_map = _eval_both(spark, rows, exprs,
                                   f"dsweep_m{batch}")

@@ -76,6 +76,9 @@ DIRTY = [
     "2024-08-10 23:59:59",
     "2024-08-10T05:30",
     "2024-08-10T05:30:15",
+    "2024-08-15T10:15:30.5",        # iso_frac: .5 s, µs-exact
+    "2024-08-15T10:15:30.123456",   # iso_frac: full µs resolution
+    "2024-08-15T10:15:30.1234567",  # 7-digit nanos: out of the alphabet
     "2024-02-29",            # valid leap day
     "2023-02-29",            # invalid leap day
     "2024-02-31",
@@ -255,6 +258,10 @@ _DT_FORMS = [
     (re.compile(r"(\d{4})/(\d{1,2})/(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$"), 6),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})$"), 6),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})$"), 5),
+    # ISO fractional seconds, 1-6 digits (µs-exact in both engines);
+    # 7-9-digit nanos are the documented out-of-window class
+    (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
+                r"\.(\d{1,6})$"), 7),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})$"), 3),
 ]
 
@@ -268,10 +275,14 @@ def ref_parse_datetime(s: str, with_date_only: bool = True):
     for rx, nfields in forms:
         m = rx.match(s)
         if m:
+            micros = 0
+            if nfields == 7:  # iso_frac: decimal fraction → µs
+                micros = int(m.groups()[6].ljust(6, "0"))
+                nfields = 6
             parts = [int(x) for x in m.groups()[:nfields]]
             parts += [0] * (6 - len(parts))
             try:
-                return datetime(*parts, tzinfo=timezone.utc)
+                return datetime(*parts, micros, tzinfo=timezone.utc)
             except ValueError:
                 return None  # calendar-invalid → next formats also fail
     return None
@@ -716,49 +727,52 @@ def test_documented_json_trailing_garbage_divergence(spark):
     assert d is None, d     # DuckDB: strict whole-document validation
 
 
-def test_iso_fractional_seconds_out_of_scope(spark):
-    """Documented deviation (compiler docstring, 'closed datetime
-    alphabet'): ISO_LOCAL_DATE_TIME accepts fractional seconds —
-    '2024-08-15T10:15:30.5' parses to a LocalDateTime in the reference
-    (parseDateTimeString :156, date_format :479) — but the iso_t regex
-    gate here requires whole seconds, so the string falls to the numeric
-    path and the cell renders NULL in BOTH engines. Carrying the
-    fraction faithfully would also need fraction-aware ldt_render and
-    nano-exact compares past the engines' µs precision; the fixture
-    corpus and fuzz alphabet never mint fractional-second ISO strings.
-    This pin keeps the deviation visible in both directions."""
-    frac = "2024-08-15T10:15:30.5"
-    # the reference side: java.time's ISO parser accepts the fraction
-    # (Python's fromisoformat models the same grammar for this shape)
-    assert datetime.fromisoformat(frac).microsecond == 500_000
-    # and the engines' documented rendering: NULL via the regex gate
-    tpl = "date_format(f, 'yyyy-MM-dd HH:mm:ss')"
-    # substitute via a one-row relation (the resolver leaves strings as-is)
-    sdf = spark.createDataFrame([(frac, None)], "f string, g string")
-    sdf.createOrReplaceTempView("iso_frac_row")
-    s = spark.sql(
-        f"SELECT CAST(({COMPILER.to_spark_sql(tpl)}) AS STRING)"
-        " FROM iso_frac_row").collect()[0][0]
+def test_iso_fractional_seconds(spark):
+    """ISO_LOCAL_DATE_TIME's fractional seconds (:156, :479, :600):
+    1-6 digits parse EXACTLY through the iso_frac form (regex-gated
+    native ISO TRY_CAST — '.5' is 500,000 µs in both engines, NOT the
+    5 µs DuckDB's %f strptime would read); 7-9-digit nanos exceed the
+    engines' int64-µs resolution and stay NULL (the documented
+    out-of-window class, like years past 9999). Pins both directions
+    plus the compare path (the parsed fraction must survive into the
+    chrono compare against a datetime object)."""
+    cases = [
+        # (f value, date_format result, now()>f — NOW is 12:00:00)
+        ("2024-08-15T10:15:30.5", "2024-08-15 10:15:30", "true"),
+        ("2024-08-15T10:15:30.123456", "2024-08-15 10:15:30", "true"),
+        ("2024-08-15T10:15:30.1234567", None, None),  # nanos: NULL
+        ("2024-08-15T10:15:30", "2024-08-15 10:15:30", "true"),
+    ]
+    # the reference side: java.time reads '.5' as half a second
+    assert datetime.fromisoformat(cases[0][0]).microsecond == 500_000
+    tpls = ["date_format(f, 'yyyy-MM-dd HH:mm:ss')", "now() > f"]
+    rows = [(f, None) for f, _, _ in cases]
+    sdf = spark.createDataFrame(rows, "f string, g string")
+    sdf.createOrReplaceTempView("iso_frac_rows")
+    s_cols = ", ".join(
+        f"CAST(({COMPILER.to_spark_sql(t)}) AS STRING)" for t in tpls)
+    s_map = {r[0]: (r[1], r[2]) for r in spark.sql(
+        f"SELECT f, {s_cols} FROM iso_frac_rows").collect()}
     con = duckdb.connect()
-    con.execute("CREATE TABLE iso_frac_row(f VARCHAR, g VARCHAR)")
-    con.execute("INSERT INTO iso_frac_row VALUES (?, NULL)", [frac])
-    d = con.execute(
-        f"SELECT CAST(({COMPILER.to_duckdb_sql(tpl)}) AS VARCHAR)"
-        " FROM iso_frac_row").fetchone()[0]
-    assert s is None and d is None, (s, d)
-    # whole-second sibling stays in-alphabet and parses in both
-    whole = "2024-08-15T10:15:30"
-    sdf2 = spark.createDataFrame([(whole, None)], "f string, g string")
-    sdf2.createOrReplaceTempView("iso_frac_row")
-    s2 = spark.sql(
-        f"SELECT CAST(({COMPILER.to_spark_sql(tpl)}) AS STRING)"
-        " FROM iso_frac_row").collect()[0][0]
-    con.execute("DELETE FROM iso_frac_row")
-    con.execute("INSERT INTO iso_frac_row VALUES (?, NULL)", [whole])
-    d2 = con.execute(
-        f"SELECT CAST(({COMPILER.to_duckdb_sql(tpl)}) AS VARCHAR)"
-        " FROM iso_frac_row").fetchone()[0]
-    assert s2 == d2 == "2024-08-15 10:15:30", (s2, d2)
+    con.execute("CREATE TABLE iso_frac_rows(f VARCHAR, g VARCHAR)")
+    con.executemany("INSERT INTO iso_frac_rows VALUES (?, ?)", rows)
+    d_cols = ", ".join(
+        f"CAST(({COMPILER.to_duckdb_sql(t)}) AS VARCHAR)" for t in tpls)
+    d_map = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT f, {d_cols} FROM iso_frac_rows").fetchall()}
+    for f, fmt_want, cmp_want in cases:
+        assert s_map[f] == d_map[f] == (fmt_want, cmp_want), (
+            f, s_map[f], d_map[f])
+    # sub-second precision is really carried: 11:59:59.5 < NOW < a
+    # whole-second 12:00:00 tie — the strict > must see the fraction
+    probe = [("2024-08-15T11:59:59.5", None), ("2024-08-15T12:00:00", None)]
+    spark.createDataFrame(probe, "f string, g string") \
+        .createOrReplaceTempView("iso_frac_rows")
+    got = {r[0]: r[1] for r in spark.sql(
+        "SELECT f, CAST((" + COMPILER.to_spark_sql("now() > f")
+        + ") AS STRING) FROM iso_frac_rows").collect()}
+    assert got["2024-08-15T11:59:59.5"] == "true"
+    assert got["2024-08-15T12:00:00"] == "false"
 
 
 def test_sec_ms_boundary_is_strict():

@@ -823,6 +823,11 @@ DATE_TEMPLATES = [
     "date_diff(from_unixtime(f), '2024-08-01 00:00:00')",
     "date_diff(now(), f) > 3",
     "date_diff(TIMESTAMP '2024-08-10T00:00:00', f)",
+    # composed first arg: ts_from_any inlines the CASE ~11x — bounded
+    # here as a single fixed template (the random generators keep
+    # date_diff args leaf-shaped for exactly this emission-size reason)
+    "date_diff(CASE WHEN f < g THEN now()"
+    " ELSE TIMESTAMP '2024-08-10T00:00:00' END, '2024-08-01 00:00:00')",
     # JSON-bearing value-function compositions over the same rows
     "get_json_string(f, '$.b.c[1]')",
     "coalesce(get_json_string(f, '$.a'), get_json_string(g, '$.a'), 'nj')",

@@ -90,13 +90,14 @@ Documented deviations (pinned by tests/test_expr_fuzz.py):
   is the batch rendering of a per-row error sink);
 - closed datetime alphabet: 4-digit ASCII years (Java's `yyyy` also
   parses 5+-digit years and unicode digits; the fixture corpus and the
-  fuzz alphabet never mint them), and WHOLE-SECOND ISO strings only —
-  ISO_LOCAL_DATE_TIME accepts fractional seconds ('2024-08-15T10:15:30.5'
-  parses in the reference, `:156`, `:479`) but the iso_t regex gate
-  rejects them, so they fall to the numeric path (NULL) here; carrying
-  the fraction faithfully would also need fraction-aware ldt_render
-  ('…:ss.nnn') and nano-exact compares past the engines' µs precision.
-  Pinned by test_iso_fractional_seconds_out_of_scope;
+  fuzz alphabet never mint them), and fractional ISO seconds up to
+  MICROSECOND resolution — ISO_LOCAL_DATE_TIME accepts 1-9 fractional
+  digits (`:156`, `:479`, `:600`); 1-6 parse exactly (iso_frac,
+  regex-gated native ISO TRY_CAST in both dialects), 7-9 digits carry
+  nanos an int64-µs engine cannot hold and fall to the numeric path
+  (NULL), like the year window. Fractional TIMESTAMP rule CONSTANTS
+  stay a registration error (_parse_ldt_literal — ldt_render has no
+  fraction form). Pinned by test_iso_fractional_seconds;
 - JSON documents are WHOLE values: Jackson's default readTree (the
   reference, :638) and Spark's get_json_object read the first complete
   JSON value and ignore trailing content ('{"a":"x"}abc' extracts),
@@ -788,6 +789,13 @@ class Emitter:
          " [0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$", "slash_dt"),
         ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(:[0-9]{2})?$",
          "iso_t"),
+        # ISO_LOCAL_DATE_TIME's fractional seconds, µs resolution:
+        # engines hold int64 microseconds, so 1-6 digits parse EXACTLY
+        # (regex-gated TRY_CAST — both engines' ISO casts read '.5' as
+        # .500000 where DuckDB's %f strptime would read 5 µs); Java's
+        # 7-9-digit nanos stay out of the closed alphabet (documented)
+        ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+         "\\.[0-9]{1,6}$", "iso_frac"),
         ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "date_only"),
     )
 
@@ -1282,6 +1290,12 @@ class SparkEmitter(Emitter):
     }
 
     def dt_parse(self, frag: str, form: str) -> str:
+        if form == "iso_frac":
+            # regex-vetted ISO with 1-6 fractional digits: the native ISO
+            # cast reads the fraction as a DECIMAL fraction ('.5' →
+            # .500000) at exact µs — a pattern-letter parse cannot
+            # express variable-length fractions
+            return f"TRY_CAST({frag} AS TIMESTAMP)"
         tries = ", ".join(
             f"try_to_timestamp({frag}, {_sql_str(p)})"
             for p in self._SPARK_DT[form]
@@ -1349,6 +1363,13 @@ class DuckEmitter(Emitter):
     }
 
     def dt_parse(self, frag: str, form: str) -> str:
+        if form == "iso_frac":
+            # the native ISO cast, like the Spark emitter: '%f' strptime
+            # reads raw microDIGITS ('.5' → 5 µs), the cast reads a
+            # decimal FRACTION ('.5' → .500000) — only the cast matches
+            # ISO_LOCAL_DATE_TIME; the regex gate keeps the cast's wider
+            # grammar out of reach
+            return f"TRY_CAST({frag} AS TIMESTAMP)"
         # one try_strptime per format, NOT the format-list form: the list
         # overload returns TIMESTAMP WITH TIME ZONE (naive everywhere else)
         tries = ", ".join(
