@@ -37,16 +37,18 @@ ROWS_B2 = [
 ]
 
 
-def write_batch_files(dfs, src) -> None:
+def write_batch_files(dfs, src, start: int = 0) -> None:
     """N single-file parquet batches ``b{i}.parquet`` with EXPLICIT
     increasing mtimes — the file stream source orders by modification
     time, so implicit write-order mtimes are a flake waiting to happen
-    (and the source does not recurse into df.write.parquet's layout)."""
+    (and the source does not recurse into df.write.parquet's layout).
+    ``start`` offsets the file index/mtime so a second call can append
+    later batches to a directory an earlier call populated."""
     import glob
     import os
     import shutil
 
-    for i, df in enumerate(dfs):
+    for i, df in enumerate(dfs, start=start):
         stage = os.path.join(str(src), f"_stage{i}")
         df.coalesce(1).write.parquet(stage)
         part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
