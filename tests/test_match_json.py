@@ -189,41 +189,38 @@ def test_match_json_conformance(spark, dialect, runner):
             )
 
 
-def test_match_json_fuzz_corpus():
-    """Seeded randomized corpus over the full operator/type space —
-    values with whitespace, signs, underscores, unicode, overflow-scale
+_FUZZ_ATOMS = ["", "null", "NULL", "Null", "0", "5", "05", "-5", "+5",
+               " 5", "5 ", "1_0", "3.5", "-0", "00", "abc", "hi",
+               "äöü", "中文", "a'b", "a%b", "a_b", "a.b*", "[x]", "(y)",
+               "9223372036854775807", "9223372036854775808",
+               "-9223372036854775808", "-9223372036854775809",
+               "99999999999999999999", "1704070000", "-1704070000",
+               "9223372036854776", "9223372036854775"]
+_FUZZ_STR_OPS = ["equal", "not equal", "contains", "not contains",
+                 "begin with", "not begin with", "end with", "not end with",
+                 "regexp", "not regexp", "is null", "is not null", "bogus"]
+_FUZZ_NUM_OPS = ["gt", "lt", "ge", "le", "equal", "not equal", "is null"]
+
+
+def _gen_cases(rng, n: int):
+    """Random (value, match_json rule) cases over the full operator/type
+    space — whitespace, signs, underscores, unicode, overflow-scale
     numerics, regex metacharacters (targets escaped for the regexp ops:
     an invalid pattern throws in Java AND in both engines, so arbitrary
-    patterns are outside the modeled domain) — batched into one SELECT
-    per dialect and compared against the Java-faithful port."""
-    import random
-
-    rng = random.Random(20260815)
-    atoms = ["", "null", "NULL", "Null", "0", "5", "05", "-5", "+5",
-             " 5", "5 ", "1_0", "3.5", "-0", "00", "abc", "hi",
-             "äöü", "中文", "a'b", "a%b", "a_b", "a.b*", "[x]", "(y)",
-             "9223372036854775807", "9223372036854775808",
-             "-9223372036854775808", "-9223372036854775809",
-             "99999999999999999999", "1704070000", "-1704070000",
-             "9223372036854776", "9223372036854775"]
-    str_ops = ["equal", "not equal", "contains", "not contains",
-               "begin with", "not begin with", "end with", "not end with",
-               "regexp", "not regexp", "is null", "is not null", "bogus"]
-    num_ops = ["gt", "lt", "ge", "le", "equal", "not equal", "is null"]
-
+    patterns are outside the modeled domain)."""
     cases = []
-    for _ in range(240):
-        v = rng.choice(atoms)
+    for _ in range(n):
+        v = rng.choice(_FUZZ_ATOMS)
         t = rng.choice([1, 1, 2, 2, 3])
         if t == 1:
-            op = rng.choice(str_ops)
-            target = rng.choice(atoms)
+            op = rng.choice(_FUZZ_STR_OPS)
+            target = rng.choice(_FUZZ_ATOMS)
             if "regexp" in op:
                 target = re.escape(target) or "^$"
             mj = {"type": 1, "operator": op, "values": [target]}
         elif t == 2:
-            mj = {"type": 2, "operator": rng.choice(num_ops),
-                  "values": [rng.choice(atoms)]}
+            mj = {"type": 2, "operator": rng.choice(_FUZZ_NUM_OPS),
+                  "values": [rng.choice(_FUZZ_ATOMS)]}
         else:
             op = rng.choice(["relative", "absolute"])
             mj = {"type": 3, "operator": op,
@@ -235,6 +232,15 @@ def test_match_json_fuzz_corpus():
         if rng.random() < 0.08:
             mj["values"] = []
         cases.append((v, mj))
+    return cases
+
+
+def test_match_json_fuzz_corpus():
+    """Pinned-seed randomized corpus (regression armor) batched into one
+    SELECT and compared against the Java-faithful port."""
+    import random
+
+    cases = _gen_cases(random.Random(20260815), 240)
 
     exprs, wants = [], []
     for v, mj in cases:
@@ -247,3 +253,43 @@ def test_match_json_fuzz_corpus():
     for i, ((v, mj), want) in enumerate(zip(cases, wants)):
         got = bool(row[i]) if row[i] is not None else False
         assert got is want, (i, v, mj, got, want)
+
+
+def test_match_json_fresh_seed_sweep(spark):
+    """Per-round FRESH-SEED sweep, BOTH dialects (the pinned corpus's
+    randomized leg only ran DuckDB; the Spark leg only ran the fixed
+    VALUES grid). Same ritual as tests/test_deep_sweep.py: the seed
+    rotates with BUILD_ROUND, a divergence gets fixed or documented and
+    its case pinned into the fixed corpus — the round-6 dirty-input fuzz
+    of this compiler caught two real bugs (unguarded epoch*1000 wrap,
+    lenient int() vs Long.parseLong), which is the case for fresh seeds."""
+    import random
+
+    from zg_etl_spark.buildinfo import BUILD_ROUND
+
+    seed = 73_110_000 + BUILD_ROUND
+    cases = _gen_cases(random.Random(seed), 400)
+    wants = [ref_compare(v, mj) for v, mj in cases]
+
+    for d, name in ((DUCK, "duck"), (SPARK, "spark")):
+        exprs = []
+        for v, mj in cases:
+            lit = "'" + v.replace("'", "''") + "'"
+            exprs.append(match_predicate(d, mj, lit, now_ms=str(NOW_MS)))
+        sql = "SELECT " + ", ".join(
+            f"({e}) AS c{i}" for i, e in enumerate(exprs)
+        )
+        row = (
+            duckdb.connect().execute(sql).fetchone()
+            if name == "duck"
+            else tuple(spark.sql(sql).collect()[0])
+        )
+        bad = [
+            (i, cases[i][0], cases[i][1], row[i], want)
+            for i, want in enumerate(wants)
+            if (bool(row[i]) if row[i] is not None else False) is not want
+        ]
+        assert not bad, (
+            f"round-{BUILD_ROUND} match_json sweep (seed {seed}, {name}): "
+            f"{len(bad)} divergences, first 5: {bad[:5]}"
+        )
