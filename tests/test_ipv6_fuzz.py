@@ -225,3 +225,42 @@ def test_dw_private_fuzz_both_dialects(spark):
         got = {r[0]: r[1] for r in run(q)}
         bad = [(corpus[i], got[i], exp[i]) for i in exp if got[i] != exp[i]]
         assert not bad, (d.__class__.__name__, bad[:10])
+
+
+# ---------------------------------------------------------------------------
+# Per-round fresh-seed legs (same ritual as tests/test_deep_sweep.py):
+# the pinned-seed corpora above are regression armor; these re-generate
+# never-before-seen cases each round. A divergence gets fixed or
+# documented, then its case pinned into the fixed corpus.
+# ---------------------------------------------------------------------------
+def test_ipv6_fresh_seed_sweep(spark):
+    from zg_etl_spark.buildinfo import BUILD_ROUND
+
+    fresh = _corpus(seed=42_060_000 + BUILD_ROUND)
+    test_duckdb_normalization_matches_stdlib(fresh)
+    test_spark_normalization_matches_stdlib(spark, fresh)
+
+
+def test_dw_private_fresh_seed_sweep(spark):
+    from zg_etl_spark.buildinfo import BUILD_ROUND
+
+    from zg_etl_spark.plans.pipeline import dw_private_sql
+
+    corpus = _quad_corpus(seed=42_060_000 + BUILD_ROUND)
+    rows = ", ".join(
+        "(%d, '%s')" % (i, c.replace("'", "''")) for i, c in enumerate(corpus)
+    )
+    exp = {i: _java_is_private(c) for i, c in enumerate(corpus)}
+    # looser sanity than the pinned corpus: the draw is seed-dependent,
+    # but both verdicts must still appear for the sweep to mean anything
+    assert sum(exp.values()) >= 15
+    assert len(exp) - sum(exp.values()) >= 15
+    for d, run in ((DUCK, lambda q: duckdb.sql(q).fetchall()),
+                   (SPARK, lambda q: [tuple(r) for r in
+                                      spark.sql(q).collect()])):
+        q = (f"SELECT i, {dw_private_sql(d, 'low')} AS p "
+             f"FROM (SELECT i, t AS low FROM (VALUES {rows})"
+             f" AS f(i, t)) x")
+        got = {r[0]: r[1] for r in run(q)}
+        bad = [(corpus[i], got[i], exp[i]) for i in exp if got[i] != exp[i]]
+        assert not bad, (d.__class__.__name__, bad[:10])
