@@ -198,3 +198,77 @@ def test_replay_with_lost_store_delta_reassigns_same_ids(spark, tmp_path):
     assert {(r.app_id, r.did): r.zg_did for r in state.collect()} == {
         k: v for k, v in pre_map.items()
     }
+
+
+def test_torn_delta_dir_is_ignored_not_fatal(spark, tmp_path):
+    """A delta dir whose write crashed mid-flight (only ``_temporary/``
+    inside, no ``_SUCCESS``) is not state: read() must skip it (a torn
+    FIRST delta fails schema inference outright if scanned), and the
+    next merge must not reuse its index. The stream then recovers by
+    replaying the batch in full."""
+    from zg_etl_spark.streaming import incremental_device_ids
+
+    store_dir = tmp_path / "store"
+    os.makedirs(store_dir / "v0" / "_temporary" / "0")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch_files([spark.createDataFrame(ROWS_B1, SCHEMA)], src)
+    _run_identity(spark, src, tmp_path)
+
+    out_map = _mapping(_read_out(spark, tmp_path))
+    assert sorted(v for (a, _), v in out_map.items() if a == 1) == [
+        100_001, 100_002,
+    ]
+    # the replayed merge advanced past the torn index instead of
+    # colliding with it (parquet refuses to write into an existing dir)
+    store = MappingStore(
+        spark, str(store_dir), key_col="did", id_col="zg_did"
+    )
+    assert sorted(store._dirs("v")) == [0, 1]
+    assert sorted(store._dirs("v", committed_only=True)) == [1]
+    state = store.read()
+    assert state.count() == 3
+
+
+def test_partial_snapshot_falls_back_to_deltas(spark, tmp_path):
+    """Compaction crash window: the snapshot's part-files partially
+    committed but ``_SUCCESS`` never landed. Reading that snapshot as
+    the base SILENTLY DROPS mappings (the deltas it superseded are
+    skipped) — later batches would re-mint conflicting ids. The store
+    must fall back to the previous snapshot + the full delta chain."""
+    import glob
+
+    from zg_etl_spark.streaming import incremental_device_ids
+
+    path = str(tmp_path / "map")
+    store = MappingStore(spark, path, key_col="did", id_col="zg_did")
+    for i in range(store.COMPACT_EVERY):
+        b = spark.createDataFrame(
+            [(i, 1, f"d{i}", 1_000 + i, i, "click")], SCHEMA
+        )
+        incremental_device_ids(store, b)
+
+    snaps = [d for d in os.listdir(path) if d.startswith("s")]
+    assert len(snaps) == 1
+    snap = os.path.join(path, snaps[0])
+    full = {(r.app_id, r.did): r.zg_did for r in store.read().collect()}
+    assert len(full) == store.COMPACT_EVERY
+
+    # tear the snapshot: drop the commit marker and one part-file
+    os.remove(os.path.join(snap, "_SUCCESS"))
+    os.remove(glob.glob(os.path.join(snap, "part-*"))[0])
+
+    got = {(r.app_id, r.did): r.zg_did for r in store.read().collect()}
+    assert got == full
+    # and the next merge still continues the id sequence correctly
+    nxt = spark.createDataFrame(
+        [(99, 1, "dZZ", 9_000, 99, "click")], SCHEMA
+    )
+    ids = {
+        r.did: r.zg_did
+        for r in incremental_device_ids(store, nxt)
+        .select("did", "zg_did")
+        .collect()
+    }
+    assert ids["dZZ"] == 100_000 + store.COMPACT_EVERY + 1

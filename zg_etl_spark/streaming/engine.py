@@ -59,18 +59,37 @@ class MappingStore:
         self.key_col = key_col
         self.id_col = id_col
 
-    def _dirs(self, prefix: str) -> dict[int, str]:
+    def _dirs(self, prefix: str, committed_only: bool = False) -> dict[int, str]:
+        """``committed_only`` gates on the ``_SUCCESS`` marker — a dir a
+        crashed write left behind (only ``_temporary/``, or a committed
+        SUBSET of its part-files) must never count as state: a torn
+        first delta fails schema inference outright, and a partial
+        snapshot silently DROPS mappings while ``_state_paths`` skips
+        the deltas it superseded — later batches would re-mint ids that
+        conflict with already-written outputs. Writers list ALL dirs
+        (committed or torn) so a new write never reuses a torn index."""
         if not os.path.isdir(self.path):
             return {}
-        return {
-            int(d[1:]): os.path.join(self.path, d)
-            for d in os.listdir(self.path)
-            if d.startswith(prefix) and d[1:].isdigit()
-        }
+        out = {}
+        for d in os.listdir(self.path):
+            if not (d.startswith(prefix) and d[1:].isdigit()):
+                continue
+            p = os.path.join(self.path, d)
+            if committed_only and not os.path.exists(
+                os.path.join(p, "_SUCCESS")
+            ):
+                continue
+            out[int(d[1:])] = p
+        return out
 
     def _state_paths(self) -> list[str]:
-        """Latest snapshot (if any) + the delta dirs after it, in order."""
-        deltas, snaps = self._dirs("v"), self._dirs("s")
+        """Latest COMMITTED snapshot (if any) + the committed delta dirs
+        after it, in order. An uncommitted delta's micro-batch cannot
+        have committed its checkpoint either (merge completes before
+        foreachBatch returns), so that batch replays in full — ignoring
+        the torn dir is exactly the recovery contract."""
+        deltas = self._dirs("v", committed_only=True)
+        snaps = self._dirs("s", committed_only=True)
         base = max(snaps) if snaps else -1
         paths = [snaps[base]] if snaps else []
         paths += [deltas[k] for k in sorted(deltas) if k > base]
@@ -84,11 +103,11 @@ class MappingStore:
         """Append this batch's newly-assigned rows; returns the delta dir
         just written (so a caller holding the pre-merge state can union
         one small file instead of re-listing and re-reading the store)."""
-        deltas = self._dirs("v")
+        deltas = self._dirs("v")          # ALL dirs: never reuse a torn index
         nxt = max(deltas) + 1 if deltas else 0
         delta_dir = os.path.join(self.path, f"v{nxt}")
         assigned.write.parquet(delta_dir)
-        snaps = self._dirs("s")
+        snaps = self._dirs("s", committed_only=True)
         base = max(snaps) if snaps else -1
         if nxt - base >= self.COMPACT_EVERY:
             # compaction bounds read() fan-in; writes a NEW dir, never
