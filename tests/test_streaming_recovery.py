@@ -64,15 +64,15 @@ def _mapping(df):
     return {(r.app_id, r.did): r.zg_did for r in df.collect()}
 
 
-def _drop_commit0(tmp_path) -> None:
-    """Simulate a crash after the micro-batch's side effects but before
-    its checkpoint commit: drop ``commits/0`` AND its ``.crc`` sidecar
+def _drop_commit(tmp_path, n: int = 0) -> None:
+    """Simulate a crash after micro-batch ``n``'s side effects but before
+    its checkpoint commit: drop ``commits/n`` AND its ``.crc`` sidecar
     (the local ChecksumFs refuses the replay's rename if the stale
     checksum survives — a real recovery failure mode, not test hygiene)."""
-    commit0 = tmp_path / "ckpt" / "commits" / "0"
-    assert commit0.exists()
-    os.remove(commit0)
-    crc = tmp_path / "ckpt" / "commits" / ".0.crc"
+    commit = tmp_path / "ckpt" / "commits" / str(n)
+    assert commit.exists()
+    os.remove(commit)
+    crc = tmp_path / "ckpt" / "commits" / f".{n}.crc"
     if crc.exists():
         os.remove(crc)
 
@@ -151,7 +151,7 @@ def test_replay_after_lost_commit_is_idempotent(spark, tmp_path):
     )
     pre_state = {(r.app_id, r.did): r.zg_did for r in store.read().collect()}
 
-    _drop_commit0(tmp_path)
+    _drop_commit(tmp_path)
 
     _run_identity(spark, src, tmp_path)
 
@@ -181,7 +181,7 @@ def test_replay_with_lost_store_delta_reassigns_same_ids(spark, tmp_path):
 
     import shutil
 
-    _drop_commit0(tmp_path)
+    _drop_commit(tmp_path)
     store_dir = tmp_path / "store"
     deltas = [d for d in os.listdir(store_dir) if d.startswith("v")]
     assert deltas == ["v0"]
@@ -272,3 +272,59 @@ def test_partial_snapshot_falls_back_to_deltas(spark, tmp_path):
         .collect()
     }
     assert ids["dZZ"] == 100_000 + store.COMPACT_EVERY + 1
+
+
+def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    """The s8-shaped sink path (foreachBatch → delete-sign upsert_table,
+    streaming_queries.py): a replayed micro-batch must leave the table
+    byte-identical — the re-applied update ties with its own on-disk row
+    in keep_latest, and the re-applied delete sweeps a key that is
+    already gone (Doris merge-on-write re-delivery absorption,
+    schema.sql:96-398)."""
+    from zg_etl_spark.sinks import upsert_table
+
+    schema = "app_id INT, k STRING, val STRING, seq BIGINT, del INT"
+    b0 = [(1, "k1", "a", 1, 0), (1, "k2", "b", 2, 0), (2, "k1", "c", 3, 0)]
+    b1 = [(1, "k1", "a2", 4, 0), (1, "k2", "b", 5, 1)]   # update + DELETE
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_batch_files(
+        [spark.createDataFrame(rows, schema) for rows in (b0, b1)], src
+    )
+    table = str(tmp_path / "table")
+
+    def _sink(batch_df, _batch_id):
+        upsert_table(
+            spark, batch_df, table,
+            keys=["app_id", "k"], order_col="seq",
+            partition_cols=["app_id"], delete_col="del",
+        )
+
+    def _run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    pre = {
+        (r.app_id, r.k): (r.val, r.seq)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert pre == {(1, "k1"): ("a2", 4), (2, "k1"): ("c", 3)}  # k2 deleted
+
+    _drop_commit(tmp_path, 1)
+    _run()
+
+    post = {
+        (r.app_id, r.k): (r.val, r.seq)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert post == pre
