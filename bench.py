@@ -127,10 +127,13 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
-    # one decimal keeps 129 per-query entries inside the driver's
-    # 2000-char capture window; full precision lives in bench_detail.json
+    # one decimal, saturated at 99.9, keeps 139+ per-query entries inside
+    # the driver's 2000-char capture window (no single query legitimately
+    # takes 100 s at sf0.1 — if one ever does, the compact line shows the
+    # saturated value and bench_detail.json has full precision)
     line = json.dumps(
-        dict(common, queries={k: round(v, 1) for k, v in short.items()}),
+        dict(common,
+             queries={k: min(round(v, 1), 99.9) for k, v in short.items()}),
         separators=(",", ":"),
     )
     if len(line) > 1900:  # belt-and-braces: never exceed the capture window

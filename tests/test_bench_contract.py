@@ -14,12 +14,14 @@ def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
     round-9 composition: the 41-query round-6-attested band (the oldest
     driver rows after r8's full-green window — spine relations p8/p6
-    first), plus nine picks from the next-oldest r7 band (the l16/s6/l11
-    bench watch items, the adv lanes p47/p48/p51/p55, w2, s2);
-    registering a new query must never silently displace one of these."""
+    first), plus picks from the next-oldest r7 band (the l16/s6/l11
+    bench watch items, the adv lanes p47/p48/p51/p55, s2) and the query
+    NEW this round (p56 — first attestation beats a third for w2, which
+    stays r7-attested and locally parity-checked); registering a new
+    query must never silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["g1_", "g4_", "w3_", "w9_", "w2_"]
+    want_prefixes = ["g1_", "g4_", "w3_", "w9_", "p56_"]
     want_prefixes += [f"p{i}_" for i in (0, 4, 6, 8, 19, 21, 29, 36, 38,
                                          41, 43, 44, 45, 46, 49, 50)]
     want_prefixes += [f"p{i}_" for i in (47, 48, 51, 55)]
@@ -35,7 +37,8 @@ def test_bench_line_fits_driver_capture_window():
     from bench import _short_keys
 
     queries = plans.all_queries()
-    per = {name: 999.9 for name in queries}  # worst-case 1-decimal widths
+    # worst-case emitted width: bench saturates per-query values at 99.9
+    per = {name: 99.9 for name in queries}
     short = _short_keys(per)
     assert len(short) == len(per), "short-id collision would fall back to long names"
     line = json.dumps(
@@ -51,7 +54,7 @@ def test_bench_line_fits_driver_capture_window():
             "warm_ratio": 99.99,
             "warm_batch_ratio": 99.99,
             "driver_python_peak_mb": 99999,
-            "queries": {k: round(v, 1) for k, v in short.items()},
+            "queries": {k: min(round(v, 1), 99.9) for k, v in short.items()},
         },
         separators=(",", ":"),
     )
@@ -84,7 +87,7 @@ def test_driver_window_is_the_planned_rotation():
         "s1_streaming_identity", "s6_streaming_dedup",
         "s10_streaming_deep_convert", "p47_adv_cdc_route",
         "p55_tencent_web_match", "w3_compat_csv_roundtrip",
-        "w9_partial_upsert",
+        "w9_partial_upsert", "p56_event_paths",
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
@@ -92,6 +95,7 @@ def test_driver_window_is_the_planned_rotation():
     # parity rehearsal): the r7/r8-green band that yielded its slots to
     # this round's rotation
     for name in ("p54_click_consumption", "p54c_candidates",
+                 "w2_bucketed_join",
                  "w10_scale_ids", "p42_adv_click_match",
                  "p52_adv_ss_priority", "p53_ipv6_geo",
                  "q1_pricing_summary", "q11_approx_distinct",

@@ -216,6 +216,42 @@ def test_funnel_matches_python_loop(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Path analysis (p56): plain-Python per-session transition walk. The
+# engine derives transitions with one LEAD window over the session-ordered
+# stream; this re-derivation sorts each (app, zgid, sid) group's events
+# in Python and walks adjacent pairs, sharing no SQL with the engine.
+# ---------------------------------------------------------------------------
+def test_event_paths_matches_python_loop(spark, sf_dir):
+    rows = _rows(
+        spark, sf_dir,
+        "SELECT app_id, zg_id, sid, event_name, ct, seq FROM resolved "
+        "WHERE dt IN ('evt', 'abp') AND sid IS NOT NULL "
+        "AND event_name IS NOT NULL",
+    )
+    sessions = defaultdict(list)
+    for r in rows:
+        sessions[(r.app_id, r.zg_id, r.sid)].append((r.ct, r.seq, r.event_name))
+
+    counts = defaultdict(int)
+    users = defaultdict(set)
+    sids = defaultdict(set)
+    for (app, zgid, sid), evs in sessions.items():
+        evs.sort()
+        names = [name for _, _, name in evs]
+        for frm, to in zip(names, names[1:] + ["(exit)"]):
+            counts[(app, frm, to)] += 1
+            users[(app, frm, to)].add(zgid)
+            sids[(app, frm, to)].add((zgid, sid))
+
+    expected = {
+        key + (n, len(users[key]), len(sids[key]))
+        for key, n in counts.items()
+    }
+    actual = {tuple(r) for r in ALL["p56_event_paths"](spark, sf_dir).collect()}
+    assert actual == expected
+
+
+# ---------------------------------------------------------------------------
 # M2 physical-column allocation: sequential simulation of the reference's
 # per-(event, owner) get-or-create with cus{n} assignment
 # (EventAttrAsyncOperator.java:406-551) — each attribute takes the next

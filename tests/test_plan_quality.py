@@ -104,7 +104,7 @@ def test_bucketed_join_has_no_shuffle_under_join(spark, sf_dir):
 @pytest.mark.parametrize(
     "name",
     ["p0_envelope", "p5_virtual_attrs", "p8_wide_table",
-     "p13_user_visit_stats"],
+     "p13_user_visit_stats", "p56_event_paths"],
 )
 def test_pipeline_queries_stay_jvm_side(spark, sf_dir, name):
     """The event-pipeline spine is pure Column/SQL — Python appears only
@@ -459,3 +459,14 @@ def test_click_consumption_python_is_replay_only(spark, sf_dir):
     plan = _plan(ALL["p54_click_consumption"](spark, sf_dir), "simple")
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_event_paths_window_partitions_on_session_key(spark, sf_dir):
+    """p56's LEAD window must partition on the session key — a window
+    with an empty PARTITION BY plans as Exchange SinglePartition (one
+    task sorts the whole fact), which is the difference between a
+    per-session bounded sort and a cluster-wide serialization at 100 TB.
+    The transition aggregate must keep partial (map-side) aggregation."""
+    plan = _plan(ALL["p56_event_paths"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower(), plan

@@ -23,9 +23,12 @@ from zg_etl_spark.plans import (
 #      virtual events — two rounds stale), then the rest of the r6 band:
 #      g1/g4, l12-l15/l17-l27, p0/p4, p19/p21/p29/p36/p38/p41/p43-p46/
 #      p49/p50, s1/s3-s5/s9/s10, w3/w9;
-#   2. nine picks from the next-oldest (r7) band: the three bench watch
+#   2. picks from the next-oldest (r7) band: the three bench watch
 #      items (l16/s6/l11 — re-attest alongside their standalone A/B),
-#      the adv lanes p47/p48/p51/p55, w2, s2.
+#      the adv lanes p47/p48/p51/p55, s2 — plus the query NEW this
+#      round (p56 path analysis: a brand-new query needs its FIRST
+#      driver row more than w2, which stays r7-attested, plan-stable,
+#      and locally parity-checked every round, needs a third).
 # The remainder (the r7/r8-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
 # attested is older than round 7.
@@ -82,8 +85,11 @@ _WINDOW = [
     "p48_adv_click_keys",
     "p51_web_ad_lane",
     "p55_tencent_web_match",
-    "w2_bucketed_join",
+    "p56_event_paths",
     "s2_streaming_sessions",
+    # 51st: behind the 50-query cut — stays listed so a future rotation
+    # is a reorder, not a rediscovery
+    "w2_bucketed_join",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)

@@ -4027,6 +4027,52 @@ _register("p55_tencent_web_match", _p55)
 
 
 # ---------------------------------------------------------------------------
+# P56 path analysis: per-session event→next-event transition counts — the
+# third member of the product-analytics trio (funnel p16, retention p15,
+# paths here). The reference's product serves this over the wide event
+# table's session grain (b_user_event_attr UNIQUE KEY(zg_id, session_id,
+# uuid, event_id, begin_day_id), sql/schema.sql:96-398; session/time
+# columns filled by transfer/EventAttrTransfer.java:233-350); relationally
+# it is one LEAD window over the session-ordered stream plus one
+# aggregation. A session's last event emits a terminal '(exit)' edge so
+# per-node outflow equals the node's visit count (Sankey invariant).
+#
+# Scale shape: the window partitions on (app_id, zg_id, sid) — the wide
+# table's own key, so at 100 TB the sort is per-session-sized (bounded,
+# skew-free) on the shuffle the table layout already implies; the
+# transition aggregate is a map-side-combined groupBy on the app-level
+# key. (ct, seq) is a total order within a session (seq is the unique
+# per-record feed sequence), so LEAD is deterministic.
+# ---------------------------------------------------------------------------
+def _p56(d: Dialect) -> str:
+    # a session INSTANCE is (zg_id, sid) — the wide table's key prefix;
+    # bare sid values may collide across users
+    sess = f"{d.s('zg_id')} || ':' || {d.s('sid')}"
+    return f"""
+WITH path_events AS (
+  SELECT app_id, zg_id, sid, event_name, ct, seq
+  FROM resolved
+  WHERE dt IN ('evt', 'abp') AND sid IS NOT NULL AND event_name IS NOT NULL
+),
+steps AS (
+  SELECT app_id, zg_id, sid, event_name AS from_event,
+         LEAD(event_name) OVER (
+           PARTITION BY app_id, zg_id, sid ORDER BY ct, seq) AS to_event
+  FROM path_events
+)
+SELECT app_id, from_event,
+       COALESCE(to_event, '(exit)') AS to_event,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT zg_id) AS n_users,
+       COUNT(DISTINCT {sess}) AS n_sessions
+FROM steps
+GROUP BY app_id, from_event, COALESCE(to_event, '(exit)')"""
+
+
+_register("p56_event_paths", _p56)
+
+
+# ---------------------------------------------------------------------------
 # W10 — the scale-profile ID mode as a declared, oracle-checked query.
 #
 # The deterministic profile assigns zg_did/zg_uid with per-app
