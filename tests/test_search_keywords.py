@@ -44,7 +44,8 @@ def test_url_decode_utf8_double_encoded():
 
 
 def test_engine_table_matches_reference():
-    # SearchKeywordParser.java:38-57 — 8 engines, exact param priority
+    # SearchKeywordParser.java:38-57 — 8 engines, exact param name sets
+    # (membership, walked in URL part order — see term_case)
     table = {e: params for e, _, params in ENGINES}
     assert table == {
         "baidu": ["wd", "word", "kw"],
@@ -89,6 +90,12 @@ def test_with_search_keyword_dataframe(spark):
 # implementations share no code or dialect template.
 # ---------------------------------------------------------------------------
 def _reference_parse(url):
+    """extractKeyword walks query parts in URL order and returns the
+    FIRST part whose name is in the engine's param set — even when that
+    part's value is empty ('?wd=&word=x' → '', SearchKeywordParser.java
+    :125-140); '' renders as no-keyword downstream, exactly like
+    no-match. Engine attribution uses our deterministic list order (the
+    reference's HashMap order is JVM-undefined for multi-match URLs)."""
     import re
 
     if not url:
@@ -109,8 +116,8 @@ def _reference_parse(url):
             if eq == -1:
                 continue
             name, value = part[:eq], part[eq + 1:]
-            if any(name.lower() == p.lower() for p in params) and value:
-                keyword = value
+            if any(name.lower() == p.lower() for p in params):
+                keyword = value  # may be '' — the walk STOPS regardless
                 break
     if keyword:
         keyword = keyword.strip()
@@ -154,3 +161,90 @@ def test_sql_extraction_matches_reference_model(spark):
     for r in out:
         expect = _reference_parse(r.ref)
         assert (r.eng, r.kw) == expect, f"{r.ref}: sql={(r.eng, r.kw)} ref={expect}"
+
+
+# ---------------------------------------------------------------------------
+# Per-round FRESH-SEED URL sweep (the ritual from SURVEY.md §5): the
+# fixed corpus above is regression armor; this leg triangulates
+# never-before-seen URLs each round — both dialects against
+# _reference_parse — stressing exactly the seams the fixed corpus
+# cannot: part-order vs param-list order ('?word=x&wd=y' → x), the
+# empty-value name-match STOP ('?wd=&word=x' → none), path ampersands
+# before '?' ('/a&wd=evil?word=x' → x), decoy names (awd/wdx), repeated
+# '?', fragments, and no-query URLs. A divergence found here gets fixed
+# or documented, then pinned in the fixed corpus.
+# ---------------------------------------------------------------------------
+def test_fresh_seed_url_sweep(spark):
+    import random
+
+    import duckdb
+
+    from zg_etl_spark.buildinfo import BUILD_ROUND
+    from zg_etl_spark.functions.search_keywords import (
+        clean_keyword,
+        engine_case,
+        term_case,
+    )
+    from zg_etl_spark.operators.domain import DUCK, SPARK
+
+    rng = random.Random(61_000_000 + BUILD_ROUND)
+    hosts = (
+        ["www.baidu.com/s", "tieba.baidu.com/f", "www.google.com.hk/search",
+         "google.cn/m", "www.sogou.com/web", "wap.sogou.com/x",
+         "www.so.com/s", "m.so.com/index", "cn.bing.com/search",
+         "m.sm.cn/s", "so.toutiao.com/search", "search.yahoo.com/search",
+         "notbaidu.com/s", "example.org/page", "sogou.com.evil.net/a",
+         "BAIDU.COM/S", "a.b/c&wd=pathamp", "x.soGou.Com/w"]
+    )
+    all_params = sorted({p for _, _, ps in ENGINES for p in ps})
+    names = all_params + [p.upper() for p in all_params] + [
+        "awd", "wdx", "xq", "qq", "keywords", "WORD", "KeyWord", "x", "y", ""]
+    values = ["", "kw1", "a=b", '"q1"', "'q2'", " sp ", "%E4%B8%AD",
+              "multi word", "'", '"', "v_1-2.3", "=",]
+
+    def rand_url():
+        host = rng.choice(hosts)
+        n = rng.randrange(0, 6)
+        parts = []
+        for _ in range(n):
+            name = rng.choice(names)
+            if rng.random() < 0.12:
+                parts.append(name)  # no '=' at all — skipped by the walk
+            else:
+                parts.append(f"{name}={rng.choice(values)}")
+        q = "?" + "&".join(parts) if (parts or rng.random() < 0.3) else ""
+        frag = "#frag?wd=infrag" if rng.random() < 0.15 else ""
+        extra_q = "?wd=second" if rng.random() < 0.1 else ""
+        return f"https://{host}{q}{extra_q}{frag}"
+
+    urls = sorted({rand_url() for _ in range(450)})
+
+    eng_s = engine_case(SPARK, "ref")
+    kw_s = f"NULLIF({clean_keyword(SPARK, term_case(SPARK, 'ref', eng_s))}, '')"
+    df = spark.createDataFrame([(u,) for u in urls], "ref string")
+    got_spark = {
+        r.ref: (r.eng, r.kw)
+        for r in df.selectExpr("ref", f"{eng_s} AS eng", f"{kw_s} AS kw").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ref VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    eng_d = engine_case(DUCK, "ref")
+    kw_d = f"NULLIF({clean_keyword(DUCK, term_case(DUCK, 'ref', eng_d))}, '')"
+    got_duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT ref, {eng_d}, {kw_d} FROM t").fetchall()
+    }
+
+    bad = []
+    for u in urls:
+        want = _reference_parse(u)
+        for dial, got in (("spark", got_spark[u]), ("duckdb", got_duck[u])):
+            if got != want:
+                bad.append((dial, u, got, want))
+    assert not bad, (
+        f"round-{BUILD_ROUND} url sweep: {len(bad)} divergences, "
+        f"first 5: {bad[:5]}"
+    )

@@ -74,7 +74,12 @@ def test_ua_analysis_conformance_both_dialects(spark):
         name, ver = "", ""
         if m:
             name = m.group(1)
-            if m.lastindex and m.lastindex > 1 and m.group(2):
+            # Java: version = matcher.group(2); null skips the cleanup
+            # and `name + ":" + version` renders the LITERAL 'null'
+            # (ToolUtil.java:171-177, the version-less Opera alternative)
+            if m.group(2) is None:
+                ver = "null"
+            else:
                 ver = re.sub(r"[^a-zA-Z0-9 ]", ".", m.group(2))
         return f"{name}:{ver}"
 
@@ -93,3 +98,105 @@ def test_ua_analysis_conformance_both_dialects(spark):
         want = ref(ua)
         assert f"{s[0]}:{s[1]}" == want, f"spark {ua!r}: {s} != {want}"
         assert f"{k[0]}:{k[1]}" == want, f"duckdb {ua!r}: {k} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# Per-round FRESH-SEED UA sweep (the SURVEY.md §5 ritual): random
+# fragment-composed UA strings each round, both dialects against the
+# Java port above — stressing the seams the fixed cases cannot: the
+# case-SENSITIVE contains("Android") branch gate vs case-insensitive
+# regexes ('ANDROID' routes to the iOS pattern), the version-less Opera
+# alternative's literal-'null' rendering, '_'/','/'/'-heavy versions,
+# decoy 'ipad'-letter runs (ip[honead]+ matches 'ipod'/'iphone'/'ipad'
+# but also 'ipand'...), and missing '.like' tails.
+# ---------------------------------------------------------------------------
+def test_ua_analysis_fresh_seed_sweep(spark):
+    import random
+    import re
+
+    import duckdb
+
+    from zg_etl_spark.buildinfo import BUILD_ROUND
+    from zg_etl_spark.operators.domain import DUCK
+
+    def ref(ua):
+        if ua is None:
+            return ":"
+        if "Android" in ua:
+            m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+        else:
+            m = re.search(
+                r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)", ua, re.I
+            )
+        name, ver = "", ""
+        if m:
+            name = m.group(1)
+            if m.group(2) is None:
+                ver = "null"
+            else:
+                ver = re.sub(r"[^a-zA-Z0-9 ]", ".", m.group(2))
+        return f"{name}:{ver}"
+
+    rng = random.Random(59_000_000 + BUILD_ROUND)
+    prefixes = ["Mozilla/5.0 ", "", "Opera/9.80 ", "mozilla/4.0 "]
+    bodies = [
+        "(Linux; U; Android {v}; zh-cn; X) ",
+        "(Linux; Android {v}) ",
+        "(linux; android {v}) ",
+        "(LINUX; ANDROID {v}) ",
+        "(Android {v}; Mobile) ",          # no 'linux;' -> android no-match
+        "(iPhone; CPU iPhone OS {v} like Mac OS X) ",
+        "(iPad; CPU OS {v} like Mac OS X) ",
+        "(ipod touch; cpu os {v} like) ",
+        "(iPhone; Opera", "(iPad;  Opera",  # double space: \s matches once
+        "(iphone; opera Mini) ", "(IPAD; OPERA) ",
+        "(iPhone; CPU OS {v}) ",            # no 'like' tail
+        "(Windows NT 10.0; Win64) ",
+        "(Macintosh; Intel Mac OS X 10.15) ",
+        "ipand os {v} like ",               # decoy [honead]+ run
+        "shipone os {v} like ",             # 'ip' mid-word
+    ]
+    tails = ["AppleWebKit/537.36", "Safari/604.1", "", "like Gecko"]
+    vers = ["13", "16_6", "17.2.1", "4.2,1", "a-b/c", "10_0_1", "X",
+            "1__2", "9-", "..", "16 6"]
+
+    def rand_ua():
+        body = rng.choice(bodies).replace("{v}", rng.choice(vers))
+        return (rng.choice(prefixes) + body + rng.choice(tails)).strip()
+
+    uas = sorted({rand_ua() for _ in range(400)})
+
+    from zg_etl_spark.functions.ua_parser import (
+        ua_analysis_name,
+        ua_analysis_version,
+    )
+
+    got_spark = {
+        r.ua: f"{r.n}:{r.v}"
+        for r in spark.createDataFrame([(u,) for u in uas], "ua string")
+        .selectExpr(
+            "ua",
+            f"{ua_analysis_name(SPARK, 'ua')} AS n",
+            f"{ua_analysis_version(SPARK, 'ua')} AS v",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ua VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in uas])
+    got_duck = {
+        r[0]: f"{r[1]}:{r[2]}"
+        for r in con.execute(
+            f"SELECT ua, {ua_analysis_name(DUCK, 'ua')}, "
+            f"{ua_analysis_version(DUCK, 'ua')} FROM t").fetchall()
+    }
+
+    bad = []
+    for u in uas:
+        want = ref(u)
+        for dial, got in (("spark", got_spark[u]), ("duckdb", got_duck[u])):
+            if got != want:
+                bad.append((dial, u, got, want))
+    assert not bad, (
+        f"round-{BUILD_ROUND} ua sweep: {len(bad)} divergences, "
+        f"first 5: {bad[:5]}"
+    )

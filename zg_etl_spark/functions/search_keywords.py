@@ -23,9 +23,15 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas-UDF type hints resolve by name
 
-# (engine, host regex, keyword params in priority order) —
-# SearchKeywordParser.java:38-57. Patterns are case-insensitive
-# (Pattern.CASE_INSENSITIVE) and unanchored (Matcher.find).
+# (engine, host regex, keyword param names) — SearchKeywordParser.java:
+# 38-57. Patterns are case-insensitive (Pattern.CASE_INSENSITIVE) and
+# unanchored (Matcher.find). The param list is a MEMBERSHIP set, not a
+# priority order — extractKeyword walks the URL's query parts in URL
+# order and returns the first part whose name is in the set (:125-140).
+# The reference stores its patterns in a HashMap, so when a URL matches
+# MORE THAN ONE engine pattern the reference's attribution order is
+# JVM-identity-hash order (undefined across runs); this deterministic
+# list order is our modeling choice for that degenerate class.
 ENGINES: list[tuple[str, str, list[str]]] = [
     ("baidu", r"baidu\.com", ["wd", "word", "kw"]),
     ("google", r"google\.(com|cn|com\.hk)", ["q", "query"]),
@@ -47,16 +53,26 @@ def engine_case(d, ref: str) -> str:
 
 
 def term_case(d, ref: str, engine: str) -> str:
-    """Raw (undecoded) keyword for the identified engine: first matching
-    param of the engine's priority list (SearchKeywordParser.java:115-143;
-    param-name match is case-insensitive, value runs to the next '&')."""
+    """Raw (undecoded) keyword for the identified engine. The reference's
+    extractKeyword (SearchKeywordParser.java:107-143) splits the query
+    string (after the FIRST '?'; no '?' → no keyword) on '&' and walks
+    the parts IN URL ORDER, returning the first part whose NAME
+    (everything before the part's first '=', equalsIgnoreCase) is one of
+    the engine's keyword params — even when that part's VALUE is empty
+    ('?wd=&word=x' yields '', not 'x'; the param list is a membership
+    set, NOT a priority order). One leftmost-match regexp over the
+    query substring encodes exactly that walk: the alternation matches
+    whichever param name appears first, and an empty capture is the
+    empty-value return (indistinguishable from no-match downstream,
+    just as the reference's "" is)."""
+    q = f"substring({ref}, instr({ref}, '?') + 1)"
     whens = []
     for eng, _, params in ENGINES:
-        coal = ", ".join(
-            f"NULLIF(regexp_extract({ref}, {d.re_lit('(?i)[?&]' + p + '=([^&]*)')}, 1), '')"
-            for p in params
+        pat = d.re_lit("(?i)(^|&)(" + "|".join(params) + ")=([^&]*)")
+        whens.append(
+            f"WHEN '{eng}' THEN CASE WHEN instr({ref}, '?') > 0 "
+            f"THEN NULLIF(regexp_extract({q}, {pat}, 3), '') END"
         )
-        whens.append(f"WHEN '{eng}' THEN COALESCE({coal})")
     return f"CASE {engine} " + " ".join(whens) + " END"
 
 

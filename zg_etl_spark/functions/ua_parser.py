@@ -127,8 +127,23 @@ def ua_analysis_name(d, ua: str) -> str:
 
 
 def ua_analysis_version(d, ua: str) -> str:
-    """matcher.group(2) with the cleanup replace; '' when absent."""
-    cleaned = d.re_replace_all(
-        f"COALESCE({_ua_analysis_group(d, ua, 2)}, '')", "[^a-zA-Z0-9 ]", "."
+    """matcher.group(2) with the cleanup replace — and Java's null
+    rendering: uaAnalysis concatenates the version into the result via
+    `name + ":" + version` (ToolUtil.java:171-177), so when the iOS
+    pattern matches through its version-less `;\\sopera` alternative,
+    group(2) is null, the cleanup is skipped, and Java string
+    concatenation renders the LITERAL 'null' ("iPhone:null") — which
+    then flows verbatim into the adv fuzzy-match store keys
+    (AdvSaveAppAdDataFlatMapFunction.java:259-273). A UA matching
+    NEITHER pattern keeps the "" initializer instead. The two cases are
+    distinguished here by the name group (matched ⇔ group(1) != '');
+    both regex groups are +-quantified, so a matched-but-empty version
+    cannot otherwise occur."""
+    raw = f"COALESCE({_ua_analysis_group(d, ua, 2)}, '')"
+    name = f"COALESCE({_ua_analysis_group(d, ua, 1)}, '')"
+    cleaned = d.re_replace_all(raw, "[^a-zA-Z0-9 ]", ".")
+    return (
+        f"CASE WHEN {ua} NOT LIKE '%Android%' "
+        f"AND {name} <> '' AND {raw} = '' THEN 'null' "
+        f"ELSE {cleaned} END"
     )
-    return cleaned

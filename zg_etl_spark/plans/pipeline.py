@@ -2903,11 +2903,14 @@ _register("p47_adv_cdc_route", _p47)
 #     other click one key per non-empty normalized id (:408-443).
 # putAd / the ip-ua branch keep the LATEST ct per key (>= overwrite,
 # :287-296,:315-330), with 10-digit click_time strings scaled s→ms
-# (:251-254) — modeled as MAX(ct_ms) per key. The reference would throw
-# on a Baidu-iPhone UA whose uaAnalysis yields an empty version
-# (arr[1] on a 1-element split, :263-266); fixtures avoid that input,
-# and a no-match uaProcess ":" splits to a 0-length array and is kept
-# as-is (:264 guard). lid == 0 rows produce nothing (:245).
+# (:251-254) — modeled as MAX(ct_ms) per key. The arr[1]-throw on a
+# 1-element uaProcess split (:263-266) is UNREACHABLE in the reference:
+# a matched version group is +-quantified (never empty) and the
+# version-less Opera alternative renders the literal 'null' via Java
+# string concat (ToolUtil.java:171-177, see ua_analysis_version), so
+# "iPhone:<empty>" cannot occur; a no-match uaProcess ":" splits to a
+# 0-length array and is kept as-is (:264 guard). lid == 0 rows produce
+# nothing (:245).
 #
 # Scale shape: map-only normalization over the click stream (md5 /
 # regexp inside codegen, no UDF) + one 16-group agg standing in for the
