@@ -43,6 +43,39 @@ def test_url_decode_utf8_double_encoded():
     assert url_decode_utf8("a%20b") == "a b"
 
 
+def test_java_decoder_quirks():
+    """java.net.URLDecoder fidelity (the decoder both UrlDecoder entry
+    points delegate to): '+' is a space, malformed %-patterns throw (so
+    decodeMultiCharset skips that charset and UrlDecoder.decode returns
+    the ORIGINAL), undecodable bytes become U+FFFD instead of raising,
+    and parseInt's sign tolerance makes '%+f' byte 0x0f and '%-0' byte
+    0x00 while '%-1' throws on the v < 0 check."""
+    import pytest
+
+    from zg_etl_spark.functions.search_keywords import (
+        _JavaDecodeError,
+        java_url_decode,
+    )
+
+    # '+' -> ' ' in every charset pass ('a+%D6%D0': UTF-8 replaces the
+    # bad bytes with U+FFFD (no CJK), GBK decodes them to CJK and wins)
+    assert decode_multi_charset("a+%D6%D0") == "a 中"
+    # bad UTF-8 tail byte is REPLACED, not raised — UTF-8 still wins
+    assert decode_multi_charset("%E4%B8%AD%FF") == "中�"
+    # malformed %-pattern throws in every charset -> original survives
+    assert decode_multi_charset("%zz%E4%B8%AD") == "%zz%E4%B8%AD"
+    assert decode_multi_charset("%E4%B8%AD%E") == "%E4%B8%AD%E"
+    assert url_decode_utf8("a%zz") == "a%zz"
+    assert url_decode_utf8("50%+off") == "50%+off"
+    # parseInt sign tolerance
+    assert java_url_decode("%+f", "utf-8") == "\x0f"
+    assert java_url_decode("%-0", "utf-8") == "\x00"
+    with pytest.raises(_JavaDecodeError):
+        java_url_decode("%-1", "utf-8")
+    with pytest.raises(_JavaDecodeError):
+        java_url_decode("% 1", "utf-8")  # int() strips space; Java throws
+
+
 def test_engine_table_matches_reference():
     # SearchKeywordParser.java:38-57 — 8 engines, exact param name sets
     # (membership, walked in URL part order — see term_case)

@@ -86,19 +86,72 @@ def clean_keyword(d, kw: str) -> str:
     return out
 
 
+class _JavaDecodeError(ValueError):
+    """java.net.URLDecoder's IllegalArgumentException (malformed or
+    truncated %-pattern)."""
+
+
+def java_url_decode(s: str, enc: str) -> str:
+    """Literal port of java.net.URLDecoder.decode(s, enc) — the decoder
+    both UrlDecoder entry points delegate to. Python's urllib.unquote is
+    NOT equivalent on three counts this port restores:
+
+    - '+' decodes to ' ' (application/x-www-form-urlencoded, not URI
+      percent-decoding);
+    - a malformed or truncated %-pattern THROWS (IllegalArgumentException
+      — unquote silently leaves it verbatim). The two hex chars go
+      through Integer.parseInt(_, 16), which accepts a sign: '%+f' is
+      byte 0x0f, '%-1' parses to -1 and throws on the v < 0 check, and
+      '%-0' is byte 0x00;
+    - undecodable byte runs never throw — Java builds the result with
+      String(bytes, enc), whose decoder REPLACES bad sequences with
+      U+FFFD (unquote(errors='strict') would raise).
+    """
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "+":
+            out.append(" ")
+            i += 1
+        elif c == "%":
+            buf = bytearray()
+            while i < n and s[i] == "%":
+                pair = s[i + 1:i + 3]
+                if len(pair) < 2:
+                    raise _JavaDecodeError(f"incomplete trailing escape: {s!r}")
+                try:
+                    v = int(pair, 16)  # parseInt: sign-tolerant, like Java
+                except ValueError:
+                    raise _JavaDecodeError(f"illegal hex in escape: {pair!r}")
+                if pair.strip() != pair or "_" in pair:
+                    # Python's int() is laxer than parseInt: it strips
+                    # whitespace and allows '_' separators; Java throws
+                    raise _JavaDecodeError(f"illegal hex in escape: {pair!r}")
+                if v < 0:
+                    raise _JavaDecodeError(f"negative escape value: {pair!r}")
+                buf.append(v)
+                i += 3
+            out.append(buf.decode(enc, errors="replace"))
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def decode_multi_charset(s: str | None) -> str | None:
     """UrlDecoder.decodeMultiCharset (UrlDecoder.java:48-71): try
-    percent-decoding as UTF-8, GBK, GB2312, ISO-8859-1; return the first
-    result containing a CJK char (U+4E00..U+9FA5), else the ORIGINAL
+    percent-decoding as UTF-8, GBK, GB2312, ISO-8859-1 (each via the
+    java_url_decode port — '+'→' ', strict %-patterns, U+FFFD byte
+    replacement); return the first result containing a CJK char
+    (U+4E00..U+9FA5, containsChinese :75-86), else the ORIGINAL
     undecoded string — ASCII keywords intentionally stay percent-encoded,
     exactly as the reference stores them."""
     if not s:
         return s
-    from urllib.parse import unquote
-
     for cs in ("utf-8", "gbk", "gb2312", "iso-8859-1"):
         try:
-            decoded = unquote(s, encoding=cs, errors="strict")
+            decoded = java_url_decode(s, cs)
         except Exception:  # noqa: BLE001 — mirror the Java catch-and-try-next
             continue
         if any("一" <= c <= "龥" for c in decoded):
@@ -109,15 +162,18 @@ def decode_multi_charset(s: str | None) -> str | None:
 def url_decode_utf8(s: str | None) -> str | None:
     """UrlDecoder.decode (UrlDecoder.java:20-45): UTF-8 percent-decode,
     applied twice when the first pass still contains '%' (double-encoded
-    referrers)."""
+    referrers). BOTH passes sit inside the reference's try — a malformed
+    %-pattern in either pass returns the ORIGINAL input, never the
+    intermediate."""
     if not s:
         return s
-    from urllib.parse import unquote
-
-    decoded = unquote(s, encoding="utf-8", errors="replace")
-    if "%" in decoded:
-        decoded = unquote(decoded, encoding="utf-8", errors="replace")
-    return decoded
+    try:
+        decoded = java_url_decode(s, "utf-8")
+        if "%" in decoded:
+            decoded = java_url_decode(decoded, "utf-8")
+        return decoded
+    except _JavaDecodeError:
+        return s
 
 
 def with_search_keyword(df, ref_col: str = "ref"):

@@ -1316,10 +1316,10 @@ _register("p29_event_resolution", _p29)
 
 
 # ---------------------------------------------------------------------------
-# P30 search-keyword extraction: the full 8-engine table with per-engine
-# keyword-param priority and cleanKeyword — one row per (engine, raw
-# keyword) over every referrer in the batch. Covers baidu wd/word/kw
-# priority, case-insensitive param match (?Q=), percent-encoded and
+# P30 search-keyword extraction: the full 8-engine table with the
+# first-in-URL param-name walk and cleanKeyword — one row per (engine,
+# raw keyword) over every referrer in the batch. Covers the baidu
+# wd/word/kw name set, case-insensitive param match (?Q=), percent-encoded and
 # double-encoded values kept RAW (the reference stores non-Chinese
 # keywords undecoded — UrlDecoder.java:48-71), quote stripping, and
 # engine-without-keyword rows (SearchKeywordParser.java:36-163)
