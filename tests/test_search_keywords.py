@@ -281,3 +281,110 @@ def test_fresh_seed_url_sweep(spark):
         f"round-{BUILD_ROUND} url sweep: {len(bad)} divergences, "
         f"first 5: {bad[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# The wide-table UTM fallback (EventAttrTransfer.getUtmTermFromRef
+# :429-457 + isSearchEngine :421-427): an independent Python port built
+# on java.net.URI/URLDecoder semantics (via java_url_decode), compared
+# against the dual-dialect SQL on a closed-alphabet corpus — pinning the
+# host set (toutiao/yahoo excluded, google.co included), the exact-case
+# param name, LAST-duplicate-wins, decode-before-split (%26 in a value
+# splits a bogus pair), the two decode layers, and the '='-split rules.
+# ---------------------------------------------------------------------------
+def _ref_utm_fallback(url):
+    from zg_etl_spark.functions.search_keywords import (
+        WIDE_UTM_HOSTS,
+        java_url_decode,
+    )
+
+    if not url:
+        return None
+    try:
+        m = __import__("re").match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
+        host = m.group(1) if m else None
+        q = url.find("?")
+        if q == -1:
+            return None
+        query = url[q + 1:].split("#", 1)[0]
+        # URI.getQuery: percent-decoded, '+' left alone
+        query = java_url_decode(query.replace("+", "%2B"), "utf-8")
+        if host is None or host == "":
+            return None
+        if ".sogou.com" in host:
+            want = "query"
+        elif any(h in host for h in
+                 (".bing.com", ".so.com", "m.sm.cn",
+                  ".google.com", ".google.co")):
+            want = "q"
+        else:
+            return None
+        params = {}
+        for part in query.split("&"):
+            pair = part.split("=", 1)
+            if len(pair) == 2:
+                params[pair[0]] = pair[1]
+        kw = params.get(want)
+        if kw is None:
+            return None
+        kw = java_url_decode(kw, "utf-8")
+        return kw or None
+    except Exception:
+        return None
+
+
+def test_utm_fallback_sql_matches_java_port(spark):
+    import duckdb
+
+    from zg_etl_spark.buildinfo import BUILD_ROUND
+    from zg_etl_spark.functions.search_keywords import utm_term_fallback
+    from zg_etl_spark.operators.domain import DUCK, SPARK
+
+    import random
+    rng = random.Random(67_000_000 + BUILD_ROUND)
+    hosts = ["www.sogou.com/web", "wap.sogou.com/x", "cn.bing.com/search",
+             "www.so.com/s", "m.sm.cn/s", "www.google.com/search",
+             "www.google.co.jp/m", "www.baidu.com/s", "so.toutiao.com/s",
+             "search.yahoo.com/s", "example.org/p"]
+    names = ["q", "query", "Q", "QUERY", "wd", "x", ""]
+    vals = ["", "kw1", "a%26b", "%E4%B8%AD", "x+y", "%2520z", "v-1"]
+
+    def rand_url():
+        host = rng.choice(hosts)
+        parts = []
+        for _ in range(rng.randrange(0, 4)):
+            n = rng.choice(names)
+            parts.append(n if rng.random() < 0.15
+                         else f"{n}={rng.choice(vals)}")
+        q = "?" + "&".join(parts) if parts or rng.random() < 0.3 else ""
+        frag = "#f?q=infrag" if rng.random() < 0.15 else ""
+        return f"https://{host}{q}{frag}"
+
+    urls = sorted({rand_url() for _ in range(350)})
+
+    got_spark = {
+        r.ref: r.kw
+        for r in spark.createDataFrame([(u,) for u in urls], "ref string")
+        .selectExpr("ref", f"{utm_term_fallback(SPARK, 'ref')} AS kw")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ref VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    got_duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT ref, {utm_term_fallback(DUCK, 'ref')} FROM t"
+        ).fetchall()
+    }
+
+    bad = []
+    for u in urls:
+        want = _ref_utm_fallback(u)
+        for dial, got in (("spark", got_spark[u]), ("duckdb", got_duck[u])):
+            if got != want:
+                bad.append((dial, u, got, want))
+    assert not bad, (
+        f"round-{BUILD_ROUND} utm-fallback sweep: {len(bad)} divergences, "
+        f"first 5: {bad[:5]}"
+    )

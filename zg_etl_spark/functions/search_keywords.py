@@ -86,6 +86,83 @@ def clean_keyword(d, kw: str) -> str:
     return out
 
 
+# --- EventAttrTransfer's wide-table UTM lane (R3/E4) -----------------------
+# isSearchEngine + getUtmTermFromRef (EventAttrTransfer.java:421-465) —
+# a SECOND, independent keyword parser the wide-table transfer applies,
+# NOT SearchKeywordParser: the engine test is a case-SENSITIVE substring
+# check on the $referrer_domain against a 7-host set (toutiao and yahoo
+# are NOT search engines here — their rows take the 引荐 lane — while
+# '.google.co' additionally covers google.co.jp etc.), and the keyword
+# fallback reads 'query' (sogou) / 'q' (bing, so, sm, google) from a
+# HashMap built over the URI's DECODED query (decode-before-split: a
+# %26 inside a value splits a bogus pair) with LAST-duplicate-wins
+# (map.put overwrites; SearchKeywordParser's walk is first-wins), exact
+# param-name case, '='-split with limit 2 (a '='-less part is skipped,
+# 'q=' keeps ''), then URLDecoder.decode on the value (second decode
+# layer, '+'→' '). Baidu has NO fallback param — modern Baidu referrers
+# carry eqid, not the keyword.
+WIDE_UTM_HOSTS = (".baidu.com", ".sogou.com", ".bing.com", ".so.com",
+                  "m.sm.cn", ".google.com", ".google.co")
+
+# The SQL decode covers the closed fixture/corpus escape alphabet (the
+# p51 precedent — there is no URL-decode builtin in both dialects);
+# tests/test_search_keywords.py pins it against a full Python port of
+# URI.getQuery + URLDecoder.decode on the same alphabet. '%25' decodes
+# LAST within a layer so '%2520' correctly needs two layers for ' '.
+_WIDE_DECODE = (("%20", " "), ("%22", '"'), ("%26", "&"), ("%3D", "="),
+                ("%E4%B8%AD", "中"), ("%E6%96%87", "文"), ("%25", "%"))
+
+
+def decode_layer_sql(expr: str, plus: bool) -> str:
+    """One URLDecoder/URI decode layer over the closed escape alphabet;
+    ``plus`` adds URLDecoder's '+'→' ' (java.net.URI's query decode does
+    NOT convert '+')."""
+    if plus:
+        expr = f"replace({expr}, '+', ' ')"
+    for k, v in _WIDE_DECODE:
+        vv = v.replace("'", "''")
+        expr = f"replace({expr}, '{k}', '{vv}')"
+    return expr
+
+
+def is_search_engine_website(d, website: str) -> str:
+    """isSearchEngine (EventAttrTransfer.java:421-427): case-sensitive
+    contains over the 7-host set; null/empty/\\N → false."""
+    conds = " OR ".join(
+        f"instr({website}, '{h}') > 0" for h in WIDE_UTM_HOSTS
+    )
+    return f"(COALESCE({website}, '') <> '' AND ({conds}))"
+
+
+def utm_term_fallback(d, ref: str) -> str:
+    """getUtmTermFromRef(null, ref) (EventAttrTransfer.java:429-457):
+    host and query from java.net.URI (query = first '?' to '#', percent-
+    DECODED — so the '&' split below sees decoded separators), engine by
+    host-contains, the LAST occurrence of the exact-case param name
+    ('query' for sogou, 'q' for the four q-engines), then one more
+    URLDecoder layer on the value. Any parse failure → null (the
+    reference catches around the whole body). An empty matched value
+    returns '' which ensureLength renders \\N — NULLIF at the caller."""
+    host = f"regexp_extract({ref}, {d.re_lit('^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)')}, 1)"
+    raw_q = f"regexp_extract({ref}, {d.re_lit('[?]([^#]*)')}, 1)"
+    q1 = decode_layer_sql(raw_q, plus=False)  # URI.getQuery decode
+
+    def last_val(key: str) -> str:
+        pat = d.re_lit(f"(?s).*(^|&){key}=([^&]*)")
+        return f"regexp_extract({q1}, {pat}, 2)"
+
+    def has_host(h: str) -> str:
+        return f"instr({host}, '{h}') > 0"
+
+    picked = (
+        f"CASE WHEN {has_host('.sogou.com')} THEN {last_val('query')} "
+        f"WHEN {has_host('.bing.com')} OR {has_host('.so.com')} OR "
+        f"{has_host('m.sm.cn')} OR {has_host('.google.com')} OR "
+        f"{has_host('.google.co')} THEN {last_val('q')} END"
+    )
+    return decode_layer_sql(f"NULLIF({picked}, '')", plus=True)
+
+
 class _JavaDecodeError(ValueError):
     """java.net.URLDecoder's IllegalArgumentException (malformed or
     truncated %-pattern)."""

@@ -25,10 +25,16 @@ from zg_etl_spark.plans import (
 #      p49/p50, s1/s3-s5/s9/s10, w3/w9;
 #   2. picks from the next-oldest (r7) band: the three bench watch
 #      items (l16/s6/l11 — re-attest alongside their standalone A/B),
-#      the adv lanes p47/p48/p51/p55, s2 — plus the query NEW this
-#      round (p56 path analysis: a brand-new query needs its FIRST
-#      driver row more than w2, which stays r7-attested, plan-stable,
-#      and locally parity-checked every round, needs a third).
+#      the adv lanes p47/p48/p51/p55 — plus the queries whose OUTPUT
+#      changed this round and the query NEW this round:
+#      p56 (new: path analysis — a brand-new query needs its FIRST
+#      driver row), and p7 (output changed: the wide-table UTM lane was
+#      reworked to EventAttrTransfer's exact semantics — isSearchEngine
+#      host set, given-family medium passthrough, closed-alphabet
+#      decodeMultiCharset, getUtmTermFromRef fallback; p8 shares the
+#      change and is already in the window). w2 and s2 yield their
+#      slots: both r7-attested, plan-stable, locally parity-checked
+#      every round.
 # The remainder (the r7/r8-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
 # attested is older than round 7.
@@ -86,9 +92,10 @@ _WINDOW = [
     "p51_web_ad_lane",
     "p55_tencent_web_match",
     "p56_event_paths",
+    "p7_enrichment",
+    # behind the 50-query cut — stay listed so a future rotation is a
+    # reorder, not a rediscovery
     "s2_streaming_sessions",
-    # 51st: behind the 50-query cut — stays listed so a future rotation
-    # is a reorder, not a rediscovery
     "w2_bucketed_join",
 ]
 

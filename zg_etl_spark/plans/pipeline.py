@@ -262,28 +262,45 @@ _PRIVATE_IP = (
 
 
 def _p7(d: Dialect) -> str:
-    # full 8-engine table + per-engine param priority + cleanKeyword
-    # (SearchKeywordParser.java:36-163); the multi-charset decode is the
-    # Spark-side UDF in functions/search_keywords.py (not SQL-expressible)
+    # full 8-engine table + the first-in-URL param walk + cleanKeyword
+    # (SearchKeywordParser.java:36-163). search_term is the DW-enriched
+    # $utm_term (parse: extract → decodeMultiCharset → cleanKeyword) —
+    # the decode runs SQL-side over the closed fixture escape alphabet
+    # exactly as in p8; the general multi-charset form stays the UDF.
+    # utm_medium_f/utm_source_f preview the wide-table transfer's E4
+    # derivation (EventAttrTransfer.java:300-338): the engine test is
+    # isSearchEngine's 7-host contains over the referrer domain (toutiao
+    # and yahoo referrers take the 引荐 lane), and a given UTM family
+    # passes medium through as-given ($utm_medium is absent from this
+    # wire fixture, so the given lane's medium is NULL).
     from zg_etl_spark.functions import ua_parser as UP
     from zg_etl_spark.operators.domain import geo_garbled, ua_real_case
 
-    term = SK.clean_keyword(d, SK.term_case(d, "ref", "search_engine"))
+    term_dec = (
+        f"CASE WHEN instr(term_raw, '%E4%B8%AD') > 0 "
+        f"OR instr(term_raw, '%E6%96%87') > 0 "
+        f"OR {d.rlike('term_raw', '[一-龥]')} "
+        f"THEN {SK.decode_layer_sql('term_raw', True)} "
+        f"ELSE term_raw END"
+    )
+    family_given = ("(utm_source IS NOT NULL OR utm_campaign IS NOT NULL"
+                    " OR utm_content IS NOT NULL)")
+    website = "regexp_extract(ref, 'https?://([^/]+)', 1)"
     ua = "r.ua_real"
     gg = geo_garbled(d, "g.country", "g.province", "g.city")
     return f"""
 SELECT event_id, app_id, country, province, city, os, browser, device_type,
        search_engine,
-       {term} AS search_term,
-       CASE WHEN utm_source IS NOT NULL THEN 'given'
-            WHEN search_engine IS NOT NULL THEN '搜索自然流量'
+       NULLIF({SK.clean_keyword(d, term_dec)}, '') AS search_term,
+       CASE WHEN {family_given} THEN CAST(NULL AS {d.strtype})
+            WHEN {SK.is_search_engine_website(d, website)} THEN '搜索自然流量'
             WHEN ref IS NOT NULL THEN '引荐' END AS utm_medium_f,
        COALESCE(utm_source,
-                CASE WHEN ref IS NOT NULL
-                     THEN regexp_extract(ref, 'https?://([^/]+)', 1) END)
+                CASE WHEN ref IS NOT NULL THEN {website} END)
            AS utm_source_f
 FROM (
-  SELECT r.event_id, r.app_id, r.ref, r.utm_source,
+  SELECT r.event_id, r.app_id, r.ref, r.utm_source, r.utm_campaign,
+         r.utm_content,
          CASE WHEN {gg} THEN NULL ELSE g.country END AS country,
          CASE WHEN {gg} THEN NULL ELSE g.province END AS province,
          CASE WHEN {gg} THEN NULL ELSE g.city END AS city,
@@ -291,7 +308,8 @@ FROM (
          CASE WHEN {ua} IS NOT NULL THEN {UP.browser(d, ua)} END AS browser,
          CASE WHEN {ua} IS NOT NULL THEN {UP.device_type(d, ua)} END
              AS device_type,
-         {SK.engine_case(d, 'r.ref')} AS search_engine
+         {SK.engine_case(d, 'r.ref')} AS search_engine,
+         {SK.term_case(d, 'r.ref', SK.engine_case(d, 'r.ref'))} AS term_raw
   FROM (SELECT *, {_PRIVATE_IP} AS is_private,
                {ua_real_case(d)} AS ua_real FROM resolved) r
   LEFT JOIN ip_ranges g
@@ -351,6 +369,35 @@ def _p8(d: Dialect) -> str:
     gg = geo_garbled(d, "g.country", "g.province", "g.city")
     website = "regexp_extract(e.ref, 'https?://([^/]+)', 1)"
     ua = "e.ua_real"
+    # --- the reference's wide-table UTM lane (EventAttrTransfer.java:
+    # 300-338): $utm_term arrives DW-enriched (SearchKeywordParser.parse:
+    # extract → decodeMultiCharset → cleanKeyword); when the UTM family
+    # (source/medium/campaign/content) is all empty the transfer derives
+    # medium/source itself — the engine test being isSearchEngine's
+    # 7-host contains over $referrer_domain (NOT SearchKeywordParser's
+    # regexes: toutiao/yahoo referrers take the 引荐 lane) — and, when
+    # the enriched term is ALSO empty, falls back to getUtmTermFromRef
+    # (the second parser in functions/search_keywords.py). When the
+    # family IS given, every column passes through as-given ($utm_medium
+    # is absent from this wire fixture, so the given lane's medium is
+    # NULL). decodeMultiCharset runs SQL-side over the closed fixture
+    # escape alphabet (containsChinese ⇔ a CJK escape or literal CJK);
+    # the general multi-charset form stays the documented UDF.
+    term_raw = SK.term_case(d, "ref", SK.engine_case(d, "ref"))
+    term_dec = (
+        f"CASE WHEN instr(e.term_raw, '%E4%B8%AD') > 0 "
+        f"OR instr(e.term_raw, '%E6%96%87') > 0 "
+        f"OR {d.rlike('e.term_raw', '[一-龥]')} "
+        f"THEN {SK.decode_layer_sql('e.term_raw', True)} "
+        f"ELSE e.term_raw END"
+    )
+    family_given = ("(e.utm_source IS NOT NULL OR e.utm_campaign IS NOT NULL"
+                    " OR e.utm_content IS NOT NULL)")
+    term_full = (
+        f"COALESCE(NULLIF({SK.clean_keyword(d, term_dec)}, ''), "
+        f"CASE WHEN NOT {family_given} "
+        f"THEN {SK.utm_term_fallback(d, 'e.ref')} END)"
+    )
     # the BROADCAST hint is a comment to DuckDB, a join-strategy pin to
     # Spark: checkpointed dict views carry no stats, so without it the
     # planner falls back to SortMergeJoin (two fact shuffles)
@@ -401,14 +448,12 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
        CASE WHEN {ua} IS NOT NULL THEN {UP.device_type(d, ua)} END
            AS device_type,
        e.search_engine,
-       CASE WHEN e.utm_source IS NOT NULL THEN 'given'
-            WHEN e.search_engine IS NOT NULL THEN '搜索自然流量'
+       CASE WHEN {family_given} THEN CAST(NULL AS {d.strtype})
+            WHEN {SK.is_search_engine_website(d, website)} THEN '搜索自然流量'
             WHEN e.ref IS NOT NULL THEN '引荐' END AS utm_medium,
-       COALESCE(e.utm_source,
-                CASE WHEN e.ref IS NOT NULL THEN {website} END)
+       {d.clean(f"COALESCE(e.utm_source, CASE WHEN e.ref IS NOT NULL THEN {website} END)", 256)}
            AS utm_source_f,
-       {SK.clean_keyword(d, SK.term_case(d, 'e.ref', 'e.search_engine'))}
-           AS utm_term,
+       {d.clean(term_full, 256)} AS utm_term,
        {d.clean('e.utm_campaign', 256)} AS utm_campaign,
        {d.clean('e.utm_content', 256)} AS utm_content,
        CASE WHEN e.dur BETWEEN 0 AND 86400000 THEN e.dur
@@ -422,6 +467,7 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
 FROM (
   SELECT {cols}, owner_e, event_name_t, zg_eid,
          {SK.engine_case(d, 'ref')} AS search_engine,
+         {term_raw} AS term_raw,
          {ua_real_case(d)} AS ua_real
   FROM events_dicted WHERE event_error_code = 0
   UNION ALL
@@ -429,6 +475,7 @@ FROM (
          CAST(NULL AS {d.strtype}) AS event_name_t,
          CAST(CASE dt WHEN 'ss' THEN -1 ELSE -2 END AS BIGINT) AS zg_eid,
          {SK.engine_case(d, 'ref')} AS search_engine,
+         {term_raw} AS term_raw,
          {ua_real_case(d)} AS ua_real
   FROM resolved WHERE dt IN ('ss', 'se')
 ) e
