@@ -15,9 +15,10 @@ def test_correctness_window_composition():
     round-9 composition: the 41-query round-6-attested band (the oldest
     driver rows after r8's full-green window — spine relations p8/p6
     first), plus picks from the next-oldest r7 band (the l16/s6/l11
-    bench watch items, the adv lanes p47/p48/p51/p55), the query NEW
-    this round (p56), and the output-changed p7 (wide-table UTM lane
-    rework; p8 shares it and is already windowed) — s2/w2 yield their
+    bench watch items, the adv lanes p47/p48/p55), the query NEW this
+    round (p56), and the output-changed p7 (wide-table UTM lane rework;
+    p8 shares it and is already windowed) and p34 (yw moved to the
+    reference's Sunday-start/min-1 week rules) — s2/w2/p51 yield their
     slots, staying r7-attested and locally parity-checked; registering
     a new query must never silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
@@ -25,7 +26,7 @@ def test_correctness_window_composition():
     want_prefixes = ["g1_", "g4_", "w3_", "w9_", "p56_", "p7_"]
     want_prefixes += [f"p{i}_" for i in (0, 4, 6, 8, 19, 21, 29, 36, 38,
                                          41, 43, 44, 45, 46, 49, 50)]
-    want_prefixes += [f"p{i}_" for i in (47, 48, 51, 55)]
+    want_prefixes += [f"p{i}_" for i in (47, 48, 55, 34)]
     want_prefixes += [f"l{i}_" for i in (*range(12, 28), 11)]
     want_prefixes += [f"s{i}_" for i in (1, 3, 4, 5, 6, 9, 10)]
     for prefix in want_prefixes:
@@ -89,6 +90,7 @@ def test_driver_window_is_the_planned_rotation():
         "s10_streaming_deep_convert", "p47_adv_cdc_route",
         "p55_tencent_web_match", "w3_compat_csv_roundtrip",
         "w9_partial_upsert", "p56_event_paths", "p7_enrichment",
+        "p34_user_duration",
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
@@ -97,6 +99,7 @@ def test_driver_window_is_the_planned_rotation():
     # this round's rotation
     for name in ("p54_click_consumption", "p54c_candidates",
                  "w2_bucketed_join", "s2_streaming_sessions",
+                 "p51_web_ad_lane",
                  "w10_scale_ids", "p42_adv_click_match",
                  "p52_adv_ss_priority", "p53_ipv6_geo",
                  "q1_pricing_summary", "q11_approx_distinct",

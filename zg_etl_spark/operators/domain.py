@@ -79,7 +79,23 @@ class Dialect:
     def date_sub(self, d: str, n: int) -> str:
         raise NotImplementedError
 
-    def iso_thursday(self, d: str) -> str:  # date of the ISO-week Thursday
+    def yw_java(self, d: str) -> str:
+        """SimpleDateFormat("YYYYww") — the wide table's yw bucket
+        (EventAttrTransfer.java:56,246,385-396) — under the deployment
+        JVM's default-locale calendar week rules. CLDR gives zh_CN and
+        en_US (the plausible deployment locales) Sunday-START weeks with
+        minimalDaysInFirstWeek=1: week 1 of week-year Y is the week
+        CONTAINING Jan 1 of Y, so late-December days of a week that
+        touches Jan 1 already belong to (Y+1)*100+1 — NOT ISO-8601
+        (Monday start, 4-day rule), which differs on every Sunday date
+        among others. Derivation: S = the Sunday on-or-before d; the
+        week-year is the year of S+6 (the week's Saturday — it exceeds
+        year(S) exactly when the week contains Jan 1); ww counts weeks
+        from the week containing that year's Jan 1. Pinned against a
+        Python port of the Calendar rules in
+        tests/test_independent_oracles.py. (A ROOT/C-locale JVM would
+        use Monday-start/min-1 instead — a deployment pin like the
+        session timezone, documented here.)"""
         raise NotImplementedError
 
     def s(self, x: str) -> str:
@@ -168,8 +184,12 @@ class SparkDialect(Dialect):
     def date_sub(self, d, n):
         return f"date_sub({d}, {n})"
 
-    def iso_thursday(self, d):
-        return f"date_add({d}, 3 - weekday({d}))"  # weekday: 0=Mon
+    def yw_java(self, d):
+        s = f"date_sub({d}, dayofweek({d}) - 1)"  # dayofweek: 1=Sun
+        wy = f"year(date_add({s}, 6))"
+        jan1 = f"make_date({wy}, 1, 1)"
+        w1 = f"date_sub({jan1}, dayofweek({jan1}) - 1)"
+        return f"({wy} * 100 + (datediff({s}, {w1}) DIV 7) + 1)"
 
     def _bad_chars(self):
         # Spark processes backslash escapes in '…' literals: \t\n\r stay
@@ -233,8 +253,12 @@ class DuckDialect(Dialect):
     def date_sub(self, d, n):
         return f"({d} - {n})"
 
-    def iso_thursday(self, d):
-        return f"({d} + CAST(4 - isodow({d}) AS INTEGER))"
+    def yw_java(self, d):
+        s = f"({d} - CAST(dayofweek({d}) AS INTEGER))"  # dayofweek: 0=Sun
+        wy = f"year(({s} + 6))"
+        jan1 = f"make_date({wy}, 1, 1)"
+        w1 = f"({jan1} - CAST(dayofweek({jan1}) AS INTEGER))"
+        return f"({wy} * 100 + (datediff('day', {w1}, {s}) // 7) + 1)"
 
     def _bad_chars(self):
         # DuckDB '…' literals are raw: embed the control chars directly

@@ -32,9 +32,12 @@ from zg_etl_spark.plans import (
 #      reworked to EventAttrTransfer's exact semantics — isSearchEngine
 #      host set, given-family medium passthrough, closed-alphabet
 #      decodeMultiCharset, getUtmTermFromRef fallback; p8 shares the
-#      change and is already in the window). w2 and s2 yield their
-#      slots: both r7-attested, plan-stable, locally parity-checked
-#      every round.
+#      change and is already in the window) and p34 (output changed:
+#      yw/yearweek moved from ISO-8601 weeks to the reference's actual
+#      SimpleDateFormat("YYYYww") Sunday-start/min-1 rules, pinned
+#      against a JVM-generated fixture). w2, s2 and p51 yield their
+#      slots: all r7-attested, plan-stable, locally parity-checked
+#      every round (p51 additionally carries its own Java-port tests).
 # The remainder (the r7/r8-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
 # attested is older than round 7.
@@ -89,7 +92,7 @@ _WINDOW = [
     "s6_streaming_dedup",
     "p47_adv_cdc_route",
     "p48_adv_click_keys",
-    "p51_web_ad_lane",
+    "p34_user_duration",
     "p55_tencent_web_match",
     "p56_event_paths",
     "p7_enrichment",
@@ -97,6 +100,7 @@ _WINDOW = [
     # reorder, not a rediscovery
     "s2_streaming_sessions",
     "w2_bucketed_join",
+    "p51_web_ad_lane",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)

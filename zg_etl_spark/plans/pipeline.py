@@ -364,7 +364,6 @@ def _p8(d: Dialect) -> str:
 
     ts_ct = d.ts("e.ct")
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
-    th = d.iso_thursday(dref)
     private_ip = _PRIVATE_IP.replace("ip_long", "e.ip_long")
     gg = geo_garbled(d, "g.country", "g.province", "g.city")
     website = "regexp_extract(e.ref, 'https?://([^/]+)', 1)"
@@ -426,7 +425,7 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
        {d.idiv('e.ct', '1000')} AS begin_date,
        CAST(CAST({d.fmt(ts_ct, 'HH')} AS INT) * 10000 + e.ct % 1000 AS INT)
            AS begin_time_id,
-       CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yw,
+       CAST({d.yw_java(dref)} AS INT) AS yw,
        CAST(e.pl_id AS INT) AS platform,
        {d.net('e.net')} AS network,
        {d.int_len('e.cr')} AS mccmnc,
@@ -1536,7 +1535,6 @@ def _p34(d: Dialect) -> str:
     day_id = f"CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT)"
     hour = f"CAST({d.fmt(ts_ct, 'HH')} AS INT)"
     dref = d.date_sub(f"CAST({ts_ct} AS DATE)", 1)
-    th = d.iso_thursday(dref)
     return f"""
 SELECT zg_id, day_id, period,
        CAST(SUM(CASE WHEN dur BETWEEN 0 AND 86400000 THEN dur ELSE 0 END)
@@ -1550,7 +1548,7 @@ FROM (
               WHEN {hour} < 18 THEN 'afternoon'
               ELSE 'evening' END AS period,
          dur,
-         CAST(year({th}) * 100 + weekofyear({dref}) AS INT) AS yearweek,
+         CAST({d.yw_java(dref)} AS INT) AS yearweek,
          CAST({d.fmt(ts_ct, 'yyyyMM')} AS INT) AS yearmonth,
          CAST(pl_id AS INT) AS platform
   FROM resolved WHERE dt IN ('evt', 'abp', 'mkt')
