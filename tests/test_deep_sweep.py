@@ -100,11 +100,11 @@ def _gen_mixed(rng):
 
     cmp_ = rng.choice(["<", "<=", ">", ">=", "=", "!="])
     forms = [
-        lambda: f"date_diff({dts()}, '2024-08-01 00:00:00') {cmp_} {n()}",
-        lambda: f"date_diff(f, g) + {n()}",
-        lambda: f"date_diff(f, '0001-01-01') % 97",
-        lambda: f"round(date_diff(now(), f) / 7, {rng.randrange(0, 3)})",
-        lambda: f"abs(date_diff({dts()}, g))",
+        lambda: f"datediff({dts()}, '2024-08-01 00:00:00') {cmp_} {n()}",
+        lambda: f"datediff(f, g) + {n()}",
+        lambda: f"datediff(f, '0001-01-01') % 97",
+        lambda: f"round(datediff(now(), f) / 7, {rng.randrange(0, 3)})",
+        lambda: f"abs(datediff({dts()}, g))",
         lambda: f"concat({s()}, date_format(f, 'yyyyMMdd'))",
         lambda: f"length({ds()}) {cmp_} {n()}",
         # CASE branches stay family-homogeneous (documented grammar
@@ -112,7 +112,7 @@ def _gen_mixed(rng):
         # the leaf branch into the numeric family like the emitters'
         # arithmetic TRY_CAST does
         lambda: (f"CASE WHEN {db()} THEN ({n()} * 1) ELSE "
-                 f"date_diff(f, g) END * 3"),
+                 f"datediff(f, g) END * 3"),
         lambda: (f"get_json_string(f, '{rng.choice(_JSON_PATHS)}') "
                  f"{cmp_} {n()}"),
         lambda: (f"coalesce(nullif({ds()}, ''), "

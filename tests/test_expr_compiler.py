@@ -109,8 +109,8 @@ CORPUS = [
     ("date_format('2024-08-10 06:30:00', 'yyyyMMdd')", "20240810"),
     ("from_unixtime(ct_s)", "2024-08-01 00:00:00"),
     ("from_unixtime(ct_ms, 'yyyyMMdd')", "20240801"),
-    ("date_diff('2024-08-10', '2024-08-01')", 9),
-    ("date_diff('2024-08-10', ct_s)", 9),
+    ("datediff('2024-08-10', '2024-08-01')", 9),
+    ("datediff('2024-08-10', ct_s)", 9),
     # ordered comparisons are date-aware ONLY when one side is a datetime
     # OBJECT — now()/1-arg from_unixtime results (compareDates :115-142 +
     # extractDateTime :171-186, which returns null for String). Two
@@ -246,6 +246,26 @@ def test_parse_errors():
     for bad in ["price +", "CASE price END", "unknownfn(1)", "(price", "1 ~~ 2"]:
         with pytest.raises(ExpressionError):
             parse(bad)
+
+
+def test_sql_function_name_surface_matches_converter():
+    """SqlToJsonExpressionConverter upper-cases the function name before
+    its FUNCTION_MAP lookup (:457,479), so SQL names are case-insensitive
+    and the map's aliases apply — verified against the live converter
+    compiled from the reference (round 9): LEN/SUBSTR/CURRENT_TIMESTAMP/
+    DATEDIFF work in any case; `date_diff` (the JSON AST node name) is
+    NOT in the map and is rejected with 不支持的函数: DATE_DIFF."""
+    from zg_etl_spark.functions.expr_compiler import Func
+
+    assert parse("LEN(f)") == parse("len(f)") == parse("length(f)")
+    assert parse("SUBSTR(f, 1, 2)") == parse("substring(f, 1, 2)")
+    assert parse("CURRENT_TIMESTAMP()") == parse("now()")
+    assert parse("DATEDIFF(f, g)") == parse("datediff(f, g)")
+    assert isinstance(parse("DateDiff(f, g)"), Func)  # mixed case OK
+    assert parse("datediff(f, g)").name == "date_diff"  # AST keeps JSON name
+    assert parse("Upper(f)").name == "upper"
+    with pytest.raises(ExpressionError):
+        parse("date_diff(f, g)")
 
 
 def test_bad_timestamp_literal_fails_at_parse():

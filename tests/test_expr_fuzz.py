@@ -78,13 +78,15 @@ DIRTY = [
     "2024-08-10T05:30:15",
     "2024-08-15T10:15:30.5",        # iso_frac: .5 s, µs-exact
     "2024-08-15T10:15:30.123456",   # iso_frac: full µs resolution
-    "2024-08-15T10:15:30.1234567",  # 7-digit nanos: out of the alphabet
+    "2024-08-15T10:15:30.1234567",  # 7-digit nanos: parses, sub-µs tail
+    "2024-08-15T10:15:30.1230000",  # 7-digit ZERO tail: exactly .123
+    "2024/8/1 24:0:0",              # SMART hour-24, slash-unpadded
     "2024-02-29",            # valid leap day
     "2023-02-29",            # invalid leap day
     "2024-02-31",
     "2024-13-01",
     "2024-00-10",
-    "2024-08-10 24:00:00",
+    "2024-08-10 24:00:00",   # SMART hour-24 → 2024-08-11T00:00 (JVM-pinned)
     "9999-12-31 23:59:59",
     "0001-01-01",
     '{"a": "x"}',
@@ -109,7 +111,7 @@ TEMPLATES = [
     "round(f / g, 2)",
     "date_format(f, 'yyyy-MM-dd HH:mm:ss')",
     "from_unixtime(f)",
-    "date_diff(f, g)",
+    "datediff(f, g)",
     "length(f)",
     "upper(f)",
     "substring(f, 2, 3)",
@@ -254,30 +256,58 @@ def ref_epoch_to_dt(v: int):
 _DT_FORMS = [
     # (regex, field order) — the evaluator's EFFECTIVE set: with-time
     # forms take 1-2 digit fields; date-only survives ONLY as strict ISO
+    # SMART-resolver hour 24 (live-JVM-verified): exactly 24:00:00 →
+    # next-day midnight; must precede the generic with-time rows
+    (re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2}) 24:0{1,2}:0{1,2}$"), -3),
+    (re.compile(r"(\d{4})/(\d{1,2})/(\d{1,2}) 24:0{1,2}:0{1,2}$"), -3),
     (re.compile(r"(\d{4})-(\d{1,2})-(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$"), 6),
     (re.compile(r"(\d{4})/(\d{1,2})/(\d{1,2}) (\d{1,2}):(\d{1,2}):(\d{1,2})$"), 6),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})$"), 6),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})$"), 5),
-    # ISO fractional seconds, 1-6 digits (µs-exact in both engines);
-    # 7-9-digit nanos are the documented out-of-window class
+    # ISO fractional seconds, 1-9 digits (ISO_LOCAL_DATE_TIME allows
+    # nanos); digits 7-9 truncate to the engines' µs — a NONZERO sub-µs
+    # tail makes REF-fidelity comparisons engine-undecidable
+    # (submicro="raise" call sites get SubMicroTail → Fragile)
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
-                r"\.(\d{1,6})$"), 7),
+                r"\.(\d{1,9})$"), 7),
     (re.compile(r"(\d{4})-(\d{2})-(\d{2})$"), 3),
 ]
 
 
-def ref_parse_datetime(s: str, with_date_only: bool = True):
+class SubMicroTail(Exception):
+    """An iso_frac value with a NONZERO 7th-9th fraction digit reached a
+    REF-fidelity comparison: Java keeps nanos, the engines truncate to
+    µs, so a chronological verdict may differ — the documented sub-µs
+    deviation (callers translate to Fragile/skip)."""
+
+
+def ref_parse_datetime(s: str, with_date_only: bool = True,
+                       submicro: str = "truncate"):
     """parseDateTimeString's effective accepted set → aware-UTC datetime
     (the engines are TZ-naive-in-UTC) or None. ``with_date_only=False``
     is OperationNode's own copy (:144-168, compareDates' mixed branch):
-    no LocalDate fallback, so strict-ISO date-only fails there too."""
+    no LocalDate fallback, so strict-ISO date-only fails there too.
+    ``submicro="raise"`` raises SubMicroTail for nonzero 7th-9th
+    fraction digits (REF comparison contexts); the default truncates —
+    exactly what both engines' parses do."""
     forms = _DT_FORMS if with_date_only else _DT_FORMS[:-1]
     for rx, nfields in forms:
         m = rx.match(s)
         if m:
             micros = 0
-            if nfields == 7:  # iso_frac: decimal fraction → µs
-                micros = int(m.groups()[6].ljust(6, "0"))
+            if nfields == -3:  # SMART hour-24 → next-day midnight
+                parts = [int(x) for x in m.groups()[:3]]
+                try:
+                    base = datetime(*parts, tzinfo=timezone.utc)
+                except ValueError:
+                    return None
+                return base + timedelta(days=1)
+            if nfields == 7:  # iso_frac: decimal fraction → µs (+tail)
+                frac = m.groups()[6]
+                if len(frac) > 6 and any(c != "0" for c in frac[6:]) \
+                        and submicro == "raise":
+                    raise SubMicroTail(s)
+                micros = int(frac[:6].ljust(6, "0"))
                 nfields = 6
             parts = [int(x) for x in m.groups()[:nfields]]
             parts += [0] * (6 - len(parts))
@@ -729,18 +759,23 @@ def test_documented_json_trailing_garbage_divergence(spark):
 
 def test_iso_fractional_seconds(spark):
     """ISO_LOCAL_DATE_TIME's fractional seconds (:156, :479, :600):
-    1-6 digits parse EXACTLY through the iso_frac form (regex-gated
-    native ISO TRY_CAST — '.5' is 500,000 µs in both engines, NOT the
-    5 µs DuckDB's %f strptime would read); 7-9-digit nanos exceed the
-    engines' int64-µs resolution and stay NULL (the documented
-    out-of-window class, like years past 9999). Pins both directions
-    plus the compare path (the parsed fraction must survive into the
-    chrono compare against a datetime object)."""
+    1-9 digits parse through the iso_frac form, exactly as
+    ISO_LOCAL_DATE_TIME accepts (live-JVM-verified; regex-gated native
+    ISO TRY_CAST — '.5' is 500,000 µs in both engines, NOT the 5 µs
+    DuckDB's %f strptime would read). Digits 7-9 (Java nanos) truncate
+    to the engines' int64-µs at parse: value contexts (date_format at
+    second granularity) are exact; REF-fidelity comparisons of a
+    NONZERO sub-µs tail are the documented sub-µs deviation
+    (SubMicroTail → Fragile in the ports). Pins both directions plus
+    the compare path (the parsed fraction must survive into the chrono
+    compare against a datetime object)."""
     cases = [
         # (f value, date_format result, now()>f — NOW is 12:00:00)
         ("2024-08-15T10:15:30.5", "2024-08-15 10:15:30", "true"),
         ("2024-08-15T10:15:30.123456", "2024-08-15 10:15:30", "true"),
-        ("2024-08-15T10:15:30.1234567", None, None),  # nanos: NULL
+        ("2024-08-15T10:15:30.1234567", "2024-08-15 10:15:30", "true"),
+        ("2024-08-15T10:15:30.123456789", "2024-08-15 10:15:30", "true"),
+        ("2024-08-15T10:15:30.1234567890", None, None),  # >9 digits: NULL
         ("2024-08-15T10:15:30", "2024-08-15 10:15:30", "true"),
     ]
     # the reference side: java.time reads '.5' as half a second

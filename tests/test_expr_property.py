@@ -94,7 +94,7 @@ def _gen_date(rng: random.Random) -> str:
         return (f"from_unixtime({fld}, '{rng.choice(_DATE_FMTS)}')"
                 if rng.random() < 0.5 else f"from_unixtime({fld})")
     other = rng.choice(["ct_s", "'2024-07-15'", "'2024-12-31'"])
-    return f"date_diff({ts}, {other})"
+    return f"datediff({ts}, {other})"
 
 
 def _gen_expr(rng: random.Random) -> str:

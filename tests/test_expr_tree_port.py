@@ -44,6 +44,7 @@ from test_expr_fuzz import (
     _norm_eq,
     engine_num_cmp,
     ref_parse_datetime,
+    SubMicroTail,
     ref_parse_long,
     ref_substring,
     try_cast_double,
@@ -819,14 +820,14 @@ DATE_TEMPLATES = [
     # date_diff compositions (ports implement the r9 integer-µs DIV):
     # string/object args are exactly comparable; epoch-digit strings and
     # Number args raise the documented Deviation in the ref port
-    "date_diff(f, g)",
-    "date_diff(from_unixtime(f), '2024-08-01 00:00:00')",
-    "date_diff(now(), f) > 3",
-    "date_diff(TIMESTAMP '2024-08-10T00:00:00', f)",
+    "datediff(f, g)",
+    "datediff(from_unixtime(f), '2024-08-01 00:00:00')",
+    "datediff(now(), f) > 3",
+    "datediff(TIMESTAMP '2024-08-10T00:00:00', f)",
     # composed first arg: ts_from_any inlines the CASE ~11x — bounded
     # here as a single fixed template (the random generators keep
     # date_diff args leaf-shaped for exactly this emission-size reason)
-    "date_diff(CASE WHEN f < g THEN now()"
+    "datediff(CASE WHEN f < g THEN now()"
     " ELSE TIMESTAMP '2024-08-10T00:00:00' END, '2024-08-01 00:00:00')",
     # JSON-bearing value-function compositions over the same rows
     "get_json_string(f, '$.b.c[1]')",
@@ -1133,7 +1134,11 @@ class RefEvalDates(RefEval):
                     if ref_parse_long(v) is not THROW:
                         raise Deviation("date_diff epoch-digit string: "
                                         "ref throws, engines parse")
-                    dt = ref_parse_datetime(v, with_date_only=True)
+                    try:
+                        dt = ref_parse_datetime(v, with_date_only=True,
+                                                submicro="raise")
+                    except SubMicroTail:
+                        raise Fragile("sub-µs fraction tail")
                     if dt is None:
                         raise Throw("date_diff unparseable string")
                     return dt
@@ -1165,12 +1170,20 @@ class RefEvalDates(RefEval):
             return (da > db) - (da < db)
         if da is not None:
             s = _ref_str(b)  # b.toString() — NPE on null, :126
-            pd = ref_parse_datetime(s, with_date_only=False)
+            try:
+                pd = ref_parse_datetime(s, with_date_only=False,
+                                        submicro="raise")
+            except SubMicroTail:
+                raise Fragile("sub-µs fraction tail")
             if pd is not None:
                 return (da > pd) - (da < pd)
         if db is not None:
             s = _ref_str(a)
-            pd = ref_parse_datetime(s, with_date_only=False)
+            try:
+                pd = ref_parse_datetime(s, with_date_only=False,
+                                        submicro="raise")
+            except SubMicroTail:
+                raise Fragile("sub-µs fraction tail")
             if pd is not None:
                 return (pd > db) - (pd < db)
         xa, xb = _to_bd(a), _to_bd(b)

@@ -100,7 +100,7 @@ def _g_num(rng, d):
     if p < 0.7:
         return f"length({_g_str(rng, d - 1)})"
     if p < 0.85:
-        return f"date_diff(from_unixtime({a}), '2024-08-01 00:00:00')"
+        return f"datediff(from_unixtime({a}), '2024-08-01 00:00:00')"
     return f"CASE WHEN {_g_bool(rng, d - 1)} THEN {a} ELSE {b} END"
 
 

@@ -190,6 +190,17 @@ FUNCTIONS = {
     "get_json_string",
 }
 
+# SqlToJsonExpressionConverter's FUNCTION_MAP aliases (:50-96): the SQL
+# surface names that map onto a different canonical (JSON-AST) function
+# name. Lookup is effectively case-insensitive (the converter upper-cases
+# first, :457).
+SQL_FUNC_ALIASES = {
+    "len": "length",
+    "substr": "substring",
+    "current_timestamp": "now",
+    "datediff": "date_diff",
+}
+
 
 class ExpressionError(ValueError):
     pass
@@ -435,6 +446,21 @@ class Parser:
                 if low in AGGREGATES:
                     # SqlToJsonExpressionConverter.java:98-122 — aggregates banned
                     raise ExpressionError(f"aggregate function not allowed: {text}")
+                # the converter upper-cases the name before its map lookup
+                # (:457,479), so SQL function names are case-INSENSITIVE and
+                # the map's aliases apply: LEN→length, SUBSTR→substring,
+                # CURRENT_TIMESTAMP→now, DATEDIFF→date_diff (:50-96). The
+                # JSON-AST name `date_diff` itself is NOT in the map —
+                # "date_diff(...)" in SQL is rejected by the reference
+                # (不支持的函数: DATE_DIFF), only DATEDIFF reaches the
+                # evaluator's date_diff node; verified against the live
+                # converter (tests/test_expr_compiler.py pins it).
+                if low == "date_diff":
+                    raise ExpressionError(
+                        "unknown function: date_diff (the reference SQL "
+                        "grammar spells it DATEDIFF; date_diff is the JSON "
+                        "AST node name)")
+                low = SQL_FUNC_ALIASES.get(low, low)
                 if low not in FUNCTIONS:
                     raise ExpressionError(f"unknown function: {text}")
                 self.next()
@@ -783,19 +809,31 @@ class Emitter:
     # only strict ISO yyyy-MM-dd survives via the LocalDate fallback;
     # with-time forms take 1-2 digit month/day/hour/min/sec
     _DT_FORMS = (
+        # SMART-resolver hour 24 (live-JVM-verified, round 9): the
+        # ofPattern bodies use the default ResolverStyle.SMART, which
+        # resolves EXACTLY 24:00:00 to next-day midnight ('2024-08-10
+        # 24:00:00' → 2024-08-11T00:00; 24:00:01 / 24:30:00 still fail);
+        # the strict ISO_LOCAL_DATE_TIME body rejects the T-form. These
+        # two rows must precede the generic with-time rows (whose regex
+        # also matches, but whose engine parse returns NULL for hour 24).
+        ("^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2} 24:0{1,2}:0{1,2}$", "dash_h24"),
+        ("^[0-9]{4}/[0-9]{1,2}/[0-9]{1,2} 24:0{1,2}:0{1,2}$", "slash_h24"),
         ("^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}"
          " [0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$", "dash_dt"),
         ("^[0-9]{4}/[0-9]{1,2}/[0-9]{1,2}"
          " [0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$", "slash_dt"),
         ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}(:[0-9]{2})?$",
          "iso_t"),
-        # ISO_LOCAL_DATE_TIME's fractional seconds, µs resolution:
-        # engines hold int64 microseconds, so 1-6 digits parse EXACTLY
-        # (regex-gated TRY_CAST — both engines' ISO casts read '.5' as
-        # .500000 where DuckDB's %f strptime would read 5 µs); Java's
-        # 7-9-digit nanos stay out of the closed alphabet (documented)
+        # ISO_LOCAL_DATE_TIME's fractional seconds: Java accepts 1-9
+        # digits (nanos); engines hold int64 microseconds, so digits 7-9
+        # are truncated at parse (regex-gated TRY_CAST after a
+        # regexp_replace drops the sub-µs tail — both engines' ISO casts
+        # read '.5' as .500000 where DuckDB's %f strptime would read
+        # 5 µs). A NONZERO sub-µs tail makes chronological comparisons
+        # engine-undecidable (documented deviation; the reference keeps
+        # full nanos) — the reference port raises Fragile there.
         ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
-         "\\.[0-9]{1,6}$", "iso_frac"),
+         "\\.[0-9]{1,9}$", "iso_frac"),
         ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "date_only"),
     )
 
@@ -1291,11 +1329,19 @@ class SparkEmitter(Emitter):
 
     def dt_parse(self, frag: str, form: str) -> str:
         if form == "iso_frac":
-            # regex-vetted ISO with 1-6 fractional digits: the native ISO
-            # cast reads the fraction as a DECIMAL fraction ('.5' →
-            # .500000) at exact µs — a pattern-letter parse cannot
-            # express variable-length fractions
-            return f"TRY_CAST({frag} AS TIMESTAMP)"
+            # regex-vetted ISO with 1-9 fractional digits: digits 7-9
+            # (Java nanos) are dropped before the cast — engines hold µs;
+            # the native ISO cast then reads the fraction as a DECIMAL
+            # fraction ('.5' → .500000) at exact µs
+            trunc = (f"regexp_replace({frag}, "
+                     f"'(\\\\.[0-9]{{6}})[0-9]+$', '$1')")
+            return f"TRY_CAST({trunc} AS TIMESTAMP)"
+        if form in ("dash_h24", "slash_h24"):
+            # SMART hour-24: next-day midnight from the date part
+            pat = "yyyy-M-d" if form == "dash_h24" else "yyyy/M/d"
+            day = (f"CAST(try_to_timestamp(substring_index({frag}, ' ', 1),"
+                   f" {_sql_str(pat)}) AS DATE)")
+            return f"CAST(date_add({day}, 1) AS TIMESTAMP)"
         tries = ", ".join(
             f"try_to_timestamp({frag}, {_sql_str(p)})"
             for p in self._SPARK_DT[form]
@@ -1368,8 +1414,16 @@ class DuckEmitter(Emitter):
             # reads raw microDIGITS ('.5' → 5 µs), the cast reads a
             # decimal FRACTION ('.5' → .500000) — only the cast matches
             # ISO_LOCAL_DATE_TIME; the regex gate keeps the cast's wider
-            # grammar out of reach
-            return f"TRY_CAST({frag} AS TIMESTAMP)"
+            # grammar out of reach. Sub-µs digits 7-9 drop first.
+            trunc = (f"regexp_replace({frag}, "
+                     f"'(\\.[0-9]{{6}})[0-9]+$', '\\1')")
+            return f"TRY_CAST({trunc} AS TIMESTAMP)"
+        if form in ("dash_h24", "slash_h24"):
+            # SMART hour-24: next-day midnight from the date part
+            pat = "%Y-%m-%d" if form == "dash_h24" else "%Y/%m/%d"
+            day = (f"CAST(try_strptime(split_part({frag}, ' ', 1),"
+                   f" {_sql_str(pat)}) AS DATE)")
+            return f"CAST(({day} + 1) AS TIMESTAMP)"
         # one try_strptime per format, NOT the format-list form: the list
         # overload returns TIMESTAMP WITH TIME ZONE (naive everywhere else)
         tries = ", ".join(
