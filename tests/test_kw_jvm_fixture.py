@@ -1,0 +1,103 @@
+"""Ground-truth layer for the keyword/UA/URL-decode models: the
+reference's SearchKeywordParser.parse, ToolUtil.uaAnalysis, and both
+UrlDecoder entry points, compiled unmodified and executed on this
+container's JDK (generator: tests/tools/gen_refkw_fixture.py), results
+committed as tests/data/refkw_jvm_fixture.jsonl.gz. The Python models —
+the part-walk + decodeMultiCharset + cleanKeyword composite, the
+uaAnalysis port (incl. Java's literal-'null' unmatched-group
+rendering), and the java_url_decode-based decoders — must reproduce
+every cell. This empirically seals the round-9 line-reading fixes
+(URL-order param walk, empty-value stop, '+'→' ', strict %-patterns,
+U+FFFD byte replacement, the Opera 'null')."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+
+from zg_etl_spark.functions.search_keywords import (
+    ENGINES,
+    decode_multi_charset,
+    url_decode_utf8,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                       "refkw_jvm_fixture.jsonl.gz")
+
+
+def _py_kw(u):
+    """SearchKeywordParser.parse: engine by pattern (our deterministic
+    list order — single-match inputs only in the corpus; the reference's
+    HashMap order is JVM-undefined for multi-match), keyword = first
+    URL-ordered part whose name is in the param set (may be ''), then
+    decodeMultiCharset + cleanKeyword."""
+    eng = None
+    for e2, pat, _ in ENGINES:
+        if re.search(pat, u, re.IGNORECASE):
+            eng = e2
+            break
+    if eng is None:
+        return "unknown|"
+    params = dict((e2, ps) for e2, _, ps in ENGINES)[eng]
+    q = u.find("?")
+    kw = None
+    if q != -1:
+        for part in u[q + 1:].split("&"):
+            i = part.find("=")
+            if i == -1:
+                continue
+            if any(part[:i].lower() == p.lower() for p in params):
+                kw = part[i + 1:]
+                break
+    if not kw:
+        return f"{eng}|"
+    kw = decode_multi_charset(kw)
+    kw = kw.strip()
+    kw = re.sub(r'^"|"$', "", kw)
+    kw = re.sub(r"^'|'$", "", kw)
+    return f"{eng}|{kw}"
+
+
+def _py_ua(ua):
+    if ua is None:
+        return ":"
+    if "Android" in ua:
+        m = re.search(r"linux;.*(android).([\w.,/\-]+)", ua, re.I)
+    else:
+        m = re.search(r"(ip[honead]+)(?:.*os.([\w.,/\-]+).like|;\sopera)",
+                      ua, re.I)
+    name, ver = "", ""
+    if m:
+        name = m.group(1)
+        if m.group(2) is None:
+            ver = "null"  # Java string concat of the unmatched group
+        else:
+            ver = re.sub(r"[^a-zA-Z0-9 ]", ".", m.group(2))
+    return f"{name}:{ver}"
+
+
+def test_python_models_reproduce_kw_jvm_fixture():
+    with gzip.open(FIXTURE, "rt", encoding="utf-8") as fh:
+        header = json.loads(fh.readline())
+        cells = [json.loads(l) for l in fh]
+    assert len(cells) == header["n_cells"]
+    counts = {"kw": 0, "ua": 0, "dm": 0, "du": 0}
+    bad = []
+    for m, v, jvm in cells:
+        if m == "kw":
+            want = _py_kw(v)
+        elif m == "ua":
+            want = _py_ua(v)
+        elif m == "dm":
+            want = decode_multi_charset(v)
+            want = " NULL" if want is None else want
+        else:
+            want = url_decode_utf8(v)
+            want = " NULL" if want is None else want
+        counts[m] += 1
+        if want != jvm:
+            bad.append((m, v, jvm, want))
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+    assert counts["kw"] >= 400 and counts["ua"] >= 200, counts
