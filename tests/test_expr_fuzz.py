@@ -81,6 +81,7 @@ DIRTY = [
     "2024-08-15T10:15:30.1234567",  # 7-digit nanos: parses, sub-µs tail
     "2024-08-15T10:15:30.1230000",  # 7-digit ZERO tail: exactly .123
     "2024/8/1 24:0:0",              # SMART hour-24, slash-unpadded
+    "2023-02-29 10:00:00",          # SMART day clamp → Feb 28 (JVM-pinned)
     "2024-02-29",            # valid leap day
     "2023-02-29",            # invalid leap day
     "2024-02-31",
@@ -296,12 +297,8 @@ def ref_parse_datetime(s: str, with_date_only: bool = True,
         if m:
             micros = 0
             if nfields == -3:  # SMART hour-24 → next-day midnight
-                parts = [int(x) for x in m.groups()[:3]]
-                try:
-                    base = datetime(*parts, tzinfo=timezone.utc)
-                except ValueError:
-                    return None
-                return base + timedelta(days=1)
+                base = _smart_date(*[int(x) for x in m.groups()[:3]])
+                return None if base is None else base + timedelta(days=1)
             if nfields == 7:  # iso_frac: decimal fraction → µs (+tail)
                 frac = m.groups()[6]
                 if len(frac) > 6 and any(c != "0" for c in frac[6:]) \
@@ -311,11 +308,37 @@ def ref_parse_datetime(s: str, with_date_only: bool = True,
                 nfields = 6
             parts = [int(x) for x in m.groups()[:nfields]]
             parts += [0] * (6 - len(parts))
+            if nfields == 6 and " " in s:
+                # the ofPattern SMART bodies (dash/slash with-time):
+                # minute/second/hour strict, day CLAMPED to the month
+                # ('2023-02-29 10:00:00' → Feb 28; live-JVM-verified)
+                if not (parts[3] <= 23 and parts[4] <= 59
+                        and parts[5] <= 59):
+                    return None
+                base = _smart_date(*parts[:3])
+                if base is None:
+                    return None
+                return base.replace(hour=parts[3], minute=parts[4],
+                                    second=parts[5])
             try:
                 return datetime(*parts, micros, tzinfo=timezone.utc)
             except ValueError:
                 return None  # calendar-invalid → next formats also fail
     return None
+
+
+def _smart_date(y, mo, dd):
+    """ResolverStyle.SMART date resolution: month 1-12 and day 1-31
+    strict, then the day clamps to the month's last valid day."""
+    if not (1 <= mo <= 12 and 1 <= dd <= 31):
+        return None
+    import calendar
+
+    dd = min(dd, calendar.monthrange(y, mo)[1]) if y >= 1 else dd
+    try:
+        return datetime(y, mo, dd, tzinfo=timezone.utc)
+    except ValueError:
+        return None
 
 
 def ref_compare(a, b):

@@ -78,18 +78,96 @@ def _py_ua(ua):
     return f"{name}:{ver}"
 
 
+SEP1, SEP2 = chr(1), chr(2)
+
+
+def _java_split_eq(kv):
+    """String.split("=") with Java's trailing-empty drop."""
+    parts = kv.split("=")
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def _py_um(url):
+    """Exact port of ToolUtil.urlParseToMap (:101-135): URLDecoder FIRST
+    (malformed % → empty map), split on '?' keeping ONLY fields[1] (a
+    second '?' truncates), '&'-split parts needing '=', key/value from a
+    plain split('=') — the value is the segment between the first and
+    second '=' — map.put last-duplicate-wins. Rendered sorted for the
+    fixture compare."""
+    from zg_etl_spark.functions.search_keywords import java_url_decode
+
+    try:
+        decoded = java_url_decode(url, "utf-8")
+    except Exception:
+        return {}
+    mp = {}
+    if "?" in decoded:
+        fields = decoded.split("?")
+        if len(fields) > 1:
+            key_values = fields[1]
+            parts = (key_values.split("&") if "&" in key_values
+                     else ([key_values] if "=" in key_values else []))
+            for kv in parts:
+                if "=" not in kv:
+                    continue
+                arr = _java_split_eq(kv)
+                if not arr:
+                    continue
+                mp[arr[0]] = arr[1] if len(arr) > 1 else ""
+    return mp
+
+
+def _py_dt(v):
+    """Exact port of ToolUtil.dateUsStrToTimestamp (:45-70): length>17
+    dispatches seconds-vs-minutes "yyyy-MM-dd'T'HH:mm[:ss]'Z'" — an
+    ofPattern, so ResolverStyle.SMART applies (day clamps to the month,
+    exactly 24:00[:00] is next-day midnight); failure → 0."""
+    from datetime import datetime, timedelta, timezone
+    import calendar
+
+    if v is None or v.strip() == "":
+        return 0
+    if len(v) > 17:
+        m = re.fullmatch(
+            r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z", v)
+    else:
+        m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2})Z", v)
+    if not m:
+        return 0
+    y, mo, dd, h, mi, *rest = [int(x) for x in m.groups()] + [0]
+    ss = rest[0] if len(m.groups()) == 6 else 0
+    if not (1 <= mo <= 12 and 1 <= dd <= 31):
+        return 0
+    dd = min(dd, calendar.monthrange(y, mo)[1])
+    if h == 24 and mi == 0 and ss == 0:
+        dt = (datetime(y, mo, dd, tzinfo=timezone.utc)
+              + timedelta(days=1))
+    elif h <= 23 and mi <= 59 and ss <= 59:
+        dt = datetime(y, mo, dd, h, mi, ss, tzinfo=timezone.utc)
+    else:
+        return 0
+    return int(dt.timestamp() * 1000)
+
+
 def test_python_models_reproduce_kw_jvm_fixture():
     with gzip.open(FIXTURE, "rt", encoding="utf-8") as fh:
         header = json.loads(fh.readline())
         cells = [json.loads(l) for l in fh]
     assert len(cells) == header["n_cells"]
-    counts = {"kw": 0, "ua": 0, "dm": 0, "du": 0}
+    counts = {"kw": 0, "ua": 0, "dm": 0, "du": 0, "um": 0, "dt": 0}
     bad = []
     for m, v, jvm in cells:
         if m == "kw":
             want = _py_kw(v)
         elif m == "ua":
             want = _py_ua(v)
+        elif m == "um":
+            mp = _py_um(v)
+            want = SEP1.join(f"{k}{SEP2}{mp[k]}" for k in sorted(mp))
+        elif m == "dt":
+            want = str(_py_dt(v))
         elif m == "dm":
             want = decode_multi_charset(v)
             want = " NULL" if want is None else want

@@ -42,6 +42,32 @@ DEC_VALS = ["", "plain", "kw%20space", "a+b", "50%+off", "%E4%B8%AD",
             "%41%42", "%c3%a9", "%E4%B8%ADx+y", "100%", "%", "%%41",
             "%GG", "a%%20b", "%e4%b8%ad"]
 
+# ToolUtil.urlParseToMap (mode um) and dateUsStrToTimestamp (mode dt)
+UM_VALS = [
+    "https://x.cn/l?lid=11&lname=bdsearch&channel_type=4",
+    "https://x.cn/l?lid=12&lname=a%26b&channel_type=1",
+    "https://x.cn/l?valid=1", "https://x.cn/l?k=a=b&z=1",
+    "https://x.cn/l?k=a==b", "https://x.cn/l?k=", "https://x.cn/l?k",
+    "https://x.cn/l?a=1?b=2", "https://x.cn/l?a=1?b=2&c=3",
+    "https://x.cn/l", "https://x.cn/l?", "https://x.cn/l?&",
+    "https://x.cn/l?a=1&a=2", "https://x.cn/l?a+b=c+d",
+    "https://x.cn/l?%6b=%76", "https://x.cn/l?bad=%zz&k=v",
+    "https://x.cn/l?only=pair", "?k=v", "k=v", "??a=b",
+    "https://x.cn/l?a%3Db=c", "https://x.cn/l?x=%E4%B8%AD",
+    "https://x.cn/l?=v", "https://x.cn/l?a=1&&b=2",
+    "https://x.cn/l?a=1#f?c=3", "https://x.cn/l?a==",
+]
+DT_VALS = [
+    "2023-01-04T08:11:23Z", "2023-01-04T08:11Z", "not-a-date", "",
+    " ", "2023-01-04T08:11:23.5Z", "2023-01-04 08:11:23Z",
+    "2023-01-04T08:11:23", "2023-01-04T8:11:23Z", "2023-13-04T08:11:23Z",
+    "2023-01-04T08:11:60Z", "2024-02-29T00:00:00Z", "2023-02-29T00:00:00Z",
+    "9999-12-31T23:59:59Z", "2023-01-04T08:11:2Z", "20230104T081123Z",
+    "2023-01-04T24:00:00Z", "2023-01-04T24:00Z", "2023-04-31T08:11:23Z",
+    "2024-02-30T08:11:23Z", "2023-01-32T08:11:23Z", "2023-00-04T08:11:23Z",
+    "2023-01-00T08:11:23Z", "2023-01-04T23:60:00Z", "2023-12-32T00:00:00Z",
+]
+
 
 def corpora():
     rng = random.Random(61_000_000 + BUILD_ROUND)
@@ -87,7 +113,8 @@ def corpora():
                    + rng2.choice(bodies).replace("{v}", rng2.choice(vers))
                    + rng2.choice(tails)).strip() for _ in range(500)})
     return ([("kw", u) for u in urls] + [("ua", u) for u in uas]
-            + [("dm", v) for v in DEC_VALS] + [("du", v) for v in DEC_VALS])
+            + [("dm", v) for v in DEC_VALS] + [("du", v) for v in DEC_VALS]
+            + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS])
 
 
 def main():

@@ -841,6 +841,52 @@ class Emitter:
         """Parse a regex-vetted datetime string of the named form."""
         raise NotImplementedError
 
+    # the ofPattern bodies' ResolverStyle.SMART, live-JVM-verified:
+    # month 1-12 / day 1-31 / minute+second 0-59 are strict, but an
+    # in-range day is CLAMPED to the month's last valid day
+    # ('2023-02-29 10:00:00' → 2023-02-28T10:00, '2024/2/30' → Feb 29),
+    # hour 24 is valid only as exactly 24:00:00 (→ next-day midnight,
+    # composing with the clamp: '2023-02-29 24:00:00' → 2023-03-01).
+    # Strict ISO bodies (iso_t/iso_frac/date_only) do none of this.
+    _SMART_SEP = {"dash_dt": "-", "slash_dt": "/",
+                  "dash_h24": "-", "slash_h24": "/"}
+
+    def add_days(self, date_frag: str, n: int) -> str:
+        raise NotImplementedError
+
+    def bind_one(self, frag: str, body_fn) -> str:
+        """Emit ``body_fn(var)`` with ``frag`` bound ONCE to a lambda
+        variable (higher-order function over a 1-element array). The
+        SMART component parse references its operand ~12 times; inlining
+        that into nested tree emissions multiplies fragment size per
+        nesting level — emission-size blowup that OOMed the date-leg
+        sweep — so the operand must be emitted exactly once."""
+        raise NotImplementedError
+
+    def dt_parse_smart(self, frag: str, form: str) -> str:
+        return self.bind_one(frag, lambda v: self._smart_body(v, form))
+
+    def _smart_body(self, frag: str, form: str) -> str:
+        sep = self._SMART_SEP[form]
+        h24 = form.endswith("_h24")
+        rx_date = f"^([0-9]{{4}}){sep}([0-9]{{1,2}}){sep}([0-9]{{1,2}})"
+        g = lambda i, rx: (  # noqa: E731 — local shorthand
+            f"CAST(regexp_extract({frag}, {_sql_str(rx)}, {i}) AS INT)")
+        y, mo, dd = (g(1, rx_date), g(2, rx_date), g(3, rx_date))
+        clamp_day = f"LEAST({dd}, day(last_day(make_date({y}, {mo}, 1))))"
+        date_ok = f"({mo} BETWEEN 1 AND 12 AND {dd} BETWEEN 1 AND 31)"
+        if h24:
+            nxt = self.add_days(f"make_date({y}, {mo}, {clamp_day})", 1)
+            return (f"CASE WHEN {date_ok} "
+                    f"THEN CAST({nxt} AS TIMESTAMP) END")
+        rx_t = rx_date + " ([0-9]{1,2}):([0-9]{1,2}):([0-9]{1,2})$"
+        h, mi, ss = (g(4, rx_t), g(5, rx_t), g(6, rx_t))
+        time_ok = (f"({h} BETWEEN 0 AND 23 AND {mi} BETWEEN 0 AND 59 "
+                   f"AND {ss} BETWEEN 0 AND 59)")
+        return (f"CASE WHEN {date_ok} AND {time_ok} "
+                f"THEN make_timestamp({y}, {mo}, {clamp_day}, "
+                f"{h}, {mi}, {ss}) END")
+
     def ts_date_str(self, frag: str, with_date_only: bool = True) -> str:
         """Multi-format DATE-STRING parse (VirtualAttributeExpressionEvaluator
         parseDateTimeString :588-622 + the executeOperation formatter
@@ -1327,6 +1373,17 @@ class SparkEmitter(Emitter):
         "date_only": ["yyyy-M-d"],
     }
 
+    def add_days(self, date_frag, n):
+        return f"date_add({date_frag}, {n})"
+
+    _bind_n = 0
+
+    def bind_one(self, frag, body_fn):
+        SparkEmitter._bind_n += 1
+        v = f"zgb{SparkEmitter._bind_n % 997}"
+        return (f"(transform(array({frag}), "
+                f"{v} -> {body_fn(v)})[0])")
+
     def dt_parse(self, frag: str, form: str) -> str:
         if form == "iso_frac":
             # regex-vetted ISO with 1-9 fractional digits: digits 7-9
@@ -1336,12 +1393,8 @@ class SparkEmitter(Emitter):
             trunc = (f"regexp_replace({frag}, "
                      f"'(\\\\.[0-9]{{6}})[0-9]+$', '$1')")
             return f"TRY_CAST({trunc} AS TIMESTAMP)"
-        if form in ("dash_h24", "slash_h24"):
-            # SMART hour-24: next-day midnight from the date part
-            pat = "yyyy-M-d" if form == "dash_h24" else "yyyy/M/d"
-            day = (f"CAST(try_to_timestamp(substring_index({frag}, ' ', 1),"
-                   f" {_sql_str(pat)}) AS DATE)")
-            return f"CAST(date_add({day}, 1) AS TIMESTAMP)"
+        if form in self._SMART_SEP:
+            return self.dt_parse_smart(frag, form)
         tries = ", ".join(
             f"try_to_timestamp({frag}, {_sql_str(p)})"
             for p in self._SPARK_DT[form]
@@ -1408,6 +1461,17 @@ class DuckEmitter(Emitter):
         "date_only": ["%Y-%m-%d"],
     }
 
+    def add_days(self, date_frag, n):
+        return f"({date_frag} + {n})"
+
+    _bind_n = 0
+
+    def bind_one(self, frag, body_fn):
+        DuckEmitter._bind_n += 1
+        v = f"zgb{DuckEmitter._bind_n % 997}"
+        return (f"(list_transform([{frag}], "
+                f"{v} -> {body_fn(v)})[1])")
+
     def dt_parse(self, frag: str, form: str) -> str:
         if form == "iso_frac":
             # the native ISO cast, like the Spark emitter: '%f' strptime
@@ -1418,12 +1482,8 @@ class DuckEmitter(Emitter):
             trunc = (f"regexp_replace({frag}, "
                      f"'(\\.[0-9]{{6}})[0-9]+$', '\\1')")
             return f"TRY_CAST({trunc} AS TIMESTAMP)"
-        if form in ("dash_h24", "slash_h24"):
-            # SMART hour-24: next-day midnight from the date part
-            pat = "%Y-%m-%d" if form == "dash_h24" else "%Y/%m/%d"
-            day = (f"CAST(try_strptime(split_part({frag}, ' ', 1),"
-                   f" {_sql_str(pat)}) AS DATE)")
-            return f"CAST(({day} + 1) AS TIMESTAMP)"
+        if form in self._SMART_SEP:
+            return self.dt_parse_smart(frag, form)
         # one try_strptime per format, NOT the format-list form: the list
         # overload returns TIMESTAMP WITH TIME ZONE (naive everywhere else)
         tries = ", ".join(

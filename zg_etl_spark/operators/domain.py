@@ -155,10 +155,45 @@ class Dialect:
         raise NotImplementedError
 
     def utc_str_ms(self, x: str, seconds: bool) -> str:
-        """ToolUtil.dateUsStrToTimestamp's strict UTC parse
-        (ToolUtil.java:45-70): "yyyy-MM-dd'T'HH:mm[:ss]'Z'" → epoch ms,
-        NULL on parse failure (the caller maps failure to 0). The
-        session TZ is pinned UTC, so a naive parse IS the UTC instant."""
+        """ToolUtil.dateUsStrToTimestamp's UTC parse (ToolUtil.java:
+        45-70): "yyyy-MM-dd'T'HH:mm[:ss]'Z'" → epoch ms, NULL on parse
+        failure (the caller maps failure to 0). The formatter is an
+        ofPattern — default ResolverStyle.SMART, live-JVM-verified: an
+        in-range day (1-31) CLAMPS to the month's last valid day
+        ('2023-02-29T…' → Feb 28, '2023-04-31T…' → Apr 30) and exactly
+        24:00[:00] resolves to next-day midnight; month/minute/second
+        stay strict. The session TZ is pinned UTC, so a naive parse IS
+        the UTC instant."""
+        ts = self._smart_utc_ts(x, seconds)
+        return self._ts_ms(ts)
+
+    def _smart_utc_ts(self, x: str, seconds: bool) -> str:
+        """The SMART-resolved TIMESTAMP for utc_str_ms (dialect-neutral
+        component SQL; the engines' own pattern parses are strict and
+        would NULL the clamp/hour-24 cells Java accepts)."""
+        tail = ":([0-9]{2})" if seconds else ""
+        rx = (f"^([0-9]{{4}})-([0-9]{{2}})-([0-9]{{2}})"
+              f"T([0-9]{{2}}):([0-9]{{2}}){tail}Z$")
+
+        def g(i: int) -> str:
+            return (f"CAST(regexp_extract({x}, {self.re_lit(rx)}, {i})"
+                    f" AS INT)")
+
+        y, mo, dd, h, mi = g(1), g(2), g(3), g(4), g(5)
+        ss = g(6) if seconds else "0"
+        clamp = f"LEAST({dd}, day(last_day(make_date({y}, {mo}, 1))))"
+        ok_date = f"({mo} BETWEEN 1 AND 12 AND {dd} BETWEEN 1 AND 31)"
+        ok_time = f"({h} <= 23 AND {mi} <= 59 AND {ss} <= 59)"
+        h24 = f"({h} = 24 AND {mi} = 0 AND {ss} = 0)"
+        nxt = self.date_sub(f"make_date({y}, {mo}, {clamp})", -1)
+        return (f"CASE WHEN NOT {self.rlike(x, rx)} THEN NULL "
+                f"WHEN NOT {ok_date} THEN NULL "
+                f"WHEN {ok_time} THEN make_timestamp({y}, {mo}, {clamp}, "
+                f"{h}, {mi}, {ss}) "
+                f"WHEN {h24} THEN CAST({nxt} AS TIMESTAMP) END")
+
+    def _ts_ms(self, ts: str) -> str:
+        """Whole-second naive TIMESTAMP expr → epoch millis BIGINT."""
         raise NotImplementedError
 
 
@@ -218,10 +253,8 @@ class SparkDialect(Dialect):
     def last_ignore_nulls(self, x, over):
         return f"last_value({x}) IGNORE NULLS OVER {over}"
 
-    def utc_str_ms(self, x, seconds):
-        fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'" if seconds else "yyyy-MM-dd'T'HH:mm'Z'"
-        return (f"CAST(to_unix_timestamp(try_to_timestamp({x}, "
-                f'"{fmt}")) AS BIGINT) * 1000')
+    def _ts_ms(self, ts):
+        return f"CAST(to_unix_timestamp({ts}) AS BIGINT) * 1000"
 
 
 class DuckDialect(Dialect):
@@ -285,9 +318,8 @@ class DuckDialect(Dialect):
     def last_ignore_nulls(self, x, over):
         return f"last_value({x} IGNORE NULLS) OVER {over}"
 
-    def utc_str_ms(self, x, seconds):
-        fmt = "%Y-%m-%dT%H:%M:%SZ" if seconds else "%Y-%m-%dT%H:%MZ"
-        return f"epoch_ms(try_strptime({x}, '{fmt}'))"
+    def _ts_ms(self, ts):
+        return f"epoch_ms({ts})"
 
 
 SPARK = SparkDialect()

@@ -3381,7 +3381,14 @@ def _p51(d: Dialect) -> str:
     null_s = f"CAST(NULL AS {d.strtype})"
 
     def qval(key: str) -> str:
-        return f"regexp_extract(query, {d.re_lit(f'(^|&){key}=([^&]*)')}, 2)"
+        # urlParseToMap puts over a plain split("=") walk (live-JVM-
+        # pinned, tests/tools/gen_refkw_fixture.py modes um/dt): the
+        # value is the segment between the FIRST and SECOND '='
+        # ('k=a=b' stores 'a', not 'a=b'), and a repeated key keeps the
+        # LAST occurrence (map.put overwrites) — the greedy .* prefix
+        # forces the rightmost match
+        return (f"regexp_extract(query, "
+                f"{d.re_lit(f'(?s).*(^|&){key}=([^&=]*)')}, 2)")
 
     def qhas(key: str) -> str:
         return d.rlike("query", f"(^|&){key}=")
