@@ -12,23 +12,21 @@ from zg_etl_spark import plans
 
 def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
-    round-9 composition: the 41-query round-6-attested band (the oldest
-    driver rows after r8's full-green window — spine relations p8/p6
-    first), plus picks from the next-oldest r7 band (the l16/s6/l11
-    bench watch items, the adv lanes p47/p48/p55), the query NEW this
-    round (p56), and the output-changed p7 (wide-table UTM lane rework;
-    p8 shares it and is already windowed) and p34 (yw moved to the
-    reference's Sunday-start/min-1 week rules) — s2/w2/p51 yield their
-    slots, staying r7-attested and locally parity-checked; registering
-    a new query must never silently displace one of these."""
+    round-10 composition: the output-changed queries first (p8/p7 —
+    getUtmTermFromRef moved to exact java.net.URI semantics — and p5 —
+    depth-derived bind_one lambda names), then the whole 39-query
+    round-7-attested band (the oldest driver rows after r9's full-green
+    window), then picks from the next-oldest r8 band (gate crypto
+    g2/g3, spine identity p1/p2/p3/p9, and the BENCH_r09 outlier
+    re-reads l30/l31); registering a new query must never silently
+    displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["g1_", "g4_", "w3_", "w9_", "p56_", "p7_"]
-    want_prefixes += [f"p{i}_" for i in (0, 4, 6, 8, 19, 21, 29, 36, 38,
-                                         41, 43, 44, 45, 46, 49, 50)]
-    want_prefixes += [f"p{i}_" for i in (47, 48, 55, 34)]
-    want_prefixes += [f"l{i}_" for i in (*range(12, 28), 11)]
-    want_prefixes += [f"s{i}_" for i in (1, 3, 4, 5, 6, 9, 10)]
+    want_prefixes = ["g2_", "g3_", "w2_", "s2_"]
+    want_prefixes += [f"p{i}_" for i in (1, 2, 3, 5, 7, 8, 9, 27, 28,
+                                         30, 31, 32, 33, 35, 39, 51)]
+    want_prefixes += [f"l{i}_" for i in (*range(1, 11), 30, 31)]
+    want_prefixes += [f"q{i}_" for i in (*range(1, 11), *range(12, 20))]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -68,10 +66,11 @@ def test_bench_line_fits_driver_capture_window():
 
 def test_driver_window_is_the_planned_rotation():
     """The driver's CORRECTNESS file covers the FIRST 50 entries of
-    all_queries(); round 9 pins that window to the 41-query r6-attested
-    band (the oldest rows after r8's full-green window) plus nine picks
-    from the r7 band. A later registry edit must not silently displace
-    them — rotation is a DELIBERATE _WINDOW change, not a side effect."""
+    all_queries(); round 10 pins that window to the output-changed
+    p8/p7/p5, the whole 39-query r7-attested band (the oldest rows
+    after r9's full-green window), and nine r8-band picks. A later
+    registry edit must not silently displace them — rotation is a
+    DELIBERATE _WINDOW change, not a side effect."""
     from zg_etl_spark import plans
 
     first50 = list(plans.all_queries())[:50]
@@ -82,29 +81,28 @@ def test_driver_window_is_the_planned_rotation():
     missing = [n for n in plans._WINDOW if n not in merged]
     assert not missing, missing
     must_have = [
-        "p8_wide_table", "p6_virtual_events", "p0_envelope",
-        "p4_dictionaries", "g1_wire_roundtrip", "g4_sm2_unwrap",
-        "l12_tokens_fingerprint", "l27_dedup_keep_list",
-        "l16_dedup_groups", "l11_embedding_neardup",
-        "s1_streaming_identity", "s6_streaming_dedup",
-        "s10_streaming_deep_convert", "p47_adv_cdc_route",
-        "p55_tencent_web_match", "w3_compat_csv_roundtrip",
-        "w9_partial_upsert", "p56_event_paths", "p7_enrichment",
-        "p34_user_duration",
+        "p8_wide_table", "p7_enrichment", "p5_virtual_attrs",
+        "p30_search_keywords", "l1_text_stats", "l10_multimodal_binary",
+        "p51_web_ad_lane", "q1_pricing_summary",
+        "q19_not_in_null_aware", "s2_streaming_sessions",
+        "w2_bucketed_join", "g2_wire_crypto", "g3_rsa_unwrap",
+        "p1_gate_errors", "p2_identity_mappings", "p3_zgid_binding",
+        "p9_user_properties", "l30_dup_span_fraction",
+        "l31_candidate_verify",
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
     # rotated/kept BEHIND the cut (still locally verified by the sf0.01
-    # parity rehearsal): the r7/r8-green band that yielded its slots to
+    # parity rehearsal): the r8/r9-green band that yielded its slots to
     # this round's rotation
     for name in ("p54_click_consumption", "p54c_candidates",
-                 "w2_bucketed_join", "s2_streaming_sessions",
-                 "p51_web_ad_lane",
+                 "p0_envelope", "p6_virtual_events", "p4_dictionaries",
+                 "g1_wire_roundtrip", "g4_sm2_unwrap",
+                 "p56_event_paths", "p34_user_duration",
+                 "l16_dedup_groups", "l11_embedding_neardup",
+                 "s1_streaming_identity", "s6_streaming_dedup",
                  "w10_scale_ids", "p42_adv_click_match",
-                 "p52_adv_ss_priority", "p53_ipv6_geo",
-                 "q1_pricing_summary", "q11_approx_distinct",
-                 "p33_ua_parse", "l1_text_stats", "l28_source_mixture",
-                 "l37_pq_ann", "s7_stream_stream_join",
-                 "g2_wire_crypto", "w1_upsert_writer",
-                 "p5_virtual_attrs"):
+                 "p53_ipv6_geo", "q11_approx_distinct",
+                 "l28_source_mixture", "l37_pq_ann",
+                 "s7_stream_stream_join", "w1_upsert_writer"):
         assert name in merged and name not in first50, name

@@ -15,92 +15,88 @@ changed this round; the twice-green remainder rotates behind them.
 from zg_etl_spark.plans import (
     consume, gate_queries, llm, pipeline, relational, streaming_queries)
 
-# Round-9 window: CORRECTNESS_r08 landed 50/50 hash-green on the round-8
-# composition, so that block rotates behind. After r8 the OLDEST driver
-# rows are the 41 round-6-attested queries; the window front-loads, in
-# priority order:
-#   1. the spine's most load-bearing relations first (p8 wide table, p6
-#      virtual events — two rounds stale), then the rest of the r6 band:
-#      g1/g4, l12-l15/l17-l27, p0/p4, p19/p21/p29/p36/p38/p41/p43-p46/
-#      p49/p50, s1/s3-s5/s9/s10, w3/w9;
-#   2. picks from the next-oldest (r7) band: the three bench watch
-#      items (l16/s6/l11 — re-attest alongside their standalone A/B),
-#      the adv lanes p47/p48/p51/p55 — plus the queries whose OUTPUT
-#      changed this round and the query NEW this round:
-#      p56 (new: path analysis — a brand-new query needs its FIRST
-#      driver row), and p7 (output changed: the wide-table UTM lane was
-#      reworked to EventAttrTransfer's exact semantics — isSearchEngine
-#      host set, given-family medium passthrough, closed-alphabet
-#      decodeMultiCharset, getUtmTermFromRef fallback; p8 shares the
-#      change and is already in the window) and p34 (output changed:
-#      yw/yearweek moved from ISO-8601 weeks to the reference's actual
-#      SimpleDateFormat("YYYYww") Sunday-start/min-1 rules, pinned
-#      against a JVM-generated fixture). w2, s2 and p51 yield their
-#      slots: all r7-attested, plan-stable, locally parity-checked
-#      every round (p51 additionally carries its own Java-port tests).
-# The remainder (the r7/r8-green band) stays in the tail, covered by
+# Round-10 window: CORRECTNESS_r09 landed 50/50 hash-green on the
+# round-9 composition, so that block rotates behind. After r9 the
+# OLDEST driver rows are the 39 round-7-attested queries; the window
+# front-loads, in priority order:
+#   1. the queries whose OUTPUT changed this round: p8/p7 — the wide
+#      table's getUtmTermFromRef fallback moved to exact java.net.URI
+#      semantics (fragment-before-query → null, URISyntaxException
+#      gate, getHost() server-parse rules, the second URLDecoder
+#      layer's throw channel), pinned against the reference class
+#      executed on this JDK (refkw_jvm_fixture mode 'ut') — and p5
+#      (bind_one lambda names moved from a global counter to nesting
+#      depth: same plans, reproducible SQL text);
+#   2. the whole r7 band: l1-l10, p27/p28/p30-p33/p35/p39/p51,
+#      q1-q10/q12-q19, s2, w2;
+#   3. picks from the next-oldest (r8) band: the gate crypto lanes
+#      g2/g3, the spine identity relations p1/p2/p3/p9, and the two
+#      BENCH_r09 outlier re-reads l30/l31 (21.2 s / 6.8 s in the
+#      throttled driver pass; 1.2 s / 1.5 s in the round-10 opening
+#      A/B — re-attest alongside the standalone numbers).
+# The remainder (the r8/r9-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
-# attested is older than round 7.
+# attested is older than round 8.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
 # new entry silently displace the intended 50th query.
 _WINDOW = [
     "p8_wide_table",
-    "p6_virtual_events",
-    "p0_envelope",
-    "p4_dictionaries",
-    "g1_wire_roundtrip",
-    "g4_sm2_unwrap",
-    "p19_event_highwater",
-    "p21_sink_counts",
-    "p29_event_resolution",
-    "p36_event_platforms",
-    "p38_adv_user_sources",
-    "p41_adv_channel_props",
-    "p43_adv_match_json",
-    "p44_apple_asa",
-    "p45_device_classify",
-    "p46_dims_mapping",
-    "p49_adv_deep_convert",
-    "p50_match_json_userprop",
-    "l12_tokens_fingerprint",
-    "l13_curation",
-    "l14_ann_pandas",
-    "l15_multimodal_features",
-    "l17_resize_features",
-    "l18_split_sample",
-    "l19_tfidf_terms",
-    "l20_chunking",
-    "l21_bigram_stats",
-    "l22_stratified_sample",
-    "l23_frame_sample",
-    "l24_pii_scrub",
-    "l25_decontaminate",
-    "l26_repetition_filter",
-    "l27_dedup_keep_list",
-    "s1_streaming_identity",
-    "s3_streaming_counts",
-    "s4_streaming_route",
-    "s5_streaming_zgid",
-    "s9_stream_partial_upsert",
-    "s10_streaming_deep_convert",
-    "w3_compat_csv_roundtrip",
-    "w9_partial_upsert",
-    "l16_dedup_groups",
-    "l11_embedding_neardup",
-    "s6_streaming_dedup",
-    "p47_adv_cdc_route",
-    "p48_adv_click_keys",
-    "p34_user_duration",
-    "p55_tencent_web_match",
-    "p56_event_paths",
     "p7_enrichment",
-    # behind the 50-query cut — stay listed so a future rotation is a
-    # reorder, not a rediscovery
+    "p5_virtual_attrs",
+    "p30_search_keywords",
+    "l1_text_stats",
+    "l2_lang_id",
+    "l3_dedup_exact",
+    "l4_ngram_jaccard",
+    "l5_minhash_signatures",
+    "l6_lsh_candidates",
+    "l7_simhash",
+    "l8_ann_bruteforce",
+    "l9_ann_ivf",
+    "l10_multimodal_binary",
+    "p27_user_profile",
+    "p28_gate_business",
+    "p31_adv_attribution",
+    "p32_synthesized_records",
+    "p33_ua_parse",
+    "p35_user_anonymous",
+    "p39_baidu_eqid",
+    "p51_web_ad_lane",
+    "q1_pricing_summary",
+    "q2_orders_customer_join",
+    "q3_revenue_by_nation",
+    "q4_nation_region",
+    "q5_semi_anti",
+    "q6_hash_agg",
+    "q7_rollup",
+    "q8_window_topk",
+    "q9_top_parts",
+    "q10_set_ops",
+    "q12_scalar_functions",
+    "q13_cube",
+    "q14_grouping_sets",
+    "q15_percentiles",
+    "q16_window_frames",
+    "q17_supplier_revenue",
+    "q18_correlated_subquery",
+    "q19_not_in_null_aware",
     "s2_streaming_sessions",
     "w2_bucketed_join",
-    "p51_web_ad_lane",
+    "g2_wire_crypto",
+    "g3_rsa_unwrap",
+    "p1_gate_errors",
+    "p2_identity_mappings",
+    "p3_zgid_binding",
+    "p9_user_properties",
+    "l30_dup_span_fraction",
+    "l31_candidate_verify",
+    # behind the 50-query cut — stay listed so a future rotation is a
+    # reorder, not a rediscovery
+    "p0_envelope",
+    "p6_virtual_events",
+    "p4_dictionaries",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)
