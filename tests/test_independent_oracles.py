@@ -1265,10 +1265,16 @@ def test_sequence_packing_matches_python_cursor(spark, sf_dir):
 # DevicePropertyParser.java:88-330 (parse → standardizeBrand →
 # standardizeModel → determineCategory → determinePriceRange →
 # is5GSupported/isFoldableDevice on the RAW model → extractReleaseYear),
-# sharing no SQL with the engine formulation. The contains-scan applies
-# the repo's documented deterministic tiebreak (longest key first).
+# sharing no SQL with the engine formulation. The contains-scan walks
+# the reference's ACTUAL BRAND_MAPPING.entrySet() iteration order
+# (HashMap order — String.hashCode is spec-fixed, so it is identical on
+# every JVM; captured from the reference class run on this JDK and
+# pinned by the refkw fixture's mode-'dp' collision cells, e.g.
+# 'huawei honor' → Honor because 'honor' scans before 'huawei').
 # ---------------------------------------------------------------------------
-def test_device_classify_matches_python_parser(spark, sf_dir):
+def _p45_port():
+    """Module-level so the JVM-fixture test (mode 'dp') can pin the same
+    port cell-for-cell against the reference class run on this JDK."""
     import re
 
     BRANDS = {
@@ -1286,11 +1292,13 @@ def test_device_classify_matches_python_parser(spark, sf_dir):
                 "PRO+", "GT", "ACE", "旗舰", "折叠"]
     FOLDABLE = ["FOLD", "FLIP", "MIX FOLD", "MATE X", "折叠"]
 
+    from zg_etl_spark.plans.pipeline import _BRAND_SCAN_ORDER
+
     def std_brand(brand):
         lower = brand.lower().strip()
         if lower in BRANDS:
             return BRANDS[lower]
-        for k in sorted(BRANDS, key=lambda k: (-len(k), k)):
+        for k in _BRAND_SCAN_ORDER:
             if k in lower:
                 return BRANDS[k]
         return brand[:1].upper() + brand[1:].lower()
@@ -1344,6 +1352,14 @@ def test_device_classify_matches_python_parser(spark, sf_dir):
         year = m.group(1) if m else ""
         return (sb, sm, cat, pr, is5g, fold, year)
 
+    return parse
+
+
+py_device_parse = _p45_port()
+
+
+def test_device_classify_matches_python_parser(spark, sf_dir):
+    parse = py_device_parse
     rows = ALL["p45_device_classify"](spark, sf_dir).collect()
     assert len(rows) == 18
     for r in rows:

@@ -151,12 +151,28 @@ def _py_dt(v):
     return int(dt.timestamp() * 1000)
 
 
+def _py_dp(v):
+    """DevicePropertyParser.parse rendered at the fixture contract:
+    brand U+0001 model in, 7 fields U+0002-joined out, U+0000 = null.
+    The port itself (incl. the HashMap-order contains-scan) lives with
+    the p45 oracle in test_independent_oracles."""
+    from test_independent_oracles import py_device_parse
+
+    b, m = v.split("\x01")
+    t = py_device_parse(None if b == "\x00" else b,
+                        None if m == "\x00" else m)
+    return "\x02".join("\x00" if x is None else str(x) for x in t)
+
+
 def test_python_models_reproduce_kw_jvm_fixture():
+    from zg_etl_spark.functions.search_keywords import ref_utm_term_from_ref
+
     with gzip.open(FIXTURE, "rt", encoding="utf-8") as fh:
         header = json.loads(fh.readline())
         cells = [json.loads(l) for l in fh]
     assert len(cells) == header["n_cells"]
-    counts = {"kw": 0, "ua": 0, "dm": 0, "du": 0, "um": 0, "dt": 0}
+    counts = {"kw": 0, "ua": 0, "dm": 0, "du": 0, "um": 0, "dt": 0,
+              "ut": 0, "dp": 0}
     bad = []
     for m, v, jvm in cells:
         if m == "kw":
@@ -168,6 +184,11 @@ def test_python_models_reproduce_kw_jvm_fixture():
             want = SEP1.join(f"{k}{SEP2}{mp[k]}" for k in sorted(mp))
         elif m == "dt":
             want = str(_py_dt(v))
+        elif m == "ut":
+            # getUtmTermFromRef: the java.net.URI host/query subset port
+            want = ref_utm_term_from_ref(v)
+        elif m == "dp":
+            want = _py_dp(v)
         elif m == "dm":
             want = decode_multi_charset(v)
             want = " NULL" if want is None else want
@@ -177,5 +198,6 @@ def test_python_models_reproduce_kw_jvm_fixture():
         counts[m] += 1
         if want != jvm:
             bad.append((m, v, jvm, want))
+    assert counts["ut"] > 400 and counts["dp"] > 250, counts
     assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
     assert counts["kw"] >= 400 and counts["ua"] >= 200, counts

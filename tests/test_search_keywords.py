@@ -293,44 +293,13 @@ def test_fresh_seed_url_sweep(spark):
 # splits a bogus pair), the two decode layers, and the '='-split rules.
 # ---------------------------------------------------------------------------
 def _ref_utm_fallback(url):
-    from zg_etl_spark.functions.search_keywords import (
-        WIDE_UTM_HOSTS,
-        java_url_decode,
-    )
+    """The exact getUtmTermFromRef port (JVM-fixture-pinned, mode 'ut'),
+    rendered at the SQL contract: \\N and '' both → None (the caller's
+    ensureLength turns '' into \\N; the SQL NULLIFs)."""
+    from zg_etl_spark.functions.search_keywords import ref_utm_term_from_ref
 
-    if not url:
-        return None
-    try:
-        m = __import__("re").match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", url)
-        host = m.group(1) if m else None
-        q = url.find("?")
-        if q == -1:
-            return None
-        query = url[q + 1:].split("#", 1)[0]
-        # URI.getQuery: percent-decoded, '+' left alone
-        query = java_url_decode(query.replace("+", "%2B"), "utf-8")
-        if host is None or host == "":
-            return None
-        if ".sogou.com" in host:
-            want = "query"
-        elif any(h in host for h in
-                 (".bing.com", ".so.com", "m.sm.cn",
-                  ".google.com", ".google.co")):
-            want = "q"
-        else:
-            return None
-        params = {}
-        for part in query.split("&"):
-            pair = part.split("=", 1)
-            if len(pair) == 2:
-                params[pair[0]] = pair[1]
-        kw = params.get(want)
-        if kw is None:
-            return None
-        kw = java_url_decode(kw, "utf-8")
-        return kw or None
-    except Exception:
-        return None
+    got = ref_utm_term_from_ref(url)
+    return None if got in ("\\N", "") else got
 
 
 def test_utm_fallback_sql_matches_java_port(spark):
@@ -342,25 +311,43 @@ def test_utm_fallback_sql_matches_java_port(spark):
 
     import random
     rng = random.Random(67_000_000 + BUILD_ROUND)
-    hosts = ["www.sogou.com/web", "wap.sogou.com/x", "cn.bing.com/search",
-             "www.so.com/s", "m.sm.cn/s", "www.google.com/search",
-             "www.google.co.jp/m", "www.baidu.com/s", "so.toutiao.com/s",
-             "search.yahoo.com/s", "example.org/p"]
+    # scheme-ful refs only, values within the closed decode alphabet —
+    # the SQL model's documented scope (utm_term_fallback docstring);
+    # the Python port itself is held to FULL java.net.URI fidelity by
+    # the JVM fixture (mode 'ut'), so within-scope agreement here means
+    # SQL ≡ port ≡ reference
+    rawhosts = ["www.sogou.com", "wap.sogou.com", "cn.bing.com",
+                "www.so.com", "m.sm.cn", "www.google.com",
+                "www.google.co.jp", "www.baidu.com", "so.toutiao.com",
+                "search.yahoo.com", "example.org",
+                # server-parse failures → getHost() null → \N
+                "www_x.sogou.com", "-a.sogou.com", "a-.bing.com",
+                "www.sogou.com.123", "www.SOGOU.com",
+                # userinfo / ports
+                "u@www.sogou.com", "u:p@cn.bing.com",
+                "www.sogou.com:8080", "www.so.com:", "m.sm.cn:8a",
+                "www.sogou.com."]
     names = ["q", "query", "Q", "QUERY", "wd", "x", ""]
-    vals = ["", "kw1", "a%26b", "%E4%B8%AD", "x+y", "%2520z", "v-1"]
+    vals = ["", "kw1", "a%26b", "%E4%B8%AD", "x+y", "%2520z", "v-1",
+            # URI-illegal → whole ref \N; layer-2 throw → \N
+            "a b", "a\"b", "a%zz", "a%2", "100%25", "a%3Db", "a|b"]
 
     def rand_url():
-        host = rng.choice(hosts)
+        host = rng.choice(rawhosts) + rng.choice(["/web", "/s/x", ""])
         parts = []
         for _ in range(rng.randrange(0, 4)):
             n = rng.choice(names)
             parts.append(n if rng.random() < 0.15
                          else f"{n}={rng.choice(vals)}")
         q = "?" + "&".join(parts) if parts or rng.random() < 0.3 else ""
-        frag = "#f?q=infrag" if rng.random() < 0.15 else ""
+        r = rng.random()
+        frag = ("#f?q=infrag" if r < 0.12        # '#' before any '?'
+                else "#frag" if r < 0.2 else "")
+        if r < 0.12 and q:
+            q, frag = "", frag + q               # move query behind '#'
         return f"https://{host}{q}{frag}"
 
-    urls = sorted({rand_url() for _ in range(350)})
+    urls = sorted({rand_url() for _ in range(450)})
 
     got_spark = {
         r.ref: r.kw

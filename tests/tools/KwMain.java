@@ -14,6 +14,23 @@ public class KwMain {
     // du = UrlDecoder.decode. Output: one JSON string per line.
     public static void main(String[] args) throws Exception {
         SearchKeywordParser p = new SearchKeywordParser();
+        // ut = EventAttrTransfer.getUtmTermFromRef(null, v) — private,
+        // reached via reflection on the reference class compiled
+        // unmodified (stub ConfigCacheService/EventAttrRow satisfy the
+        // unrelated constructor/compile deps)
+        Class<?> eat = Class.forName(
+                "com.zhugeio.etl.pipeline.transfer.EventAttrTransfer");
+        Object eatInst = eat.getConstructor(
+                com.zhugeio.etl.common.cache.ConfigCacheService.class,
+                int.class, int.class, int.class)
+                .newInstance(null, 365, 1, 128);
+        java.lang.reflect.Method utm = eat.getDeclaredMethod(
+                "getUtmTermFromRef", String.class, String.class);
+        utm.setAccessible(true);
+        // dp = DevicePropertyParser.parse(brand, model); v is
+        // brand U+0001 model, with U+0000 standing in for null
+        com.zhugeio.etl.common.util.DevicePropertyParser dpp =
+                new com.zhugeio.etl.common.util.DevicePropertyParser();
         BufferedReader in = new BufferedReader(
                 new InputStreamReader(System.in, StandardCharsets.UTF_8));
         java.io.PrintStream out =
@@ -40,6 +57,31 @@ public class KwMain {
                     case "dt":
                         r = String.valueOf(ToolUtil.dateUsStrToTimestamp(v));
                         break;
+                    case "ut":
+                        r = (String) utm.invoke(eatInst, null, v);
+                        break;
+                    case "dp": {
+                        int sep = v.indexOf('\u0001');
+                        String brand = v.substring(0, sep);
+                        String model = v.substring(sep + 1);
+                        if (brand.equals("\u0000")) brand = null;
+                        if (model.equals("\u0000")) model = null;
+                        com.zhugeio.etl.common.model.DeviceProperty dp =
+                                dpp.parse(brand, model);
+                        String[] f = {dp.getStandardBrand(),
+                                dp.getStandardModel(),
+                                dp.getDeviceCategory(), dp.getPriceRange(),
+                                dp.is5GSupported() ? "1" : "0",
+                                dp.isFoldable() ? "1" : "0",
+                                dp.getReleaseYear()};
+                        StringBuilder b = new StringBuilder();
+                        for (String x : f) {
+                            if (b.length() > 0) b.append('\u0002');
+                            b.append(x == null ? "\u0000" : x);
+                        }
+                        r = b.toString();
+                        break;
+                    }
                     case "um": {
                         java.util.Map<String, Object> mp =
                                 ToolUtil.urlParseToMap(v);

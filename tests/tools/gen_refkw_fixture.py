@@ -1,22 +1,33 @@
 """Generate tests/data/refkw_jvm_fixture.jsonl.gz — ground truth from
-the reference's SearchKeywordParser / ToolUtil.uaAnalysis / UrlDecoder,
-executed on this container's JDK.
+the reference's SearchKeywordParser / ToolUtil.uaAnalysis / UrlDecoder /
+EventAttrTransfer.getUtmTermFromRef, executed on this container's JDK.
 
-Recipe (repo root; requires /root/reference and JAVA_HOME):
+Recipe (repo root; requires /root/reference and a JDK on PATH) — fully
+automated since round 10:
 
-1. Copy UNMODIFIED into a scratch src tree (never committed here):
-       SearchKeywordParser.java, UrlDecoder.java, ToolUtil.java
-                                   (etl-flink-common …/util/)
-       BaiduKeyword.java           (etl-flink-common …/model/)
-   plus a 10-line org.slf4j Logger/LoggerFactory no-op stub (their only
-   non-JDK import).
-2. javac -encoding UTF-8 them + tests/tools/KwMain.java.
-3. python tests/tools/gen_refkw_fixture.py <classes-dir>
+    python tests/tools/gen_refkw_fixture.py
+
+This copies UNMODIFIED into a scratch src tree (never committed here):
+    SearchKeywordParser.java, UrlDecoder.java, ToolUtil.java
+                                (etl-flink-common …/util/)
+    BaiduKeyword.java           (etl-flink-common …/model/)
+    EventAttrTransfer.java      (etl-flink-pipeline …/transfer/)
+    DevicePropertyParser.java, DeviceProperty.java (…/util, …/model)
+writes the no-op compile stubs (org.slf4j Logger/LoggerFactory, an
+empty ConfigCacheService, an all-Object-setter EventAttrRow — the
+reference classes' only non-JDK deps, none on the measured paths),
+javacs them with tests/tools/KwMain.java, and runs the corpora through
+KwMain. Pass an existing <classes-dir> to skip the build step.
 
 Corpora: the same fresh-seed generators the sweep tests use (URL corpus
-seed 61M+round, UA corpus seed 59M+round, both widened) plus a
-hand-picked byte-dirty decode alphabet. tests/test_kw_jvm_fixture.py
-verifies the Python models against the result fixture."""
+seed 61M+round, UA corpus seed 59M+round, both widened), a hand-picked
+byte-dirty decode alphabet, and the 'ut' URI-semantics corpus
+(fragment-before-query, URI-illegal characters, malformed escapes,
+userinfo/ports, registry authorities, opaque and relative refs), and
+the 'dp' DevicePropertyParser corpus (p45 fixture rows + fresh-seed
+brand×model sweep incl. fuzzy-match collisions and trim probes).
+tests/test_kw_jvm_fixture.py verifies the Python models against the
+result fixture."""
 
 from __future__ import annotations
 
@@ -69,6 +80,142 @@ DT_VALS = [
 ]
 
 
+# getUtmTermFromRef: hand-picked java.net.URI edge cases — every way the
+# constructor can throw, every way getHost()/getQuery() can be null, and
+# the second URLDecoder layer's throw channel
+UT_FIXED = [
+    "http://www.sogou.com/web?query=hello",
+    "http://www.sogou.com/web#frag?query=hello",      # query after '#'
+    "http://www.sogou.com/web?query=hello#frag",
+    "http://www.sogou.com/web?query=a b",             # space → throws
+    "http://www.sogou.com/web?query=a%zzb",           # bad escape → throws
+    "http://www.sogou.com/web?query=a%2",             # truncated escape
+    "http://www.sogou.com/web?query=100%25",          # layer-2 throw
+    "http://www.sogou.com/web?query=%2520z",          # two layers
+    "http://www.sogou.com/web?query=%E4%B8%AD",
+    "http://www.sogou.com/web?query=中文",             # raw CJK: URI-legal
+    "http://www.sogou.com/web?query=a\"b",            # '"' → throws
+    "http://www.sogou.com/web?query=a<b",
+    "http://www.sogou.com/web?query=a{b}",
+    "http://www.sogou.com/web?query=a^b",
+    "http://www.sogou.com/web?query=a\\b",
+    "http://www.sogou.com/web?query=a|b",
+    "http://www.sogou.com/web?query=a`b",
+    "http://www.sogou.com/web?query=a[1]",            # '[]' legal in query
+    "http://www.sogou.com/a[1]/w?query=x",            # '[]' illegal in path
+    "http://user@www.sogou.com/web?query=ui",         # userinfo stripped
+    "http://user:pw@www.sogou.com/w?query=ui2",
+    "http://www.sogou.com:8080/web?query=port",
+    "http://www.sogou.com:/web?query=emptyport",      # empty port: legal
+    "http://www.sogou.com:8a/web?query=badport",      # registry → null host
+    "http://www_x.sogou.com/web?query=underscore",    # registry → null host
+    "http://-www.sogou.com/web?query=hyphenedge",     # label edge → registry
+    "http://www.sogou.com./web?query=trailingdot",    # legal hostname
+    "http://www.sogou.com.123/w?query=digitlabel",    # last label digit
+    "http://www.soGou.com/web?query=case",            # contains: case-sens
+    "//www.sogou.com/web?query=schemeless",           # relative w/ authority
+    "www.sogou.com/web?query=nohost",                 # relative, null host
+    "/web?query=relpath",
+    "?query=relquery",
+    "mailto:x@www.sogou.com?query=opaque",            # opaque: null query
+    "1http://www.sogou.com/w?query=badscheme",        # ':' after digit head
+    "ht~tp://www.sogou.com/w?query=badscheme2",
+    "http://www.sogou.com/web?query",                 # no '=': skipped
+    "http://www.sogou.com/web?query=",                # empty value → ''
+    "http://www.sogou.com/web?query=a&query=b",       # last wins
+    "http://www.sogou.com/web?q=notparam",
+    "http://www.sogou.com/web?QUERY=upper",
+    "http://www.sogou.com/web?query=x+y",             # '+' layer-2 only
+    "http://www.sogou.com/web?query=a%26b=c",         # decoded '&' splits
+    "http://www.sogou.com/web?query=a%3Db",           # decoded '=' in value
+    "http://cn.bing.com/search?q=bingkw",
+    "http://www.so.com/s?q=so360",
+    "http://m.sm.cn/s?q=shenma",
+    "http://www.google.com/search?q=ggl",
+    "http://www.google.co.jp/search?q=ggljp",
+    "http://www.baidu.com/s?wd=nofallback",           # baidu: no param here
+    "http://a.bing.com.sogou.com/w?query=sg&q=bg",    # sogou checked first
+    "http://[2001:db8::1]/w?q=v6",                    # IPv6: legal, no match
+    "http://1.2.3.4/w?q=ipv4",
+    "http://x.com/w?q=%ED%A0%80",                     # bad UTF-8 → U+FFFD
+    "http://x.com/w#only-frag",
+    "",
+    "\\N",
+    "http://cn.bing.com/search?q=a%2Bb",              # layer-1 keeps %2B…
+    "http://cn.bing.com/search?q=%E6%96%87x",
+]
+
+
+def ut_corpus():
+    """Fresh-seed structural sweep for getUtmTermFromRef on top of the
+    fixed cells: random compositions of the failure axes."""
+    rng = random.Random(71_000_000 + BUILD_ROUND)
+    schemes = ["http://", "https://", "", "//", "ftp://", "1a://", "a+b://"]
+    auths = ["www.sogou.com", "wap.sogou.com:80", "u@cn.bing.com",
+             "u:p@www.so.com", "m.sm.cn", "x_y.sogou.com", "-a.bing.com",
+             "www.google.com.", "www.google.co.kr", "a.so.com.9",
+             "WWW.SOGOU.COM", "so.com", "1.2.3.4", "[::1]", "",
+             "www.sogou.com:x1"]
+    paths = ["/web", "/s/x", "", "/a b", "/a%zz", "/a[0]", "/中"]
+    queries = ["query=kw", "q=kw", "query=", "q", "query=%E4%B8%AD",
+               "query=100%25", "query=a+b", "q=a%26b&q=c", "query=x#y",
+               "query=a b", "query=a%2", "QUERY=k", "query=中", ""]
+    frags = ["", "#f", "#f?query=infrag", "#q=h"]
+
+    out = set()
+    for _ in range(400):
+        u = (rng.choice(schemes) + rng.choice(auths) + rng.choice(paths))
+        if rng.random() < 0.85:
+            u += "?" + rng.choice(queries)
+        u += rng.choice(frags)
+        out.add(u)
+    return sorted(out)
+
+
+def dp_corpus():
+    """DevicePropertyParser.parse cells: the p45 fixture rows plus a
+    fresh-seed brand×model sweep. Deliberately includes fuzzy-match
+    COLLISIONS ('redmi…' exact-misses contain both 'redmi' and 'mi',
+    multi-brand strings) — the reference scans BRAND_MAPPING.entrySet()
+    in HashMap order, the repo models longest-key-first; these cells
+    decide whether the two orders ever disagree on real inputs — plus
+    Java-trim-vs-Python-strip probes (U+3000 ideographic space)."""
+    from zg_etl_spark.plans.pipeline import _P45_CASES
+
+    rng = random.Random(83_000_000 + BUILD_ROUND)
+    brands = ["huawei", "HUAWEI", " Huawei ", "honor", "荣耀", "xiaomi",
+              "mi", "redmi", "红米", "oppo", "realme", "oneplus", "vivo",
+              "iqoo", "apple", "iphone", "samsung", "meizu", "魅族",
+              "lenovo", "联想", "zte", "中兴", "nubia", "努比亚", "黑鲨",
+              "黑莓", "sony", "HTC", "nokia", "",
+              # fuzzy-only hits and collisions
+              "xiaomi-go", "redmi-go", "my-redmi", "huawei honor",
+              "xiaomi redmi", "semi", "miX", "Mi 11", "iphone 15 pro",
+              "BlackShark-黑鲨", "努比亚z50", "中兴axon",
+              # trim/strip probes
+              "　xiaomi　", " redmi\t", " apple"]
+    models = [None, "", "Mate 60 Pro", "Mate X5", "Mix Fold 3", "K70",
+              "Note 12", "iPhone 15 Pro Max", "iPhone SE", "Find X7",
+              "GT Neo5", "Ace 2", "旗舰版", "折叠屏2023", "5G全网通",
+              "5g", "全网通", "Y78 5G", "Galaxy Z Flip5", "Galaxy S24",
+              "2022款", "A58 2023 5G", "平板Pad6", "X90s+", "~!@#2024",
+              "  double  space  ", "Pro+", "flip", "FOLD", "se2"]
+    cells = list(_P45_CASES)
+    for _ in range(320):
+        b = rng.choice(brands)
+        m = rng.choice(models)
+        cells.append((b, m))
+    seen, out = set(), []
+    for b, m in cells:
+        key = (b, m)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(("\x00" if b is None else b) + "\x01"
+                   + ("\x00" if m is None else m))
+    return out
+
+
 def corpora():
     rng = random.Random(61_000_000 + BUILD_ROUND)
     hosts = ["www.baidu.com/s", "tieba.baidu.com/f",
@@ -114,11 +261,128 @@ def corpora():
                    + rng2.choice(tails)).strip() for _ in range(500)})
     return ([("kw", u) for u in urls] + [("ua", u) for u in uas]
             + [("dm", v) for v in DEC_VALS] + [("du", v) for v in DEC_VALS]
-            + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS])
+            + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS]
+            + [("ut", v) for v in UT_FIXED + ut_corpus()]
+            + [("dp", v) for v in dp_corpus()])
+
+
+_SLF4J_LOGGER = """package org.slf4j;
+public interface Logger {
+    void info(String s, Object... o);
+    void debug(String s, Object... o);
+    void warn(String s, Object... o);
+    void error(String s, Object... o);
+}
+"""
+_SLF4J_FACTORY = """package org.slf4j;
+public class LoggerFactory {
+    public static Logger getLogger(Class<?> c) {
+        return new Logger() {
+            public void info(String s, Object... o) {}
+            public void debug(String s, Object... o) {}
+            public void warn(String s, Object... o) {}
+            public void error(String s, Object... o) {}
+        };
+    }
+}
+"""
+_CCS_STUB = """package com.zhugeio.etl.common.cache;
+// compile stub: EventAttrTransfer's constructor field only; the measured
+// method (getUtmTermFromRef) never touches it
+public class ConfigCacheService {
+    public java.util.concurrent.CompletableFuture<
+            java.util.Map<String, Integer>>
+            batchGetEventAttrColumnIndex(String eid,
+                                         java.util.List<String> ids) {
+        return null;
+    }
+}
+"""
+
+_ROW_SETTERS = [
+    "AppVersion", "Area", "Attr1", "Attr2", "Attr3", "Attr4", "Attr5",
+    "BeginDate", "BeginDayId", "BeginTimeId", "Bs", "Bv", "Channel",
+    "City", "Country", "CurrentUrl", "CustomProperty", "DeviceId",
+    "Duration", "Eid", "EventIdColumn", "EventName", "Ip", "IpStr",
+    "Mccmnc", "Network", "Os", "Ov", "Platform", "PropertyType",
+    "ReferrerUrl", "SessionId", "UserId", "Useragent", "UtcDate",
+    "UtmCampaign", "UtmContent", "UtmMedium", "UtmSource", "UtmTerm",
+    "Uuid", "Website", "Yw", "ZgId",
+]
+
+_REF_FILES = {
+    "com/zhugeio/etl/common/util/SearchKeywordParser.java":
+        "etl-flink-common/src/main/java/com/zhugeio/etl/common/util/"
+        "SearchKeywordParser.java",
+    "com/zhugeio/etl/common/util/UrlDecoder.java":
+        "etl-flink-common/src/main/java/com/zhugeio/etl/common/util/"
+        "UrlDecoder.java",
+    "com/zhugeio/etl/common/util/ToolUtil.java":
+        "etl-flink-common/src/main/java/com/zhugeio/etl/common/util/"
+        "ToolUtil.java",
+    "com/zhugeio/etl/common/model/BaiduKeyword.java":
+        "etl-flink-common/src/main/java/com/zhugeio/etl/common/model/"
+        "BaiduKeyword.java",
+    "com/zhugeio/etl/pipeline/transfer/EventAttrTransfer.java":
+        "etl-flink-pipeline/src/main/java/com/zhugeio/etl/pipeline/"
+        "transfer/EventAttrTransfer.java",
+    "com/zhugeio/etl/common/util/DevicePropertyParser.java":
+        "etl-flink-common/src/main/java/com/zhugeio/etl/common/util/"
+        "DevicePropertyParser.java",
+    "com/zhugeio/etl/common/model/DeviceProperty.java":
+        "etl-flink-common/src/main/java/com/zhugeio/etl/common/model/"
+        "DeviceProperty.java",
+}
+
+
+def build_classes(scratch: str, reference: str = "/root/reference") -> str:
+    """Copy the reference sources UNMODIFIED into a scratch tree, write
+    the no-op compile stubs, javac everything with KwMain; returns the
+    classes dir."""
+    import shutil
+
+    src = os.path.join(scratch, "src")
+    classes = os.path.join(scratch, "classes")
+    os.makedirs(classes, exist_ok=True)
+    for rel, refpath in _REF_FILES.items():
+        dst = os.path.join(src, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(os.path.join(reference, refpath), dst)
+
+    row = ["package com.zhugeio.etl.common.model;",
+           "// compile stub: no-op setters (Object absorbs any arg type);",
+           "// getUtmTermFromRef never reads a row",
+           "public class EventAttrRow {",
+           "    public EventAttrRow(Integer appId) {}",
+           "    public static int getCustomColumns() { return 0; }"]
+    row += [f"    public void set{n}(Object... v) {{}}" for n in _ROW_SETTERS]
+    row.append("}")
+    stubs = {
+        "org/slf4j/Logger.java": _SLF4J_LOGGER,
+        "org/slf4j/LoggerFactory.java": _SLF4J_FACTORY,
+        "com/zhugeio/etl/common/cache/ConfigCacheService.java": _CCS_STUB,
+        "com/zhugeio/etl/common/model/EventAttrRow.java": "\n".join(row),
+    }
+    for rel, body in stubs.items():
+        dst = os.path.join(src, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(dst, "w", encoding="utf-8") as fh:
+            fh.write(body)
+
+    javas = [os.path.join(src, rel) for rel in
+             list(_REF_FILES) + list(stubs)]
+    javas.append(os.path.join(os.path.dirname(__file__), "KwMain.java"))
+    subprocess.run(["javac", "-encoding", "UTF-8", "-d", classes,
+                    *javas], check=True)
+    return classes
 
 
 def main():
-    classes = sys.argv[1]
+    if len(sys.argv) > 1:
+        classes = sys.argv[1]
+    else:
+        import tempfile
+        classes = build_classes(tempfile.mkdtemp(prefix="refkw_"))
     cells = corpora()
     lines = [json.dumps({"mode": m, "v": v}, separators=(",", ":"))
              for m, v in cells]

@@ -134,18 +134,63 @@ def is_search_engine_website(d, website: str) -> str:
     return f"(COALESCE({website}, '') <> '' AND ({conds}))"
 
 
+# java.net.URI rejects these ASCII characters in EVERY component (they
+# are in no legal category: not unreserved, reserved, escaped, or
+# "other"); controls and space throw too. '#' is legal (it starts the
+# fragment) and non-ASCII is LEGAL ("other" category) — URI accepts raw
+# CJK in a query. '[' and ']' are uric (legal in query) but illegal in
+# a path — the path case is out of the SQL model's scope (corpus keeps
+# brackets out; the Python port + JVM fixture carry the exact rule).
+_URI_BAD_CHARS = "[\\x00-\\x20<>\"{}|\\\\^`\\x7f]"
+
+
 def utm_term_fallback(d, ref: str) -> str:
     """getUtmTermFromRef(null, ref) (EventAttrTransfer.java:429-457):
-    host and query from java.net.URI (query = first '?' to '#', percent-
-    DECODED — so the '&' split below sees decoded separators), engine by
-    host-contains, the LAST occurrence of the exact-case param name
-    ('query' for sogou, 'q' for the four q-engines), then one more
-    URLDecoder layer on the value. Any parse failure → null (the
-    reference catches around the whole body). An empty matched value
-    returns '' which ensureLength renders \\N — NULLIF at the caller."""
-    host = f"regexp_extract({ref}, {d.re_lit('^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)')}, 1)"
-    raw_q = f"regexp_extract({ref}, {d.re_lit('[?]([^#]*)')}, 1)"
+    ``new URI(ref)`` then host/query from the URI object —
+
+    - any URISyntaxException → \\N. SQL gate: a character outside every
+      URI category (``_URI_BAD_CHARS``) or a '%' not followed by two hex
+      digits invalidates the whole ref;
+    - ``uri.getQuery()`` is the span from the first '?' to the first '#'
+      and is null when '#' precedes '?' — the regex anchors '?' inside
+      the pre-'#' prefix. The query is percent-DECODED (no '+' → ' '),
+      so the '&' split sees decoded separators;
+    - ``uri.getHost()`` is null (→ \\N) unless the authority parses
+      server-based: optional userinfo@, RFC-2396 hostname whose labels
+      are alnum-edged and whose LAST label starts with a letter,
+      optional :digits port. A registry authority (e.g. '_' in the
+      host, non-digit port) is a VALID URI with a null host;
+    - engine by case-sensitive host-contains, the LAST occurrence of
+      the exact-case param name ('query' for sogou, 'q' for the four
+      q-engines) with '=' required, then one more URLDecoder layer on
+      the value — which THROWS (→ \\N) when a layer-1-decoded '%25'
+      left a '%' without two hex digits behind. An empty matched value
+      returns '' which ensureLength renders \\N — NULLIF here.
+
+    Percent-decode covers the closed corpus escape alphabet
+    (``_WIDE_DECODE``) — the p51 precedent; the exact-URI Python port
+    (``ref_utm_term_from_ref``) is pinned to the reference class
+    executed on this JDK (tests/data/refkw_jvm_fixture.jsonl.gz, mode
+    'ut'), and both SQL dialects are pinned to the port by the
+    fresh-seed sweep in tests/test_search_keywords.py.
+
+    SQL-scope notes (port + JVM fixture carry the exact rules): refs
+    must be scheme-ful (a scheme-less '//host/…' ref parses in Java
+    with a live host; no such refs exist in the wire fixture), '[' ']'
+    are treated as query-legal everywhere (Java rejects them in a
+    path), and layer-2 '%'-escapes outside the closed alphabet decode
+    only in the port."""
+    auth = f"regexp_extract({ref}, {d.re_lit('^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)')}, 1)"
+    host_pat = ("^(?:[^@]*@)?((?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+                "\\.)*[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?\\.?)"
+                "(?::[0-9]*)?$")
+    host = f"regexp_extract({auth}, {d.re_lit(host_pat)}, 1)"
+    raw_q = f"regexp_extract({ref}, {d.re_lit('^[^#?]*[?]([^#]*)')}, 1)"
     q1 = decode_layer_sql(raw_q, plus=False)  # URI.getQuery decode
+
+    bad_esc = (f"instr({d.re_replace_all(ref, '%[0-9a-fA-F]{2}', '')}, "
+               f"'%') > 0")
+    uri_ok = f"(NOT {d.rlike(ref, _URI_BAD_CHARS)} AND NOT {bad_esc})"
 
     def last_val(key: str) -> str:
         pat = d.re_lit(f"(?s).*(^|&){key}=([^&]*)")
@@ -160,7 +205,11 @@ def utm_term_fallback(d, ref: str) -> str:
         f"{has_host('m.sm.cn')} OR {has_host('.google.com')} OR "
         f"{has_host('.google.co')} THEN {last_val('q')} END"
     )
-    return decode_layer_sql(f"NULLIF({picked}, '')", plus=True)
+    v1 = f"CASE WHEN {uri_ok} THEN NULLIF({picked}, '') END"
+    layer2_throws = (f"instr({d.re_replace_all(v1, '%[0-9a-fA-F]{2}', '')}, "
+                     f"'%') > 0")
+    return (f"CASE WHEN {layer2_throws} THEN NULL "
+            f"ELSE {decode_layer_sql(v1, plus=True)} END")
 
 
 class _JavaDecodeError(ValueError):
@@ -251,6 +300,226 @@ def url_decode_utf8(s: str | None) -> str | None:
         return decoded
     except _JavaDecodeError:
         return s
+
+
+class _JavaURIError(ValueError):
+    """java.net.URI's URISyntaxException."""
+
+
+_URI_MARK = set("-_.!~*'()")
+_URI_ALNUM = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+_URI_UNRESERVED = _URI_ALNUM | _URI_MARK
+# Java's "reserved" includes '[' and ']' (RFC 2732 IPv6 deviation)
+_URI_RESERVED = set(";/?:@&=+$,[]")
+_URI_PUNCT = set(",;:$&+=")
+_HEX = set("0123456789abcdefABCDEF")
+
+
+def _uri_is_other(c: str) -> bool:
+    """java.net.URI's "other" category (javadoc: non-US-ASCII characters
+    that are not space characters or ISO control characters) — URI
+    deviates from RFC 2396 by PERMITTING these wherever escaped octets
+    are allowed (userinfo, host, path, query, fragment)."""
+    import unicodedata
+
+    o = ord(c)
+    if o <= 0x7F or 0x7F <= o <= 0x9F:
+        return False
+    return unicodedata.category(c) not in ("Zs", "Zl", "Zp")
+
+
+def _uri_check(comp: str, extra: set, what: str) -> None:
+    """Parser.checkChars: unreserved | extra | escaped | other, where
+    escaped = '%' + exactly two hex digits."""
+    i = 0
+    while i < len(comp):
+        c = comp[i]
+        if c == "%":
+            if i + 2 >= len(comp) or comp[i + 1] not in _HEX \
+                    or comp[i + 2] not in _HEX:
+                raise _JavaURIError(f"Malformed escape pair in {what}")
+            i += 3
+            continue
+        if c in _URI_UNRESERVED or c in extra or _uri_is_other(c):
+            i += 1
+            continue
+        raise _JavaURIError(f"Illegal character in {what}: {c!r}")
+
+
+def _uri_decode(s: str) -> str:
+    """java.net.URI.decode: consecutive %XX runs byte-decoded as UTF-8
+    with CodingErrorAction.REPLACE (bad sequences → U+FFFD); '+' is NOT
+    touched (that is URLDecoder, a different decoder). Escapes were
+    already validated by the parser."""
+    if "%" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "%":
+            buf = bytearray()
+            while i < n and s[i] == "%":
+                buf.append(int(s[i + 1:i + 3], 16))
+                i += 3
+            out.append(buf.decode("utf-8", errors="replace"))
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _uri_parse_hostname(host: str) -> bool:
+    """Parser.parseHostname: dot-separated labels of alnum/hyphen with
+    alnum edges, optional trailing dot; when there is more than one
+    label the RIGHTMOST must start with a LETTER (JDK: "for a fully
+    qualified hostname check that the rightmost label starts with an
+    alpha character")."""
+    import re as _re
+
+    if host == "":
+        return False
+    trimmed = host[:-1] if host.endswith(".") else host
+    if trimmed == "":
+        return False
+    labels = trimmed.split(".")
+    lab_re = _re.compile(r"^[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?$")
+    if not all(lab_re.fullmatch(l) for l in labels):
+        return False
+    if len(labels) > 1 and not labels[-1][:1].isalpha():
+        return False
+    return True
+
+
+def _uri_server_host(auth: str) -> str | None:
+    """Parser.parseServer over an authority string: [userinfo@]
+    host[:digits]. Returns the host, or None when the authority only
+    parses registry-based (getHost() null). IPv4 literals and '[IPv6]'
+    hosts are returned verbatim — they can never contain an engine
+    suffix so callers treat them like any other host."""
+    import re as _re
+
+    rest = auth
+    if "@" in rest:
+        userinfo, rest = rest.split("@", 1)
+        try:
+            _uri_check(userinfo, _URI_PUNCT, "user info")
+        except _JavaURIError:
+            return None
+    if rest.startswith("["):
+        j = rest.find("]")
+        if j < 0:
+            return None
+        host, port_part = rest[:j + 1], rest[j + 1:]
+    else:
+        i = rest.find(":")
+        host, port_part = (rest, "") if i < 0 else (rest[:i], rest[i:])
+        m4 = _re.fullmatch(r"(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})",
+                           host)
+        if m4 and all(int(g) <= 255 for g in m4.groups()):
+            pass  # strict IPv4 literal
+        elif not _uri_parse_hostname(host):
+            return None
+    if port_part and not _re.fullmatch(r":[0-9]*", port_part):
+        return None
+    return host
+
+
+def java_uri_host_query(s: str) -> tuple[str | None, str | None]:
+    """The (getHost(), getQuery()) subset of ``new java.net.URI(s)`` —
+    raises _JavaURIError where the constructor throws. Mirrors
+    Parser.parse: fragment at the first '#'; a ':' occurring before any
+    of '/?#' makes the prefix a scheme (letter + alnum/'+-.'); an
+    absolute URI whose scheme-specific part does not start with '/' is
+    opaque (host and query both null); '//' starts the authority, tried
+    server-based first with a registry fallback (host null but the URI
+    is VALID); the query is '?' to '#' and is returned DECODED."""
+    frag = None
+    if "#" in s:
+        s, frag = s.split("#", 1)
+        _uri_check(frag, _URI_RESERVED, "fragment")
+
+    # scheme: first ':' before any '/?#' (fragment already removed)
+    scheme = None
+    for i, c in enumerate(s):
+        if c in "/?":
+            break
+        if c == ":":
+            scheme = s[:i]
+            if scheme == "" or not scheme[0].isalpha() \
+                    or not scheme[0].isascii():
+                raise _JavaURIError("Expected scheme name")
+            if not all(ch in _URI_ALNUM or ch in "+-." for ch in scheme):
+                raise _JavaURIError("Illegal character in scheme name")
+            s = s[i + 1:]
+            break
+
+    if scheme is not None and not s.startswith("/"):
+        # opaque URI: ssp must be non-empty uric with a non-'/' head
+        if s == "":
+            raise _JavaURIError("Expected scheme-specific part")
+        _uri_check(s, _URI_RESERVED, "opaque part")
+        return None, None
+
+    query = None
+    if "?" in s:
+        s, query = s.split("?", 1)
+        _uri_check(query, _URI_RESERVED, "query")
+
+    host = None
+    if s.startswith("//"):
+        rest = s[2:]
+        j = len(rest)
+        for i, c in enumerate(rest):
+            if c in "/?":
+                j = i
+                break
+        auth, path = rest[:j], rest[j:]
+        if auth != "":
+            host = _uri_server_host(auth)
+            if host is None:
+                # registry fallback — still a valid URI, null host
+                _uri_check(auth, _URI_PUNCT | set("@"), "authority")
+    else:
+        path = s
+    _uri_check(path, set(":@&=+$,;/"), "path")
+
+    return host, None if query is None else _uri_decode(query)
+
+
+def ref_utm_term_from_ref(referrer_url: str | None) -> str:
+    """Exact port of EventAttrTransfer.getUtmTermFromRef(null, ref)
+    (EventAttrTransfer.java:429-457), pinned cell-for-cell against the
+    reference class executed on this JDK (mode 'ut' of
+    tests/data/refkw_jvm_fixture.jsonl.gz). Returns the raw method
+    result: '\\\\N', '' (empty decode — the caller's ensureLength
+    renders it \\\\N), or the keyword."""
+    NULL_VALUE = "\\N"
+    if referrer_url is None or referrer_url == "" \
+            or referrer_url == NULL_VALUE:
+        return NULL_VALUE
+    try:
+        host, query = java_uri_host_query(referrer_url)
+        if query is None:
+            return NULL_VALUE
+        params: dict[str, str] = {}
+        for part in query.split("&"):
+            pair = part.split("=", 1)
+            if len(pair) == 2:
+                params[pair[0]] = pair[1]
+        if host is not None:
+            if ".sogou.com" in host:
+                kw = params.get("query")
+                if kw is not None:
+                    return java_url_decode(kw, "utf-8")
+            elif any(h in host for h in (".bing.com", ".so.com", "m.sm.cn",
+                                         ".google.com", ".google.co")):
+                kw = params.get("q")
+                if kw is not None:
+                    return java_url_decode(kw, "utf-8")
+    except Exception:
+        return NULL_VALUE
+    return NULL_VALUE
 
 
 def with_search_keyword(df, ref_col: str = "ref"):

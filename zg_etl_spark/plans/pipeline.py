@@ -157,9 +157,13 @@ def _va_resolver_for(d: Dialect):
     return resolve
 
 
-def _va_frag(d: Dialect, rule_sql: str) -> str:
+def _va_frag(d: Dialect, rule_sql: str, now_literal: str | None = None) -> str:
+    # now_literal: test seam — the p5 rule fuzz pins the engines' clock
+    # to its ports' NOW constant so now()-bearing random rules compare
+    # deterministically (production keeps the live current_timestamp)
     resolver = _va_resolver_for(d)
-    emitter = SparkEmitter(resolver) if d.name == "spark" else DuckEmitter(resolver)
+    emitter = (SparkEmitter(resolver, now_literal) if d.name == "spark"
+               else DuckEmitter(resolver, now_literal))
     ast = parse(rule_sql)
     frag = emitter.emit(ast)
     if returns_boolean(ast):
@@ -389,6 +393,17 @@ def _p8(d: Dialect) -> str:
         f"OR {d.rlike('e.term_raw', '[一-龥]')} "
         f"THEN {SK.decode_layer_sql('e.term_raw', True)} "
         f"ELSE e.term_raw END"
+    )
+    # EventAttrTransfer.java:309-310 checks FOUR fields (source, medium,
+    # campaign, content); the wire fixture carries no medium column, so
+    # the modeled check has three. Guard the coupling at plan-build time:
+    # if `resolved` ever grows a utm_medium column this must gain
+    # `e.utm_medium IS NOT NULL` — fail loudly instead of diverging
+    # silently.
+    from zg_etl_spark.operators.domain import RESOLVED_COLS
+    assert "utm_medium" not in RESOLVED_COLS, (
+        "resolved now carries utm_medium: add it to family_given "
+        "(EventAttrTransfer's 4-field all-empty check) before building p8"
     )
     family_given = ("(e.utm_source IS NOT NULL OR e.utm_campaign IS NOT NULL"
                     " OR e.utm_content IS NOT NULL)")
@@ -2451,6 +2466,23 @@ _BRAND_MAP = [
     ("黑莓", "BlackBerry"),
 ]
 
+# The fuzzy contains-scan iterates BRAND_MAPPING.entrySet()
+# (DevicePropertyParser.java:149-154) — HashMap order, NOT source order.
+# String.hashCode is spec-fixed and the insertion sequence is fixed in
+# the static initializer, so this order is identical on every compliant
+# JVM; it was captured by reflecting the reference class compiled and
+# run on this JDK (round 10, refkw fixture mode 'dp'), and the fixture's
+# collision cells ('huawei honor' → Honor, since 'honor' scans 19th-vs-
+# 2nd before 'huawei') pin it. Order matters only on multi-key inputs:
+# 'redmi…' strings are safe ('redmi' scans before 'mi').
+_BRAND_SCAN_ORDER = [
+    "xiaomi", "honor", "oneplus", "联想", "apple", "samsung", "oppo",
+    "nubia", "redmi", "vivo", "mi", "红米", "meizu", "黑鲨", "zte",
+    "荣耀", "iphone", "中兴", "huawei", "黑莓", "realme", "努比亚",
+    "iqoo", "魅族", "lenovo",
+]
+assert sorted(_BRAND_SCAN_ORDER) == sorted(k for k, _ in _BRAND_MAP)
+
 _FLAGSHIP_KW = ["PRO", "ULTRA", "MAX", "PLUS", "MATE", "FIND", "X",
                 "PRO+", "GT", "ACE", "旗舰", "折叠"]
 _FOLDABLE_KW = ["FOLD", "FLIP", "MIX FOLD", "MATE X", "折叠"]
@@ -2501,9 +2533,10 @@ def _p45(d: Dialect) -> str:
     exact = "CASE " + bl + " " + " ".join(
         f"WHEN {_sql_str(k)} THEN {_sql_str(v)}" for k, v in _BRAND_MAP
     ) + " END"
+    brand_of = dict(_BRAND_MAP)
     fuzzy = "CASE " + " ".join(
-        f"WHEN instr({bl}, {_sql_str(k)}) > 0 THEN {_sql_str(v)}"
-        for k, v in sorted(_BRAND_MAP, key=lambda kv: (-len(kv[0]), kv[0]))
+        f"WHEN instr({bl}, {_sql_str(k)}) > 0 THEN {_sql_str(brand_of[k])}"
+        for k in _BRAND_SCAN_ORDER
     ) + " END"
     capitalized = ("upper(substr(brand, 1, 1)) || lower(substr(brand, 2))")
     std_brand = f"COALESCE({exact}, {fuzzy}, {capitalized})"
