@@ -1376,13 +1376,22 @@ class SparkEmitter(Emitter):
     def add_days(self, date_frag, n):
         return f"date_add({date_frag}, {n})"
 
-    _bind_n = 0
+    # lambda-variable names derive from NESTING DEPTH, not a global
+    # counter: emitted SQL text is reproducible across emission order,
+    # sibling binds share a name safely (disjoint lambda scopes), and a
+    # bind nested inside another bind's body gets a deeper name — no
+    # shadowing. `frag` is already-emitted text, so its own binds have
+    # completed and reset the depth before this call reads it.
+    _bind_depth = 0
 
     def bind_one(self, frag, body_fn):
-        SparkEmitter._bind_n += 1
-        v = f"zgb{SparkEmitter._bind_n % 997}"
-        return (f"(transform(array({frag}), "
-                f"{v} -> {body_fn(v)})[0])")
+        v = f"zgb{SparkEmitter._bind_depth}"
+        SparkEmitter._bind_depth += 1
+        try:
+            body = body_fn(v)
+        finally:
+            SparkEmitter._bind_depth -= 1
+        return f"(transform(array({frag}), {v} -> {body})[0])"
 
     def dt_parse(self, frag: str, form: str) -> str:
         if form == "iso_frac":
@@ -1464,13 +1473,17 @@ class DuckEmitter(Emitter):
     def add_days(self, date_frag, n):
         return f"({date_frag} + {n})"
 
-    _bind_n = 0
+    # depth-derived lambda names — see SparkEmitter.bind_one
+    _bind_depth = 0
 
     def bind_one(self, frag, body_fn):
-        DuckEmitter._bind_n += 1
-        v = f"zgb{DuckEmitter._bind_n % 997}"
-        return (f"(list_transform([{frag}], "
-                f"{v} -> {body_fn(v)})[1])")
+        v = f"zgb{DuckEmitter._bind_depth}"
+        DuckEmitter._bind_depth += 1
+        try:
+            body = body_fn(v)
+        finally:
+            DuckEmitter._bind_depth -= 1
+        return f"(list_transform([{frag}], {v} -> {body})[1])"
 
     def dt_parse(self, frag: str, form: str) -> str:
         if form == "iso_frac":
