@@ -44,7 +44,7 @@ import random
 
 import pytest
 
-from test_expr_fuzz import _lenient, _norm_eq, try_cast_double
+from test_expr_fuzz import NOW_SQL, _lenient, _norm_eq, try_cast_double
 from test_expr_tree_port import (
     Deviation,
     EngineEvalDates,
@@ -101,7 +101,16 @@ def _g_num(rng, d):
         return f"length({_g_str(rng, d - 1)})"
     if p < 0.85:
         return f"datediff(from_unixtime({a}), '2024-08-01 00:00:00')"
-    return f"CASE WHEN {_g_bool(rng, d - 1)} THEN {a} ELSE {b} END"
+    # CASE value branches must stay FAMILY-homogeneous — the documented
+    # engine deviation (expr_compiler.py module docstring): DuckDB types
+    # CASE statically and rejects a VARCHAR/numeric branch mix that the
+    # reference's Object values would carry. A bare BAG leaf at a branch
+    # root is VARCHAR; force the numeric family the documented way
+    # (x * 1). The round-10 fresh seed minted three mixed rules and the
+    # bind failed loudly, exactly as documented — reference-shipped
+    # rules are homogeneous, so the generator stays in contract.
+    fa, fb = (f"({x} * 1)" if x in _BAG else x for x in (a, b))
+    return f"CASE WHEN {_g_bool(rng, d - 1)} THEN {fa} ELSE {fb} END"
 
 
 def _g_str(rng, d):
@@ -172,15 +181,18 @@ def _gen_rules(rng):
 # --- the generated p5-shaped query (mirrors plans/pipeline.py _p5) ----------
 def _p5_sql(d, evt, usr):
     cols = []
+    # the engines' clock is pinned to the ports' NOW constant (r9's seed
+    # agreed between live and pinned clocks by luck; r10's
+    # 'now() > 2024-08-25' rule split them — 82 row divergences)
     for i, (ev, rule) in enumerate(evt):
         cond = f"dt IN ('evt', 'abp') AND event_type = '{ev}'"
         cols.append(
-            f"CAST((CASE WHEN {cond} THEN ({_va_frag(d, rule)}) END)"
+            f"CAST((CASE WHEN {cond} THEN ({_va_frag(d, rule, NOW_SQL)}) END)"
             f" AS {'STRING' if d.name == 'spark' else 'VARCHAR'}) AS r{i}")
     for i, (rule, fields) in enumerate(usr):
         cond = f"dt = 'usr' AND {_is_all_prop(d, fields)}"
         cols.append(
-            f"CAST((CASE WHEN {cond} THEN ({_va_frag(d, rule)}) END)"
+            f"CAST((CASE WHEN {cond} THEN ({_va_frag(d, rule, NOW_SQL)}) END)"
             f" AS {'STRING' if d.name == 'spark' else 'VARCHAR'}) AS u{i}")
     return ("SELECT event_id, dt, event_type, "
             + ",\n       ".join(cols)
