@@ -51,7 +51,35 @@ DEC_VALS = ["", "plain", "kw%20space", "a+b", "50%+off", "%E4%B8%AD",
             "%D6%D0%CE%C4", "%E4%B8%AD%FF", "%zz%E4%B8%AD", "%E4%B8%AD%E",
             "a%zz", "kw%2520x", "a%20b", "%+f", "%-0", "%-1", "% 1",
             "%41%42", "%c3%a9", "%E4%B8%ADx+y", "100%", "%", "%%41",
-            "%GG", "a%%20b", "%e4%b8%ad"]
+            "%GG", "a%%20b", "%e4%b8%ad",
+            # JDK UTF-8 decoder malformed-length pins (java_utf8_decode:
+            # Java consumes a complete surrogate triple as ONE unit;
+            # overlong/out-of-range second bytes reset after one byte)
+            "%ED%A0%80", "%ED%A0%80%ED%B0%80", "%ED%A0%41", "%ED%9F%BF",
+            "%E0%80%80", "%E0%80%41", "%E0%9F%BF", "%F0%80%80%80",
+            "%F4%90%80%80", "%F4%8F%BF%BF", "%F5%80%80%80", "%F0%9F%98%80",
+            "%F0%9F%98", "%F0%28%8C%BC", "%E2%28%A1", "%C0%AF", "%80",
+            "%F8%88%80%80%80", "%FE%80", "%E4%B8", "%DF%C0", "%ED%ED%A0%80"]
+
+
+def du_soup():
+    """Fresh-seed random %XX byte soups — the discovery leg that found
+    the JDK-vs-Python malformed-length split (round 10: '%ED%A0%80' is
+    ONE U+FFFD in Java, three in Python's maximal-subpart 'replace')."""
+    rng = random.Random(77_000_000 + BUILD_ROUND)
+    leads = [0xC2, 0xC0, 0xDF, 0xE0, 0xE4, 0xED, 0xEE, 0xF0, 0xF4,
+             0xF5, 0xF8, 0xFF, 0x80]
+    out = set()
+    for _ in range(120):
+        k = rng.randrange(1, 9)
+        out.add("".join(f"%{rng.randrange(256):02X}" for _ in range(k)))
+    for _ in range(120):
+        bs = [rng.choice(leads)]
+        for _ in range(rng.randrange(0, 5)):
+            bs.append(rng.choice([0x80, 0x9F, 0xA0, 0xBF, 0x41, 0xC0,
+                                  rng.randrange(256)]))
+        out.add("".join(f"%{b:02X}" for b in bs))
+    return sorted(out)
 
 # ToolUtil.urlParseToMap (mode um) and dateUsStrToTimestamp (mode dt)
 UM_VALS = [
@@ -143,6 +171,12 @@ UT_FIXED = [
     "\\N",
     "http://cn.bing.com/search?q=a%2Bb",              # layer-1 keeps %2B…
     "http://cn.bing.com/search?q=%E6%96%87x",
+    # JDK-decoder malformed lengths reaching a MATCHED host (the round-10
+    # 9k-cell mega-sweep found these four before java_utf8_decode landed)
+    "http://www.sogou.com/web?query=%ED%A0%80",       # 1 U+FFFD, not 3
+    "http://www.sogou.com/web?query=%ED%A0%80%ED%B0%80",
+    "http://cn.bing.com/search?q=%E0%80%41",
+    "http://www.so.com/s?q=%F5%80%80%80",
 ]
 
 
@@ -261,6 +295,7 @@ def corpora():
                    + rng2.choice(tails)).strip() for _ in range(500)})
     return ([("kw", u) for u in urls] + [("ua", u) for u in uas]
             + [("dm", v) for v in DEC_VALS] + [("du", v) for v in DEC_VALS]
+            + [("du", v) for v in du_soup()]
             + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS]
             + [("ut", v) for v in UT_FIXED + ut_corpus()]
             + [("dp", v) for v in dp_corpus()])

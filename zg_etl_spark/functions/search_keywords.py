@@ -217,6 +217,91 @@ class _JavaDecodeError(ValueError):
     truncated %-pattern)."""
 
 
+def java_utf8_decode(buf: bytes) -> str:
+    """JDK's sun.nio.cs.UTF_8 decoder with CodingErrorAction.REPLACE —
+    NOT Python's ``errors='replace'`` (WHATWG maximal-subpart). The two
+    disagree on malformed-sequence LENGTHS: Java consumes a structurally
+    complete 3-byte surrogate sequence as ONE unit ('%ED%A0%80' → one
+    U+FFFD; Python emits three), while an invalid-range second byte
+    resets after ONE byte ('%E0%80%80' → three U+FFFD). Every branch
+    below is pinned against the reference's UrlDecoder executed on this
+    JDK (mode 'du' byte-soup cells in the refkw fixture)."""
+    R = "�"
+    out: list[str] = []
+    i, n = 0, len(buf)
+
+    def cont(b: int) -> bool:
+        return (b & 0xC0) == 0x80
+
+    while i < n:
+        b1 = buf[i]
+        if b1 < 0x80:
+            out.append(chr(b1))
+            i += 1
+        elif 0xC2 <= b1 <= 0xDF:
+            b2 = buf[i + 1] if i + 1 < n else None
+            if b2 is not None and cont(b2):
+                out.append(chr(((b1 & 0x1F) << 6) | (b2 & 0x3F)))
+                i += 2
+            else:
+                out.append(R)
+                i += 1
+        elif 0xE0 <= b1 <= 0xEF:
+            b2 = buf[i + 1] if i + 1 < n else None
+            b3 = buf[i + 2] if i + 2 < n else None
+            if b2 is not None and ((b1 == 0xE0 and (b2 & 0xE0) == 0x80)
+                                   or not cont(b2)):
+                out.append(R)       # overlong E0 or bad b2 → length 1
+                i += 1
+            elif b2 is None or b3 is None:
+                out.append(R)       # truncated valid prefix → consume it
+                i = n if b2 is None else i + 2
+            elif not cont(b3):
+                out.append(R)
+                i += 2
+            else:
+                cp = ((b1 & 0xF) << 12) | ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+                if 0xD800 <= cp <= 0xDFFF:
+                    out.append(R)   # surrogate half: ONE unit of 3
+                else:
+                    out.append(chr(cp))
+                i += 3
+        elif 0xF0 <= b1 <= 0xF7:
+            b2 = buf[i + 1] if i + 1 < n else None
+            b3 = buf[i + 2] if i + 2 < n else None
+            b4 = buf[i + 3] if i + 3 < n else None
+            if b2 is not None and (
+                    not cont(b2) or b1 > 0xF4
+                    or (b1 == 0xF0 and not 0x90 <= b2 <= 0xBF)
+                    or (b1 == 0xF4 and (b2 & 0xF0) != 0x80)):
+                out.append(R)       # bad/out-of-range b2 (>U+10FFFF) → 1
+                i += 1
+            elif b2 is None:
+                out.append(R)
+                i += 1
+            elif b3 is None:
+                out.append(R)
+                i += 2
+            elif not cont(b3):
+                out.append(R)
+                i += 2
+            elif b4 is None:
+                out.append(R)
+                i += 3
+            elif not cont(b4):
+                out.append(R)
+                i += 3
+            else:
+                cp = (((b1 & 0x7) << 18) | ((b2 & 0x3F) << 12)
+                      | ((b3 & 0x3F) << 6) | (b4 & 0x3F))
+                out.append(chr(cp))
+                i += 4
+        else:   # stray continuation, C0/C1, or F8-FF lead
+            out.append(R)
+            i += 1
+    return "".join(out)
+
+
 def java_url_decode(s: str, enc: str) -> str:
     """Literal port of java.net.URLDecoder.decode(s, enc) — the decoder
     both UrlDecoder entry points delegate to. Python's urllib.unquote is
@@ -231,7 +316,11 @@ def java_url_decode(s: str, enc: str) -> str:
       '%-0' is byte 0x00;
     - undecodable byte runs never throw — Java builds the result with
       String(bytes, enc), whose decoder REPLACES bad sequences with
-      U+FFFD (unquote(errors='strict') would raise).
+      U+FFFD (unquote(errors='strict') would raise). For UTF-8 that is
+      the JDK decoder's own malformed-length rules (java_utf8_decode —
+      surrogate triples are ONE replacement), not Python's
+      maximal-subpart 'replace'; the GBK lane keeps Python's handler
+      (the closed corpus mints no malformed GBK runs).
     """
     out: list[str] = []
     i, n = 0, len(s)
@@ -258,7 +347,10 @@ def java_url_decode(s: str, enc: str) -> str:
                     raise _JavaDecodeError(f"negative escape value: {pair!r}")
                 buf.append(v)
                 i += 3
-            out.append(buf.decode(enc, errors="replace"))
+            if enc.lower().replace("-", "") == "utf8":
+                out.append(java_utf8_decode(bytes(buf)))
+            else:
+                out.append(buf.decode(enc, errors="replace"))
         else:
             out.append(c)
             i += 1
@@ -349,9 +441,10 @@ def _uri_check(comp: str, extra: set, what: str) -> None:
 
 def _uri_decode(s: str) -> str:
     """java.net.URI.decode: consecutive %XX runs byte-decoded as UTF-8
-    with CodingErrorAction.REPLACE (bad sequences → U+FFFD); '+' is NOT
-    touched (that is URLDecoder, a different decoder). Escapes were
-    already validated by the parser."""
+    with CodingErrorAction.REPLACE — the JDK decoder's malformed-length
+    rules (java_utf8_decode), not Python's; '+' is NOT touched (that is
+    URLDecoder, a different decoder). Escapes were already validated by
+    the parser."""
     if "%" not in s:
         return s
     out: list[str] = []
@@ -362,7 +455,7 @@ def _uri_decode(s: str) -> str:
             while i < n and s[i] == "%":
                 buf.append(int(s[i + 1:i + 3], 16))
                 i += 3
-            out.append(buf.decode("utf-8", errors="replace"))
+            out.append(java_utf8_decode(bytes(buf)))
         else:
             out.append(s[i])
             i += 1
