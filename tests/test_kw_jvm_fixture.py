@@ -114,7 +114,12 @@ def _py_um(url):
                     continue
                 arr = _java_split_eq(kv)
                 if not arr:
-                    continue
+                    # a bare '='/'==' part splits to an EMPTY array:
+                    # keyValueArr[0] throws inside the reference's try
+                    # and the catch returns a NEW map (ToolUtil.java:
+                    # 131-134) — the WHOLE result is empty, the part is
+                    # not just skipped (round-10 um mega-sweep find)
+                    return {}
                 mp[arr[0]] = arr[1] if len(arr) > 1 else ""
     return mp
 
@@ -124,7 +129,6 @@ def _py_dt(v):
     dispatches seconds-vs-minutes "yyyy-MM-dd'T'HH:mm[:ss]'Z'" — an
     ofPattern, so ResolverStyle.SMART applies (day clamps to the month,
     exactly 24:00[:00] is next-day midnight); failure → 0."""
-    from datetime import datetime, timedelta, timezone
     import calendar
 
     if v is None or v.strip() == "":
@@ -138,17 +142,19 @@ def _py_dt(v):
         return 0
     y, mo, dd, h, mi, *rest = [int(x) for x in m.groups()] + [0]
     ss = rest[0] if len(m.groups()) == 6 else 0
-    if not (1 <= mo <= 12 and 1 <= dd <= 31):
+    if not (1 <= y <= 9999 and 1 <= mo <= 12 and 1 <= dd <= 31):
+        # year 0000: SMART's era-based 'yyyy' rejects year-of-era 0
+        # (JVM-pinned → 0)
         return 0
     dd = min(dd, calendar.monthrange(y, mo)[1])
-    if h == 24 and mi == 0 and ss == 0:
-        dt = (datetime(y, mo, dd, tzinfo=timezone.utc)
-              + timedelta(days=1))
-    elif h <= 23 and mi <= 59 and ss <= 59:
-        dt = datetime(y, mo, dd, h, mi, ss, tzinfo=timezone.utc)
-    else:
+    if not ((h == 24 and mi == 0 and ss == 0)
+            or (h <= 23 and mi <= 59 and ss <= 59)):
         return 0
-    return int(dt.timestamp() * 1000)
+    # ordinal arithmetic, not datetime(): hour 24 on 9999-12-31 rolls
+    # into year 10000, which Java represents and datetime cannot
+    from datetime import date
+    days = date(y, mo, dd).toordinal() - date(1970, 1, 1).toordinal()
+    return (((days * 24 + h) * 60 + mi) * 60 + ss) * 1000
 
 
 def _py_dp(v):

@@ -95,6 +95,10 @@ UM_VALS = [
     "https://x.cn/l?a%3Db=c", "https://x.cn/l?x=%E4%B8%AD",
     "https://x.cn/l?=v", "https://x.cn/l?a=1&&b=2",
     "https://x.cn/l?a=1#f?c=3", "https://x.cn/l?a==",
+    # a bare '='/'==' part: split("=") → empty array → keyValueArr[0]
+    # throws → the catch returns a NEW empty map (round-10 um sweep)
+    "https://x.cn/l?lid=1&=&k=a%26b", "https://x.cn/l?=",
+    "https://x.cn/l?==", "?b=a%26b&=&a+b=c+d&lid=c+d",
 ]
 DT_VALS = [
     "2023-01-04T08:11:23Z", "2023-01-04T08:11Z", "not-a-date", "",
@@ -105,6 +109,9 @@ DT_VALS = [
     "2023-01-04T24:00:00Z", "2023-01-04T24:00Z", "2023-04-31T08:11:23Z",
     "2024-02-30T08:11:23Z", "2023-01-32T08:11:23Z", "2023-00-04T08:11:23Z",
     "2023-01-00T08:11:23Z", "2023-01-04T23:60:00Z", "2023-12-32T00:00:00Z",
+    "0000-01-04T08:11:23Z", "0000-01-04T08:11Z",      # year-of-era 0 → 0
+    "9999-12-31T24:00:00Z", "9999-12-31T24:00Z",      # rolls to year 10000
+    "1969-12-31T23:59:59Z",                           # negative epoch
 ]
 
 

@@ -3388,8 +3388,10 @@ _register("p50_match_json_userprop", _p50)
 #   * urlParseToMap URL-DECODES FIRST, then splits on '?', '&', '=' —
 #     so a %26 inside a value splits into a bogus pair (the classic
 #     decode-before-split defect, kept faithful), a '=' -less pair is
-#     skipped entirely, and `k=` keeps key with value '' (Java split
-#     trailing-empty drop);
+#     skipped entirely, `k=` keeps key with value '' (Java split
+#     trailing-empty drop), and a bare '=' part aborts the WHOLE map
+#     (keyValueArr[0] on the empty split throws; catch returns a new
+#     map — JVM-pinned, out of this closed fixture's alphabet);
 #   * channel_type 3 (Tencent web) probes the click store by qz_gdt
 #     (priority) else gdt_vid (:819-827) — the store is Redis state;
 #     modeled against the empty store, so the probe key is derived and
