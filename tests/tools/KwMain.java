@@ -60,6 +60,19 @@ public class KwMain {
                     case "ut":
                         r = (String) utm.invoke(eatInst, null, v);
                         break;
+                    // gb/g2 = raw new String(bytes, GBK/GB2312) — the
+                    // decoder URLDecoder delegates to; v is plain hex
+                    // (table-dump probes for the Python DBCS port)
+                    case "gb":
+                    case "g2": {
+                        byte[] bs = new byte[v.length() / 2];
+                        for (int j = 0; j < bs.length; j++)
+                            bs[j] = (byte) Integer.parseInt(
+                                    v.substring(j * 2, j * 2 + 2), 16);
+                        r = new String(bs,
+                                mode.equals("gb") ? "GBK" : "GB2312");
+                        break;
+                    }
                     case "dp": {
                         int sep = v.indexOf('\u0001');
                         String brand = v.substring(0, sep);

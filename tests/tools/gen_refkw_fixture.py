@@ -81,6 +81,25 @@ def du_soup():
         out.add("".join(f"%{b:02X}" for b in bs))
     return sorted(out)
 
+
+def dm_soup():
+    """Fresh-seed GBK-leaning byte soups for decodeMultiCharset — the
+    leg that exercises the table-driven Java DBCS decoder (round 10:
+    133 of 1,161 dirty soups diverged before java_dbcs_decode; Java
+    maps user-defined GBK rows to PUA and consumes structural pairs as
+    ONE unit where Python's codec re-synchronizes per byte)."""
+    rng = random.Random(79_000_000 + BUILD_ROUND)
+    pool = [0xD6, 0xD0, 0xCE, 0xC4, 0x81, 0xFE, 0x40, 0x7F, 0x80, 0xA1,
+            0x41]
+    out = set()
+    for _ in range(200):
+        k = rng.randrange(1, 7)
+        out.add("".join(
+            f"%{rng.choice(pool + [rng.randrange(0x30, 0xFF)]):02X}"
+            for _ in range(k)))
+    return sorted(out)
+
+
 # ToolUtil.urlParseToMap (mode um) and dateUsStrToTimestamp (mode dt)
 UM_VALS = [
     "https://x.cn/l?lid=11&lname=bdsearch&channel_type=4",
@@ -303,6 +322,7 @@ def corpora():
     return ([("kw", u) for u in urls] + [("ua", u) for u in uas]
             + [("dm", v) for v in DEC_VALS] + [("du", v) for v in DEC_VALS]
             + [("du", v) for v in du_soup()]
+            + [("dm", v) for v in dm_soup()]
             + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS]
             + [("ut", v) for v in UT_FIXED + ut_corpus()]
             + [("dp", v) for v in dp_corpus()])
@@ -419,12 +439,89 @@ def build_classes(scratch: str, reference: str = "/root/reference") -> str:
     return classes
 
 
+DBCS_MODULE = os.path.join(os.path.dirname(__file__), "..", "..",
+                           "zg_etl_spark", "functions",
+                           "java_dbcs_tables.py")
+
+
+def _run_kwmain(classes, cells):
+    lines = [json.dumps({"mode": m, "v": v}, separators=(",", ":"))
+             for m, v in cells]
+    proc = subprocess.run(
+        ["java", "-Dfile.encoding=UTF-8", "-cp", classes, "KwMain"],
+        input="\n".join(lines) + "\n", capture_output=True, text=True)
+    outs = [json.loads('"' + l + '"') for l in proc.stdout.splitlines()]
+    assert len(outs) == len(cells), (len(outs), len(cells),
+                                     proc.stderr[-500:])
+    return outs
+
+
+def gen_dbcs_tables(classes):
+    """Dump Java's GBK and GB2312 decoders (the charsets
+    String(bytes, cs) uses inside URLDecoder) into a generated runtime
+    module. Per charset: singles = decode([b]) for every byte; pairs =
+    decode([lead, trail, 0x41]) for lead 0x81-0xFE × trail 0x00-0xFF —
+    a result of exactly two chars ending in 'A' means the pair was
+    consumed as one unit (entry = its mapping, possibly U+FFFD for an
+    unmappable-but-structural pair); anything else means the lead was
+    malformed ALONE (entry = sentinel U+0000, trail reprocessed). The
+    streaming decoder in search_keywords.java_dbcs_decode replays
+    exactly these rules."""
+    import base64
+    import zlib
+
+    tables = {}
+    for mode, name in (("gb", "gbk"), ("g2", "gb2312")):
+        cells = [(mode, f"{b:02X}") for b in range(256)]
+        for lead in range(0x81, 0xFF):
+            for trail in range(256):
+                cells.append((mode, f"{lead:02X}{trail:02X}41"))
+        outs = _run_kwmain(classes, cells)
+        singles = "".join(outs[:256])
+        assert len(singles) == 256
+        pairs = {}
+        i = 256
+        for lead in range(0x81, 0xFF):
+            row = []
+            for trail in range(256):
+                r = outs[i]
+                i += 1
+                row.append(r[0] if len(r) == 2 and r[1] == "A"
+                           else "\x00")
+            row_s = "".join(row)
+            if row_s.strip("\x00"):
+                pairs[str(lead)] = row_s
+        tables[name] = {"singles": singles, "pairs": pairs}
+
+    blob = base64.b64encode(zlib.compress(json.dumps(
+        tables, ensure_ascii=False, separators=(",", ":"),
+        sort_keys=True).encode("utf-8"), 9)).decode("ascii")
+    body = '"""GENERATED by tests/tools/gen_refkw_fixture.py — Java\n'
+    body += ("charset ground truth: the GBK / GB2312 decode tables of\n"
+             "this container's JDK (sun.nio.cs DoubleByte decoders),\n"
+             "dumped cell-by-cell via tests/tools/KwMain.java modes\n"
+             "gb/g2. singles[b] = new String([b], cs); pairs[lead]\n"
+             "[trail] = the pair's mapping, or U+0000 when the lead is\n"
+             "malformed ALONE (trail reprocessed). Do not hand-edit.\n"
+             '"""\n\n'
+             "import base64 as _b64\nimport json as _json\n"
+             "import zlib as _zlib\n\n")
+    body += f"_BLOB = {blob!r}\n\n"
+    body += ("TABLES = _json.loads(\n"
+             "    _zlib.decompress(_b64.b64decode(_BLOB)).decode(\"utf-8\"))\n")
+    with open(DBCS_MODULE, "w", encoding="utf-8") as fh:
+        fh.write(body)
+    print("wrote", DBCS_MODULE, {k: len(v["pairs"]) for k, v in
+                                 tables.items()}, "pair rows")
+
+
 def main():
     if len(sys.argv) > 1:
         classes = sys.argv[1]
     else:
         import tempfile
         classes = build_classes(tempfile.mkdtemp(prefix="refkw_"))
+    gen_dbcs_tables(classes)
     cells = corpora()
     lines = [json.dumps({"mode": m, "v": v}, separators=(",", ":"))
              for m, v in cells]

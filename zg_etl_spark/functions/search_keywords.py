@@ -347,13 +347,56 @@ def java_url_decode(s: str, enc: str) -> str:
                     raise _JavaDecodeError(f"negative escape value: {pair!r}")
                 buf.append(v)
                 i += 3
-            if enc.lower().replace("-", "") == "utf8":
+            enc_key = enc.lower().replace("-", "")
+            if enc_key == "utf8":
                 out.append(java_utf8_decode(bytes(buf)))
+            elif enc_key in ("gbk", "gb2312"):
+                out.append(java_dbcs_decode(bytes(buf), enc_key))
             else:
                 out.append(buf.decode(enc, errors="replace"))
         else:
             out.append(c)
             i += 1
+    return "".join(out)
+
+
+_DBCS: dict[str, tuple[str, dict[int, str]]] = {}
+
+
+def java_dbcs_decode(buf: bytes, cs: str) -> str:
+    """JDK's GBK / GB2312 decoders (sun.nio.cs DoubleByte) with
+    CodingErrorAction.REPLACE, driven by tables dumped from the actual
+    charsets on this JDK (java_dbcs_tables.py, generated by
+    tests/tools/gen_refkw_fixture.py). Python's own 'gbk' codec
+    DIVERGES from Java's: Java maps the user-defined rows to Private
+    Use Area chars (FE D0 → U+E4C5) and consumes a structural pair
+    whose mapping is absent as ONE U+FFFD, where Python replaces
+    per-byte and re-synchronizes differently — 133 of 1,161 dirty GBK
+    soups disagreed before this port (round-10 dm probe)."""
+    if cs not in _DBCS:
+        from zg_etl_spark.functions.java_dbcs_tables import TABLES
+
+        t = TABLES["gbk" if cs == "gbk" else "gb2312"]
+        _DBCS[cs] = (t["singles"], {int(k): v for k, v in
+                                    t["pairs"].items()})
+    singles, pairs = _DBCS[cs]
+    out: list[str] = []
+    i, n = 0, len(buf)
+    while i < n:
+        b1 = buf[i]
+        if b1 < 0x80:
+            out.append(chr(b1))
+            i += 1
+            continue
+        row = pairs.get(b1)
+        if row is not None and i + 1 < n:
+            m = row[buf[i + 1]]
+            if m != "\x00":
+                out.append(m)      # consumed as a pair (may be U+FFFD)
+                i += 2
+                continue
+        out.append(singles[b1])   # non-lead byte, bad trail, or at end
+        i += 1
     return "".join(out)
 
 
