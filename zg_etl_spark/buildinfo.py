@@ -10,4 +10,4 @@ fixed or documented, then pinned as named corpus tests — the sweep
 itself never becomes the regression armor, it keeps re-arming it.
 """
 
-BUILD_ROUND = 10
+BUILD_ROUND = 11

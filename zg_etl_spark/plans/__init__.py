@@ -15,88 +15,88 @@ changed this round; the twice-green remainder rotates behind them.
 from zg_etl_spark.plans import (
     consume, gate_queries, llm, pipeline, relational, streaming_queries)
 
-# Round-10 window: CORRECTNESS_r09 landed 50/50 hash-green on the
-# round-9 composition, so that block rotates behind. After r9 the
-# OLDEST driver rows are the 39 round-7-attested queries; the window
+# Round-11 window: CORRECTNESS_r10 landed 50/50 hash-green on the
+# round-10 composition, so that block rotates behind. After r10 the
+# OLDEST driver rows are the 40 round-8-attested queries; the window
 # front-loads, in priority order:
-#   1. the queries whose OUTPUT changed this round: p8/p7 — the wide
-#      table's getUtmTermFromRef fallback moved to exact java.net.URI
-#      semantics (fragment-before-query → null, URISyntaxException
-#      gate, getHost() server-parse rules, the second URLDecoder
-#      layer's throw channel), pinned against the reference class
-#      executed on this JDK (refkw_jvm_fixture mode 'ut') — and p5
-#      (bind_one lambda names moved from a global counter to nesting
-#      depth: same plans, reproducible SQL text);
-#   2. the whole r7 band: l1-l10, p27/p28/p30-p33/p35/p39/p51,
-#      q1-q10/q12-q19, s2, w2;
-#   3. picks from the next-oldest (r8) band: the gate crypto lanes
-#      g2/g3, the spine identity relations p1/p2/p3/p9, and the two
-#      BENCH_r09 outlier re-reads l30/l31 (21.2 s / 6.8 s in the
-#      throttled driver pass; 1.2 s / 1.5 s in the round-10 opening
-#      A/B — re-attest alongside the standalone numbers).
-# The remainder (the r8/r9-green band) stays in the tail, covered by
+#   1. the queries whose OUTPUT changed during round 10 AFTER their
+#      last driver attestation (the r10 window was set before these
+#      fixes landed): p45 — the DevicePropertyParser fuzzy brand scan
+#      moved to the reference HashMap's iteration order (JVM fixture
+#      mode 'dp') — and g1 — the zlib wire lane's UTF-8 decode moved
+#      to the JDK's exact malformed-length rules (surrogate triple =
+#      ONE U+FFFD);
+#   2. the whole 40-query r8 band: l28-l37 (minus the r10-re-attested
+#      l30/l31), p10-p18/p20/p22-p26, p37/p40/p42/p52/p53/p54c,
+#      q11/q20, s7/s8, w1/w4-w8/w10;
+#   3. picks from the next-oldest (r9) band: the spine relations
+#      p0/p4/p6, the zgid streaming lane s5, the dedup connected
+#      components l16, and the two documented JVM-boundary queries
+#      p43/p46 (this round's fastjson2 probe targets their surface —
+#      re-attest them on whatever the probe concludes).
+# The remainder (the r9/r10-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
-# attested is older than round 8.
+# attested is older than round 9.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
 # new entry silently displace the intended 50th query.
 _WINDOW = [
+    "p45_device_classify",
+    "g1_wire_roundtrip",
+    "l28_source_mixture",
+    "l29_semantic_dedup",
+    "l32_vocab_coverage",
+    "l33_lm_quality_score",
+    "l34_source_overlap",
+    "l35_incremental_dedup",
+    "l36_sequence_packing",
+    "l37_pq_ann",
+    "p10_b_user_upsert",
+    "p11_b_device_upsert",
+    "p12_id_archive",
+    "p13_user_visit_stats",
+    "p14_first_touch",
+    "p15_retention_cohort",
+    "p16_funnel",
+    "p17_user_prop_dict",
+    "p18_device_props",
+    "p20_asof_props",
+    "p22_session_attribution",
+    "p23_ad_conversion",
+    "p24_app_first_seen",
+    "p25_time_rollup",
+    "p26_error_details",
+    "p37_user_detail_sum",
+    "p40_salted_counters",
+    "p42_adv_click_match",
+    "p52_adv_ss_priority",
+    "p53_ipv6_geo",
+    "p54c_candidates",
+    "q11_approx_distinct",
+    "q20_gapfill_locf",
+    "s7_stream_stream_join",
+    "s8_stream_upsert_delete",
+    "w1_upsert_writer",
+    "w4_partition_overwrite",
+    "w5_compaction",
+    "w6_delete_sign",
+    "w7_schema_evolution",
+    "w8_retention_sweep",
+    "w10_scale_ids",
+    "p0_envelope",
+    "p4_dictionaries",
+    "p6_virtual_events",
+    "s5_streaming_zgid",
+    "l16_dedup_groups",
+    "p43_adv_match_json",
+    "p46_dims_mapping",
+    "p54d_replay_rollup",
+    # behind the 50-query cut — stay listed so a future rotation is a
+    # reorder, not a rediscovery
     "p8_wide_table",
     "p7_enrichment",
     "p5_virtual_attrs",
-    "p30_search_keywords",
-    "l1_text_stats",
-    "l2_lang_id",
-    "l3_dedup_exact",
-    "l4_ngram_jaccard",
-    "l5_minhash_signatures",
-    "l6_lsh_candidates",
-    "l7_simhash",
-    "l8_ann_bruteforce",
-    "l9_ann_ivf",
-    "l10_multimodal_binary",
-    "p27_user_profile",
-    "p28_gate_business",
-    "p31_adv_attribution",
-    "p32_synthesized_records",
-    "p33_ua_parse",
-    "p35_user_anonymous",
-    "p39_baidu_eqid",
-    "p51_web_ad_lane",
-    "q1_pricing_summary",
-    "q2_orders_customer_join",
-    "q3_revenue_by_nation",
-    "q4_nation_region",
-    "q5_semi_anti",
-    "q6_hash_agg",
-    "q7_rollup",
-    "q8_window_topk",
-    "q9_top_parts",
-    "q10_set_ops",
-    "q12_scalar_functions",
-    "q13_cube",
-    "q14_grouping_sets",
-    "q15_percentiles",
-    "q16_window_frames",
-    "q17_supplier_revenue",
-    "q18_correlated_subquery",
-    "q19_not_in_null_aware",
-    "s2_streaming_sessions",
-    "w2_bucketed_join",
-    "g2_wire_crypto",
-    "g3_rsa_unwrap",
-    "p1_gate_errors",
-    "p2_identity_mappings",
-    "p3_zgid_binding",
-    "p9_user_properties",
-    "l30_dup_span_fraction",
-    "l31_candidate_verify",
-    # behind the 50-query cut — stay listed so a future rotation is a
-    # reorder, not a rediscovery
-    "p0_envelope",
-    "p6_virtual_events",
-    "p4_dictionaries",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)

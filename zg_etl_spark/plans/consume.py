@@ -67,7 +67,8 @@ QUERIES: dict = {}
 ORACLE: dict = {}
 
 _REPLAY_SCHEMA = (
-    "match_tier string, lid bigint, sess_seq bigint, zg_id bigint"
+    "match_tier string, lid bigint, sess_seq bigint, zg_id bigint,"
+    " claim_click bigint"
 )
 
 
@@ -113,14 +114,26 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
                 hit = (tier, key)
                 break
         if hit is None:
-            out.append(("none", None, sess_seq, zg_id))
+            out.append(("none", None, sess_seq, zg_id, None))
             continue
         tier, key = hit
         click_seq, lid = store[key]
         dead.update(alias.get(click_seq, [key]))
-        out.append((tier, lid, sess_seq, zg_id))
-    return pd.DataFrame(
-        out, columns=["match_tier", "lid", "sess_seq", "zg_id"])
+        out.append((tier, lid, sess_seq, zg_id, click_seq))
+    # build the nullable long columns as masked Int64, NEVER via
+    # pd.DataFrame's inference: a mixed int/None tuple column coerces to
+    # float64+NaN, which rounds seq-scale values (ulp 256 at 1.7e18 —
+    # claim_click ...729 silently became ...704 before this; lid only
+    # escaped because lids are small)
+    mt, lid_c, sseq, zid, cc = (zip(*out) if out else
+                                ((), (), (), (), ()))
+    return pd.DataFrame({
+        "match_tier": pd.Series(mt, dtype=object),
+        "lid": pd.array(lid_c, dtype="Int64"),
+        "sess_seq": pd.array(sseq, dtype="Int64"),
+        "zg_id": pd.array(zid, dtype="Int64"),
+        "claim_click": pd.array(cc, dtype="Int64"),
+    })
 
 
 # contested-candidate row count under which the replay groups by app
@@ -251,8 +264,12 @@ def _p54_relations(spark: SparkSession, sf_dir: str):
     return entries, store, ss, cands
 
 
-def _p54_run(spark: SparkSession, sf_dir: str,
-             _force_components: bool = False) -> DataFrame:
+def _p54_detail(spark: SparkSession, sf_dir: str,
+                _force_components: bool = False):
+    """Per-session replay outcome (match_tier, lid, sess_seq, zg_id,
+    claim_click) plus the relations p54d's del-set accounting joins
+    back to. p54 aggregates this to its (tier, lid) rollup; p54d to
+    its per-app claim/del-set rollup."""
     entries, store, ss, cands = _p54_relations(spark, sf_dir)
 
     # the map-only fast path: sessions with no candidate key at all
@@ -260,7 +277,9 @@ def _p54_run(spark: SparkSession, sf_dir: str,
         ss.join(cands.select("sess_seq").distinct(),
                 ss.seq == F.col("sess_seq"), "left_anti")
         .select(F.lit("none").alias("match_tier"),
-                F.lit(None).cast("long").alias("lid"), "zg_id")
+                F.lit(None).cast("long").alias("lid"),
+                F.col("seq").alias("sess_seq"), "zg_id",
+                F.lit(None).cast("long").alias("claim_click"))
     )
 
     # everything the replay ships is restricted to LIVE keys (keys some
@@ -284,7 +303,7 @@ def _p54_run(spark: SparkSession, sf_dir: str,
     #     group has to hold an app's whole contested stream.
     # tests force the component path and pin both groupings equal.
     if not _force_components and cands.count() <= P54_COARSE_MAX:
-        return _finish(store, akeys, cands, nomatch, None)
+        return _finish(store, akeys, cands, nomatch, None), entries, ss
 
     # nodes: keys + sessions + clicks that alias a live key
     n_key = live_keys.select(F.col("key").alias("node"))
@@ -317,7 +336,15 @@ def _p54_run(spark: SparkSession, sf_dir: str,
     key_comp = (nodes.join(labels, nodes.nid == labels.nd)
                 .select(F.col("node").alias("key"),
                         F.col("lab").cast("string").alias("comp")))
-    return _finish(store, akeys, cands, nomatch, key_comp)
+    return _finish(store, akeys, cands, nomatch, key_comp), entries, ss
+
+
+def _p54_run(spark: SparkSession, sf_dir: str,
+             _force_components: bool = False) -> DataFrame:
+    detail, _, _ = _p54_detail(spark, sf_dir, _force_components)
+    return (detail.groupBy("match_tier", "lid")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("zg_id").alias("n_users")))
 
 
 
@@ -364,12 +391,8 @@ def _finish(store, akeys, cands, nomatch, key_comp) -> DataFrame:
     rep = rep_store.unionByName(rep_alias).unionByName(rep_cand).na.fill(
         -1, ["click_seq", "lid", "sess_seq", "sess_ct", "zg_id", "rank"])
 
-    matched = (rep.groupBy("comp").applyInPandas(_replay, _REPLAY_SCHEMA)
-               .select("match_tier", "lid", "zg_id"))
-    return (matched.unionByName(nomatch)
-            .groupBy("match_tier", "lid")
-            .agg(F.count(F.lit(1)).alias("n_sessions"),
-                 F.countDistinct("zg_id").alias("n_users")))
+    matched = rep.groupBy("comp").applyInPandas(_replay, _REPLAY_SCHEMA)
+    return matched.unionByName(nomatch)
 
 
 QUERIES["p54_click_consumption"] = _p54_run
@@ -497,3 +520,159 @@ def _p54c_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["p54c_candidates"] = _p54c_run
 ORACLE["p54c_candidates"] = duck_pipeline_sql(p54_candidates_sql(DUCK))
+
+
+# ---------------------------------------------------------------------------
+# P54D — the replay's order-insensitive rollup, WITH a full DuckDB value
+# oracle. p54's per-(tier, lid) aggregate stays rows-only because the
+# driver's hash needs a SQL oracle and the greedy sequential consume was
+# assumed inexpressible; it isn't — the contested set is small (every
+# relation is pre-cut to probed keys), so DuckDB can replay it EXACTLY
+# with a recursive CTE that steps one session per iteration in the same
+# (ct, seq) arrival order, carrying the del-set as a list column and
+# picking each session's first alive candidate with list_filter. The
+# oracle below is that replay (global order == the engine's per-group
+# order, since groups never share keys), aggregated per app:
+#   * n_sessions / n_users / n_clicks per (app, tier) — claim counts and
+#     how many distinct store clicks they consumed;
+#   * app_del_keys — the app's batch-end thisDelKeySet size
+#     (AdvLidAndUserFirstEndFlatMapFunction.java:1178-1210: a claim
+#     dels the click payload's WHOLE key set), computed on both sides
+#     from claimed clicks joined back to the full entry relation, NOT
+#     from the replay's internal dead-list (the engine's list is cut to
+#     probed keys — same behavior, smaller accounting set).
+# A hash-green row here value-pins the sequential replay itself, which
+# p54c's static candidate relation could not.
+# ---------------------------------------------------------------------------
+def p54d_replay_sql(d) -> str:
+    """DuckDB rendering only: the engine side is the applyInPandas
+    replay (_p54_detail), so there is no Spark rendering to pin —
+    unlike p54c this template IS the independent formulation."""
+    from zg_etl_spark.plans.pipeline import (
+        p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
+
+    s = d.s
+    ex = "'ex|' || {app} || '|' || {v}"
+    exact_entry = (
+        "  SELECT {k} AS cand_key, ct, seq, lid FROM clicks\n"
+        "  WHERE {col} IS NOT NULL"
+    )
+    exact_entries = "\n  UNION ALL\n".join(
+        exact_entry.format(k=ex.format(app=s("app_id"), v=col), col=col)
+        for col in ("idfa_key", "oaid_key", "aid_key", "imei_key"))
+    return f"""
+WITH keyed AS ({p52_keyed_sql(d)}
+), clicks AS ({p52_clicks_sql(d)}
+), entries AS (
+{exact_entries}
+  UNION ALL
+  SELECT 'fz|' || {s('app_id')} || '|' || ip || '|' || ua_proc,
+         ct, seq, lid
+  FROM clicks WHERE ip IS NOT NULL AND ip <> ''
+), store AS (
+  SELECT cand_key, click_seq, lid FROM (
+    SELECT cand_key, seq AS click_seq, lid,
+           ROW_NUMBER() OVER (PARTITION BY cand_key
+                              ORDER BY ct DESC, seq DESC) AS rn
+    FROM entries) t WHERE rn = 1
+), alias AS (
+  SELECT seq AS click_seq, list(DISTINCT cand_key) AS akeys
+  FROM entries GROUP BY seq
+), ss AS ({p52_ss_sql(d)}
+), cand AS ({p54_candidates_sql(d)}
+), candx AS (
+  -- each candidate embeds everything a claim needs: the stored click,
+  -- its lid, and the click's full alias key set
+  SELECT c.sess_seq, c.sess_ct, c.zg_id, c.cand_rank, c.cand_key,
+         c.tier, st.click_seq, st.lid, al.akeys
+  FROM cand c
+  JOIN store st ON st.cand_key = c.cand_key
+  JOIN alias al ON al.click_seq = st.click_seq
+), scand AS (
+  -- per-session static preference list, ordered exactly like the
+  -- engine replay's sorted((rank, key, tier)) probe loop
+  SELECT sess_seq, any_value(sess_ct) AS sess_ct,
+         any_value(zg_id) AS zg_id,
+         list(struct_pack(rank := cand_rank, key := cand_key,
+                          tier := tier, click_seq := click_seq,
+                          lid := lid, akeys := akeys)
+              ORDER BY cand_rank, cand_key, tier) AS cands
+  FROM candx GROUP BY sess_seq
+), seq_sess AS (
+  SELECT row_number() OVER (ORDER BY sess_ct, sess_seq) AS i, *
+  FROM scand
+), rep AS (
+  -- the recursive scope nests INSIDE a CTE body: full_query splices a
+  -- leading WITH into the prelude's (non-recursive) clause list, where
+  -- a top-level RECURSIVE marker cannot ride along
+  WITH RECURSIVE
+  replay(i, dead, sess_seq, zg_id, match_tier, lid, claim_click) AS (
+    SELECT 0::BIGINT, []::VARCHAR[], NULL::BIGINT, NULL::BIGINT,
+           NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT
+    UNION ALL
+    -- one session per iteration, (ct, seq) order; hit = first candidate
+    -- whose key is still alive; a claim dels the click's whole key set
+    SELECT ns.i,
+           CASE WHEN hit IS NULL THEN r.dead
+                ELSE list_distinct(r.dead || hit.akeys) END,
+           ns.sess_seq, ns.zg_id,
+           COALESCE(hit.tier, 'none'), hit.lid, hit.click_seq
+    FROM replay r
+    JOIN seq_sess ns ON ns.i = r.i + 1,
+    LATERAL (SELECT list_filter(ns.cands,
+                      c -> NOT list_contains(r.dead, c.key))[1] AS hit) h
+  )
+  SELECT i, sess_seq, zg_id, match_tier, lid, claim_click
+  FROM replay
+), detail AS (
+  SELECT sess_seq, zg_id, match_tier, lid, claim_click
+  FROM rep WHERE i > 0
+  UNION ALL
+  SELECT seq, zg_id, 'none', NULL::BIGINT, NULL::BIGINT
+  FROM ss WHERE seq NOT IN (SELECT sess_seq FROM cand)
+), withapp AS (
+  SELECT dd.*, s2.app_id FROM detail dd JOIN ss s2 ON s2.seq = dd.sess_seq
+), appdel AS (
+  SELECT app_id, COUNT(*) AS nk FROM (
+    SELECT DISTINCT w.app_id, e.cand_key
+    FROM withapp w JOIN entries e ON e.seq = w.claim_click) dk
+  GROUP BY app_id
+)
+SELECT w.app_id, w.match_tier,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT w.zg_id) AS n_users,
+       COUNT(DISTINCT w.claim_click) AS n_clicks,
+       COALESCE(MAX(a.nk), 0) AS app_del_keys
+FROM withapp w LEFT JOIN appdel a ON a.app_id = w.app_id
+GROUP BY w.app_id, w.match_tier"""
+
+
+def _p54d_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    detail, entries, ss = _p54_detail(spark, sf_dir)
+    # detail fans into the per-tier rollup AND the del-set join;
+    # materialize once (session-grain — bounded by ss, tiny next to the
+    # click relations the replay already checkpoints)
+    wapp = (detail.join(ss.select(F.col("seq").alias("sess_seq"),
+                                  "app_id"), "sess_seq")
+            .localCheckpoint(True))
+    per_tier = (wapp.groupBy("app_id", "match_tier")
+                .agg(F.count(F.lit(1)).alias("n_sessions"),
+                     F.countDistinct("zg_id").alias("n_users"),
+                     F.countDistinct("claim_click").alias("n_clicks")))
+    claimed = (wapp.where(F.col("claim_click").isNotNull())
+               .select("app_id", "claim_click").distinct())
+    # claims are bounded by sessions — broadcast them at the full entry
+    # relation, never the reverse
+    appdel = (entries.join(F.broadcast(claimed),
+                           entries.seq == F.col("claim_click"))
+              .select("app_id", "key").distinct()
+              .groupBy("app_id").agg(F.count(F.lit(1)).alias("nk")))
+    return (per_tier.join(appdel, "app_id", "left")
+            .select("app_id", "match_tier", "n_sessions", "n_users",
+                    "n_clicks",
+                    F.coalesce("nk", F.lit(0)).cast("long")
+                    .alias("app_del_keys")))
+
+
+QUERIES["p54d_replay_rollup"] = _p54d_run
+ORACLE["p54d_replay_rollup"] = duck_pipeline_sql(p54d_replay_sql(DUCK))
