@@ -95,6 +95,18 @@ public class KwMain {
                         r = b.toString();
                         break;
                     }
+                    // ea = EventAttrTransfer kernels (sanitizers, time
+                    // buckets, the st/se rewrite) — private, reached by
+                    // reflection like mode 'ut'; v = op + U+0001-
+                    // joined args, U+0000 standing in for null. Run
+                    // with -Duser.timezone=UTC: Calendar and
+                    // SimpleDateFormat use the default zone and the
+                    // engine pins UTC.
+                    case "ea": {
+                        String[] a = v.split("\u0001", -1);
+                        r = eaKernel(eat, eatInst, a);
+                        break;
+                    }
                     case "um": {
                         java.util.Map<String, Object> mp =
                                 ToolUtil.urlParseToMap(v);
@@ -118,6 +130,88 @@ public class KwMain {
             }
             out.println(escape(r));
         }
+    }
+
+    // EventAttrTransfer kernel dispatch: a[0] = op, a[1..] = args,
+    // "\u0000" = null. Emits the method's exact return ("\\N" included);
+    // 'tc' joins the three time components with U+0002.
+    static String eaKernel(Class<?> eat, Object inst, String[] a)
+            throws Exception {
+        java.lang.reflect.Method m;
+        switch (a[0]) {
+            case "el":
+                m = eat.getDeclaredMethod("ensureLength",
+                        String.class, int.class);
+                m.setAccessible(true);
+                return (String) m.invoke(inst, nul(a[2]),
+                        Integer.parseInt(a[1]));
+            case "ei":
+                m = eat.getDeclaredMethod("ensureIntLength",
+                        String.class, int.class);
+                m.setAccessible(true);
+                return (String) m.invoke(inst, nul(a[1]), 256);
+            case "en":
+                m = eat.getDeclaredMethod("ensureNetwork", String.class);
+                m.setAccessible(true);
+                return (String) m.invoke(inst, nul(a[1]));
+            case "er":
+                m = eat.getDeclaredMethod("ensureIntRange",
+                        String.class, int.class, int.class);
+                m.setAccessible(true);
+                return (String) m.invoke(inst, nul(a[3]),
+                        Integer.parseInt(a[1]), Integer.parseInt(a[2]));
+            case "il": {
+                m = eat.getDeclaredMethod("ipToLong", String.class);
+                m.setAccessible(true);
+                Object l = m.invoke(inst, nul(a[1]));
+                return l == null ? null : String.valueOf(l);
+            }
+            case "em": {
+                m = eat.getDeclaredMethod("getEventNameFromMap",
+                        java.util.Map.class);
+                m.setAccessible(true);
+                java.util.Map<String, Object> pr = new java.util.HashMap<>();
+                if (!a[1].equals("\u0000")) pr.put("$zg_eid", a[1]);
+                if (!a[2].equals("\u0000")) pr.put("$eid", a[2]);
+                return (String) m.invoke(inst, pr);
+            }
+            case "tc": {
+                m = eat.getDeclaredMethod("getTimeComponents", Long.class);
+                m.setAccessible(true);
+                @SuppressWarnings("unchecked")
+                java.util.Map<String, String> t =
+                        (java.util.Map<String, String>) m.invoke(
+                                inst, Long.valueOf(a[1]));
+                String[] ks = {"day", "hour", "mill"};
+                StringBuilder b = new StringBuilder();
+                for (String k2 : ks) {
+                    if (b.length() > 0) b.append('\u0002');
+                    String x = t.get(k2);
+                    b.append(x == null ? "\u0000" : x);
+                }
+                return b.toString();
+            }
+            case "ts": {
+                m = eat.getDeclaredMethod("timestampToDateString",
+                        Long.class, Integer.class);
+                m.setAccessible(true);
+                Long ct = a[1].equals("\u0000") ? null
+                        : Long.valueOf(a[1]);
+                Integer tz = a[2].equals("\u0000") ? null
+                        : Integer.valueOf(a[2]);
+                return (String) m.invoke(inst, ct, tz);
+            }
+            case "gy": {
+                m = eat.getDeclaredMethod("getYearWeek", String.class);
+                m.setAccessible(true);
+                return (String) m.invoke(inst, a[1]);
+            }
+            default: return "?op";
+        }
+    }
+
+    static String nul(String s) {
+        return s.equals("\u0000") ? null : s;
     }
 
     static String unescape(String s) {
@@ -144,7 +238,11 @@ public class KwMain {
         for (int i = 0; i < s.length(); i++) {
             char c = s.charAt(i);
             if (c == '\\' || c == '"') b.append('\\').append(c);
-            else if (c < 0x20) b.append(String.format("\\u%04x", (int) c));
+            // surrogates escaped too: mode 'ea' ensureLength truncation
+            // can split a pair, and a lone surrogate through the UTF-8
+            // PrintStream would silently become '?'
+            else if (c < 0x20 || (c >= 0xD800 && c <= 0xDFFF))
+                b.append(String.format("\\u%04x", (int) c));
             else b.append(c);
         }
         return b.toString();

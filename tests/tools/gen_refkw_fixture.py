@@ -276,6 +276,138 @@ def dp_corpus():
     return out
 
 
+def ea_corpus():
+    """EventAttrTransfer kernel cells (mode 'ea'): the G8 sanitizers
+    (ensureLength / ensureIntLength / ensureIntRange / ensureNetwork /
+    ipToLong, EventAttrTransfer.java:497-534), the time-bucket builders
+    (getTimeComponents → begin_day_id / begin_time_id, :374-386;
+    timestampToDateString's tz gate, :367-372; getYearWeek, :388-396),
+    and the st/se event-name rewrite (getEventNameFromMap, :360-365).
+    Hand-picked edges + a fresh-seed soup leg per op. U+0001 joins args,
+    U+0000 stands in for null."""
+    S0, S1 = chr(0), chr(1)
+    rng = random.Random(87_000_000 + BUILD_ROUND)
+    cells = []
+
+    # --- ensureLength: null/empty/\N sentinels, the replace-then-trim
+    # channel, UTF-16 truncation (surrogate pairs!), Java-trim-vs-
+    # Python/SQL-trim probes (control chars <= U+0020, U+3000, NBSP)
+    el_vals = [
+        S0, "", "\\N", "null", " ", "  ", "\t", "\t\n\r", "a",
+        " a ", "\ta\t", "a\tb", 'a"b', "a\\b", "a\\\\b", "\ra\n",
+        "\tx", "x\t", '""', "\\", '"', "a  b", "中 文", "　a　",
+        " a ", "\x0ba", "a\x0b", "\x02a\x02",
+        "\x1fa", "a\x1f", " \t a \t ", "\\N ", " \\N", "a\\Nb",
+        "a" * 255, "a" * 256, "a" * 257, "a" * 300,
+        "中" * 256, "中" * 257, "🎉" * 127, "🎉" * 128, "🎉" * 129,
+        "a" + "🎉" * 128, "x" * 255 + "🎉", "x" * 255 + "🎉y",
+        "\t" + "b" * 300, ("a " * 200).strip(), "👨‍👩‍👧‍👦" * 80,
+    ]
+    alpha = list("ab \t\n\r\"\\中文🎉") + ["\x00", "　", " ",
+                                          "\x1f", "", "\ud83d"]
+    for _ in range(150):
+        k = rng.randrange(0, 16)
+        el_vals.append("".join(rng.choice(alpha) for _ in range(k)))
+    for v in el_vals:
+        for ml in (256, 1088) if len(v) < 300 else (256, 258, 1088):
+            cells.append(f"el{S1}{ml}{S1}{v}")
+    for ml in (0, 1, 2, 6):
+        for v in ("abcdef", " abc ", "🎉🎉", "", "\tab"):
+            cells.append(f"el{S1}{ml}{S1}{v}")
+
+    # --- ensureIntLength / ensureNetwork: the digits gate ([0-9]* is
+    # ASCII-only and FULL-match; fullwidth digits, signs, whitespace)
+    int_vals = [S0, "", "\\N", "null", "NULL", "-1", "0", "00", "000000",
+                "0000000", "1", "123456", "1234567", "999999", "12a",
+                "a12", "1 2", " 12", "12 ", "+12", "-12", "12.0", "1e3",
+                "１２３", "۱۲۳", "12\n", "\t12", "²³", "12٣"]
+    for _ in range(60):
+        k = rng.randrange(0, 9)
+        int_vals.append("".join(rng.choice("0123456789a +-.１٣") for _ in range(k)))
+    for v in int_vals:
+        cells.append(f"ei{S1}{v}")
+        cells.append(f"en{S1}{v}")
+
+    # --- ensureIntRange (the $dru duration gate 0..86400000): verbatim
+    # returns ("007"/"+5" come back UNNORMALIZED), parseInt edges
+    er_vals = [S0, "", "\\N", "0", "1", "007", "+5", "-0", "-1",
+               "86400000", "86400001", "86399999", "2147483647",
+               "2147483648", "-2147483648", "5.0", " 5", "5 ", "five",
+               "0x10", "1_000", "+86400000", "00086400000"]
+    for v in er_vals:
+        cells.append(f"er{S1}0{S1}86400000{S1}{v}")
+    for v in ("5", "-5", "0", "10"):
+        cells.append(f"er{S1}-10{S1}10{S1}{v}")
+
+    # --- ipToLong: 4-parts-or-null, Java split("\\.") trailing-empty
+    # drop, UNVALIDATED parseInt values OR-folded into the shift
+    il_vals = [S0, "", "\\N", "1.2.3.4", "255.255.255.255", "0.0.0.0",
+               "01.02.03.04", "256.1.1.1", "1.2.3.256", "1.2.3.999",
+               "-1.2.3.4", "1.2.3.-4", "+1.2.3.4", "1.2.3", "1.2.3.4.5",
+               "1.2.3.", "1.2.3..", ".1.2.3", "..1.2", "1..2.3",
+               "1.2.3.4 ", " 1.2.3.4", "a.b.c.d", "1.2.3.x",
+               "2130706433.1.1.1", "4294967296.1.1.1", "1.2.3.2147483647",
+               "1.2.3.2147483648", "....", "1,2,3,4", "1.2.3.4.", "10.0.0.1"]
+    for _ in range(50):
+        k = rng.randrange(1, 6)
+        il_vals.append(".".join(str(rng.randrange(-5, 300))
+                                for _ in range(k)))
+    for v in il_vals:
+        cells.append(f"il{S1}{v}")
+
+    # --- getEventNameFromMap: the st/se rewrite keys off $zg_eid's
+    # STRING form; $eid rides through raw (ensureLength is applied by
+    # the caller, pinned separately above)
+    for zg in (S0, "-1", "-2", "-3", "1", "0", " -1", "-1 ", "st", ""):
+        for eid in (S0, "", "login", "-1", "se", "a\tb"):
+            cells.append(f"em{S1}{zg}{S1}{eid}")
+
+    # --- getTimeComponents: day/hour/mill under the UTC pin; negative
+    # epoch (Calendar's floor semantics vs SQL %), ms boundaries
+    tc_vals = [0, 1, 999, 1000, -1, -999, -1000, -1001, 86399999,
+               86400000, -86400000, 1699999999999, 1705880272289,
+               253402300799999, -62135596800000, 946684800000,
+               1234567890123, -1234567890123]
+    for _ in range(40):
+        tc_vals.append(rng.randrange(-3_000_000_000_000, 3_000_000_000_000))
+    for v in tc_vals:
+        cells.append(f"tc{S1}{v}")
+
+    # --- timestampToDateString: the |tz| <= 48h GATE (tz is validated,
+    # never applied — the formatter still runs in the default zone)
+    lim = 48 * 3600 * 1000
+    for ct, tz in [(1705880272289, 0), (1705880272289, 28800000),
+                   (1705880272289, lim), (1705880272289, lim + 1),
+                   (1705880272289, -lim), (1705880272289, -lim - 1),
+                   (0, 0), (-1, 0), (None, 0), (1705880272289, None),
+                   (None, None), (86399999, 3600000),
+                   (253402300799999, 0), (-62135596800000, 0)]:
+        cells.append(f"ts{S1}{S0 if ct is None else ct}"
+                     f"{S1}{S0 if tz is None else tz}")
+
+    # --- getYearWeek: SimpleDateFormat("YYYYww") after a minus-1-day
+    # shift, on DATE_FORMAT-parsed strings (lenient Calendar parse!)
+    gy_vals = ["2023-01-01 00:00:00", "2023-01-02 00:00:00",
+               "2024-12-29 00:00:00", "2024-12-30 00:00:00",
+               "2024-12-31 23:59:59", "2025-01-01 00:00:00",
+               "2026-01-01 00:00:00", "2020-02-29 12:00:00",
+               "2023-06-15 08:30:00", "1970-01-01 00:00:00",
+               "not-a-date", "", "2023-13-45 99:99:99",
+               "2023-1-2 3:4:5", "2023-01-02", "2023/01/02 00:00:00"]
+    for y in range(2019, 2027):
+        for md in ("01-01", "01-07", "01-08", "12-25", "12-31"):
+            gy_vals.append(f"{y}-{md} 12:00:00")
+    for v in gy_vals:
+        cells.append(f"gy{S1}{v}")
+
+    seen, out = set(), []
+    for c in cells:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
 def corpora():
     rng = random.Random(61_000_000 + BUILD_ROUND)
     hosts = ["www.baidu.com/s", "tieba.baidu.com/f",
@@ -325,7 +457,8 @@ def corpora():
             + [("dm", v) for v in dm_soup()]
             + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS]
             + [("ut", v) for v in UT_FIXED + ut_corpus()]
-            + [("dp", v) for v in dp_corpus()])
+            + [("dp", v) for v in dp_corpus()]
+            + [("ea", v) for v in ea_corpus()])
 
 
 _SLF4J_LOGGER = """package org.slf4j;
@@ -448,7 +581,12 @@ def _run_kwmain(classes, cells):
     lines = [json.dumps({"mode": m, "v": v}, separators=(",", ":"))
              for m, v in cells]
     proc = subprocess.run(
-        ["java", "-Dfile.encoding=UTF-8", "-cp", classes, "KwMain"],
+        # user.timezone pinned: mode 'ea' exercises Calendar /
+        # SimpleDateFormat kernels that read the DEFAULT zone, and the
+        # engine pins its session timezone to UTC (session.py) — the
+        # fixture must be minted under the same deployment pin
+        ["java", "-Dfile.encoding=UTF-8", "-Duser.timezone=UTC",
+         "-cp", classes, "KwMain"],
         input="\n".join(lines) + "\n", capture_output=True, text=True)
     outs = [json.loads('"' + l + '"') for l in proc.stdout.splitlines()]
     assert len(outs) == len(cells), (len(outs), len(cells),
@@ -526,7 +664,12 @@ def main():
     lines = [json.dumps({"mode": m, "v": v}, separators=(",", ":"))
              for m, v in cells]
     proc = subprocess.run(
-        ["java", "-Dfile.encoding=UTF-8", "-cp", classes, "KwMain"],
+        # user.timezone pinned: mode 'ea' exercises Calendar /
+        # SimpleDateFormat kernels that read the DEFAULT zone, and the
+        # engine pins its session timezone to UTC (session.py) — the
+        # fixture must be minted under the same deployment pin
+        ["java", "-Dfile.encoding=UTF-8", "-Duser.timezone=UTC",
+         "-cp", classes, "KwMain"],
         input="\n".join(lines) + "\n", capture_output=True, text=True)
     outs = [json.loads('"' + l + '"') for l in proc.stdout.splitlines()]
     assert len(outs) == len(cells), (len(outs), len(cells),
@@ -534,7 +677,9 @@ def main():
     with gzip.open(OUT, "wt", encoding="utf-8") as fh:
         fh.write(json.dumps({"n_cells": len(cells)}) + "\n")
         for (m, v), r in zip(cells, outs):
-            fh.write(json.dumps([m, v, r], ensure_ascii=False) + "\n")
+            # ensure_ascii: 'ea' ensureLength truncation outputs can hold
+            # LONE surrogates, which a UTF-8 text stream cannot encode raw
+            fh.write(json.dumps([m, v, r], ensure_ascii=True) + "\n")
     print("wrote", OUT, len(cells), "cells")
 
 

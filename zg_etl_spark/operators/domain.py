@@ -109,12 +109,32 @@ class Dialect:
         parquet-borne strings)."""
         raise NotImplementedError
 
+    def _nv_lit(self) -> str:
+        """SQL literal for the reference's two-char NULL sentinel
+        backslash-N (NULL_VALUE, EventAttrTransfer.java:32)."""
+        raise NotImplementedError
+
+    def java_trim(self, x: str) -> str:
+        """String.trim semantics: strip EVERY char <= U+0020 from both
+        ends, not just the space SQL trim() removes (JVM fixture mode
+        'ea': '\\x1fa' trims to 'a', U+3000/NBSP stay). U+0000 never
+        reaches the trim — ensureLength's replaceAll already mapped it
+        to a space."""
+        raise NotImplementedError
+
     def clean(self, x: str, maxlen: int) -> str:
-        """ensureLength: NULL for null/empty, strip control chars/quotes/
-        backslashes to spaces, trim, truncate."""
+        """ensureLength (EventAttrTransfer.java:497-502, JVM-pinned by
+        fixture mode 'ea'): NULL for null/empty/the exact '\\N' sentinel
+        (isNullOrEmpty checks NULL_VALUE.equals too), strip
+        [\\t\\n\\r"\\\\\\u0000] to spaces, Java-trim, truncate.
+        Documented deviation: Java truncates by UTF-16 units, SQL
+        substring by codepoints — differs only when a string LONGER than
+        maxlen contains non-BMP chars (the fixture test carves those
+        cells out of the SQL leg and pins them on the Python port)."""
         return (
-            f"CASE WHEN {x} IS NULL OR {x} = '' THEN NULL "
-            f"ELSE substring(trim(translate({x}, {self._bad_chars()}, '     ')), 1, {maxlen}) END"
+            f"CASE WHEN {x} IS NULL OR {x} = '' OR {x} = {self._nv_lit()} "
+            f"THEN NULL "
+            f"ELSE substring({self.java_trim(f'translate({x}, {self._bad_chars()}, {chr(39)}     {chr(39)})')}, 1, {maxlen}) END"
         )
 
     def is_digits(self, x: str) -> str:
@@ -231,8 +251,19 @@ class SparkDialect(Dialect):
         # escapes, \\\\ -> one backslash at runtime
         return "'\\t\\n\\r\"\\\\'"
 
+    def _nv_lit(self):
+        return "'\\\\N'"
+
+    def java_trim(self, x):
+        ctl = "'" + "".join(f"\\u{i:04x}" for i in range(1, 0x21)) + "'"
+        return f"btrim({x}, {ctl})"
+
     def is_digits(self, x):
-        return f"{x} RLIKE '^[0-9]+$'"
+        # \A..\z, not ^..$: Spark RLIKE is java.util.regex, where a bare
+        # '$' also matches BEFORE a trailing line terminator — '12\n'
+        # would pass the digits gate the reference's matches("[0-9]*")
+        # rejects (found by the round-11 'ea' JVM fixture Spark leg)
+        return f"{x} RLIKE '\\\\A[0-9]+\\\\z'"
 
     def re_lit(self, pattern):
         # Spark '…' literals process backslash escapes: double them so the
@@ -296,6 +327,13 @@ class DuckDialect(Dialect):
     def _bad_chars(self):
         # DuckDB '…' literals are raw: embed the control chars directly
         return "'\t\n\r\"\\'"
+
+    def _nv_lit(self):
+        return "'\\N'"
+
+    def java_trim(self, x):
+        ctl = "E'" + "".join(f"\\x{i:02x}" for i in range(1, 0x21)) + "'"
+        return f"trim({x}, {ctl})"
 
     def is_digits(self, x):
         return f"regexp_matches({x}, '^[0-9]+$')"

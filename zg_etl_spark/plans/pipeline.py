@@ -421,6 +421,15 @@ def _p8(d: Dialect) -> str:
     # (VirtualEventOperator.java:305-315 "产生的虚拟事件重新生成uuid") —
     # the deterministic batch stand-in salts the hash with the virtual
     # name, unique per (source row, rule) since rule names are distinct
+    #
+    # time buckets (JVM fixture mode 'ea', getTimeComponents + the
+    # hour+"0"+mill composite, EventAttrTransfer.java:244-246,374-386):
+    # begin_time_id uses FLOOR-mod — Calendar.MILLISECOND is 0..999 even
+    # for negative epoch ms where SQL's % goes negative. begin_date is
+    # idiv (truncating): Java's Timestamp.valueOf(format(ct)).getTime()/
+    # 1000 floors for negative ct, but isExpiredTime gates every row to
+    # a recent window first, so ct < 0 never reaches this SELECT (in the
+    # reference or here) — positive-domain idiv is exact
     cols = (
         "event_id, app_id, zg_id, zg_did, zg_uid, sid, dt, seq, ct, pl_id, "
         "net, cr, ua, url, ref, cn, vn, ip_long, ip, utm_source, dur, "
@@ -438,8 +447,8 @@ SELECT /*+ BROADCAST(am), BROADCAST(g) */
                  ELSE {d.clean('e.event_name_t', 256)} END AS event_name,
        CAST({d.fmt(ts_ct, 'yyyyMMdd')} AS INT) AS begin_day_id,
        {d.idiv('e.ct', '1000')} AS begin_date,
-       CAST(CAST({d.fmt(ts_ct, 'HH')} AS INT) * 10000 + e.ct % 1000 AS INT)
-           AS begin_time_id,
+       CAST(CAST({d.fmt(ts_ct, 'HH')} AS INT) * 10000
+            + (e.ct % 1000 + 1000) % 1000 AS INT) AS begin_time_id,
        CAST({d.yw_java(dref)} AS INT) AS yw,
        CAST(e.pl_id AS INT) AS platform,
        {d.net('e.net')} AS network,
