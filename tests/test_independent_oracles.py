@@ -1267,10 +1267,12 @@ def test_sequence_packing_matches_python_cursor(spark, sf_dir):
 # is5GSupported/isFoldableDevice on the RAW model → extractReleaseYear),
 # sharing no SQL with the engine formulation. The contains-scan walks
 # the reference's ACTUAL BRAND_MAPPING.entrySet() iteration order
-# (HashMap order — String.hashCode is spec-fixed, so it is identical on
-# every JVM; captured from the reference class run on this JDK and
-# pinned by the refkw fixture's mode-'dp' collision cells, e.g.
-# 'huawei honor' → Honor because 'honor' scans before 'huawei').
+# (HashMap order — stable on OpenJDK for this fixed insertion sequence
+# but NOT spec-guaranteed; captured empirically from the reference
+# class run on this JDK and pinned by the refkw fixture's mode-'dp'
+# collision cells, e.g. 'huawei honor' → Honor because 'honor' scans
+# before 'huawei' — a JDK order change fails the fixture and forces
+# re-capture).
 # ---------------------------------------------------------------------------
 def _p45_port():
     """Module-level so the JVM-fixture test (mode 'dp') can pin the same

@@ -190,12 +190,85 @@ UT_FIXED = [
     "http://www.baidu.com/s?wd=nofallback",           # baidu: no param here
     "http://a.bing.com.sogou.com/w?query=sg&q=bg",    # sogou checked first
     "http://[2001:db8::1]/w?q=v6",                    # IPv6: legal, no match
+    # bracketed-authority lane (round-11 advisory): '[' forces the IPv6
+    # parse — an invalid literal cannot fall back to registry ('[' is
+    # not reg_name) so the WHOLE constructor throws
+    "http://[a.sogou.com]/w?query=x",                 # invalid v6 → throws
+    "http://[::1]/w?query=v6loop",
+    "http://[::1]:8080/w?query=v6port",
+    "http://[::1]:/w?query=v6emptyport",
+    "http://[1:2:3:4:5:6:7:8]/w?query=v6full",
+    "http://[1:2:3:4:5:6:7]/w?query=v6seven",         # 7 groups, no '::'
+    "http://[1:2:3:4:5:6:7:8:9]/w?query=v6nine",
+    "http://[::]/w?query=v6any",
+    "http://[1::2::3]/w?query=v6twocomp",
+    "http://[1:2:3:4:5:6:7:8::]/w?query=v6fullcomp",  # '::' after 8
+    "http://[::ffff:1.2.3.4]/w?query=v6mapped",
+    "http://[0:0:0:0:0:0:13.1.68.3]/w?query=v6tail",
+    "http://[1.2.3.4]/w?query=v4inbrackets",
+    "http://[::fffg]/w?query=v6badhex",
+    "http://[12345::1]/w?query=v6longgroup",
+    "http://[]/w?query=v6empty",
+    "http://[::1/w?query=v6nobracket",
+    "http://[fe80::1%eth0]/w?query=v6scope",
+    "http://[fe80::1%25eth0]/w?query=v6scope25",
+    "http://[fe80::1%]/w?query=v6emptyscope",
+    "http://[fe80::1%a.sogou.com]/w?query=v6dotscope",
+    "http://[fe80::1%25a.sogou.com]/w?query=v6dotscope25",
+    "http://[fe80::1%a_b]/w?query=v6underscope",
+    "http://[:2:3::]/w?query=v6leadcolon",
+    "http://[1:2:]/w?query=v6trailcolon",
+    "http://[1:2:3:4:5:6:1.2.3.4:7]/w?query=v6tailmid",
+    "http://[::1.2.3.4.5]/w?query=v6badtail",
+    "http://[::256.1.2.3]/w?query=v6badoctet",
+    "http://u@[::1]/w?query=v6user",
+    # scope-id probes with an ENGINE SUFFIX riding in the scope — the
+    # only bracket forms whose validity is OBSERVABLE at this surface
+    # (getHost() returns the literal incl. scope; contains() then
+    # matches '.sogou.com' INSIDE the scope): each cell pins one
+    # validator branch as keyword-vs-\N
+    "http://[gggg::1%a.sogou.com]/w?query=badaddrscope",
+    "http://[1:2:3:4:5:6:7:8%a.sogou.com]/w?query=fullscope",
+    "http://[1:2:3:4:5:6:7%a.sogou.com]/w?query=sevenscope",
+    "http://[::ffff:1.2.3.4%a.sogou.com]/w?query=mappedscope",
+    "http://[1::2::3%a.sogou.com]/w?query=twocompscope",
+    "http://[::%a.sogou.com]/w?query=anyscope",
+    "http://[fe80::1%x-y.sogou.com]/w?query=hyphenscope",
+    "http://[fe80::1%x~y.sogou.com]/w?query=tildescope",
+    "http://[fe80::1%a:b.sogou.com]/w?query=colonscope",
+    "http://[fe80::1%a%b.sogou.com]/w?query=pctscope",
+    "http://[fe80::1%%61.sogou.com]/w?query=escscope",
+    "http://[::1.2.3.4%a.sogou.com]/w?query=tailscope",
+    "http://[::256.1.2.3%a.sogou.com]/w?query=badoctetscope",
+    "http://[12345::1%a.sogou.com]/w?query=longgroupscope",
+    "http://[1:2:3:4:5:6:1.2.3.4%a.sogou.com]/w?query=v4at7",
+    "http://[1:2:3:4:5:1.2.3.4%a.sogou.com]/w?query=v4at6",
+    "http://[1:2:3:4:5:6:7:1.2.3.4%a.sogou.com]/w?query=v4at8",
+    "http://[::ffff:1.2.3%a.sogou.com]/w?query=shortv4",
+    "http://[1:2::%a.sogou.com]/w?query=trailcomp",
+    "http://[::0001.2.3.4%a.sogou.com]/w?query=padoctet",
+    "http://[::1.2.3.04%a.sogou.com]/w?query=zerooctet",
+    "http://[::1%0.sogou.com]/w?query=digitscope",
+    "http://[::1% .sogou.com]/w?query=spacescope",
+    "http://[::1%中.sogou.com]/w?query=cjkscope",
+    "http://[0:0:0:0:0:0:0:1%a.sogou.com]/w?query=zeros",
+    "http://[fe80::1%a.sogou.com]:8080/w?query=scopeport",
+    "http://[1:2:3::4:5:6%a.sogou.com]/w?query=midcomp",
+    "http://[a.sogou.com%x]/w?query=scopebadaddr",
     "http://1.2.3.4/w?q=ipv4",
     "http://x.com/w?q=%ED%A0%80",                     # bad UTF-8 → U+FFFD
     "http://x.com/w#only-frag",
     "",
     "\\N",
     "http://cn.bing.com/search?q=a%2Bb",              # layer-1 keeps %2B…
+    # parseInt sign tolerance at layer 2 (round-11 advisory): layer-1
+    # decode can mint '%+f'-style pairs that URLDecoder ACCEPTS
+    "http://www.sogou.com/web?query=%25+f",           # layer-2 '%+f' → 0x0f
+    "http://www.sogou.com/web?query=%25-0",           # '%-0' → 0x00
+    "http://www.sogou.com/web?query=%25-1",           # '%-1' → negative, throws
+    "http://cn.bing.com/search?q=%25%2Bf",            # via undecoded %2B text
+    "http://www.sogou.com/web?query=%25+f0",          # pair '+f', literal '0'
+    "http://www.sogou.com/web?query=x%25+fy",
     "http://cn.bing.com/search?q=%E6%96%87x",
     # JDK-decoder malformed lengths reaching a MATCHED host (the round-10
     # 9k-cell mega-sweep found these four before java_utf8_decode landed)

@@ -179,7 +179,13 @@ def utm_term_fallback(d, ref: str) -> str:
     with a live host; no such refs exist in the wire fixture), '[' ']'
     are treated as query-legal everywhere (Java rejects them in a
     path), and layer-2 '%'-escapes outside the closed alphabet decode
-    only in the port."""
+    only in the port — INCLUDING Integer.parseInt's sign-tolerant
+    pairs: URLDecoder accepts '%+f' (byte 0x0f) and '%-0' (0x00)
+    because parseInt takes a sign, so a layer-1 output like '%+f'
+    (minted from '…%25+f…') DECODES in the reference and the port but
+    is modeled as a layer-2 throw (→ NULL) here; '%-1'-style negative
+    pairs throw in all three. Sign-escape refs are pinned by 'ut'
+    fixture cells and stay outside the SQL sweep corpus by this note."""
     auth = f"regexp_extract({ref}, {d.re_lit('^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)')}, 1)"
     host_pat = ("^(?:[^@]*@)?((?:[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
                 "\\.)*[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?\\.?)"
@@ -527,12 +533,70 @@ def _uri_parse_hostname(host: str) -> bool:
     return True
 
 
+def _uri_ipv6_ok(lit: str) -> bool:
+    """Parser.parseIPv6Reference over the text between the brackets —
+    pinned branch-by-branch by the 'ut' fixture's scope-suffix cells
+    (the only bracket forms whose validity is OBSERVABLE through
+    getUtmTermFromRef: getHost() keeps the scope, so '.sogou.com'
+    inside a scope matches the engine contains()):
+
+    * address: hex16 groups (1-4 hex digits) ':'-separated, at most one
+      '::' compression, an IPv4 tail allowed as the LAST element only
+      (octets = ASCII digits with VALUE <= 255 — '0001' and '04' are
+      accepted, '256' is not); byte count must be exactly 16 without
+      compression and strictly less with it ('[::]' legal,
+      '[1:2:3:4:5:6:7:8::]' not);
+    * scope id: '%' + one-or-more of alphanumeric OR '.' — dots are
+      LEGAL ('[fe80::1%a.sogou.com]' really does return the keyword);
+      '-', '~', ':', '_', '%', space, and non-ASCII all throw."""
+    addr, sep, scope = lit.partition("%")
+    if sep and not (scope and all(c in _URI_ALNUM or c == "."
+                                  for c in scope)):
+        return False
+    if addr.count("::") > 1:
+        return False
+
+    def seq_bytes(seq: str, allow_v4: bool) -> int | None:
+        if seq == "":
+            return 0
+        parts = seq.split(":")
+        if "" in parts:  # a stray edge ':' ('[:2:3::]', '[1:2:]')
+            return None
+        n = 0
+        for i, p in enumerate(parts):
+            if allow_v4 and i == len(parts) - 1 and "." in p:
+                octs = p.split(".")
+                if len(octs) != 4 or not all(
+                        o != "" and all(c in "0123456789" for c in o)
+                        and int(o) <= 255 for o in octs):
+                    return None
+                n += 4
+            else:
+                if not (1 <= len(p) <= 4 and all(
+                        c in "0123456789abcdefABCDEF" for c in p)):
+                    return None
+                n += 2
+        return n
+
+    if "::" in addr:
+        left, right = addr.split("::")
+        nl = seq_bytes(left, allow_v4=False)
+        nr = seq_bytes(right, allow_v4=True)
+        return nl is not None and nr is not None and nl + nr < 16
+    return seq_bytes(addr, allow_v4=True) == 16
+
+
 def _uri_server_host(auth: str) -> str | None:
     """Parser.parseServer over an authority string: [userinfo@]
     host[:digits]. Returns the host, or None when the authority only
-    parses registry-based (getHost() null). IPv4 literals and '[IPv6]'
-    hosts are returned verbatim — they can never contain an engine
-    suffix so callers treat them like any other host."""
+    parses registry-based (getHost() null). A '[…]' literal must parse
+    as IPv6 (+ optional scope) — on failure there is NO registry
+    fallback either, since '[' is not a legal registry character, so
+    the caller's _uri_check on the authority throws (reference: the
+    whole constructor throws → \\N). A VALID '[IPv6%scope]' host is
+    returned verbatim incl. brackets and scope, exactly like
+    getHost() — which is how a dotted scope can satisfy the engine
+    suffix contains()."""
     import re as _re
 
     rest = auth
@@ -545,6 +609,8 @@ def _uri_server_host(auth: str) -> str | None:
     if rest.startswith("["):
         j = rest.find("]")
         if j < 0:
+            return None
+        if not _uri_ipv6_ok(rest[1:j]):
             return None
         host, port_part = rest[:j + 1], rest[j + 1:]
     else:

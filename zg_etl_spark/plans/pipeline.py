@@ -2478,12 +2478,17 @@ _BRAND_MAP = [
 # The fuzzy contains-scan iterates BRAND_MAPPING.entrySet()
 # (DevicePropertyParser.java:149-154) — HashMap order, NOT source order.
 # String.hashCode is spec-fixed and the insertion sequence is fixed in
-# the static initializer, so this order is identical on every compliant
-# JVM; it was captured by reflecting the reference class compiled and
-# run on this JDK (round 10, refkw fixture mode 'dp'), and the fixture's
-# collision cells ('huawei honor' → Honor, since 'honor' scans 19th-vs-
-# 2nd before 'huawei') pin it. Order matters only on multi-key inputs:
-# 'redmi…' strings are safe ('redmi' scans before 'mi').
+# the static initializer, but HashMap ITERATION order also depends on
+# implementation internals (hash spreading, table sizing) that are
+# OpenJDK-stable, not spec-guaranteed — so the order below is pinned
+# EMPIRICALLY: captured by reflecting the reference class compiled and
+# run on this JDK (round 10, refkw fixture mode 'dp'), with the
+# fixture's collision cells ('huawei honor' → Honor, since 'honor'
+# scans 19th-vs-2nd before 'huawei') as the regression tripwire — a
+# future JDK changing the order fails the fixture and forces a
+# re-capture rather than a silent drift. Order matters only on
+# multi-key inputs: 'redmi…' strings are safe ('redmi' scans before
+# 'mi').
 _BRAND_SCAN_ORDER = [
     "xiaomi", "honor", "oneplus", "联想", "apple", "samsung", "oppo",
     "nubia", "redmi", "vivo", "mi", "红米", "meizu", "黑鲨", "zte",
