@@ -49,9 +49,14 @@ connected through shared candidate keys / click aliases. So:
 
 The aggregate (match_tier, lid, n_sessions, n_users) mirrors p52, so
 the two queries diff cleanly: p54 - p52 = what consumption rerouted.
-No DuckDB oracle is declared — the algorithm is iterative + ordered
-(the driver records the rows-only check); the correctness anchor is the
-independent global sequential replay in tests/test_independent_oracles.
+Since round 11 the query carries a FULL DuckDB oracle: the replay is
+SQL-expressible after all — a recursive CTE steps one session per
+iteration in the same (ct, seq) order, carrying the del-set as a list
+column (_p54_replay_ctes; global order ≡ the engine's per-group order
+because groups never share keys). The independent global sequential
+replay in tests/test_independent_oracles stays as the SQL-free anchor,
+and p54d aggregates the same replay per app (claim counts, clicks
+consumed, batch-end del-set size).
 """
 from __future__ import annotations
 
@@ -396,12 +401,14 @@ def _finish(store, akeys, cands, nomatch, key_comp) -> DataFrame:
 
 
 QUERIES["p54_click_consumption"] = _p54_run
-# no ORACLE entry: iterative component labeling + order-dependent replay
-# is not expressible as one DuckDB statement; the driver records the
-# rows-only check and tests/test_independent_oracles.py replays the
-# whole stream sequentially in Python as the value oracle. The
-# SQL-expressible half (the 6-equi-join candidate resolution the replay
-# consumes) is hash-attested separately as p54c_candidates below.
+# ORACLE registered below (after the recursive-replay CTE chain is
+# defined): for rounds 1-10 this was the repo's ONE rows-only query —
+# "order-dependent sequential replay is not SQL-expressible" — but the
+# round-11 p54d work showed DuckDB CAN replay it exactly (one session
+# per recursive-CTE iteration in (ct, seq) order, del-set as a list
+# column), so p54 now carries a full value oracle too; the global
+# sequential Python replay in tests/test_independent_oracles.py stays
+# as the third, SQL-free anchor.
 
 
 # ---------------------------------------------------------------------------
@@ -544,8 +551,11 @@ ORACLE["p54c_candidates"] = duck_pipeline_sql(p54_candidates_sql(DUCK))
 # A hash-green row here value-pins the sequential replay itself, which
 # p54c's static candidate relation could not.
 # ---------------------------------------------------------------------------
-def p54d_replay_sql(d) -> str:
-    """DuckDB rendering only: the engine side is the applyInPandas
+def _p54_replay_ctes(d) -> str:
+    """The shared recursive-replay CTE chain, through ``detail`` (one
+    row per session: match_tier / lid / claim_click). p54d's per-app
+    rollup AND p54's own (tier, lid) aggregate both finish from it.
+    DuckDB rendering only: the engine side is the applyInPandas
     replay (_p54_detail), so there is no Spark rendering to pin —
     unlike p54c this template IS the independent formulation."""
     from zg_etl_spark.plans.pipeline import (
@@ -630,7 +640,11 @@ WITH keyed AS ({p52_keyed_sql(d)}
   UNION ALL
   SELECT seq, zg_id, 'none', NULL::BIGINT, NULL::BIGINT
   FROM ss WHERE seq NOT IN (SELECT sess_seq FROM cand)
-), withapp AS (
+)"""
+
+
+def p54d_replay_sql(d) -> str:
+    return _p54_replay_ctes(d) + """, withapp AS (
   SELECT dd.*, s2.app_id FROM detail dd JOIN ss s2 ON s2.seq = dd.sess_seq
 ), appdel AS (
   SELECT app_id, COUNT(*) AS nk FROM (
@@ -673,6 +687,18 @@ def _p54d_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("nk", F.lit(0)).cast("long")
                     .alias("app_del_keys")))
 
+
+def p54_replay_agg_sql(d) -> str:
+    """p54's own (match_tier, lid) rollup from the same recursive
+    replay — retires the repo's last rows-only driver check."""
+    return _p54_replay_ctes(d) + """
+SELECT match_tier, lid,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT zg_id) AS n_users
+FROM detail GROUP BY match_tier, lid"""
+
+
+ORACLE["p54_click_consumption"] = duck_pipeline_sql(p54_replay_agg_sql(DUCK))
 
 QUERIES["p54d_replay_rollup"] = _p54d_run
 ORACLE["p54d_replay_rollup"] = duck_pipeline_sql(p54d_replay_sql(DUCK))
