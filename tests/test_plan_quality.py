@@ -461,6 +461,21 @@ def test_click_consumption_python_is_replay_only(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_p54d_rollup_broadcasts_claims_not_entries(spark, sf_dir):
+    """p54d's del-set accounting joins the CLAIMED-CLICK set (bounded
+    by sessions) back to the full entry relation — the claims side must
+    broadcast; shuffling the entry relation against a session-bounded
+    probe would be the inverted join at 100 TB. The replay's own
+    Python stage is pinned on p54's plan (the shared detail relation is
+    checkpointed before this rollup, so it does not reappear here) —
+    this plan must stay pure JVM."""
+    plan = _plan(ALL["p54d_replay_rollup"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+
+
 def test_event_paths_window_partitions_on_session_key(spark, sf_dir):
     """p56's LEAD window must partition on the session key — a window
     with an empty PARTITION BY plans as Exchange SinglePartition (one

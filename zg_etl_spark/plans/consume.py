@@ -681,7 +681,11 @@ def _p54d_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                            entries.seq == F.col("claim_click"))
               .select("app_id", "key").distinct()
               .groupBy("app_id").agg(F.count(F.lit(1)).alias("nk")))
-    return (per_tier.join(appdel, "app_id", "left")
+    # appdel is one row per app — broadcast it; the checkpointed inputs
+    # carry no stats, so the static plan would otherwise SMJ two tiny
+    # aggregates (AQE fixes it at runtime, but the pin wants the plan
+    # right before AQE too)
+    return (per_tier.join(F.broadcast(appdel), "app_id", "left")
             .select("app_id", "match_tier", "n_sessions", "n_users",
                     "n_clicks",
                     F.coalesce("nk", F.lit(0)).cast("long")
