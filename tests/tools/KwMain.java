@@ -227,6 +227,11 @@ public class KwMain {
                 } else if (n == 'n') b.append('\n');
                 else if (n == 't') b.append('\t');
                 else if (n == 'r') b.append('\r');
+                // json.dumps' remaining short escapes — without these a
+                // corpus '\f'/'\b' arrives as the LETTER and corrupts
+                // the cell before the JVM runs (round-11 sweep find)
+                else if (n == 'f') b.append('\f');
+                else if (n == 'b') b.append('\b');
                 else b.append(n);
             } else b.append(c);
         }
