@@ -557,7 +557,14 @@ def _p54_replay_ctes(d) -> str:
     rollup AND p54's own (tier, lid) aggregate both finish from it.
     DuckDB rendering only: the engine side is the applyInPandas
     replay (_p54_detail), so there is no Spark rendering to pin —
-    unlike p54c this template IS the independent formulation."""
+    unlike p54c this template IS the independent formulation.
+
+    seq_sess / detail / withapp carry AS MATERIALIZED: DuckDB inlines
+    single-reference CTEs, and inlined into the recursive scope the
+    WHOLE prelude (the p52 pipeline) re-executes once per iteration —
+    i.e. once per session. Measured round 11: p54 68s -> 12s at
+    sf0.001, p54d 173s -> 23s at sf0.1; without the markers the sf0.1
+    bench denominator ran 20+ minutes."""
     from zg_etl_spark.plans.pipeline import (
         p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
 
@@ -608,7 +615,7 @@ WITH keyed AS ({p52_keyed_sql(d)}
                           lid := lid, akeys := akeys)
               ORDER BY cand_rank, cand_key, tier) AS cands
   FROM candx GROUP BY sess_seq
-), seq_sess AS (
+), seq_sess AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY sess_ct, sess_seq) AS i, *
   FROM scand
 ), rep AS (
@@ -634,7 +641,7 @@ WITH keyed AS ({p52_keyed_sql(d)}
   )
   SELECT i, sess_seq, zg_id, match_tier, lid, claim_click
   FROM replay
-), detail AS (
+), detail AS MATERIALIZED (
   SELECT sess_seq, zg_id, match_tier, lid, claim_click
   FROM rep WHERE i > 0
   UNION ALL
@@ -644,7 +651,7 @@ WITH keyed AS ({p52_keyed_sql(d)}
 
 
 def p54d_replay_sql(d) -> str:
-    return _p54_replay_ctes(d) + """, withapp AS (
+    return _p54_replay_ctes(d) + """, withapp AS MATERIALIZED (
   SELECT dd.*, s2.app_id FROM detail dd JOIN ss s2 ON s2.seq = dd.sess_seq
 ), appdel AS (
   SELECT app_id, COUNT(*) AS nk FROM (
