@@ -570,6 +570,8 @@ def test_python_models_reproduce_kw_jvm_fixture():
               "ut": 0, "dp": 0, "ea": 0}
     bad = []
     for m, v, jvm in cells:
+        if m == "cv":
+            continue  # dedicated legs below (port + both SQL dialects)
         if m == "kw":
             want = _py_kw(v)
         elif m == "ea":
@@ -600,3 +602,214 @@ def test_python_models_reproduce_kw_jvm_fixture():
     assert counts["ea"] > 800, counts
     assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
     assert counts["kw"] >= 400 and counts["ua"] >= 200, counts
+
+
+# Mode 'cv' — OperatorUtil.compareValue, the p43/p50 match_json
+# comparator (pipeline util/OperatorUtil.java:133-335). Round 11: the
+# fixture retired most of the fastjson2 boundary (SURVEY.md §5.3) by
+# compiling the reference class against identity-typed JSON stubs and
+# the real commons-lang3. Ground-truth finds it pinned: Long.parseLong
+# accepts ANY Unicode Nd digit ('١٢' == 12), LocalDate's SMART resolver
+# clamps day 29-31 into the month ('2023-02-30' → Feb 28), and the
+# relative-day window arithmetic wraps in Java int space at
+# |day| >= 24856 — all previously mismodeled by BOTH Python ports.
+
+def _load_cv_cells():
+    with gzip.open(FIXTURE, "rt", encoding="utf-8") as fh:
+        fh.readline()
+        return [(v, r) for m, v, r in (json.loads(l) for l in fh)
+                if m == "cv"]
+
+
+def _cv_parse(v):
+    """Decode a cv cell into (value, match_json-dict)."""
+    a = v.split("\x01")
+    val = None if a[0] == "\x00" else a[0]
+    mj = {}
+    if a[1] != "\x04":
+        mj["type"] = int(a[1])
+    if a[2] != "\x04":
+        mj["operator"] = None if a[2] == "\x00" else a[2]
+    if a[3] != "\x04":
+        mj["values"] = [] if a[3] == "\x00" else a[3].split("\x02")
+    return val, mj
+
+
+def _cv_now_ms():
+    """Real clock — every relative-date cell in the corpus uses
+    timestamps DECADES from any plausible replay date (gen_refkw_fixture
+    cv_corpus docstring), so the recorded JVM truth is now-invariant."""
+    import time
+
+    return int(time.time() * 1000)
+
+
+def test_cv_python_port_reproduces_jvm_fixture():
+    """The independent Python port (tests/javaport_matchjson.py) must
+    reproduce every cell INCLUDING the exception channels — Java's
+    throws are part of the pinned surface (THROW:<SimpleName>)."""
+    from javaport_matchjson import Abstain, JavaThrow, ref_compare_java
+
+    now_ms = _cv_now_ms()
+    cells = _load_cv_cells()
+    assert len(cells) > 900, len(cells)
+    bad, abstained, throws = [], 0, 0
+    for v, jvm in cells:
+        val, mj = _cv_parse(v)
+        try:
+            want = str(ref_compare_java(val, mj, now_ms)).lower()
+        except JavaThrow as e:
+            want = "THROW:" + e.kind
+            throws += 1
+        except Abstain:
+            abstained += 1  # non-portable Java regex: SQL Spark leg pins
+            continue
+        if want != jvm:
+            bad.append((v.split("\x01"), jvm, want))
+    assert throws >= 15, throws  # the NPE/date/pattern/index channels
+    assert abstained < 40, abstained
+    assert not bad, f"{len(bad)} divergences, first 5: {bad[:5]}"
+
+
+def _cv_sql_plan(cells, re2_only):
+    """Cells the SQL compiler covers, grouped by identical rule:
+    (rule-key) -> (mj, [(value, expected)]). Excluded (returned count):
+    THROW cells (a poison config kills the reference job — the compiler
+    collapses them to FALSE by documented design, asserted separately),
+    null/omitted-key shapes the compiler is never handed (the pipeline
+    always passes a parsed rule with type/operator/values), and — for
+    the RE2 leg only — regexp outside the RE2∩Java family."""
+    from javaport_matchjson import re2_portable
+
+    groups, excluded = {}, 0
+    for v, jvm in cells:
+        val, mj = _cv_parse(v)
+        op = mj.get("operator")
+        vals = mj.get("values")
+        if (jvm.startswith("THROW") or val is None or op is None
+                or vals is None or "type" not in mj):
+            excluded += 1
+            continue
+        if (re2_only and mj["type"] == 1 and op in ("regexp", "not regexp")
+                and vals and not re2_portable(str(vals[0]))):
+            excluded += 1
+            continue
+        key = (mj["type"], op, tuple(vals))
+        groups.setdefault(key, (mj, []))[1].append((val, jvm))
+    return groups, excluded
+
+
+def test_cv_sql_templates_match_jvm_fixture_duckdb():
+    """match_predicate's DUCK rendering must reproduce the JVM on every
+    cell in its documented domain — this pins the SQL the p43/p50
+    oracles actually run (Nd-digit translate, the int-wrap window, the
+    SMART date model), not just the Python port."""
+    import duckdb
+
+    from zg_etl_spark.functions.match_json import match_predicate
+    from zg_etl_spark.operators.domain import DUCK
+
+    now_ms = _cv_now_ms()
+    groups, excluded = _cv_sql_plan(_load_cv_cells(), re2_only=True)
+    covered = sum(len(r) for _, r in groups.values())
+    assert covered > 700 and excluded < covered / 4, (covered, excluded)
+    con = duckdb.connect()
+    bad = []
+    for key in sorted(groups, key=str):
+        mj, rows = groups[key]
+        pred = match_predicate(DUCK, mj, "v", now_ms=str(now_ms))
+        con.execute("DROP TABLE IF EXISTS t")
+        con.execute("CREATE TABLE t (i INT, v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, x) for i, (x, _) in enumerate(rows)])
+        got = dict(con.execute(
+            f"SELECT i, CASE WHEN {pred} THEN 'true' ELSE 'false' END "
+            f"FROM t ORDER BY i").fetchall())
+        for i, (x, jvm) in enumerate(rows):
+            if got[i] != jvm:
+                bad.append((key, x, jvm, got[i]))
+    assert not bad, f"{len(bad)} SQL divergences, first 5: {bad[:5]}"
+
+
+def test_cv_sql_templates_match_jvm_fixture_spark(spark):
+    """Same leg through the SPARK dialect — no regexp gate needed
+    beyond validity: Spark rlike IS java.util.regex, so the Java-only
+    constructs (\\p{L}, \\Q..\\E, possessive, lookahead) are pinned
+    here natively."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from zg_etl_spark.functions.match_json import match_predicate
+    from zg_etl_spark.operators.domain import SPARK
+
+    now_ms = _cv_now_ms()
+    groups, excluded = _cv_sql_plan(_load_cv_cells(), re2_only=False)
+    covered = sum(len(r) for _, r in groups.values())
+    assert covered > 750 and excluded < covered / 4, (covered, excluded)
+    rows_all, preds = [], []
+    for gid, key in enumerate(sorted(groups, key=str)):
+        mj, rows = groups[key]
+        preds.append((gid, match_predicate(SPARK, mj, "v",
+                                           now_ms=str(now_ms))))
+        rows_all.extend((gid, i, x, jvm)
+                        for i, (x, jvm) in enumerate(rows))
+    df = spark.createDataFrame(
+        [(g, i, x) for g, i, x, _ in rows_all],
+        StructType([StructField("g", LongType()),
+                    StructField("i", LongType()),
+                    StructField("v", StringType())]))
+    df.createOrReplaceTempView("cv_cells")
+    bad = []
+    # chunked CASE over rule ids: one scan per ~80 rules
+    chunk = 80
+    got = {}
+    for lo in range(0, len(preds), chunk):
+        sub = preds[lo:lo + chunk]
+        case = ("CASE g " + " ".join(
+            f"WHEN {g} THEN (CASE WHEN {p} THEN 'true' ELSE 'false' END)"
+            for g, p in sub) + " END")
+        gids = ", ".join(str(g) for g, _ in sub)
+        for r in spark.sql(
+                f"SELECT g, i, {case} AS o FROM cv_cells "
+                f"WHERE g IN ({gids})").collect():
+            got[(r.g, r.i)] = r.o
+    for g, i, x, jvm in rows_all:
+        if got.get((g, i)) != jvm:
+            bad.append((g, x, jvm, got.get((g, i))))
+    assert not bad, f"{len(bad)} SQL divergences, first 5: {bad[:5]}"
+
+
+def test_cv_throw_cells_collapse_to_false_in_sql():
+    """The documented mapping for poison configs: every THROW cell that
+    the compiler can be handed at all (parsed rule present) compiles to
+    a predicate that evaluates — without erroring — to FALSE on both
+    dialects, matching _date_pred's docstring. Two THROW families stay
+    out of scope: NPE shapes from missing type/operator/values (the
+    pipeline hands the compiler parsed rules only), and
+    PatternSyntaxException cells — an invalid regex errors LOUDLY at
+    eval time in both engines, which is the faithful analogue of the
+    reference's job-killing throw, not a silent FALSE."""
+    import duckdb
+
+    from zg_etl_spark.functions.match_json import match_predicate
+    from zg_etl_spark.operators.domain import DUCK
+
+    now_ms = _cv_now_ms()
+    con = duckdb.connect()
+    checked = 0
+    for v, jvm in _load_cv_cells():
+        if not jvm.startswith("THROW"):
+            continue
+        if jvm == "THROW:PatternSyntaxException":
+            continue  # errs loudly engine-side — see docstring
+        val, mj = _cv_parse(v)
+        op, vals = mj.get("operator"), mj.get("values")
+        if val is None or op is None or vals is None or "type" not in mj:
+            continue  # unreachable shapes for the compiler
+        pred = match_predicate(DUCK, mj, "v", now_ms=str(now_ms))
+        r = con.execute(
+            f"SELECT CASE WHEN {pred} THEN 'true' ELSE 'false' END "
+            f"FROM (SELECT ? AS v)", [val]).fetchone()[0]
+        assert r == "false", (v.split("\x01"), jvm, r)
+        checked += 1
+    assert checked >= 8, checked

@@ -1,126 +1,40 @@
 """match_json predicate compiler conformance (functions/match_json.py).
 
-Independent oracle: a direct Python port of OperatorUtil.compareValue
-(pipeline util/OperatorUtil.java:133-308) written from the Java — no
-shared code with the compiler — evaluated over a value × rule grid and
+Independent oracle: the direct Python port of OperatorUtil.compareValue
+in tests/javaport_matchjson.py (written from the Java, JVM-fixture-
+verified cell-by-cell in test_kw_jvm_fixture.py mode 'cv', no code
+shared with the compiler), evaluated over a value × rule grid and
 compared against the compiled SQL on BOTH dialects."""
 
 from __future__ import annotations
 
 import re
-from datetime import datetime, timedelta, timezone
 
 import duckdb
 import pytest
 
+from javaport_matchjson import Abstain, JavaThrow, ref_compare_java
 from zg_etl_spark.functions.match_json import match_predicate
 from zg_etl_spark.operators.domain import DUCK, SPARK
 
 NOW_MS = 1706000000000  # deterministic "now" for relative date rules
-_CST = timezone(timedelta(hours=8))
-
-
-def _nullish(v: str) -> bool:
-    return v == "" or v.lower() == "null"
-
-
-def _ref_string(v, t, op):
-    if op == "equal":
-        return v == t
-    if op == "not equal":
-        return v != t
-    if op == "regexp":
-        return re.search(t, v) is not None  # usePatternMatch=true: find()
-    if op == "not regexp":
-        return re.search(t, v) is None
-    if op == "contains":
-        return t in v
-    if op == "not contains":
-        return t not in v
-    if op == "begin with":
-        return v.startswith(t)
-    if op == "not begin with":
-        return not v.startswith(t)
-    if op == "end with":
-        return v.endswith(t)
-    if op == "not end with":
-        return not v.endswith(t)
-    if op == "is not null":
-        return True
-    return False
-
-
-def _java_long(s: str) -> int:
-    """Long.parseLong's grammar exactly: optional sign + ASCII digits,
-    no whitespace, no underscores (Python's int() accepts both), and a
-    64-bit range check (Java overflows to NumberFormatException where
-    Python ints are unbounded)."""
-    if not re.fullmatch(r"[+-]?[0-9]+", s):
-        raise ValueError(s)
-    n = int(s)
-    if not -(2**63) <= n <= 2**63 - 1:
-        raise ValueError(s)
-    return n
-
-
-def _ref_num(v, t, op):
-    if _nullish(v) or _nullish(t):
-        return False
-    try:
-        a, b = _java_long(v), _java_long(t)
-    except ValueError:
-        return False
-    return {
-        "gt": a > b, "lt": a < b, "ge": a >= b, "le": a <= b,
-        "equal": a == b, "not equal": a != b,
-    }.get(op, False)
-
-
-def _ref_date(v, values, op):
-    if _nullish(v):
-        return False
-    try:
-        sec = _java_long(v)
-    except ValueError:
-        return False
-    if not -9223372036854775 <= sec <= 9223372036854775:
-        # Java wraps here (Long.parseLong(v) * 1000 overflows silently);
-        # the compiled SQL gates to the wrap-free range and treats the
-        # garbage as out-of-window — see _date_pred's deviation note
-        return False
-    ts = sec * 1000
-    if op == "relative":
-        # Integer.parseInt grammar + 32-bit bound for the day count
-        if not re.fullmatch(r"[+-]?[0-9]+", values[0]):
-            return False
-        day = int(values[0])
-        if not -(2**31) <= day <= 2**31 - 1:
-            return False
-        return ts >= NOW_MS - day * 86_400_000
-    if op == "absolute":
-        lo = datetime.strptime(values[0], "%Y-%m-%d").replace(tzinfo=_CST)
-        hi = datetime.strptime(values[1], "%Y-%m-%d").replace(tzinfo=_CST)
-        return lo.timestamp() * 1000 <= ts <= hi.timestamp() * 1000
-    return False
 
 
 def ref_compare(v: str, mj: dict) -> bool:
-    values = [str(x) for x in mj.get("values", [])]
-    op = mj.get("operator", "")
-    t = mj.get("type", 1)
-    if v != "" and values:
-        if t == 1:
-            return _ref_string(v, values[0], op)
-        if t == 2:
-            return _ref_num(v, values[0], op)
-        if t == 3:
-            return _ref_date(v, values, op)
+    """The engine-level truth: the independent JVM-fixture-verified port
+    (tests/javaport_matchjson.py — unicodedata digits, own SMART date
+    model, no code shared with the compiler), with the documented
+    collapses applied: escaping Java exceptions (poison configs that
+    would kill the reference job) evaluate FALSE engine-side, and the
+    fuzz generator's re.escape'd regexp targets are literal matches even
+    when the conservative cross-engine portability gate abstains."""
+    try:
+        return ref_compare_java(v, mj, NOW_MS)
+    except JavaThrow:
         return False
-    if op == "is null":
-        return _nullish(v)
-    if op == "is not null":
-        return not _nullish(v)
-    return False
+    except Abstain:
+        hit = re.search(mj["values"][0], v) is not None
+        return hit if mj["operator"] == "regexp" else not hit
 
 
 RULES = [

@@ -107,6 +107,61 @@ public class KwMain {
                         r = eaKernel(eat, eatInst, a);
                         break;
                     }
+                    // cv = OperatorUtil.compareValue(value, matchJson) —
+                    // the production 2-arg variant (the only one called:
+                    // compareProValue:41-94). v = value U+0001 type
+                    // U+0001 operator U+0001 values; U+0000 = null value
+                    // / empty list, U+0004 = omit the JSON key, values
+                    // items joined by U+0002. The fastjson2 stub stores
+                    // EXACTLY the types the getters return (Integer
+                    // type, String operator, String items) so no
+                    // fastjson2 coercion runs — the pinned semantics are
+                    // the comparator's own (Pattern/find, parseLong's
+                    // Character.digit, LocalDate SMART resolve, the
+                    // relative-day int-overflow chain).
+                    case "cv": {
+                        String[] a = v.split("\u0001", -1);
+                        com.alibaba.fastjson2.JSONObject mj =
+                                new com.alibaba.fastjson2.JSONObject();
+                        if (!a[1].equals("\u0004"))
+                            mj.put("type", Integer.valueOf(a[1]));
+                        if (!a[2].equals("\u0004"))
+                            mj.put("operator", nul(a[2]));
+                        if (!a[3].equals("\u0004")) {
+                            com.alibaba.fastjson2.JSONArray arr =
+                                    new com.alibaba.fastjson2.JSONArray();
+                            if (!a[3].equals("\u0000"))
+                                for (String it : a[3].split("\u0002", -1))
+                                    arr.add(it);
+                            mj.put("values", arr);
+                        }
+                        Boolean b = com.zhugeio.etl.pipeline.util
+                                .OperatorUtil.compareValue(nul(a[0]), mj);
+                        r = String.valueOf(b);
+                        break;
+                    }
+                    // cd = Character.digit(c, 10) dump — v="all" emits
+                    // every codepoint with digit >= 0 as "cphex:digit"
+                    // comma-joined (the table java_parse_long replays);
+                    // else one hex codepoint
+                    case "cd": {
+                        if (v.equals("all")) {
+                            StringBuilder b = new StringBuilder();
+                            for (int cp = 0; cp <= 0x10FFFF; cp++) {
+                                int d = Character.digit(cp, 10);
+                                if (d >= 0) {
+                                    if (b.length() > 0) b.append(',');
+                                    b.append(Integer.toHexString(cp))
+                                     .append(':').append(d);
+                                }
+                            }
+                            r = b.toString();
+                        } else {
+                            int cp = Integer.parseInt(v, 16);
+                            r = String.valueOf(Character.digit(cp, 10));
+                        }
+                        break;
+                    }
                     case "um": {
                         java.util.Map<String, Object> mp =
                                 ToolUtil.urlParseToMap(v);

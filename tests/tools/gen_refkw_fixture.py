@@ -481,6 +481,179 @@ def ea_corpus():
     return out
 
 
+def cv_corpus():
+    """OperatorUtil.compareValue cells (mode 'cv') — the p43/p50
+    match_json comparator, previously pinned only by dual Python ports
+    (SURVEY.md §5.3 BOUNDARY). fastjson2 is not in the sandbox (no jar,
+    no maven cache — probed round 11), but the comparator's own
+    semantics compile against an identity-typed stub because the
+    harness stores exactly the types the getters return. Cell = value
+    U+0001 type U+0001 operator U+0001 values (U+0002-joined; U+0000 =
+    null/empty-list, U+0004 = omit key).
+
+    Relative-date cells use only timestamps DECADES from any plausible
+    'now' (far-future 99999999999 s / far-past -4000000000 s) so the
+    recorded JVM truth — minted with real System.currentTimeMillis — is
+    replay-stable for any test-time now between ~1990 and ~2090."""
+    S0, S1, S2, OM = chr(0), chr(1), chr(2), chr(4)
+    rng = random.Random(91_000_000 + BUILD_ROUND)
+    cells = []
+
+    def cell(value, typ, op, values):
+        vs = (OM if values is None else S0 if values == []
+              else S2.join(values))
+        cells.append((S0 if value is None else value) + S1
+                     + (OM if typ is None else str(typ)) + S1
+                     + (OM if op is None else op) + S1 + vs)
+
+    str_ops = ["equal", "not equal", "regexp", "not regexp", "contains",
+               "not contains", "begin with", "end with", "not begin with",
+               "not end with", "is not null", "is null", "bogus", ""]
+    # --- string family: the full op list over a value×target grid
+    for v in ["abc", "null", "NULL", " ", "aabca", "ABC", "中文a", "a"]:
+        for t in ["abc", "", "a", "bc", "ABC", "null", "中"]:
+            for op in str_ops:
+                if rng.random() < 0.35:
+                    cell(v, 1, op, [t])
+    # --- regexp: Java Pattern + Matcher.find — dialect pins (anchors,
+    # classes, quantifiers), PatternSyntaxException throws, and the
+    # Java-only constructs kept for the Spark (JVM-regex) leg
+    re_pats = ["a", "^a", "a$", "^abc$", "a+", "[ab]c", "\\d+", "(a|b)c",
+               "a.c", "", "a{2}", "\\p{L}+", "中", "a\\b", "b?c", "^$",
+               "a|", ".*", "x", "(", "[z-a]", "a{", "**", "a*+",
+               "(?i)ABC", "(?=a)a", "(a)\\1", "\\Qa.c\\E", "[[:alpha:]]"]
+    for v in ["abc", "aabca", "ABC", "a1b2", "中文a", "xay", "a.c"]:
+        for t in re_pats:
+            if rng.random() < 0.45:
+                cell(v, 1, "regexp", [t])
+                if rng.random() < 0.3:
+                    cell(v, 1, "not regexp", [t])
+    # --- numeric: Long.parseLong's REAL grammar (Character.digit —
+    # Unicode Nd digits parse; supplementary-plane digits are surrogate
+    # pairs and throw), 64-bit overflow, null-ish gate
+    num_vals = ["12", "012", "+12", "-12", " 12", "12 ", "12.0", "1e3",
+                "١٢", "١٢٣", "１２３", "1٢", "٠", "-١٢", "+١٢",
+                "१२", "๑๒", "໑໒", "𝟏𝟐", "²³", "⑫", "〇", "一",
+                "9223372036854775807", "9223372036854775808",
+                "-9223372036854775808", "-9223372036854775809",
+                "null", "NULL", "Null", "abc", "--5", "+-5", "+", "-",
+                "0x10", "1_000", "0", "00", "-0"]
+    num_tgts = ["12", "+12", "013", "١٢", "9223372036854775807", "0",
+                "-12", "abc", "", "null", "１２"]
+    for v in num_vals:
+        for t in num_tgts:
+            if rng.random() < 0.25:
+                cell(v, 2, rng.choice(["gt", "lt", "ge", "le", "equal",
+                                       "not equal", "bogus"]), [t])
+    for op in ["gt", "lt", "ge", "le", "equal", "not equal"]:
+        cell("١٢", 2, op, ["12"])
+        cell("１２３", 2, op, ["123"])
+        cell("𝟏𝟐", 2, op, ["12"])
+        cell("12", 2, op, ["١٣"])
+    # --- date 'absolute': LocalDate SMART resolution (Feb-30 clamps,
+    # month/day range throws, sign-gated >4-digit years), the +08:00
+    # midnights, inclusive end, IndexOutOfBounds on a 1-element list
+    abs_rows = [
+        ("1680000000", ["2023-01-01", "2023-12-31"]),
+        ("1672502400", ["2023-01-01", "2023-12-31"]),   # lo midnight
+        ("1672502399", ["2023-01-01", "2023-12-31"]),
+        ("1703952000", ["2023-01-01", "2023-12-31"]),   # hi midnight
+        ("1703952001", ["2023-01-01", "2023-12-31"]),   # past hi → false
+        ("1677513600", ["2023-02-30", "2023-02-30"]),   # SMART → Feb 28
+        ("1677513601", ["2023-02-30", "2023-02-30"]),
+        ("1709136000", ["2024-02-30", "2024-02-30"]),   # leap → Feb 29
+        ("1682784000", ["2023-04-31", "2023-04-31"]),   # → Apr 30
+        ("1677513600", ["2023-02-31", "2023-02-28"]),
+        ("1680000000", ["2023-13-01", "2023-12-31"]),   # month 13 THROW
+        ("1680000000", ["2023-01-32", "2023-12-31"]),   # day 32 THROW
+        ("1680000000", ["2023-01-00", "2023-12-31"]),   # day 0 THROW
+        ("1680000000", ["0000-01-01", "2023-12-31"]),   # year 0 THROW
+        ("1680000000", ["2023-1-2", "2023-12-31"]),     # width THROW
+        ("1680000000", ["2023-01-01"]),                 # getString(1) THROW
+        ("1680000000", ["2023-12-31", "2023-01-01"]),   # hi < lo
+        ("327403353600", ["+12345-01-01", "+12345-01-02"]),  # signed year
+        ("1680000000", ["12345-01-01", "2023-12-31"]),  # unsigned 5-digit
+        ("1680000000", ["+2023-01-01", "2023-12-31"]),  # sign at width 4
+        ("1680000000", ["2023-01-01", "+12345-01-02"]),
+        ("١٦٨٠٠٠٠٠٠٠", ["2023-01-01", "2023-12-31"]),  # Nd seconds
+        ("abc", ["2023-01-01", "2023-12-31"]),
+        ("", ["2023-01-01", "2023-12-31"]),             # empty → null path
+        ("null", ["2023-01-01", "2023-12-31"]),
+        ("1680000000.5", ["2023-01-01", "2023-12-31"]),
+        ("-62135596800", ["0001-01-01", "0001-01-02"]), # year 1 CE
+        ("9223372036854776", ["2023-01-01", "9999-12-31"]),  # *1000 wraps
+        ("1680000000", ["2023-02-29", "2023-03-01"]),   # non-leap Feb 29
+    ]
+    for v, vals in abs_rows:
+        cell(v, 3, "absolute", vals)
+    # --- date 'relative': the day*24*60*60 INT-overflow chain (wraps at
+    # |day| >= 24856), Integer.parseInt's Nd digits, parse-throw → false
+    for day in ["30", "-30", "0", "24855", "24856", "36500", "100000",
+                "2147483647", "2147483648", "-2147483648", "٣٠",
+                "30.0", "abc", "", "+30", "1000000", "89478486"]:
+        cell("99999999999", 3, "relative", [day])   # far future: ~5138
+        cell("-4000000000", 3, "relative", [day])   # far past: ~1843
+    cell("abc", 3, "relative", ["30"])
+    cell("9223372036854776", 3, "relative", ["30"])  # ts*1000 wraps neg
+    cell("١٢٣٤٥٦٧٨٩٠٠", 3, "relative", ["30"])   # Nd seconds, far future
+    # DISCRIMINATING wrap cells: a 2023 timestamp sits between the
+    # wrapped threshold (now + decades, when day*86400 overflows int)
+    # and the exact threshold (now - decades) — Java's int chain says
+    # false where an unwrapped model says true. Each is now-invariant
+    # for any replay between ~2025 and far past the fixture's life.
+    for day in ["24855", "24856", "36500", "100000", "30", "-30", "٣٠"]:
+        cell("1680000000", 3, "relative", [day])
+    # --- null/empty routing: handleNullValue, the '业务'-less default,
+    # NPE channels (missing operator/type/values), unknown types
+    for v in ["", "null", "NULL", "nUlL", "abc", " "]:
+        for op in ["is null", "is not null", "equal", "gt", "bogus"]:
+            cell(v, 1, op, [])
+    for op in ["is null", "is not null", "equal"]:
+        cell("", 1, op, ["x"])
+        cell("", 2, op, ["5"])
+    cell("abc", None, "equal", ["abc"])      # type omitted → NPE THROW
+    cell("abc", 1, None, ["abc"])            # operator null in switch
+    cell("", 1, None, ["abc"])               # null op in handleNullValue
+    cell("abc", 1, "equal", None)            # values omitted → NPE THROW
+    cell("", 1, "is null", None)             # short-circuit: no NPE
+    for t in [0, 4, -1, 99]:
+        cell("abc", t, "equal", ["abc"])
+    cell("abc", 1, "equal", ["abc", "zzz"])  # extra items ignored
+    cell("abc", 1, "EQUAL", ["abc"])         # case-sensitive op switch
+    # --- fresh-seed sweep: random value × rule compositions
+    sweep_vals = ["", "a", "abc", "null", "12", "١٢", "-5", " ", "中",
+                  "9999999999999999999", "0.5", "x y", "NULL", "True",
+                  "𝟗", "۴۵", "acbd", "AAbb"]
+    sweep_ops = str_ops + ["gt", "lt", "ge", "le", "relative", "absolute"]
+    sweep_tgts = ["", "a", "abc", "12", "١٣", "0", "null", "^a+$", "[ab]",
+                  "2023-01-01", "30", "-1", "99"]
+    for _ in range(300):
+        v = rng.choice(sweep_vals)
+        typ = rng.choice([1, 1, 1, 2, 2, 3])
+        op = rng.choice(sweep_ops)
+        if typ == 3 and op == "relative":
+            v = rng.choice(["99999999999", "-4000000000", "abc", "",
+                            "٩٩٩٩٩٩٩٩٩٩٩", "9223372036854776000"])
+            vals = [rng.choice(["30", "36500", "-7", "24856", "abc",
+                                "٣٠", "2147483648"])]
+        elif typ == 3 and op == "absolute":
+            vals = [rng.choice(["2020-01-01", "2023-02-30", "2023-06-15",
+                                "0001-01-01", "2023-13-05", "1969-12-31"]),
+                    rng.choice(["2030-12-31", "2024-04-31", "2023-06-15",
+                                "1969-01-01", "+99999-01-01"])]
+        else:
+            n = rng.choice([1, 1, 1, 1, 2, 0])
+            vals = [rng.choice(sweep_tgts) for _ in range(n)]
+        cell(v, typ, op, vals)
+
+    seen, out = set(), []
+    for c in cells:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
 def corpora():
     rng = random.Random(61_000_000 + BUILD_ROUND)
     hosts = ["www.baidu.com/s", "tieba.baidu.com/f",
@@ -531,7 +704,8 @@ def corpora():
             + [("um", v) for v in UM_VALS] + [("dt", v) for v in DT_VALS]
             + [("ut", v) for v in UT_FIXED + ut_corpus()]
             + [("dp", v) for v in dp_corpus()]
-            + [("ea", v) for v in ea_corpus()])
+            + [("ea", v) for v in ea_corpus()]
+            + [("cv", v) for v in cv_corpus()])
 
 
 _SLF4J_LOGGER = """package org.slf4j;
@@ -554,6 +728,34 @@ public class LoggerFactory {
     }
 }
 """
+_FJ_OBJ = """package com.alibaba.fastjson2;
+// identity-typed compile stub for OperatorUtil (mode 'cv'): the harness
+// stores EXACTLY the runtime types the getters cast to (Integer "type",
+// String "operator", JSONArray of Strings "values"), so no fastjson2
+// COERCION semantics are exercised — missing keys return null and a
+// non-String element would ClassCastException, both matching the real
+// library's typed-get behavior for these shapes. The semantics the
+// fixture pins are the comparator's own (java.util.regex, parseLong,
+// LocalDate SMART resolve), not the JSON library's.
+public class JSONObject {
+    private final java.util.Map<String, Object> m =
+            new java.util.LinkedHashMap<>();
+    public void put(String k, Object v) { m.put(k, v); }
+    public String getString(String k) { return (String) m.get(k); }
+    public Integer getInteger(String k) { return (Integer) m.get(k); }
+    public JSONArray getJSONArray(String k) { return (JSONArray) m.get(k); }
+}
+"""
+_FJ_ARR = """package com.alibaba.fastjson2;
+// identity-typed compile stub — see JSONObject
+public class JSONArray {
+    private final java.util.List<Object> l = new java.util.ArrayList<>();
+    public void add(Object v) { l.add(v); }
+    public String getString(int i) { return (String) l.get(i); }
+    public boolean isEmpty() { return l.isEmpty(); }
+}
+"""
+
 _CCS_STUB = """package com.zhugeio.etl.common.cache;
 // compile stub: EventAttrTransfer's constructor field only; the measured
 // method (getUtmTermFromRef) never touches it
@@ -600,7 +802,28 @@ _REF_FILES = {
     "com/zhugeio/etl/common/model/DeviceProperty.java":
         "etl-flink-common/src/main/java/com/zhugeio/etl/common/model/"
         "DeviceProperty.java",
+    "com/zhugeio/etl/pipeline/util/OperatorUtil.java":
+        "etl-flink-pipeline/src/main/java/com/zhugeio/etl/pipeline/"
+        "util/OperatorUtil.java",
 }
+
+
+def _lang3_jar() -> str:
+    """The REAL commons-lang3 from the container's Spark distribution —
+    OperatorUtil's StringUtils.isEmpty/isNotEmpty come from the genuine
+    library, not a stub (the only other deps are the JDK and the
+    identity fastjson2 stubs)."""
+    import glob as _glob
+
+    roots = [os.environ.get("SPARK_HOME", ""), "/opt"]
+    for r in roots:
+        if not r:
+            continue
+        hits = _glob.glob(os.path.join(r, "**", "commons-lang3-*.jar"),
+                          recursive=True)
+        if hits:
+            return sorted(hits)[0]
+    raise FileNotFoundError("commons-lang3 jar not found")
 
 
 def build_classes(scratch: str, reference: str = "/root/reference") -> str:
@@ -630,6 +853,8 @@ def build_classes(scratch: str, reference: str = "/root/reference") -> str:
         "org/slf4j/LoggerFactory.java": _SLF4J_FACTORY,
         "com/zhugeio/etl/common/cache/ConfigCacheService.java": _CCS_STUB,
         "com/zhugeio/etl/common/model/EventAttrRow.java": "\n".join(row),
+        "com/alibaba/fastjson2/JSONObject.java": _FJ_OBJ,
+        "com/alibaba/fastjson2/JSONArray.java": _FJ_ARR,
     }
     for rel, body in stubs.items():
         dst = os.path.join(src, rel)
@@ -640,8 +865,8 @@ def build_classes(scratch: str, reference: str = "/root/reference") -> str:
     javas = [os.path.join(src, rel) for rel in
              list(_REF_FILES) + list(stubs)]
     javas.append(os.path.join(os.path.dirname(__file__), "KwMain.java"))
-    subprocess.run(["javac", "-encoding", "UTF-8", "-d", classes,
-                    *javas], check=True)
+    subprocess.run(["javac", "-encoding", "UTF-8", "-cp", _lang3_jar(),
+                    "-d", classes, *javas], check=True)
     return classes
 
 
@@ -659,7 +884,7 @@ def _run_kwmain(classes, cells):
         # engine pins its session timezone to UTC (session.py) — the
         # fixture must be minted under the same deployment pin
         ["java", "-Dfile.encoding=UTF-8", "-Duser.timezone=UTC",
-         "-cp", classes, "KwMain"],
+         "-cp", classes + os.pathsep + _lang3_jar(), "KwMain"],
         input="\n".join(lines) + "\n", capture_output=True, text=True)
     outs = [json.loads('"' + l + '"') for l in proc.stdout.splitlines()]
     assert len(outs) == len(cells), (len(outs), len(cells),
@@ -726,6 +951,47 @@ def gen_dbcs_tables(classes):
                                  tables.items()}, "pair rows")
 
 
+DIGITS_MODULE = os.path.join(os.path.dirname(__file__), "..", "..",
+                             "zg_etl_spark", "functions",
+                             "java_digits.py")
+
+
+def gen_java_digits(classes):
+    """Dump Character.digit(c, 10) for every codepoint (KwMain mode
+    'cd') into a generated runtime module — the table behind
+    Long.parseLong / Integer.parseInt, which accept ANY Unicode decimal
+    digit (Nd), not just ASCII (round-11 'cv' fixture find). BMP-only
+    for the parse path: parseLong iterates UTF-16 chars, so a
+    supplementary-plane digit arrives as two surrogates and throws."""
+    outs = _run_kwmain(classes, [("cd", "all")])
+    entries = {}
+    for pair in outs[0].split(","):
+        cp, d = pair.split(":")
+        entries[int(cp, 16)] = int(d)
+    assert entries[0x30] == 0 and entries[0x39] == 9
+    assert len(entries) > 400, len(entries)
+    body = '"""GENERATED by tests/tools/gen_refkw_fixture.py — Java\n'
+    body += ("ground truth: every codepoint with Character.digit(c, 10)\n"
+             ">= 0 on this container's JDK (KwMain mode 'cd'), i.e. the\n"
+             "digit table Long.parseLong / Integer.parseInt consume.\n"
+             "Do not hand-edit.\n"
+             '"""\n\n'
+             "# {codepoint: decimal value}\n")
+    items = ", ".join(f"0x{cp:x}: {d}" for cp, d in sorted(entries.items()))
+    body += f"DIGITS = {{{items}}}\n\n"
+    body += ("# BMP-only translate map (SQL translate() source/target):\n"
+             "# supplementary-plane digits are TWO UTF-16 chars to\n"
+             "# parseLong and therefore throw — leaving them untranslated\n"
+             "# makes the ASCII gate reject them, which matches.\n"
+             "TRANSLATE_SRC = \"\".join(chr(cp) for cp in sorted(DIGITS)\n"
+             "                         if cp <= 0xFFFF)\n"
+             "TRANSLATE_DST = \"\".join(str(DIGITS[cp]) for cp in\n"
+             "                         sorted(DIGITS) if cp <= 0xFFFF)\n")
+    with open(DIGITS_MODULE, "w", encoding="utf-8") as fh:
+        fh.write(body)
+    print("wrote", DIGITS_MODULE, len(entries), "digit codepoints")
+
+
 def main():
     if len(sys.argv) > 1:
         classes = sys.argv[1]
@@ -733,6 +999,7 @@ def main():
         import tempfile
         classes = build_classes(tempfile.mkdtemp(prefix="refkw_"))
     gen_dbcs_tables(classes)
+    gen_java_digits(classes)
     cells = corpora()
     lines = [json.dumps({"mode": m, "v": v}, separators=(",", ":"))
              for m, v in cells]
@@ -742,7 +1009,7 @@ def main():
         # engine pins its session timezone to UTC (session.py) — the
         # fixture must be minted under the same deployment pin
         ["java", "-Dfile.encoding=UTF-8", "-Duser.timezone=UTC",
-         "-cp", classes, "KwMain"],
+         "-cp", classes + os.pathsep + _lang3_jar(), "KwMain"],
         input="\n".join(lines) + "\n", capture_output=True, text=True)
     outs = [json.loads('"' + l + '"') for l in proc.stdout.splitlines()]
     assert len(outs) == len(cells), (len(outs), len(cells),

@@ -18,10 +18,17 @@ Semantics mirrored from `OperatorUtil.java`:
   (`compareValue` :133-160): type 1 string (`compareStringValue`
   :170-216, usePatternMatch=true ⇒ regexp is Matcher.find — UNanchored),
   type 2 numeric (`compareNumericValue` :221-258: Long.parseLong both
-  sides, any parse failure or null-ish value → false), type 3 date
-  (`compareDateValue` :263-291: value is epoch SECONDS; `relative` =
-  within the last N days of now; `absolute` = between the two
-  yyyy-MM-dd dates' UTC+8 midnights, end midnight INclusive).
+  sides — Character.digit's REAL accept set, i.e. any Unicode Nd digit,
+  replayed from the JDK-dumped table in java_digits.py; any parse
+  failure or null-ish value → false), type 3 date (`compareDateValue`
+  :263-291: value is epoch SECONDS via the same parseLong; `relative` =
+  within the last N days of now where N runs through Java's
+  int-wrapping `day*24*60*60` chain (overflows at |day| >= 24856);
+  `absolute` = between the two yyyy-MM-dd dates' UTC+8 midnights, end
+  midnight INclusive, parsed with the SMART resolver — day 29-31 clamps
+  to month end, month/day range errors THROW in the reference (poison
+  config, job-killing) and compile to FALSE here. All pinned by JVM
+  fixture mode 'cv' (round 11).
 - Empty value (or empty values list) → `handleNullValue` (:296-308):
   only `is null` / `is not null` decide, everything else false.
 - Quirk kept faithfully: a literal `'null'` value is NON-empty, so it
@@ -32,9 +39,18 @@ Semantics mirrored from `OperatorUtil.java`:
 from __future__ import annotations
 
 import re
-from datetime import datetime, timedelta, timezone
+from zg_etl_spark.functions.java_digits import (
+    DIGITS,
+    TRANSLATE_SRC,
+    TRANSLATE_DST,
+)
 
-_LONG_RE = r"^[+-]?[0-9]+$"  # exactly what Long.parseLong accepts
+# After Nd→ASCII translation (Long.parseLong accepts ANY Unicode
+# decimal digit via Character.digit — JVM fixture mode 'cv', round 11 —
+# so the SQL side first translate()s the JDK-dumped BMP digit table;
+# an untranslated char, including a supplementary-plane digit that
+# parseLong sees as two surrogates, fails this gate = Java's throw)
+_LONG_RE = r"^[+-]?[0-9]+$"
 
 _NUM_OPS = {
     "gt": ">",
@@ -45,11 +61,101 @@ _NUM_OPS = {
     "not equal": "<>",
 }
 
-_CST = timezone(timedelta(hours=8))  # the reference parses dates at UTC+8
 
 
 def _lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def java_parse_long(s: str, bits: int = 64) -> int:
+    """Long.parseLong(s, 10) exactly (Integer.parseInt with bits=32):
+    optional ASCII '+'/'-', then 1+ chars that Character.digit(c, 10)
+    accepts — ANY Unicode Nd digit, per the JDK-dumped table in
+    java_digits.py — iterated as UTF-16 chars, so a supplementary-plane
+    digit (a surrogate pair to Java) throws. Range-checked at 2^63
+    (2^31). Raises ValueError on Java's NumberFormatException."""
+    if not s:
+        raise ValueError(s)
+    neg, i = False, 0
+    if s[0] < "0":  # the only chars below '0' Java accepts are signs
+        if s[0] == "-":
+            neg = True
+        elif s[0] != "+":
+            raise ValueError(s)
+        if len(s) == 1:
+            raise ValueError(s)
+        i = 1
+    n = 0
+    lim = 2 ** (bits - 1)
+    for c in s[i:]:
+        cp = ord(c)
+        d = DIGITS.get(cp, -1) if cp <= 0xFFFF else -1
+        if d < 0:
+            raise ValueError(s)
+        n = n * 10 + d
+        if n > (lim if neg else lim - 1):
+            raise ValueError(s)
+    return -n if neg else n
+
+
+def _i32(x: int) -> int:
+    """Java int arithmetic wrap."""
+    return (x + 2**31) % 2**32 - 2**31
+
+
+def _nd_translate(v: str) -> str:
+    """SQL: the value with every BMP Unicode decimal digit folded to
+    ASCII via the JDK's own Character.digit table — the pre-pass that
+    lets TRY_CAST/_LONG_RE reproduce parseLong's real accept set."""
+    return (f"translate({v}, {_lit(TRANSLATE_SRC)}, "
+            f"{_lit(TRANSLATE_DST)})")
+
+
+# LocalDate.toEpochDay's proleptic-Gregorian day count (public
+# algorithm, java.time.LocalDate) — datetime can't represent the >9999
+# years "+12345-01-01" parses to
+def _epoch_day(y: int, mo: int, dd: int) -> int:
+    total = 365 * y + (y + 3) // 4 - (y + 99) // 100 + (y + 399) // 400
+    total += (367 * mo - 362) // 12 + (dd - 1)
+    if mo > 2:
+        leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+        total -= 1 if leap else 2
+    return total - 719528
+
+
+def _java_local_date_ms(s: str) -> int:
+    """LocalDate.parse(s, ofPattern('yyyy-MM-dd')).atStartOfDay(+08:00)
+    in epoch ms, with the formatter's DEFAULT SMART resolver (JVM
+    fixture mode 'cv', round 11): day-of-month 29-31 CLAMPS to the
+    month's last day ('2023-02-30' is Feb 28, not an error); month 0/13+
+    and day 0/32+ throw; digits are ASCII-only (DecimalStyle.STANDARD);
+    an unsigned year is exactly 4 digits, '+' years take 5-19 digits
+    (SignStyle.EXCEEDS_PAD), '-' years fail YEAR_OF_ERA's 1..999999999
+    range. Raises ValueError on Java's DateTimeParseException."""
+    m = re.fullmatch(r"(\+?[0-9]{4,19}|-[0-9]{4,19})-([0-9]{2})-([0-9]{2})",
+                     s)
+    if not m:
+        raise ValueError(s)
+    ys = m.group(1)
+    if ys[0] == "-":
+        raise ValueError(s)  # year-of-era < 1
+    if ys[0] == "+":
+        if len(ys) <= 5:  # sign only when exceeding the pad width
+            raise ValueError(s)
+        y = int(ys[1:])
+    else:
+        if len(ys) != 4:
+            raise ValueError(s)
+        y = int(ys)
+    mo, dd = int(m.group(2)), int(m.group(3))
+    if not (1 <= y <= 999_999_999 and 1 <= mo <= 12 and 1 <= dd <= 31):
+        raise ValueError(s)
+    leap = y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+    last = [31, 29 if leap else 28, 31, 30, 31, 30,
+            31, 31, 30, 31, 30, 31][mo - 1]
+    if dd > last:
+        dd = last  # SMART resolution clamps 29-31 into the month
+    return _epoch_day(y, mo, dd) * 86_400_000 - 8 * 3_600_000
 
 
 def value_str(d, expr: str) -> str:
@@ -88,18 +194,17 @@ def _numeric_pred(d, v: str, op: str, t: str) -> str:
     sym = _NUM_OPS.get(op)
     if sym is None:
         return "FALSE"
-    # Long.parseLong's grammar for the compile-time target: optional
-    # sign + ASCII digits only — Python's int() also accepts whitespace
-    # and underscores, which Java throws on → false
-    if not re.fullmatch(r"[+-]?[0-9]+", t):
-        return "FALSE"
-    target = int(t)
-    if not -(2**63) <= target <= 2**63 - 1:
-        return "FALSE"  # Long.parseLong overflow → NumberFormatException
-    digits = d.rlike(v, _LONG_RE)
-    nv = f"CASE WHEN {digits} THEN TRY_CAST({v} AS BIGINT) END"
-    # the digits gate also rejects '' and 'null' — exactly
-    # isNullOrNullString + the parseLong failure path
+    # compile-time target through the same Java grammar (Unicode Nd
+    # digits INCLUDED — '١٣' is a valid Java target, fixture mode 'cv')
+    try:
+        target = java_parse_long(t)
+    except ValueError:
+        return "FALSE"  # NumberFormatException (or null-ish gate) → false
+    tv = _nd_translate(v)
+    digits = d.rlike(tv, _LONG_RE)
+    nv = f"CASE WHEN {digits} THEN TRY_CAST({tv} AS BIGINT) END"
+    # the translate+gate also rejects '' / 'null' / supplementary-plane
+    # digits — exactly isNullOrNullString + the parseLong failure path
     return f"COALESCE({nv} {sym} {target}, FALSE)"
 
 
@@ -112,31 +217,41 @@ def _date_pred(d, v: str, op: str, values: list[str], now_ms: str) -> str:
     # below any window); a negative seconds value whose wrap lands
     # INSIDE the window is the one contrived input where the reference
     # would say true and we say false — documented deviation.
-    digits = d.rlike(v, _LONG_RE)
-    sec = f"TRY_CAST({v} AS BIGINT)"
+    tv = _nd_translate(v)
+    digits = d.rlike(tv, _LONG_RE)
+    sec = f"TRY_CAST({tv} AS BIGINT)"
     in_range = (f"{digits} AND {sec} BETWEEN -9223372036854775 "
                 f"AND 9223372036854775")
     ts = f"(CASE WHEN {in_range} THEN {sec} END * 1000)"
     if op == "relative":
-        # Integer.parseInt's grammar for the day count — whitespace,
-        # underscores, and 32-bit overflow all throw in Java → false.
-        # (For day > ~89M the reference's `day * 24` wraps in int space
-        # before promoting to long; we compute the window exactly —
-        # deviation only on absurd configs.)
-        if not values or not re.fullmatch(r"[+-]?[0-9]+", values[0]):
+        # Integer.parseInt's real grammar for the day count (Unicode Nd
+        # digits accepted, 32-bit overflow throws → false) ...
+        if not values:
             return "FALSE"
-        day = int(values[0])
-        if not -(2**31) <= day <= 2**31 - 1:
+        try:
+            day = java_parse_long(values[0], bits=32)
+        except ValueError:
             return "FALSE"
-        return f"COALESCE({ts} >= {now_ms} - {day * 86_400_000}, FALSE)"
+        # ... and the reference's window arithmetic WRAPS: `day * 24 *
+        # 60 * 60` runs in Java int space before the `* 1000L`
+        # promotion, so the chain overflows at |day| >= 24856 (~68
+        # years) — a 100000-day rule is really ~578 days, a 36500-day
+        # one a threshold 36 YEARS IN THE FUTURE. Pinned by 'cv' cells
+        # (day 24855 true / 24856 false on the same 2023 timestamp).
+        w = _i32(_i32(_i32(day * 24) * 60) * 60)
+        return f"COALESCE({ts} >= {now_ms} - ({w * 1000}), FALSE)"
     if op == "absolute":
         try:
-            lo = datetime.strptime(values[0], "%Y-%m-%d").replace(tzinfo=_CST)
-            hi = datetime.strptime(values[1], "%Y-%m-%d").replace(tzinfo=_CST)
+            lo_ms = _java_local_date_ms(values[0])
+            hi_ms = _java_local_date_ms(values[1])  # end MIDNIGHT, inclusive
         except (ValueError, IndexError):
+            # Java actually THROWS DateTimeParseException here (and
+            # IndexOutOfBounds on a 1-element values) — uncaught, it
+            # kills the reference job, so such a rule cannot exist in
+            # steady state. The engine collapses the poison config to
+            # FALSE; the JVM fixture records these cells as THROW and
+            # the conformance legs assert this documented mapping.
             return "FALSE"
-        lo_ms = int(lo.timestamp() * 1000)
-        hi_ms = int(hi.timestamp() * 1000)  # end-date MIDNIGHT, inclusive
         return f"COALESCE({ts} >= {lo_ms} AND {ts} <= {hi_ms}, FALSE)"
     return "FALSE"
 
