@@ -261,6 +261,14 @@ ADS_MATCH_RULES = [
     # the string-branch 'is not null' is TRUE even for null entries,
     # exactly the reference's quirk (OperatorUtil.java:211-213)
     (8, "k", {"type": 1, "operator": "is not null", "values": ["x"]}),
+    # builtin-prop lane: label 'eid' resolves from the '$'-prefixed bag
+    # ($eid = event name) — compareProValue checks '_'+label first and
+    # '$'+label OVERRIDES when present (OperatorUtil.java:83-92); the
+    # modeled feed has no '_eid' custom prop, so this exercises the
+    # $-only resolution (the _-then-$ override needs a user-DEFINED
+    # custom prop named like a builtin, absent from the synthetic feed
+    # by design — the resolution order itself is in _p43's value build)
+    (9, "eid", {"type": 1, "operator": "contains", "values": ["ck"]}),
 ]
 ADS_MATCH_COLS = ["m_rule", "m_label", "m_operator"]
 

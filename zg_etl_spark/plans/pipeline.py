@@ -1886,9 +1886,14 @@ def _p43(d: Dialect) -> str:
     from zg_etl_spark.operators.domain import custom_attrs
 
     bag = {name: val for name, val, _ in custom_attrs(d, q="")}
+    # the '$'-prefixed builtin bag compareProValue also probes
+    # (OperatorUtil.java:88-91): $eid = event name. Resolution order is
+    # the reference's — '_'+label first, '$'+label OVERRIDES when the
+    # key exists (statically known per label in the modeled bags)
+    builtin = {"$eid": "event_name"}
     agg_cols = []
     for rule_id, label, mj in R.ADS_MATCH_RULES:
-        raw = bag.get("_" + label)
+        raw = builtin.get("$" + label, bag.get("_" + label))
         v = value_str(d, raw) if raw is not None else "''"  # absent key
         pred = match_predicate(d, mj, v, now_ms="now_ref")
         agg_cols.append(
