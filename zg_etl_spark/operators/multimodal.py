@@ -72,24 +72,39 @@ def extract_features(df: DataFrame, n_bins: int = 16, frame_size: int = 256) -> 
         import numpy as np  # worker-side import (closure is cloudpickled)
 
         for pdf in batches:
-            out = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                n = len(b)
-                # vectorized byte stats: a per-byte Python loop costs
-                # ~100x more than bincount over the same Arrow buffer
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-                hist = np.bincount(arr * n_bins // 256, minlength=n_bins)
-                out.append(
-                    {
-                        "media_id": int(media_id),
-                        "n_bytes": n,
-                        "byte_mean": (int(arr.sum()) / n) if n else 0.0,
-                        "byte_histogram": hist.tolist(),
-                        "n_frames": (n + frame_size - 1) // frame_size,
-                    }
-                )
-            yield pd.DataFrame(out)
+            # whole-batch vectorization: one concatenated byte buffer +
+            # a row-index key, so sums and histograms are TWO bincount
+            # calls per batch instead of five numpy calls per ROW — the
+            # per-row path paid ~10 µs of numpy dispatch per payload,
+            # which dominated wall time for small payloads
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            n_rows = len(payloads)
+            lens = np.fromiter(
+                (len(b) for b in payloads), dtype=np.int64, count=n_rows
+            )
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            blob = blob.astype(np.int64)
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            # per-row byte sums: integer-valued float64 accumulation is
+            # exact below 2^53, far above any payload sum here
+            sums = np.bincount(row_idx, weights=blob, minlength=n_rows)
+            means = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            hist = np.bincount(
+                row_idx * n_bins + blob * n_bins // 256,
+                minlength=n_rows * n_bins,
+            ).reshape(n_rows, n_bins)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(dtype=np.int64,
+                                                         copy=False),
+                    "n_bytes": lens,
+                    "byte_mean": means,
+                    "byte_histogram": list(hist),
+                    "n_frames": (lens + frame_size - 1) // frame_size,
+                }
+            )
 
     return df.select("media_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
 
@@ -107,27 +122,30 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for media_id, payload, meta in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta"]
-            ):
-                b = bytes(payload) if payload is not None else b""
-                resized = (
-                    (b * (target // max(len(b), 1) + 1))[:target] if b else b""
-                )
-                out.append(
-                    {
-                        "media_id": int(media_id),
-                        "payload": resized,
-                        "meta": {
-                            "mime": meta["mime"] if meta is not None else None,
-                            "width": width,
-                            "height": height,
-                            "n_bytes": len(resized),
-                        },
-                    }
-                )
-            yield pd.DataFrame(out)
+            # columnar build: the byte tiling itself is C-speed; the old
+            # row loop spent its time constructing a dict-of-dicts per
+            # row — build the three columns directly instead
+            resized = [
+                (bytes(b) * (target // max(len(b), 1) + 1))[:target]
+                if b is not None and len(b) else b""
+                for b in pdf["payload"]
+            ]
+            metas = [
+                {
+                    "mime": m["mime"] if m is not None else None,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": len(r),
+                }
+                for m, r in zip(pdf["meta"], resized)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta": metas,
+                }
+            )
 
     return df.mapInPandas(op, MEDIA_SCHEMA)
 

@@ -151,13 +151,36 @@ def _replay(pdf: pd.DataFrame) -> pd.DataFrame:
 P54_COARSE_MAX = 2_000_000
 
 
+# p54 / p54c / p54d all consume the same candidate-resolution relations
+# (and p54/p54d the same replay detail). Build each ONCE per (session,
+# sf_dir) — the _shared_view/_SRC_MEMO discipline every other shared
+# stage in the repo follows (guide §1.2: don't recompute passes you
+# already have materialized). Every memoized frame is localCheckpointed,
+# so reuse scans materialized partitions; nothing persists across
+# processes.
+_REL_MEMO: dict = {}
+_DETAIL_MEMO: dict = {}
+
+
 def _p54_relations(spark: SparkSession, sf_dir: str):
     """The DataFrame build of p54's candidate resolution — click-store
     entries, per-key store, session probes, and the per-session static
     preference relation (cands). Shared by the sequential replay
     (_p54_run) and pinned against the dual-dialect p54_candidates SQL
     template by tests/test_pipeline.py, so the driver's hash-green
-    p54_candidates row transitively attests these joins."""
+    p54_candidates row transitively attests these joins. Memoized per
+    (session, sf_dir): p54, p54c and p54d all start from it."""
+    from zg_etl_spark.session import session_key
+
+    memo_key = (session_key(spark), sf_dir)
+    if memo_key in _REL_MEMO:
+        return _REL_MEMO[memo_key]
+    out = _build_p54_relations(spark, sf_dir)
+    _REL_MEMO[memo_key] = out
+    return out
+
+
+def _build_p54_relations(spark: SparkSession, sf_dir: str):
     from zg_etl_spark.plans.pipeline import (
         p52_clicks_sql, p52_keyed_sql, p52_ss_sql)
 
@@ -177,27 +200,32 @@ def _p54_relations(spark: SparkSession, sf_dir: str):
         return F.concat(F.lit("ex|"), app_s, F.lit("|"), col)
 
     # every (key, click) ENTRY — winners feed the store, the full set is
-    # the alias/del map (deletion is by key string, see module docstring)
-    parts = [
-        clicks.where(F.col(c).isNotNull()).select(
-            k_exact(F.col(c)).alias("key"), "seq", "ct", "lid")
+    # the alias/del map (deletion is by key string, see module docstring).
+    # ONE pass over clicks via explode(array_compact(...)), not a 5-way
+    # union: a union's partition count is the SUM of its parts, so the
+    # union form checkpointed 5× the partitions and every downstream
+    # stage paid 5× the (tiny) tasks — and clicks was scanned five times
+    # (guide §2.3/§2.4: one pass, no inflated partitioning). Row multiset
+    # identical: per click, one entry per non-null exact key plus the
+    # single fuzzy ua_proc-form key (downgraded for Baidu-iPhone clicks),
+    # the fuzzy WRITE gated on a non-empty ip (setIpUaMaps'
+    # StringUtils.isNotEmpty(ip), AdvSaveAppAdDataFlatMapFunction.java:
+    # 275-279) — the probe side builds its key unconditionally, like the
+    # reference (:1140-1141)
+    key_variants = [
+        F.when(F.col(c).isNotNull(), k_exact(F.col(c)))
         for c in ("idfa_key", "oaid_key", "aid_key", "imei_key")
+    ] + [
+        F.when(
+            F.col("ip").isNotNull() & (F.col("ip") != ""),
+            F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
+                     "ua_proc"),
+        )
     ]
-    # ONE fuzzy entry per click — the single ua_proc-form key it wrote
-    # (downgraded for Baidu-iPhone clicks), matching the stored payload's
-    # single ip_ua_key field; the WRITE is gated on a non-empty ip
-    # (setIpUaMaps' StringUtils.isNotEmpty(ip),
-    # AdvSaveAppAdDataFlatMapFunction.java:275-279) — the probe side
-    # builds its key unconditionally, like the reference (:1140-1141)
-    parts.append(clicks.where(
-        F.col("ip").isNotNull() & (F.col("ip") != "")).select(
-        F.concat(F.lit("fz|"), app_s, F.lit("|"), "ip", F.lit("|"),
-                 "ua_proc").alias("key"),
-        "seq", "ct", "lid"))
-    entries = parts[0]
-    for p in parts[1:]:
-        entries = entries.unionByName(p)
-    entries = entries.localCheckpoint(True)
+    entries = clicks.select(
+        F.explode(F.array_compact(F.array(*key_variants))).alias("key"),
+        "seq", "ct", "lid",
+    ).localCheckpoint(True)
     store = (
         entries.withColumn(
             "rn", F.row_number().over(
@@ -255,17 +283,25 @@ def _p54_relations(spark: SparkSession, sf_dir: str):
         ("ipua", "k_ipua", F.col("ct_ipua").isNotNull(), rk_u),
         ("ipver", "k_ipver", ios & F.col("ct_ipver").isNotNull(), rk_v),
     ]
-    cand_parts = [
-        hits.where(pred).select(
-            F.col("seq").alias("sess_seq"), F.col("ct").alias("sess_ct"),
-            "zg_id", rank.alias("rank"), F.col(kc).alias("key"),
-            F.lit(t).alias("tier"))
+    # same single-pass shape as `entries`: one explode over hits instead
+    # of a 6-way union (6× partition inflation + 6 scans of hits)
+    tier_variants = [
+        F.when(pred, F.struct(rank.cast("int").alias("rank"),
+                              F.col(kc).alias("key"),
+                              F.lit(t).alias("tier")))
         for t, kc, pred, rank in tiers
     ]
-    cands = cand_parts[0]
-    for p in cand_parts[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.localCheckpoint(True)
+    cands = (
+        hits.select(
+            F.col("seq").alias("sess_seq"), F.col("ct").alias("sess_ct"),
+            "zg_id",
+            F.explode(F.array_compact(F.array(*tier_variants))).alias("c"),
+        )
+        .select("sess_seq", "sess_ct", "zg_id",
+                F.col("c.rank").alias("rank"), F.col("c.key").alias("key"),
+                F.col("c.tier").alias("tier"))
+        .localCheckpoint(True)
+    )
     return entries, store, ss, cands
 
 
@@ -274,7 +310,26 @@ def _p54_detail(spark: SparkSession, sf_dir: str,
     """Per-session replay outcome (match_tier, lid, sess_seq, zg_id,
     claim_click) plus the relations p54d's del-set accounting joins
     back to. p54 aggregates this to its (tier, lid) rollup; p54d to
-    its per-app claim/del-set rollup."""
+    its per-app claim/del-set rollup. The default path is memoized per
+    (session, sf_dir) — the applyInPandas replay runs once for both
+    aggregates; the detail frame is checkpointed before reuse so both
+    consumers scan the same materialized rows. The test-only
+    ``_force_components`` path bypasses the memo."""
+    from zg_etl_spark.session import session_key
+
+    memo_key = (session_key(spark), sf_dir)
+    if not _force_components and memo_key in _DETAIL_MEMO:
+        return _DETAIL_MEMO[memo_key]
+    out = _build_p54_detail(spark, sf_dir, _force_components)
+    if not _force_components:
+        detail, entries, ss = out
+        out = (detail.localCheckpoint(eager=True), entries, ss)
+        _DETAIL_MEMO[memo_key] = out
+    return out
+
+
+def _build_p54_detail(spark: SparkSession, sf_dir: str,
+                      _force_components: bool = False):
     entries, store, ss, cands = _p54_relations(spark, sf_dir)
 
     # the map-only fast path: sessions with no candidate key at all

@@ -232,17 +232,45 @@ class DD:
         return f"regexp_replace({col}, '{pattern}', '{repl}', 'g')"
 
 
+# bytes of source per partition the downstream per-row pipelines want:
+# small enough that a single-file table still parallelizes CPU-heavy
+# lanes, large enough that task-scheduling overhead doesn't dominate
+# (32 tasks over a sub-MB table spent more wall on scheduling than work)
+_DOCS_PART_TARGET = 512 * 1024
+_DOCS_MEMO: dict = {}
+
+
 def _register_docs_views(spark: SparkSession, sf_dir: str) -> None:
     """documents/embeddings ship as ONE parquet file per table, which
     would serialize every per-row array/hash pipeline into a single task;
     a round-robin repartition of the raw rows (cheap — thousands of rows)
-    parallelizes all downstream CPU. On a real 100 TB corpus the source
-    is many files and this becomes a no-op-sized safety net."""
+    parallelizes all downstream CPU. The count is SIZE-DERIVED, capped at
+    the core count (guide §2: partition counts must adapt to input scale,
+    not be a constant tuned for one deployment): tiny tables get a few
+    partitions instead of one-per-core, and a corpus whose native parquet
+    splits already reach the desired count is left alone — at 100 TB the
+    source is many files and the repartition never fires."""
+    import math
+    import os
+
+    from zg_etl_spark.session import session_key
     from zg_etl_spark.sources.tables import load_table
 
-    n = spark.sparkContext.defaultParallelism
+    skey = session_key(spark)
+    cores = spark.sparkContext.defaultParallelism
     for t in ("documents", "embeddings"):
-        load_table(spark, sf_dir, t).repartition(n).createOrReplaceTempView(t)
+        memo_key = (skey, sf_dir, t)
+        df = load_table(spark, sf_dir, t)
+        n_part = _DOCS_MEMO.get(memo_key)
+        if n_part is None:
+            size = os.path.getsize(os.path.join(sf_dir, t + ".parquet"))
+            want = max(1, min(cores, math.ceil(size / _DOCS_PART_TARGET)))
+            # 0 = native splits already parallel enough, never repartition
+            n_part = want if df.rdd.getNumPartitions() < want else 0
+            _DOCS_MEMO[memo_key] = n_part
+        if n_part:
+            df = df.repartition(n_part)
+        df.createOrReplaceTempView(t)
 
 
 # Shared derived datasets (shingle sets, minhash signatures) referenced by

@@ -287,6 +287,9 @@ def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # the memory sink holds every emitted row on the driver until the
+    # table is dropped; the checkpointed result no longer needs it
+    spark.catalog.dropTempView(name)
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -486,6 +489,7 @@ def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)  # free the driver-held sink rows
     shutil.rmtree(work, ignore_errors=True)
     return result
 
@@ -618,6 +622,7 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)  # free the driver-held sink rows
     shutil.rmtree(work, ignore_errors=True)
     return result
 

@@ -58,6 +58,14 @@ class MappingStore:
         self.path = path
         self.key_col = key_col
         self.id_col = id_col
+        # in-run state handle: the post-merge state DataFrame of the last
+        # merge THIS object performed. Purely a per-object plan memo — the
+        # files it scans are the same append-only deltas a disk read
+        # lists, so recovery (a fresh MappingStore over the same path)
+        # sees identical state. Avoids a directory listing + parquet
+        # footer/schema read per micro-batch per store (guide §6: file
+        # listing is driver-side, serial, and paid per read).
+        self._mem: DataFrame | None = None
 
     def _dirs(self, prefix: str, committed_only: bool = False) -> dict[int, str]:
         """``committed_only`` gates on the ``_SUCCESS`` marker — a dir a
@@ -96,6 +104,12 @@ class MappingStore:
         return paths
 
     def read(self) -> DataFrame | None:
+        # the cache is populated ONLY by merge(): a disk read must stay a
+        # fresh listing so recovery paths (torn snapshot, external writer)
+        # always see the currently-committed dirs
+        return self._mem if self._mem is not None else self._disk_read()
+
+    def _disk_read(self) -> DataFrame | None:
         paths = self._state_paths()
         return None if not paths else self.spark.read.parquet(*paths)
 
@@ -103,16 +117,25 @@ class MappingStore:
         """Append this batch's newly-assigned rows; returns the delta dir
         just written (so a caller holding the pre-merge state can union
         one small file instead of re-listing and re-reading the store)."""
+        before = self.read()              # pre-merge state (cache or disk)
         deltas = self._dirs("v")          # ALL dirs: never reuse a torn index
         nxt = max(deltas) + 1 if deltas else 0
         delta_dir = os.path.join(self.path, f"v{nxt}")
         assigned.write.parquet(delta_dir)
+        delta_df = self.spark.read.parquet(delta_dir)
+        self._mem = (
+            before.unionByName(delta_df) if before is not None else delta_df
+        )
         snaps = self._dirs("s", committed_only=True)
         base = max(snaps) if snaps else -1
         if nxt - base >= self.COMPACT_EVERY:
             # compaction bounds read() fan-in; writes a NEW dir, never
-            # touching the delta files any in-flight plan still scans
-            self.read().write.parquet(os.path.join(self.path, f"s{nxt}"))
+            # touching the delta files any in-flight plan still scans.
+            # Snapshot from a DISK listing (includes the delta above) and
+            # drop the in-run handle so the next read scans the snapshot
+            # instead of a growing union-of-deltas plan.
+            self._disk_read().write.parquet(os.path.join(self.path, f"s{nxt}"))
+            self._mem = None
         return delta_dir
 
 
@@ -165,12 +188,14 @@ def incremental_get_or_create(
         )
         .select("app_id", *key_cols, id_col)
     )
-    delta_dir = store.merge(assigned)
+    store.merge(assigned)
     # post-merge state = pre-merge state ∪ the one delta file just written
-    # (reading it back instead of re-executing `assigned` keeps the ids
-    # stable and avoids re-listing the whole store); append-only means the
-    # next merge never rewrites the files this plan scans
-    merged = existing.unionByName(spark.read.parquet(delta_dir))
+    # (merge reads the delta BACK instead of re-executing `assigned`, which
+    # keeps the ids stable); append-only means the next merge never
+    # rewrites the files this plan scans. store.read() is that union.
+    merged = store.read()
+    if merged is None:  # empty batch: merge wrote an empty delta
+        merged = existing
     return batch.join(F.broadcast(merged), ["app_id", *key_cols], "left")
 
 
@@ -375,30 +400,49 @@ def start_zgid_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        incremental_device_ids(dev_store, batch_df)
+        # the three store merges are INDEPENDENT job chains (each touches
+        # only its own store) — submit them from a small thread pool so
+        # the later jobs' tasks back-fill the earlier jobs' stragglers
+        # (guide §2.6, overlap independent jobs) instead of paying three
+        # full job latencies back-to-back per micro-batch
+        from concurrent.futures import ThreadPoolExecutor
+
         identified = batch_df.filter(F.col("cuid").isNotNull())
-        incremental_get_or_create(
-            uid_store, identified, ["cuid"], "zg_uid", F.lit(USER_ID_OFFSET)
-        )
-        # first cuid per device within the batch (ROW_NUMBER by seq), then
-        # drop devices already bound in the store (first-writer-wins, the
-        # HSETNX analog)
-        bound = bind_store.read()
-        w = Window.partitionBy("app_id", "did").orderBy("seq")
-        first_in_batch = (
-            identified.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("app_id", "did", F.col("cuid").alias("bound_cuid"))
-        )
-        if bound is not None:
-            first_in_batch = first_in_batch.join(
-                F.broadcast(bound.select("app_id", "did")),
-                ["app_id", "did"],
-                "left_anti",
+
+        def merge_dev() -> None:
+            incremental_device_ids(dev_store, batch_df)
+
+        def merge_uid() -> None:
+            incremental_get_or_create(
+                uid_store, identified, ["cuid"], "zg_uid",
+                F.lit(USER_ID_OFFSET),
             )
-        # append-only merge never clobbers the store files the anti-join
-        # above scans, so no localCheckpoint materialization is needed
-        bind_store.merge(first_in_batch)
+
+        def merge_bind() -> None:
+            # first cuid per device within the batch (ROW_NUMBER by seq),
+            # then drop devices already bound in the store
+            # (first-writer-wins, the HSETNX analog)
+            bound = bind_store.read()
+            w = Window.partitionBy("app_id", "did").orderBy("seq")
+            first_in_batch = (
+                identified.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("app_id", "did", F.col("cuid").alias("bound_cuid"))
+            )
+            if bound is not None:
+                first_in_batch = first_in_batch.join(
+                    F.broadcast(bound.select("app_id", "did")),
+                    ["app_id", "did"],
+                    "left_anti",
+                )
+            # append-only merge never clobbers the store files the
+            # anti-join above scans, so no materialization is needed
+            bind_store.merge(first_in_batch)
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            for f in [ex.submit(merge_dev), ex.submit(merge_uid),
+                      ex.submit(merge_bind)]:
+                f.result()
 
     q = (
         spark.readStream.schema(schema)
