@@ -541,10 +541,16 @@ def vtl_fanout_df(batch):
 
     key = session_key(batch.sparkSession)
     if key not in _VTL_STREAM_MEMO:
-        rules = batch.sparkSession.createDataFrame(
-            [(i,) + tuple(r[:4]) for i, r in enumerate(R.VIRTUAL_EVENT_RULES)],
-            "rule_id INT, rule_app BIGINT, src_event STRING, "
-            "virtual_name STRING, alias STRING",
+        # inline VALUES (LocalRelation), NOT createDataFrame: the latter
+        # parallelizes the rows over defaultParallelism partitions through
+        # a Python RDD, and since a broadcast relation is rebuilt by every
+        # ACTION that references it, each micro-batch action re-ran a
+        # 32-task Python round trip just to re-collect a handful of rule
+        # rows (measured ~0.5 s × 3 actions × every batch in s4). A
+        # LocalRelation broadcast is a driver-side copy, zero tasks.
+        rules = batch.sparkSession.sql(
+            f"SELECT * FROM {vtl_rules_values()} "
+            "AS v(rule_id, rule_app, src_event, virtual_name, alias)"
         )
         _VTL_STREAM_MEMO[key] = (rules, vtl_match_any(SPARK))
     rules, match_any = _VTL_STREAM_MEMO[key]

@@ -156,14 +156,35 @@ def incremental_get_or_create(
     per-app max id, or from ``base`` for an unseen app. Returns the batch
     annotated with ``id_col``.
     """
+    merged = merge_new_keys(store, batch, key_cols, id_col, base)
+    return batch.join(F.broadcast(merged), ["app_id", *key_cols], "left")
+
+
+def merge_new_keys(
+    store: MappingStore,
+    batch: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    base: F.Column,
+) -> DataFrame:
+    """The merge half of the get-or-create: claim ids for this batch's
+    new keys, append them to the store, and return the post-merge state
+    relation (one row per distinct key). Callers that annotate several
+    relations — or run several stores' merges concurrently (guide §2.6)
+    — join against the returned state themselves."""
     spark = store.spark
     existing = store.read()
     if existing is None:
-        key_schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
+        # empty LocalRelation, NOT createDataFrame([], schema): the latter
+        # parallelizes an empty RDD over defaultParallelism partitions, so
+        # the first batch's anti-join broadcast and per-app-max aggregate
+        # each ran a 32-task stage over zero rows. A literal SELECT with a
+        # false filter constant-folds to a zero-task empty relation.
+        exprs = [
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}"
             for f in batch.select("app_id", *key_cols).schema.fields
-        )
-        existing = spark.createDataFrame([], f"{key_schema}, {id_col} BIGINT")
+        ] + [f"CAST(NULL AS BIGINT) AS {id_col}"]
+        existing = spark.sql("SELECT " + ", ".join(exprs)).where("1=0")
 
     # the store holds one row per distinct key, not per event — broadcast
     # it so neither join shuffles the (much larger) event batch
@@ -196,7 +217,7 @@ def incremental_get_or_create(
     merged = store.read()
     if merged is None:  # empty batch: merge wrote an empty delta
         merged = existing
-    return batch.join(F.broadcast(merged), ["app_id", *key_cols], "left")
+    return merged
 
 
 def incremental_device_ids(
@@ -315,8 +336,9 @@ def start_route_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         fanned = batch_df.unionByName(vtl_fanout_df(batch_df))
-        with_dev = incremental_device_ids(dev_store, fanned)
         # M1 owner rule + name truncation + validity (EventAsyncOperator
         # .java:120-299): dt=abp forces owner 'zg'; names cap at 100 chars;
         # invalid names (EVENT_NAME_INVALID 1020013) never enter the
@@ -324,7 +346,7 @@ def start_route_stream(
         # dt filter includes 'vtl' (EventAsyncOperator.java:190): the
         # synthesized rows register like any source event
         events = (
-            with_dev.filter(
+            fanned.filter(
                 F.col("dt").isin("evt", "abp", "mkt", "vtl")
                 & F.col("event_name").isNotNull()
             )
@@ -338,12 +360,26 @@ def start_route_stream(
             )
             .filter(F.col("event_name").rlike("^[0-9A-Za-z_$一-龥-]+$"))
         )
-        routed = incremental_get_or_create(
-            ev_store,
-            events,
-            ["owner", "event_name"],
-            "zg_eid",
-            F.col("app_id") * 1000,
+        # the two dictionary merges are independent (device keys don't
+        # depend on event ids and vice versa — the event-dictionary keys
+        # are (owner, event_name), minted from the same fanned rows the
+        # sequential form used) — run them as concurrent jobs (guide
+        # §2.6) and annotate the routed rows against both returned
+        # states with map-side broadcast joins
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_dev = ex.submit(
+                merge_new_keys, dev_store, fanned, [dev_store.key_col],
+                dev_store.id_col, F.lit(DEVICE_ID_OFFSET),
+            )
+            f_ev = ex.submit(
+                merge_new_keys, ev_store, events, ["owner", "event_name"],
+                "zg_eid", F.col("app_id") * 1000,
+            )
+            m_dev, m_ev = f_dev.result(), f_ev.result()
+        routed = (
+            events.join(F.broadcast(m_dev), ["app_id", "did"], "left")
+            .join(F.broadcast(m_ev), ["app_id", "owner", "event_name"],
+                  "left")
         )
         routed.select(
             "event_id", "app_id", "did", "zg_did", "owner", "event_name",
