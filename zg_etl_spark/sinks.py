@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import tempfile
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -149,34 +150,91 @@ def upsert_table(
     merged = keep_latest(incoming, keys, order_col)
     if delete_col is not None:
         merged = merged.filter(~_delete_flag(delete_col)).drop(delete_col)
-    merged = merged.localCheckpoint(eager=True)
     if partition_cols:
-        # dynamic: untouched partitions keep their files
-        _clear_empty_placeholder(path, partition_cols)
-        write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=True)
-        if delete_col is not None and touched:
-            _drop_emptied_partitions(path, partition_cols, touched, merged)
-        _ensure_readable(path, partition_cols, merged)
+        _commit_touched_partitions(spark, merged, path, partition_cols, touched)
     else:
-        merged.write.mode("overwrite").parquet(path)
+        # staged write + swap: computing merged ONCE (its plan reads
+        # `existing` from `path`, so a direct overwrite would need an
+        # eager localCheckpoint first — a full extra pass)
+        _swap_unpartitioned(merged, path)
     spark.catalog.refreshByPath(path)
 
 
-def _drop_emptied_partitions(path, partition_cols, touched, merged) -> None:
-    """A delete can empty a touched partition entirely — dynamic overwrite
-    never rewrites a partition absent from the output, so the stale files
-    must be dropped explicitly (the compaction Doris does on merge). If
-    the sweep empties the WHOLE table, the writers' post-write
-    _ensure_readable guard installs the zero-row placeholder."""
-    remaining = {
-        tuple(r) for r in merged.select(*partition_cols).distinct().collect()
-    }
-    for row in touched:
-        if tuple(row) not in remaining:
-            sub = "/".join(
+def _staged_partition_dirs(staging: str, partition_cols: list[str]) -> list[str]:
+    """Relative ``c1=v1[/c2=v2...]`` paths of every partition directory the
+    staged write produced (depth = number of partition columns)."""
+    out: list[str] = []
+
+    def walk(rel: str, depth: int) -> None:
+        if depth == len(partition_cols):
+            out.append(rel)
+            return
+        prefix = f"{partition_cols[depth]}="
+        for e in os.listdir(os.path.join(staging, rel) if rel else staging):
+            if e.startswith(prefix):
+                walk(os.path.join(rel, e) if rel else e, depth + 1)
+
+    walk("", 0)
+    return out
+
+
+def _commit_touched_partitions(
+    spark: SparkSession,
+    merged: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    touched: list | None,
+) -> None:
+    """One-pass partition-scoped commit: write ``merged`` partitioned into
+    a STAGING directory next to ``path``, then swap each staged partition
+    directory into place and drop touched-but-emptied partitions.
+
+    Replaces eager-localCheckpoint + dynamic partition overwrite +
+    collect-remaining (three passes over the merge output: materialize,
+    re-write, re-aggregate). The staging dir breaks the read-while-
+    overwrite cycle the checkpoint existed for (``merged``'s plan reads
+    ``existing`` from ``path``; the write targets a sibling), the rename
+    commit is exactly the write-new-files-then-swap protocol table
+    formats use, and the emptied-partition set falls out of a free
+    ``os.listdir`` diff against ``touched`` (dynamic overwrite never
+    rewrites a partition absent from its output, so a delete that empties
+    a touched partition must drop the stale directory explicitly — the
+    compaction Doris does on merge). Untouched partitions keep their
+    files byte-identical."""
+    staging = tempfile.mkdtemp(prefix="_zg_stage_", dir=os.path.dirname(path))
+    try:
+        write_partitioned(merged, staging, partition_cols, dynamic=False)
+        staged = _staged_partition_dirs(staging, partition_cols)
+        _clear_empty_placeholder(path, partition_cols)
+        os.makedirs(path, exist_ok=True)
+        for rel in staged:
+            dst = os.path.join(path, rel)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(staging, rel), dst)
+        staged_set = set(staged)
+        for row in touched or []:
+            rel = "/".join(
                 f"{c}={_partition_dir_value(row[c])}" for c in partition_cols
             )
-            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+            if rel not in staged_set:
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+        _ensure_readable(path, partition_cols, merged)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _swap_unpartitioned(merged: DataFrame, path: str) -> None:
+    """Unpartitioned variant of the staged commit: write once to a sibling
+    staging dir, swap the whole table directory."""
+    staging = tempfile.mkdtemp(prefix="_zg_stage_", dir=os.path.dirname(path))
+    try:
+        out = os.path.join(staging, "t")
+        merged.write.parquet(out)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(out, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _has_partition_dirs(path: str, partition_cols: list[str]) -> bool:
@@ -346,14 +404,9 @@ def partial_upsert_table(
             for c in update_cols
         ],
         *[F.col(f"e.{c}").alias(c) for c in other_cols],
-    ).localCheckpoint(eager=True)
+    )
     if partition_cols:
-        # dynamic: untouched partitions keep their files, byte-identical
-        _clear_empty_placeholder(path, partition_cols)
-        write_partitioned(merged, path, partition_cols, mode="overwrite", dynamic=True)
-        if delete_col is not None and touched:
-            _drop_emptied_partitions(path, partition_cols, touched, merged)
-        _ensure_readable(path, partition_cols, merged)
+        _commit_touched_partitions(spark, merged, path, partition_cols, touched)
     else:
-        merged.write.mode("overwrite").parquet(path)
+        _swap_unpartitioned(merged, path)
     spark.catalog.refreshByPath(path)
