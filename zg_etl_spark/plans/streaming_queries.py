@@ -75,6 +75,30 @@ def _write_seq_ordered_files(df: DataFrame, src_dir: str) -> None:
 # deployment's source topic persists the same way).
 _SRC_MEMO: dict = {}
 
+# One state shard per this many bytes of stream-source input. Every
+# micro-batch pays a near-constant store-commit cost PER SHARD (load,
+# watermark-evict, delta write, commit — measured ~85 ms/shard/batch on
+# this host, including the trailing zero-row finalization batch), so the
+# shard count must track state volume, not the core count: guide §2.2's
+# fewer-larger-partitions rule applied to state stores. Derived from the
+# source directory's actual bytes and capped at the session parallelism,
+# the same value scales from a sub-MB local replay (2 shards) to a
+# cluster topic (cap) without retuning.
+_STATE_SHARD_BYTES = 8 << 20
+
+
+def _stream_shards(spark: SparkSession, src: str) -> str:
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(src, f))
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        total = 0
+    cap = spark.sparkContext.defaultParallelism
+    return str(max(2, min(total // _STATE_SHARD_BYTES + 1, cap)))
+
 # One SUPERSET source serves every per-projection s-query: `resolved` is
 # row-for-row gate_ok (inner joins against mappings built FROM gate_ok),
 # and a parquet file stream read with a SUBSET schema prunes columns at
@@ -113,7 +137,7 @@ def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event-side joins are broadcast) — a handful of shards beats paying
     # 32-task scheduling overhead per micro-batch job on tiny state
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = start_identity_stream(
             spark,
@@ -206,7 +230,7 @@ def _s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the stateful query runs with a handful of state shards (a real
     # deployment sizes this to active-entity count / executor count)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = (
             sessionize(stream, gap_ms=_SESSION_GAP_MS)
@@ -263,7 +287,7 @@ def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windowed-agg state is (windows × apps × event types) — a few
     # thousand rows; 8 state shards, not 32 (same sizing rule as s1/s2)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = start_event_counts_stream(
             spark,
@@ -321,7 +345,7 @@ def _s4(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="zg_s4_")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = start_route_stream(
             spark,
@@ -375,7 +399,7 @@ def _s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="zg_s5_")
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q, dev_store, uid_store, bind_store = start_zgid_stream(
             spark,
@@ -459,17 +483,18 @@ def _s6(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         _SRC_MEMO[key] = src
 
+    src = _SRC_MEMO[key]
     name = "s6_mem_" + _uuid.uuid4().hex[:8]
     work = tempfile.mkdtemp(prefix="zg_s6_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = (
             spark.readStream.schema(
                 "app_id BIGINT, did STRING, seq BIGINT, uuid STRING"
             )
             .option("maxFilesPerTrigger", 1)
-            .parquet(_SRC_MEMO[key])
+            .parquet(src)
             # seq = ct_ms * 1e6 + event_id (operators/domain.py feed), so
             # seq DIV 1e6 recovers the event time the watermark rides on
             .withColumn(
@@ -560,12 +585,13 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         _SRC_MEMO[key] = src
 
+    src = _SRC_MEMO[key]
     ev = (
         spark.readStream.schema(
             "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING"
         )
         .option("maxFilesPerTrigger", 1)
-        .parquet(_SRC_MEMO[key])
+        .parquet(src)
     )
     # s7's semantics are defined at MICROsecond precision end-to-end
     # (join bounds AND delay from the same truncated micros): the oracle
@@ -608,7 +634,7 @@ def _s7(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "s7_mem_" + _uuid.uuid4().hex[:8]
     work = tempfile.mkdtemp(prefix="zg_s7_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = (
             joined.writeStream.outputMode("append")
@@ -692,6 +718,7 @@ def _s8(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, src, ignore_errors=True)
         _SRC_MEMO[key] = src
 
+    src = _SRC_MEMO[key]
     work = tempfile.mkdtemp(prefix="zg_s8_")
     path = os.path.join(work, "b_user_stream")
 
@@ -703,7 +730,7 @@ def _s8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = (
             spark.readStream.schema(
@@ -823,7 +850,7 @@ def _s9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = (
             spark.readStream.schema(
@@ -898,7 +925,7 @@ def _s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(store)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", _stream_shards(spark, src))
     try:
         q = (
             spark.readStream.schema(
