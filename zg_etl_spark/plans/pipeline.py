@@ -2829,8 +2829,23 @@ _register("p46_dims_mapping", _p46)
 def _p47(d: Dialect) -> str:
     null_s = f"CAST(NULL AS {d.strtype})"
 
-    def j(path: str) -> str:
-        return d.json_str("payload", f"$.data.{path}")
+    if d.name == "spark":
+        # Parse each payload ONCE with from_json into a typed struct and
+        # read fields from it (guide §1.2/§4.1): the get_json_object form
+        # re-parsed the same JSON string per extraction — ~28 parses per
+        # row. Codegen subexpression elimination evaluates the single
+        # from_json per row; every j() below is a GetStructField on it.
+        # Field semantics match get_json_object for these payloads:
+        # missing key → NULL, string values verbatim, JSON numbers read
+        # into STRING fields as their literal text (parity re-proven
+        # against the unchanged DuckDB oracle).
+        def j(path: str) -> str:
+            return f"pj.data.{path}"
+
+    else:
+
+        def j(path: str) -> str:
+            return d.json_str("payload", f"$.data.{path}")
 
     def blank(v: str) -> str:
         # StringUtils.isEmpty(v) ? " " : v  (missing key extracts NULL)
@@ -2956,24 +2971,56 @@ FROM (
          CASE WHEN tbl = 'toufang_convert_event'
                    THEN {j("utm_source")} END AS conv_utm_source
   FROM (
-    SELECT cid, payload,
+    {_p47_parsed(d, payload)}
+  ) f
+) x
+GROUP BY cid, lane"""
+
+
+_P47_JSON_SCHEMA = (
+    "tableName STRING, data STRUCT<"
+    "key_ad_data: STRING, key_ad_time: STRING, value_ad_time: STRING, "
+    "value_ad_data: STRUCT<lid: STRING>, key_ad_lid: STRING, "
+    "value_ad_lid: STRING, other_key: STRING, ip_ua_key: STRING, "
+    "click_time: STRING, channel_click_id_key: STRING, muid_key: STRING, "
+    "idfa_key: STRING, imei_key: STRING, android_id_key: STRING, "
+    "oaid_key: STRING, zg_appid: STRING, lid: STRING, is_delete: STRING, "
+    "event_name: STRING, zg_eid: STRING, frequency: STRING, "
+    "utm_source: STRING>"
+)
+
+
+def _p47_parsed(d: Dialect, payload: str) -> str:
+    """The cid → payload → (tbl, has_vad, has_ipua) derivation. Spark
+    parses once into a struct column `pj`; DuckDB keeps per-field
+    json_extract_string (its parser caches per row already)."""
+    base = f"""SELECT cid, user_id, {payload} AS payload
+      FROM (SELECT CAST(user_id % 12 AS INT) AS cid, user_id FROM events
+            UNION ALL
+            SELECT CAST(t.cid AS INT) AS cid,
+                   CAST(t.cid AS BIGINT) AS user_id
+            FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8),
+                         (9), (10), (11)) AS t(cid)) b"""
+    if d.name == "spark":
+        return f"""SELECT cid, pj,
+           pj.tableName AS tbl,
+           CASE WHEN pj.data.value_ad_data IS NOT NULL
+                THEN 1 ELSE 0 END AS has_vad,
+           CASE WHEN pj.data.ip_ua_key IS NOT NULL
+                THEN 1 ELSE 0 END AS has_ipua
+    FROM (
+      SELECT cid, from_json(payload, '{_P47_JSON_SCHEMA}') AS pj
+      FROM ({base}) r0
+    ) r"""
+    return f"""SELECT cid, payload,
            {d.json_str("payload", "$.tableName")} AS tbl,
            CASE WHEN {d.json_str("payload", "$.data.value_ad_data")}
                      IS NOT NULL THEN 1 ELSE 0 END AS has_vad,
            CASE WHEN {d.json_str("payload", "$.data.ip_ua_key")}
                      IS NOT NULL THEN 1 ELSE 0 END AS has_ipua
     FROM (
-      SELECT cid, user_id, {payload} AS payload
-      FROM (SELECT CAST(user_id % 12 AS INT) AS cid, user_id FROM events
-            UNION ALL
-            SELECT CAST(t.cid AS INT) AS cid,
-                   CAST(t.cid AS BIGINT) AS user_id
-            FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8),
-                         (9), (10), (11)) AS t(cid)) b
-    ) r
-  ) f
-) x
-GROUP BY cid, lane"""
+      {base}
+    ) r"""
 
 
 _register("p47_adv_cdc_route", _p47)
@@ -3717,10 +3764,23 @@ def _p52(d: Dialect) -> str:
         "    FROM clicks{where}) t WHERE rn = 1"
     )
 
-    return f"""
-WITH keyed AS ({p52_keyed_sql(d)}
-), clicks AS ({p52_clicks_sql(d)}
-), exact_entries AS (
+    if d.name == "spark":
+        # ONE pass over clicks: the 4-way UNION ALL re-evaluated the
+        # whole clicks lineage (keyed's UA-regex parse over resolved)
+        # per key column — Spark inlines WITH-CTEs per reference.
+        # explode(filter(array(...))) emits exactly the same multiset
+        # (one row per non-null key column) from a single scan
+        # (guide §2.4: remove redundant passes). DuckDB materializes
+        # CTEs, so its UNION ALL form stays — and stays the oracle.
+        exact_entries = """
+  SELECT app_id, mkey, lid, ct, seq
+  FROM (SELECT app_id, lid, ct, seq,
+               explode(filter(array(idfa_key, oaid_key, aid_key,
+                                    imei_key), x -> x IS NOT NULL))
+                   AS mkey
+        FROM clicks) e"""
+    else:
+        exact_entries = """
   SELECT app_id, idfa_key AS mkey, lid, ct, seq FROM clicks
   WHERE idfa_key IS NOT NULL
   UNION ALL
@@ -3731,7 +3791,12 @@ WITH keyed AS ({p52_keyed_sql(d)}
   WHERE aid_key IS NOT NULL
   UNION ALL
   SELECT app_id, imei_key, lid, ct, seq FROM clicks
-  WHERE imei_key IS NOT NULL
+  WHERE imei_key IS NOT NULL"""
+
+    return f"""
+WITH keyed AS ({p52_keyed_sql(d)}
+), clicks AS ({p52_clicks_sql(d)}
+), exact_entries AS ({exact_entries}
 ), exact_store AS (
   SELECT app_id, mkey, lid, ct FROM (
     SELECT app_id, mkey, lid, ct,
