@@ -453,11 +453,23 @@ def test_ipv6_geo_normalization_stays_jvm_side(spark, sf_dir):
 
 def test_click_consumption_python_is_replay_only(spark, sf_dir):
     """p54's one Python stage is the per-group sequential replay —
-    exactly one FlatMapGroupsInPandas in the final plan, fed by the
+    exactly one FlatMapGroupsInPandas in the DETAIL BUILD, fed by the
     checkpointed (JVM-resolved) store/alias/candidate relations, with
-    the map-only no-candidate fast path unioned around it."""
+    the map-only no-candidate fast path unioned around it. Since the
+    r11 memoization the build runs once per (session, sf_dir); the
+    DECLARED p54 aggregates the checkpointed detail, so its
+    steady-state plan must be pure JVM (no Python node at all) — both
+    halves pinned."""
+    from zg_etl_spark.plans.consume import _build_p54_detail
+
+    detail, _, _ = _build_p54_detail(spark, sf_dir)
+    build_plan = _plan(detail, "simple")
+    assert build_plan.count("FlatMapGroupsInPandas") == 1, build_plan
+    assert "ArrowEvalPython" not in build_plan, build_plan
+    assert "BatchEvalPython" not in build_plan, build_plan
+
     plan = _plan(ALL["p54_click_consumption"](spark, sf_dir), "simple")
-    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
