@@ -87,6 +87,29 @@ _register("p2_identity_mappings", _p2)
 # devices adopt the user's zgid; a cuid never maps to two zgids
 # ---------------------------------------------------------------------------
 def _p3(d: Dialect) -> str:
+    if d.name == "spark":
+        # per-cuid distinct-zgid count via a collect_set window instead of
+        # the aggregate + self-join (guide §2.4): one scan + one exchange
+        # by (app_id, bound_cuid) replaces two scans, the aggregate
+        # exchange and the left-outer SMJ. NULL-cuid rows get a NULL count
+        # (the join form's unmatched rows), which MAX ignores identically.
+        # Proven by the unchanged DuckDB oracle (join form).
+        return """
+SELECT app_id,
+       COUNT(*) AS n_devices,
+       COUNT(bound_cuid) AS n_bound_devices,
+       COUNT(*) - COUNT(bound_cuid) AS n_anon_devices,
+       COUNT(DISTINCT zg_id) AS n_zgids,
+       MAX(zgids_per_cuid) AS max_zgids_per_cuid
+FROM (
+  SELECT app_id, bound_cuid, zg_id,
+         CASE WHEN bound_cuid IS NOT NULL THEN
+           CAST(size(collect_set(zg_id) OVER (
+             PARTITION BY app_id, bound_cuid)) AS BIGINT)
+         END AS zgids_per_cuid
+  FROM device_zgid
+) z
+GROUP BY app_id"""
     return """
 SELECT z.app_id,
        COUNT(*) AS n_devices,
@@ -706,6 +729,29 @@ _register("p14_first_touch", _p14)
 # ---------------------------------------------------------------------------
 def _p15(d: Dialect) -> str:
     day_num = d.idiv("ct", "86400000")
+    if d.name == "spark":
+        # cohort-day via an unbounded MIN window instead of the
+        # aggregate + self-join (guide §2.4): every activity row HAS a
+        # cohort row (cohort is derived from activity, inner join ≡
+        # window over the same partition), so d0-per-row is identical and
+        # the aggregate + SMJ + their exchanges drop out of the plan.
+        # Proven by the unchanged DuckDB oracle (join form) at
+        # sf0.001/sf0.01.
+        return f"""
+WITH activity AS (
+  SELECT DISTINCT app_id, zg_id, {day_num} AS day_num
+  FROM resolved WHERE dt IN ('evt', 'abp')
+),
+w AS (
+  SELECT app_id, zg_id, day_num,
+         MIN(day_num) OVER (PARTITION BY app_id, zg_id) AS d0
+  FROM activity
+)
+SELECT app_id, d0 AS cohort_day,
+       CAST(day_num - d0 AS INT) AS day_offset,
+       COUNT(DISTINCT zg_id) AS n_users
+FROM w
+GROUP BY app_id, d0, day_num - d0"""
     return f"""
 WITH activity AS (
   SELECT DISTINCT app_id, zg_id, {day_num} AS day_num
@@ -732,6 +778,50 @@ _register("p15_retention_cohort", _p15)
 # (app_id, zg_id) throughout so all three steps co-partition)
 # ---------------------------------------------------------------------------
 def _p16(d: Dialect) -> str:
+    if d.name == "spark":
+        # Single-pass form (guide §2.4: remove shuffles outright): the
+        # successive min-over joins re-keyed the SAME (app_id, zg_id)
+        # grain three times — 3 scans of e, 5 joins, 6 exchanges. Three
+        # stacked unbounded MIN windows over one partitioning compute
+        # t1→t2→t3 in ONE pass (one exchange + one shared sort), and the
+        # per-user rollup reuses that partitioning exchange-free. A step-N
+        # timestamp is NULL exactly when the join form has no row (CASE
+        # comparison against a NULL prior step is NULL), so COUNT(tN)
+        # equals the join form's COUNT(sN.tN) — proven by the unchanged
+        # DuckDB oracle (rows + schema + value hash at sf0.001/sf0.01).
+        return """
+WITH e AS (
+  SELECT app_id, zg_id, event_type, ct FROM resolved
+  WHERE dt IN ('evt', 'abp') AND event_type IN ('view', 'click', 'purchase')
+),
+w1 AS (
+  SELECT app_id, zg_id, event_type, ct,
+         MIN(CASE WHEN event_type = 'view' THEN ct END)
+             OVER (PARTITION BY app_id, zg_id) AS t1
+  FROM e
+),
+w2 AS (
+  SELECT app_id, zg_id, event_type, ct, t1,
+         MIN(CASE WHEN event_type = 'click' AND ct >= t1 THEN ct END)
+             OVER (PARTITION BY app_id, zg_id) AS t2
+  FROM w1
+),
+w3 AS (
+  SELECT app_id, zg_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ct >= t2 THEN ct END)
+             OVER (PARTITION BY app_id, zg_id) AS t3
+  FROM w2
+),
+per_user AS (
+  SELECT app_id, zg_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM w3 GROUP BY app_id, zg_id
+)
+SELECT app_id,
+       COUNT(t1) AS step_view,
+       COUNT(t2) AS step_click,
+       COUNT(t3) AS step_purchase
+FROM per_user WHERE t1 IS NOT NULL
+GROUP BY app_id"""
     return """
 WITH e AS (
   SELECT app_id, zg_id, event_type, ct FROM resolved

@@ -201,6 +201,20 @@ def _commit_touched_partitions(
     a touched partition must drop the stale directory explicitly — the
     compaction Doris does on merge). Untouched partitions keep their
     files byte-identical."""
+    # Writer parallelism for MANY-partition batches (the 10k-apps × 7-days
+    # deployment shape): AQE coalesces the merge's post-shuffle output by
+    # BYTES, so a small batch touching thousands of partition dirs lands in
+    # one task that opens thousands of parquet writers serially (~15 ms
+    # each — measured 18 s for 1k dirs vs 2.4 s parallel). Hash-distribute
+    # by the partition columns across the session's cores: every dir is
+    # written by exactly one task (one well-sized file per partition — the
+    # write.distribution-mode=hash layout, guide §6) and writer opens run
+    # in parallel. Below-cores batches keep the merge partitioning: each
+    # task writes a few files per dir in parallel, and forcing one task
+    # per partition there would serialize a big day's write instead.
+    par = spark.sparkContext.defaultParallelism
+    if touched is not None and len(touched) >= par:
+        merged = merged.repartition(par, *[F.col(c) for c in partition_cols])
     staging = tempfile.mkdtemp(prefix="_zg_stage_", dir=os.path.dirname(path))
     try:
         write_partitioned(merged, staging, partition_cols, dynamic=False)
