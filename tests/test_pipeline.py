@@ -137,7 +137,10 @@ def test_adv_click_match_ipver_tier(spark):
     NON-Baidu click with the identical UA stores 'iPhone:16.6' and is
     found by the full-UA probe as 'ipua'."""
     from zg_etl_spark.operators.domain import SPARK
-    from zg_etl_spark.plans.pipeline import _p42
+    from zg_etl_spark.plans.pipeline import _p42_body, _p42_keyed_sql
+
+    def _p42(d):
+        return f"WITH keyed AS ({_p42_keyed_sql(d)}),\n{_p42_body(d, 'keyed')}"
 
     rows = [
         # (app_id, dt, did, ip, k, ct, seq, zg_id, pl, user_id)

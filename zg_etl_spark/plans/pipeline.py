@@ -867,7 +867,8 @@ def _p17(d: Dialect) -> str:
 SELECT app_id, zg_id, property_name, property_value, property_id,
        CAST(property_data_type AS INT) AS property_data_type
 FROM (
-  SELECT m.app_id, m.zg_id, substring(m.prop_name, 2) AS property_name,
+  SELECT /*+ BROADCAST(dct) */
+         m.app_id, m.zg_id, substring(m.prop_name, 2) AS property_name,
          m.prop_value AS property_value, dct.prop_id AS property_id,
          dct.prop_type AS property_data_type,
          ROW_NUMBER() OVER (PARTITION BY m.app_id, m.zg_id, m.prop_name
@@ -1198,6 +1199,28 @@ FROM p22_err e JOIN p22_sess s
 # Scale: the claim dedup is one groupBy on (app_id, click_id); the store
 # join is an equi-join on the same key — no per-event KV round-trips.
 # ---------------------------------------------------------------------------
+def _p23_claims(d: Dialect) -> str:
+    """Earliest conversion per (app_id, click_id). Spark: RANK window —
+    one exchange replaces the MIN-aggregate exchange + join re-exchange +
+    second pass over p23_conv (guide §2.4); RANK (not ROW_NUMBER) so a
+    seq tie emits every tied row, exactly the rows seq = MIN(seq) joins
+    back. DuckDB keeps the aggregate + self-join form, so the unchanged
+    oracle proves the rewrite emits identical rows."""
+    if d.name == "spark":
+        return """
+  SELECT app_id, click_id, event_id, ct FROM (
+    SELECT app_id, click_id, event_id, ct,
+           RANK() OVER (PARTITION BY app_id, click_id ORDER BY seq) AS rk
+    FROM p23_conv
+  ) r WHERE rk = 1"""
+    return """
+  SELECT f.app_id, f.click_id, v.event_id, v.ct
+  FROM (SELECT app_id, click_id, MIN(seq) AS claim_seq
+        FROM p23_conv GROUP BY app_id, click_id) f
+  JOIN p23_conv v ON v.app_id = f.app_id AND v.click_id = f.click_id
+                 AND v.seq = f.claim_seq"""
+
+
 def _p23(d: Dialect) -> str:
     clicks = (
         f"{R.values_sql(R.AD_CLICKS, [])} "
@@ -1208,16 +1231,7 @@ WITH p23_conv AS (
   SELECT app_id, 'ck_' || {d.s('(k % 50)')} AS click_id, event_id, seq, ct
   FROM gate_ok WHERE utm_source = 'adwords' AND k IS NOT NULL
 ),
-p23_first AS (
-  SELECT app_id, click_id, MIN(seq) AS claim_seq
-  FROM p23_conv GROUP BY app_id, click_id
-),
-p23_claims AS (
-  SELECT f.app_id, f.click_id, v.event_id, v.ct
-  FROM p23_first f
-  JOIN p23_conv v ON v.app_id = f.app_id AND v.click_id = f.click_id
-                 AND v.seq = f.claim_seq
-)
+p23_claims AS ({_p23_claims(d)})
 SELECT s.ad_app_id AS app_id, s.ad_click_id AS click_id,
        s.ad_campaign AS campaign,
        c.event_id AS claim_event_id, c.ct AS claim_ct,
@@ -1884,11 +1898,33 @@ _register("p41_adv_channel_props", _p41)
 # broadcast-able equi-joins, no inequality join, no fan-out (stores are
 # 1 row per key). uaAnalysis is codegen regexp_extract, no UDF.
 # ---------------------------------------------------------------------------
-def _p42(d: Dialect) -> str:
+def _p42_keyed_sql(d: Dialect) -> str:
+    """p42's UA-parsed advertising-apps slice. Only the mkt (click) and
+    ss (session-start) rows feed the stores/probes, so the slice filters
+    to those dt values at the scan."""
     from zg_etl_spark.functions import ua_parser as UP
     from zg_etl_spark.operators.domain import ua_real_case
 
     apps = ", ".join(str(a) for a in R.ADVERTISING_APPS)
+    return f"""
+  SELECT app_id, dt, did, ip, k, ct, seq, zg_id, pl,
+         {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
+         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver,
+         CASE WHEN instr(ua_real, 'iPhone') > 0 THEN 1 ELSE 0 END
+             AS ua_iphone
+  FROM (
+    SELECT r.app_id, r.dt, r.did, r.ip, r.k, r.ct, r.seq, r.zg_id, r.pl,
+           {ua_real_case(d, 'r.')} AS ua_real
+    FROM resolved r WHERE r.app_id IN ({apps}) AND r.dt IN ('mkt', 'ss')
+  ) s"""
+
+
+def _p42_body(d: Dialect, keyed: str) -> str:
+    """Everything downstream of the keyed slice, referencing it as
+    ``keyed``. The Spark runner points ``keyed`` at a materialized view
+    (the UA regex parse would otherwise re-run per CTE reference —
+    measured 3 subset parses after column pruning); the DuckDB oracle
+    inlines it, proving the materialization changes nothing."""
     norm_id = (
         "CASE WHEN length(did) = 32 THEN did ELSE md5(did) END"
     )
@@ -1899,26 +1935,14 @@ def _p42(d: Dialect) -> str:
         "                              ORDER BY ct DESC, seq DESC) AS rn\n"
         "    FROM clicks{where}) t WHERE rn = 1"
     )
-    return f"""
-WITH keyed AS (
-  SELECT app_id, dt, did, ip, k, ct, seq, zg_id, pl,
-         {UP.ua_analysis_name(d, 'ua_real')} AS ua_name,
-         {UP.ua_analysis_version(d, 'ua_real')} AS ua_ver,
-         CASE WHEN instr(ua_real, 'iPhone') > 0 THEN 1 ELSE 0 END
-             AS ua_iphone
-  FROM (
-    SELECT r.app_id, r.dt, r.did, r.ip, r.k, r.ct, r.seq, r.zg_id, r.pl,
-           {ua_real_case(d, 'r.')} AS ua_real
-    FROM resolved r WHERE r.app_id IN ({apps})
-  ) s
-), clicks AS (
+    return f"""clicks AS (
   SELECT app_id, ip, ua_name, ua_ver, k % 5 AS lid, ct, seq,
          CASE WHEN (1 + k % 7) IN (1, 4) AND ua_iphone = 1
                    AND ua_ver <> '' THEN ':' || ua_ver
               ELSE ua_name || ':' || ua_ver END AS ua_proc,
          CASE WHEN k % 3 = 0 AND did IS NOT NULL AND did <> ''
               THEN {norm_id} END AS exact_key
-  FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL
+  FROM {keyed} WHERE dt = 'mkt' AND k IS NOT NULL
 ), exact_store AS (
   {store.format(keys="exact_key", where=" WHERE exact_key IS NOT NULL")}
 ), fz_store AS (
@@ -1929,7 +1953,7 @@ WITH keyed AS (
          CASE WHEN pl = 'ios' THEN 1 ELSE 0 END AS is_ios,
          CASE WHEN did IS NOT NULL AND did <> '' THEN {norm_id} END
              AS probe_key
-  FROM keyed WHERE dt = 'ss'
+  FROM {keyed} WHERE dt = 'ss'
 )
 SELECT match_tier, lid,
        COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
@@ -1954,7 +1978,28 @@ FROM (
 GROUP BY match_tier, lid"""
 
 
-_register("p42_adv_click_match", _p42)
+_P42_VIEW_MEMO: dict = {}
+
+
+def _p42_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the UA-parsed keyed slice once per (session, sf_dir) —
+    the _shared_view discipline — then run the body against the view."""
+    from zg_etl_spark.operators.domain import ensure_pipeline_views
+    from zg_etl_spark.session import session_key
+
+    ensure_pipeline_views(spark, sf_dir)
+    key = session_key(spark)
+    if _P42_VIEW_MEMO.get(key) != sf_dir:
+        df = spark.sql(_p42_keyed_sql(SPARK)).localCheckpoint(eager=True)
+        df.createOrReplaceTempView("p42_keyed")
+        _P42_VIEW_MEMO[key] = sf_dir
+    return spark.sql("WITH " + _p42_body(SPARK, "p42_keyed"))
+
+
+QUERIES["p42_adv_click_match"] = _p42_run
+ORACLE["p42_adv_click_match"] = duck_pipeline_sql(
+    f"WITH keyed AS ({_p42_keyed_sql(DUCK)}),\n{_p42_body(DUCK, 'keyed')}"
+)
 
 
 # ---------------------------------------------------------------------------
