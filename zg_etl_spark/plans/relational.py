@@ -358,27 +358,37 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flag-aggregation form (guide §2.4): the literal UNION/INTERSECT/
+    # EXCEPT plan scanned orders 6× (2 set defs × 3 ops) with an exchange
+    # per op. Per-custkey membership flags computed in ONE scan + one
+    # groupBy give all three counts from conditional sums. coalesce(cond,
+    # false) reproduces WHERE-clause semantics for NULL predicates;
+    # grouping treats NULL keys as equal exactly like UNION/INTERSECT/
+    # EXCEPT do. The DuckDB oracle keeps the set-op form — parity is the
+    # equivalence proof.
     orders = load_table(spark, sf_dir, "orders")
-    hi = (
-        orders.filter(F.col("o_totalprice") > 150000)
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
+    flags = (
+        orders.select(
+            F.col("o_custkey").alias("k"),
+            F.coalesce(F.col("o_totalprice") > 150000, F.lit(False)).alias("h"),
+            F.coalesce(
+                F.col("o_orderdate")
+                >= F.lit("1997-01-01 00:00:00").cast("timestamp"),
+                F.lit(False),
+            ).alias("r"),
+        )
+        .filter(F.col("h") | F.col("r"))
+        .groupBy("k")
+        .agg(F.max("h").alias("h"), F.max("r").alias("r"))
     )
-    recent = (
-        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
+    counts = flags.agg(
+        F.count(F.lit(1)).alias("u"),
+        F.sum(F.when(F.col("h") & F.col("r"), 1).otherwise(0)).alias("i"),
+        F.sum(F.when(F.col("h") & ~F.col("r"), 1).otherwise(0)).alias("e"),
     )
-    u = hi.union(recent).distinct().agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("union").alias("op"), "n"
-    )
-    i = hi.intersect(recent).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("intersect").alias("op"), "n"
-    )
-    e = hi.subtract(recent).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("except").alias("op"), "n"
-    )
-    return u.union(i).union(e)
+    return counts.selectExpr(
+        "stack(3, 'union', u, 'intersect', i, 'except', e) AS (op, n)"
+    ).selectExpr("op", "CAST(n AS BIGINT) AS n")
 
 
 # ---------------------------------------------------------------------------
