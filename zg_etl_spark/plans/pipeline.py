@@ -3849,7 +3849,7 @@ def p52_keyed_sql(d: Dialect) -> str:
   ) s"""
 
 
-def p52_clicks_sql(d: Dialect) -> str:
+def p52_clicks_sql(d: Dialect, src: str = "keyed") -> str:
     """The click records with their exact store keys and the SINGLE
     fuzzy-key form the store actually holds (FROM keyed): setIpUaMaps
     writes ONE key 'ip + uaAnalysis(ua)' per click, DOWNGRADED to
@@ -3869,10 +3869,10 @@ def p52_clicks_sql(d: Dialect) -> str:
          CASE WHEN k % 4 = 0 THEN {kid("oaid", "k", 19)} END AS oaid_key,
          CASE WHEN k % 5 = 0 THEN {kid("aid", "k", 17)} END AS aid_key,
          CASE WHEN k % 2 = 0 THEN {kid("imei", "k", 13)} END AS imei_key
-  FROM keyed WHERE dt = 'mkt' AND k IS NOT NULL"""
+  FROM {src} WHERE dt = 'mkt' AND k IS NOT NULL"""
 
 
-def p52_ss_sql(d: Dialect) -> str:
+def p52_ss_sql(d: Dialect, src: str = "keyed") -> str:
     """The session-start probes (FROM keyed); ct/seq ride along for
     p54's arrival-order replay, p52's snapshot ignores them."""
     kid = lambda p, s, m: _p52_kid(d, p, s, m)
@@ -3887,10 +3887,10 @@ def p52_ss_sql(d: Dialect) -> str:
              AS p_aid,
          CASE WHEN user_id % 2 <> 1 THEN {kid("imei", "user_id", 15)} END
              AS p_imei
-  FROM keyed WHERE dt = 'ss'"""
+  FROM {src} WHERE dt = 'ss'"""
 
 
-def _p52(d: Dialect) -> str:
+def _p52(d: Dialect, keyed_src: str | None = None) -> str:
     store = (
         "SELECT app_id, {keys}, lid, ct FROM (\n"
         "    SELECT app_id, {keys}, lid, ct,\n"
@@ -3928,9 +3928,14 @@ def _p52(d: Dialect) -> str:
   SELECT app_id, imei_key, lid, ct, seq FROM clicks
   WHERE imei_key IS NOT NULL"""
 
+    # keyed_src: the Spark runner materializes the UA-parsed keyed slice
+    # once per (session, sf_dir) and passes its view name — the inlined
+    # keyed CTE otherwise re-runs the UA regex parse per reference
+    # (clicks + ss subtrees). The DuckDB oracle always inlines (DuckDB
+    # materializes CTEs itself), proving the view changes nothing.
+    keyed_cte = "" if keyed_src else f"keyed AS ({p52_keyed_sql(d)}\n), "
     return f"""
-WITH keyed AS ({p52_keyed_sql(d)}
-), clicks AS ({p52_clicks_sql(d)}
+WITH {keyed_cte}clicks AS ({p52_clicks_sql(d, keyed_src or 'keyed')}
 ), exact_entries AS ({exact_entries}
 ), exact_store AS (
   SELECT app_id, mkey, lid, ct FROM (
@@ -3941,7 +3946,7 @@ WITH keyed AS ({p52_keyed_sql(d)}
 ), fz_store AS (
   {store.format(keys="ip, ua_proc",
                 where=" WHERE ip IS NOT NULL AND ip <> ''")}
-), ss AS ({p52_ss_sql(d)}
+), ss AS ({p52_ss_sql(d, keyed_src or 'keyed')}
 )
 SELECT match_tier, lid,
        COUNT(*) AS n_sessions, COUNT(DISTINCT zg_id) AS n_users
@@ -3984,7 +3989,28 @@ FROM (
 GROUP BY match_tier, lid"""
 
 
-_register("p52_adv_ss_priority", _p52)
+_P52_VIEW_MEMO: dict = {}
+
+
+def _p52_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the UA-parsed keyed slice once per (session, sf_dir)
+    (the _shared_view discipline; p54's consume-side build keeps its own
+    independent memo of the same SQL — no lifecycle coupling), then run
+    the snapshot body against the view."""
+    from zg_etl_spark.operators.domain import ensure_pipeline_views
+    from zg_etl_spark.session import session_key
+
+    ensure_pipeline_views(spark, sf_dir)
+    key = session_key(spark)
+    if _P52_VIEW_MEMO.get(key) != sf_dir:
+        df = spark.sql(p52_keyed_sql(SPARK)).localCheckpoint(eager=True)
+        df.createOrReplaceTempView("p52_keyed")
+        _P52_VIEW_MEMO[key] = sf_dir
+    return spark.sql(_p52(SPARK, keyed_src="p52_keyed"))
+
+
+QUERIES["p52_adv_ss_priority"] = _p52_run
+ORACLE["p52_adv_ss_priority"] = duck_pipeline_sql(_p52(DUCK))
 
 
 # ---------------------------------------------------------------------------
