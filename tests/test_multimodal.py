@@ -57,3 +57,33 @@ def test_frame_sampling(media, spark):
     n_bytes = media.filter("media_id = 0").collect()[0].meta.n_bytes
     n_chunks = (n_bytes + 255) // 256
     assert len(rows) == (n_chunks + 1) // 2
+
+
+def test_extract_features_matches_per_row_reference(spark):
+    """The batch-vectorized uint8 path must be byte-identical to the naive
+    per-row definition, including None / empty / all-0xff payloads and
+    every bucket boundary (the uint16 bucket math is exact only while
+    byte * n_bins fits 16 bits — pinned here with the default n_bins)."""
+    payloads = [
+        None,
+        b"",
+        bytes(range(256)) * 7,          # every byte value, multi-frame
+        b"\xff" * 1000,                 # top bucket only
+        b"\x00" * 3,                    # bottom bucket only
+        bytes([15, 16, 31, 32, 239, 240, 255]),  # bucket edges at /16
+    ]
+    df = spark.createDataFrame(
+        [(i, p, None) for i, p in enumerate(payloads)], MM.MEDIA_SCHEMA
+    )
+    got = {r.media_id: r for r in MM.extract_features(df).collect()}
+    for i, p in enumerate(payloads):
+        b = p or b""
+        n = len(b)
+        hist = [0] * 16
+        for x in b:
+            hist[x * 16 // 256] += 1
+        r = got[i]
+        assert r.n_bytes == n
+        assert r.byte_histogram == hist
+        assert r.byte_mean == (sum(b) / n if n else 0.0)
+        assert r.n_frames == (n + 255) // 256

@@ -73,10 +73,13 @@ def extract_features(df: DataFrame, n_bins: int = 16, frame_size: int = 256) -> 
 
         for pdf in batches:
             # whole-batch vectorization: one concatenated byte buffer +
-            # a row-index key, so sums and histograms are TWO bincount
-            # calls per batch instead of five numpy calls per ROW — the
-            # per-row path paid ~10 µs of numpy dispatch per payload,
-            # which dominated wall time for small payloads
+            # a row-index key, so sums and histograms are a handful of
+            # numpy calls per BATCH instead of five per ROW. The buffer
+            # stays uint8 throughout — an int64 blob copy plus an int64
+            # weights-bincount made the working set ~40 bytes per payload
+            # byte, and those large fresh allocations stalled multi-second
+            # on page faults for bigger-payload batches (l15); the narrow
+            # path below peaks at ~14 bytes per payload byte.
             payloads = [
                 bytes(p) if p is not None else b"" for p in pdf["payload"]
             ]
@@ -85,15 +88,20 @@ def extract_features(df: DataFrame, n_bins: int = 16, frame_size: int = 256) -> 
                 (len(b) for b in payloads), dtype=np.int64, count=n_rows
             )
             blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            blob = blob.astype(np.int64)
-            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-            # per-row byte sums: integer-valued float64 accumulation is
-            # exact below 2^53, far above any payload sum here
-            sums = np.bincount(row_idx, weights=blob, minlength=n_rows)
+            # per-row byte sums: one int64 running sum over the blob,
+            # sliced at row boundaries — exact integer math, no blob copy
+            ends = np.cumsum(lens)
+            cs = np.concatenate(([0], np.cumsum(blob, dtype=np.int64)))
+            sums = np.diff(np.concatenate(([0], cs[ends])))
             means = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            # histogram: bucket = byte * n_bins // 256 computed in uint16
+            # (exact for n_bins <= 256 — byte*n_bins < 2^16), combined
+            # with a uint32 row key for one segmented bincount
+            bucket = (blob.astype(np.uint16) * n_bins) >> 8
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.uint32), lens)
+            key = row_idx * np.uint32(n_bins) + bucket
             hist = np.bincount(
-                row_idx * n_bins + blob * n_bins // 256,
-                minlength=n_rows * n_bins,
+                key, minlength=n_rows * n_bins
             ).reshape(n_rows, n_bins)
             yield pd.DataFrame(
                 {
