@@ -12,25 +12,21 @@ from zg_etl_spark import plans
 
 def test_correctness_window_composition():
     """The driver verifies exactly the FIRST 50 of all_queries(). Pin the
-    round-11 composition: the queries whose output changed in round 10
-    after their last driver row first (p45 — fuzzy brand scan moved to
-    the fixture-pinned HashMap order — and g1 — JDK-exact UTF-8
-    malformed-length rules), then the whole 40-query round-8-attested
-    band (the oldest driver rows after r10's full-green window), then
-    picks from the next-oldest r9 band (spine p0/p4/p6, streaming zgid
-    s5, dedup components l16, and the JVM-boundary pair p43/p46 that
-    this round's fastjson2 probe targets) plus the round's new
-    p54d_replay_rollup; registering a new query must never silently
-    displace one of these."""
+    round-12 composition: p54 (the one query that never had a driver
+    row) and the r11 rewrites whose new form was never driver-attested
+    (q10, p3, l10) first, then the whole 39-query round-9-attested band
+    (the oldest driver rows after r11's full-green window), then the
+    seven r11-attested queries round 12's changes touch again (staged
+    sinks w1/w4/w5/w6, spine p0, CC l16, sessions s2); registering a
+    new query must never silently displace one of these."""
     first50 = list(plans.all_queries())[:50]
     assert len(set(first50)) == 50
-    want_prefixes = ["g1_", "s5_", "s7_", "s8_", "q11_", "q20_"]
-    want_prefixes += [f"p{i}_" for i in (0, 4, 6, *range(10, 19), 20,
-                                         *range(22, 27), 37, 40, 42, 43,
-                                         45, 46, 52, 53)]
-    want_prefixes += ["p54c_"]
-    want_prefixes += [f"l{i}_" for i in (16, 28, 29, *range(32, 38))]
-    want_prefixes += [f"w{i}_" for i in (1, *range(4, 9), 10)]
+    want_prefixes = ["p54_", "q10_", "p3_", "g4_", "s2_"]
+    want_prefixes += [f"l{i}_" for i in (10, *range(11, 28))]
+    want_prefixes += [f"p{i}_" for i in (0, 19, 21, 29, 34, 36, 38, 41,
+                                         44, 47, 48, 49, 50, 55, 56)]
+    want_prefixes += [f"s{i}_" for i in (1, 3, 4, 6, 9, 10)]
+    want_prefixes += [f"w{i}_" for i in (1, 3, 4, 5, 6, 9)]
     for prefix in want_prefixes:
         assert any(q.startswith(prefix) for q in first50), (
             f"{prefix}* fell out of the driver's 50-query window"
@@ -70,47 +66,51 @@ def test_bench_line_fits_driver_capture_window():
 
 def test_driver_window_is_the_planned_rotation():
     """The driver's CORRECTNESS file covers the FIRST 50 entries of
-    all_queries(); round 11 pins that window to the output-changed
-    p45/g1, the whole 40-query r8-attested band (the oldest rows
-    after r10's full-green window), and seven r9-band picks plus the
-    new p54d. A later registry edit must not silently displace them —
-    rotation is a DELIBERATE _WINDOW change, not a side effect."""
+    all_queries(); round 12 pins that window to the never-attested p54,
+    the r11 rewrites without a driver row on their new form (q10, p3,
+    l10), the whole 39-query r9-attested band (the oldest rows after
+    r11's full-green window), and the seven r11-attested queries this
+    round's changes touch again. A later registry edit must not
+    silently displace them — rotation is a DELIBERATE _WINDOW change,
+    not a side effect."""
     from zg_etl_spark import plans
 
     first50 = list(plans.all_queries())[:50]
     assert first50 == [n for n in plans._WINDOW if n in plans.all_queries()][:50]
     # every window name resolves (a typo'd name would silently shrink
-    # the verified set and promote a tail query into the window) —
-    # p54d_replay_rollup is allowed to be pending until it lands
+    # the verified set and promote a tail query into the window)
     merged = plans.all_queries()
-    missing = [n for n in plans._WINDOW
-               if n not in merged and n != "p54d_replay_rollup"]
+    missing = [n for n in plans._WINDOW if n not in merged]
     assert not missing, missing
     must_have = [
-        "p45_device_classify", "g1_wire_roundtrip",
-        "l28_source_mixture", "l33_lm_quality_score", "l37_pq_ann",
-        "p10_b_user_upsert", "p17_user_prop_dict", "p20_asof_props",
-        "p26_error_details", "p40_salted_counters", "p54c_candidates",
-        "q11_approx_distinct", "q20_gapfill_locf",
-        "s7_stream_stream_join", "s8_stream_upsert_delete",
-        "w1_upsert_writer", "w10_scale_ids",
-        "p0_envelope", "p4_dictionaries", "p6_virtual_events",
-        "s5_streaming_zgid", "l16_dedup_groups",
-        "p43_adv_match_json", "p46_dims_mapping",
+        "p54_click_consumption", "q10_set_ops", "p3_zgid_binding",
+        "l10_multimodal_binary", "l15_multimodal_features",
+        "l17_resize_features", "l23_frame_sample",
+        "l11_embedding_neardup", "l14_ann_pandas",
+        "p47_adv_cdc_route", "p44_apple_asa", "p56_event_paths",
+        "s1_streaming_identity", "s4_streaming_route",
+        "s10_streaming_deep_convert", "w3_compat_csv_roundtrip",
+        "w9_partial_upsert",
+        "w1_upsert_writer", "w4_partition_overwrite", "w5_compaction",
+        "w6_delete_sign", "p0_envelope", "l16_dedup_groups",
+        "s2_streaming_sessions",
     ]
     for name in must_have:
         assert name in first50, f"{name} missing from the driver window"
     # rotated/kept BEHIND the cut (still locally verified by the sf0.01
-    # parity rehearsal): the r9/r10-green band that yielded its slots
+    # parity rehearsal): the r10/r11-green band that yielded its slots
     # to this round's rotation
-    for name in ("p54_click_consumption", "p8_wide_table",
-                 "p7_enrichment", "p5_virtual_attrs",
-                 "p30_search_keywords", "l1_text_stats",
-                 "l30_dup_span_fraction", "l31_candidate_verify",
-                 "g2_wire_crypto", "g3_rsa_unwrap",
-                 "q1_pricing_summary", "s2_streaming_sessions",
-                 "w2_bucketed_join", "p51_web_ad_lane",
-                 "p56_event_paths", "p34_user_duration",
-                 "l11_embedding_neardup", "s1_streaming_identity",
-                 "s6_streaming_dedup", "g4_sm2_unwrap"):
+    for name in ("p45_device_classify", "g1_wire_roundtrip",
+                 "p54c_candidates", "p54d_replay_rollup",
+                 "l28_source_mixture", "l37_pq_ann",
+                 "p10_b_user_upsert", "p17_user_prop_dict",
+                 "p42_adv_click_match", "p52_adv_ss_priority",
+                 "q11_approx_distinct", "q20_gapfill_locf",
+                 "s5_streaming_zgid", "s7_stream_stream_join",
+                 "s8_stream_upsert_delete", "w7_schema_evolution",
+                 "w8_retention_sweep", "w10_scale_ids",
+                 "p8_wide_table", "p7_enrichment", "p5_virtual_attrs",
+                 "p43_adv_match_json", "p46_dims_mapping",
+                 "w2_bucketed_join", "q1_pricing_summary",
+                 "l1_text_stats", "g2_wire_crypto"):
         assert name in merged and name not in first50, name

@@ -15,88 +15,90 @@ changed this round; the twice-green remainder rotates behind them.
 from zg_etl_spark.plans import (
     consume, gate_queries, llm, pipeline, relational, streaming_queries)
 
-# Round-11 window: CORRECTNESS_r10 landed 50/50 hash-green on the
-# round-10 composition, so that block rotates behind. After r10 the
-# OLDEST driver rows are the 40 round-8-attested queries; the window
-# front-loads, in priority order:
-#   1. the queries whose OUTPUT changed during round 10 AFTER their
-#      last driver attestation (the r10 window was set before these
-#      fixes landed): p45 — the DevicePropertyParser fuzzy brand scan
-#      moved to the reference HashMap's iteration order (JVM fixture
-#      mode 'dp') — and g1 — the zlib wire lane's UTF-8 decode moved
-#      to the JDK's exact malformed-length rules (surrogate triple =
-#      ONE U+FFFD);
-#   2. the whole 40-query r8 band: l28-l37 (minus the r10-re-attested
-#      l30/l31), p10-p18/p20/p22-p26, p37/p40/p42/p52/p53/p54c,
-#      q11/q20, s7/s8, w1/w4-w8/w10;
-#   3. picks from the next-oldest (r9) band: the spine relations
-#      p0/p4/p6, the zgid streaming lane s5, the dedup connected
-#      components l16, and the two documented JVM-boundary queries
-#      p43/p46 (this round's fastjson2 probe targets their surface —
-#      re-attest them on whatever the probe concludes).
-# The remainder (the r9/r10-green band) stays in the tail, covered by
+# Round-12 window: CORRECTNESS_r11 landed 50/50 hash-green on the
+# round-11 composition, so that block rotates behind. The window
+# front-loads, in priority order (the round-11 verdict's explicit
+# rotation instruction):
+#   1. p54_click_consumption — the only query that has NEVER had a
+#      driver row (its full DuckDB oracle landed mid-r11, its
+#      memoized+exploded form in r11), plus the three r11 rewrites
+#      whose NEW form has only local parity evidence: q10 (set-op
+#      counts in one scan), p3 (collect_set window), and l10 (the
+#      multimodal family whose extract_features path r11 vectorized
+#      and r12 re-narrowed to uint8);
+#   2. the whole 39-query r9-attested band — the oldest driver rows
+#      after r11's full-green window: g4, l11-l15/l17-l27 (includes
+#      the rewritten-op l15/l17/l23 and this round's ANN/CC targets
+#      l11/l14), p19/p21/p29/p34/p36/p38/p41/p44/p47-p50/p55/p56
+#      (includes the r11 from_json rewrite p47), s1/s3/s4/s6/s9/s10,
+#      w3/w9;
+#   3. seven r11-attested queries whose implementation round 12
+#      touches again: the staged-commit sinks w1/w4/w5/w6, the spine
+#      p0, the CC iteration l16, and the sessions lane s2.
+# The remainder (the r10/r11-green band) stays in the tail, covered by
 # the local sf0.01 parity rehearsal; after this rotation nothing
-# attested is older than round 9.
+# attested is older than round 10.
 #
 # EXPLICIT, not module-unpacked: a query added to llm/streaming/gate
 # must be slotted here deliberately — unpacking whole modules let any
 # new entry silently displace the intended 50th query.
 _WINDOW = [
-    "p45_device_classify",
-    "g1_wire_roundtrip",
-    "l28_source_mixture",
-    "l29_semantic_dedup",
-    "l32_vocab_coverage",
-    "l33_lm_quality_score",
-    "l34_source_overlap",
-    "l35_incremental_dedup",
-    "l36_sequence_packing",
-    "l37_pq_ann",
-    "p10_b_user_upsert",
-    "p11_b_device_upsert",
-    "p12_id_archive",
-    "p13_user_visit_stats",
-    "p14_first_touch",
-    "p15_retention_cohort",
-    "p16_funnel",
-    "p17_user_prop_dict",
-    "p18_device_props",
-    "p20_asof_props",
-    "p22_session_attribution",
-    "p23_ad_conversion",
-    "p24_app_first_seen",
-    "p25_time_rollup",
-    "p26_error_details",
-    "p37_user_detail_sum",
-    "p40_salted_counters",
-    "p42_adv_click_match",
-    "p52_adv_ss_priority",
-    "p53_ipv6_geo",
-    "p54c_candidates",
-    "q11_approx_distinct",
-    "q20_gapfill_locf",
-    "s7_stream_stream_join",
-    "s8_stream_upsert_delete",
+    "p54_click_consumption",
+    "q10_set_ops",
+    "p3_zgid_binding",
+    "l10_multimodal_binary",
+    "g4_sm2_unwrap",
+    "l11_embedding_neardup",
+    "l12_tokens_fingerprint",
+    "l13_curation",
+    "l14_ann_pandas",
+    "l15_multimodal_features",
+    "l17_resize_features",
+    "l18_split_sample",
+    "l19_tfidf_terms",
+    "l20_chunking",
+    "l21_bigram_stats",
+    "l22_stratified_sample",
+    "l23_frame_sample",
+    "l24_pii_scrub",
+    "l25_decontaminate",
+    "l26_repetition_filter",
+    "l27_dedup_keep_list",
+    "p19_event_highwater",
+    "p21_sink_counts",
+    "p29_event_resolution",
+    "p34_user_duration",
+    "p36_event_platforms",
+    "p38_adv_user_sources",
+    "p41_adv_channel_props",
+    "p44_apple_asa",
+    "p47_adv_cdc_route",
+    "p48_adv_click_keys",
+    "p49_adv_deep_convert",
+    "p50_match_json_userprop",
+    "p55_tencent_web_match",
+    "p56_event_paths",
+    "s1_streaming_identity",
+    "s3_streaming_counts",
+    "s4_streaming_route",
+    "s6_streaming_dedup",
+    "s9_stream_partial_upsert",
+    "s10_streaming_deep_convert",
+    "w3_compat_csv_roundtrip",
+    "w9_partial_upsert",
     "w1_upsert_writer",
     "w4_partition_overwrite",
     "w5_compaction",
     "w6_delete_sign",
-    "w7_schema_evolution",
-    "w8_retention_sweep",
-    "w10_scale_ids",
     "p0_envelope",
-    "p4_dictionaries",
-    "p6_virtual_events",
-    "s5_streaming_zgid",
     "l16_dedup_groups",
-    "p43_adv_match_json",
-    "p46_dims_mapping",
-    "p54d_replay_rollup",
+    "s2_streaming_sessions",
     # behind the 50-query cut — stay listed so a future rotation is a
     # reorder, not a rediscovery
-    "p8_wide_table",
-    "p7_enrichment",
-    "p5_virtual_attrs",
+    "p45_device_classify",
+    "g1_wire_roundtrip",
+    "p54c_candidates",
+    "p54d_replay_rollup",
 ]
 
 _MODULES = (llm, streaming_queries, gate_queries, pipeline, relational, consume)
