@@ -6,6 +6,8 @@ import base64
 import json
 import zlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from zg_etl_spark.operators.decode import register_decryptor, resolve_wire
@@ -400,6 +402,7 @@ def test_partial_upsert_delete_sign(spark, tmp_path):
     assert "ds" not in spark.read.parquet(path).columns
 
 
+@pytest.mark.slow  # ~1-2 min scale rehearsal: --runslow when sinks.py changes
 def test_upsert_many_partitions_bounded(spark, tmp_path):
     """1k distinct partition tuples: the existing-side restriction must be
     the broadcast semi join, not a 1000-term OR-chain predicate — the

@@ -63,6 +63,11 @@ from test_expr_tree_port import (
 from zg_etl_spark.buildinfo import BUILD_ROUND
 from zg_etl_spark.functions.expr_compiler import parse
 
+# ~20 min of fresh-seed discovery sweeps: run with --runslow when the
+# expression compiler/emitters change; the committed corpora
+# (test_expr_fuzz, test_expr_tree_port) remain the always-on armor
+pytestmark = pytest.mark.slow
+
 SEED = 96_180_000 + BUILD_ROUND          # fresh trees every round
 N_NUM_BATCHES, NUM_PER_BATCH = 6, 90     # 540 numeric-leg trees
 N_DATE_BATCHES, DATE_PER_BATCH = 6, 80   # 480 date-leg trees

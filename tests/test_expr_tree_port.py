@@ -33,6 +33,11 @@ from decimal import ROUND_DOWN, ROUND_HALF_UP, Decimal, localcontext
 import duckdb
 import pytest
 
+# ~5 min re-verification of the 220 committed reference trees across
+# three evaluators: run with --runslow when the expr compiler/emitters
+# change (test_expr_compiler + test_expr_fuzz stay always-on)
+pytestmark = pytest.mark.slow
+
 from test_expr_fuzz import (
     COMPILER,
     DIRTY,

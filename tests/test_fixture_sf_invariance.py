@@ -19,6 +19,10 @@ import pytest
 
 from zg_etl_spark import plans
 
+# ~6 min two-SF sweep: run with --runslow when a fixture-spine query's
+# seed relation or case matrix changes
+pytestmark = pytest.mark.slow
+
 ALL = plans.all_queries()
 
 SF_A = "/root/testdata/sf0.001"

@@ -18,6 +18,12 @@ import os
 import re
 from datetime import date, timedelta
 
+import pytest
+
+# JVM-fixture sweep over the reference keyword decoder: run with
+# --runslow when search_keywords or its fixtures change
+pytestmark = pytest.mark.slow
+
 from zg_etl_spark.functions.search_keywords import (
     ENGINES,
     decode_multi_charset,
