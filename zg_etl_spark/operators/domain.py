@@ -576,6 +576,7 @@ def vtl_fanout_df(batch):
 CACHE_STAGES = {
     "gated",
     "resolved",
+    "event_first",
     "event_dict",
     "event_dict_eff",
     "attrs_melted",
@@ -959,17 +960,39 @@ def stages(d: Dialect) -> list[tuple[str, str]]:
     # EventAsyncOperator, errored records skip ahead); blacklisted
     # property keys are dropped before registration
     # (EventAttrAsyncOperator.java:784-834)
-    melt_union = "\n  UNION ALL\n".join(
-        f"""
+    if d.name == "spark":
+        # one pass, not five (guide §2.4): the UNION-ALL melt re-executes
+        # events_dicted's whole lineage (events_typed union + three
+        # broadcast joins over the checkpointed `resolved`) once per
+        # custom attribute; exploding an inline struct array emits the
+        # identical multiset — every branch row, including NULL
+        # attr_values — from ONE scan. The DuckDB prelude keeps the
+        # UNION form, so every downstream oracle proves equivalence.
+        structs = ", ".join(
+            f"named_struct('attr_name', '{name}', "
+            f"'attr_value', {val}, 'prop_type', {ptype})"
+            for name, val, ptype in custom_attrs(d)
+        )
+        melt = f"""
+  SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq, zg_eid,
+         a.attr_name, a.attr_value, a.prop_type
+  FROM (
+    SELECT app_id, owner_e, event_name_t, seq, zg_eid,
+           explode(array({structs})) AS a
+    FROM events_dicted WHERE event_error_code = 0
+  ) x"""
+    else:
+        melt = "\n  UNION ALL\n".join(
+            f"""
   SELECT app_id, owner_e AS owner, event_name_t AS event_name, seq, zg_eid,
          '{name}' AS attr_name, {val} AS attr_value, {ptype} AS prop_type
   FROM events_dicted WHERE event_error_code = 0"""
-        for name, val, ptype in custom_attrs(d)
-    )
+            for name, val, ptype in custom_attrs(d)
+        )
     out.append((
         "attrs_melted",
         f"""
-  SELECT m.* FROM ({melt_union}
+  SELECT m.* FROM ({melt}
   ) m
   LEFT JOIN attr_bl ab ON ab.ab_app_id = m.app_id
        AND ab.ab_attr_name = m.attr_name
@@ -1105,6 +1128,8 @@ _CACHED: dict[int, list] = {}
 def ensure_pipeline_views(spark, sf_dir: str) -> None:
     """Register every stage as a temp view, caching the shared spine.
     Re-registers (and drops old cache) when sf_dir changes."""
+    import os
+
     from zg_etl_spark.sources.tables import load_table
 
     from zg_etl_spark.session import session_key
@@ -1118,7 +1143,27 @@ def ensure_pipeline_views(spark, sf_dir: str) -> None:
 
     # events.ts is parquet TIMESTAMP(NANOS); read it as a nanos BIGINT
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    events = load_table(spark, sf_dir, "events")
+    # the spine's first pass (feed -> gated) evaluates ~50 derived
+    # columns per row (md5, regexps, string builds) — far heavier per
+    # byte than a plain scan — and the testdata ships events as ONE
+    # parquet file, so without this the whole gated build runs in a
+    # single task (measured: gated checkpoint 2.9 s at 1 partition,
+    # 0.9 s at 8, 0.65 s at 32 in an interleaved A/B at sf0.1).
+    # Size-derived fan-out, same discipline as llm._register_docs_views
+    # but sized for EXPRESSION work rather than scan bytes (~64 KiB of
+    # source per task — still thousands of rows), capped at the core
+    # count, and a no-op when the native splits already parallelize
+    # (at 100 TB the source is many files and this never fires).
+    try:
+        ev_bytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        ev_bytes = 0
+    cores = spark.sparkContext.defaultParallelism
+    want = max(1, min(cores, -(-ev_bytes // (64 * 1024))))
+    if events.rdd.getNumPartitions() < want:
+        events = events.repartition(want)
+    events.createOrReplaceTempView("events")
 
     # localCheckpoint truncates lineage: without it every downstream
     # query's logical plan inlines the whole chain and Catalyst spends
