@@ -233,10 +233,16 @@ class DD:
 
 
 # bytes of source per partition the downstream per-row pipelines want:
-# small enough that a single-file table still parallelizes CPU-heavy
-# lanes, large enough that task-scheduling overhead doesn't dominate
-# (32 tasks over a sub-MB table spent more wall on scheduling than work)
-_DOCS_PART_TARGET = 512 * 1024
+# sized for EXPRESSION work (md5-per-shingle minhash, array folds),
+# not scan bytes — small enough that a single-file table parallelizes
+# the CPU-heavy lanes, large enough that task scheduling doesn't
+# dominate. Interleaved A/B at sf0.1 (594 KB documents): the minhash
+# build read 2.8/0.85/0.94 s at 2 partitions vs 0.52/0.45/0.45 at 8,
+# and even the cheap map-only lanes improved slightly; 32 ≈ 8. The
+# earlier 512 KiB value under-parallelized exactly the builds that
+# matter (r11's 32-tasks-hurt measurement was the FLAT repartition on
+# sub-MB tables, which the size-derived count already avoids).
+_DOCS_PART_TARGET = 64 * 1024
 _DOCS_MEMO: dict = {}
 
 
@@ -569,9 +575,20 @@ def _l6(d) -> str:
     return f"\nWITH {_l6_ctes(d)}\n{_l6_select(d).strip()}"
 
 
-def _l6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_cands_view(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the LSH candidate pairs once per (session, sf_dir) —
+    l6 declares them, l16 filters them into dedup edges, l31 verifies
+    them against exact shingles; each recomputed the band self-join +
+    DISTINCT before (and l16's symmetric-edge union executed it TWICE
+    in one action). On a cluster this is the persisted candidate table
+    every dedup pipeline keeps next to its signature index."""
     _shared_view(spark, sf_dir, "mh_sigs", _l5(LD))
-    return spark.sql(_l6(LD))
+    _shared_view(spark, sf_dir, "l6_cands", _l6(LD))
+
+
+def _l6_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_cands_view(spark, sf_dir)
+    return spark.table("l6_cands")
 
 
 QUERIES["l6_lsh_candidates"] = _l6_run
@@ -593,8 +610,8 @@ _L16_SIM = 0.5  # ≥4 of 8 minhashes agree
 def _l16_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    _shared_view(spark, sf_dir, "mh_sigs", _l5(LD))
-    edges = spark.sql(_l6(LD)).where(f"est_sim >= {_L16_SIM}")
+    _ensure_cands_view(spark, sf_dir)
+    edges = spark.table("l6_cands").where(f"est_sim >= {_L16_SIM}")
     sym = (
         edges.selectExpr("doc_a AS a", "doc_b AS b")
         .unionAll(edges.selectExpr("doc_b AS a", "doc_a AS b"))
@@ -1637,7 +1654,7 @@ ORACLE["l30_dup_span_fraction"] = (
 _L31_JACCARD = 0.35
 
 
-def _l31_inner(d, sh_src: str) -> str:
+def _l31_inner(d, sh_src: str, cand_sql: str | None = None) -> str:
     # LEFT joins + zero-denominator guard: a 3-word doc carries a minhash
     # signature (3-gram) and can band-collide, yet has NO 4-gram shingle
     # rows — inner joins to `sizes` would silently DROP that candidate
@@ -1652,7 +1669,7 @@ def _l31_inner(d, sh_src: str) -> str:
         f"/ CAST({denom} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
     )
     return f"""
-cand AS ({_l6_select(d).strip()}),
+cand AS ({cand_sql or _l6_select(d).strip()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM {sh_src} GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
@@ -1671,12 +1688,15 @@ LEFT JOIN sizes nb ON nb.doc_id = c.doc_b"""
 
 
 def _l31_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # both derived sets are the memoized shared views (minhash signatures
-    # for the candidate CTE, hashed shingles for the exact check): the
-    # verify stage adds joins, not rebuilds.
+    # every derived set is a memoized shared view (minhash signatures,
+    # hashed shingles, AND the banded candidate pairs — `cand` is
+    # referenced twice below, so an inlined band join executed twice):
+    # the verify stage adds joins, not rebuilds.
     sh = _ensure_shingle_views(spark, sf_dir)
-    _shared_view(spark, sf_dir, "mh_sigs", _l5(LD))
-    return spark.sql(f"WITH {_l6_ctes(LD)}, " + _l31_inner(LD, sh))
+    _ensure_cands_view(spark, sf_dir)
+    return spark.sql(
+        "WITH " + _l31_inner(LD, sh, cand_sql="SELECT * FROM l6_cands")
+    )
 
 
 QUERIES["l31_candidate_verify"] = _l31_run
